@@ -1,13 +1,53 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+  private def t(name: String)(implicit s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    FlowAnalytics.starJoinFlow(
+      Tables.lineitem(spark, d), Tables.orders(spark, d), Tables.customer(spark, d),
+      Tables.nation(spark, d), Tables.region(spark, d))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_flow_agg" -> ((s, d) => FlowAnalytics.flowAgg(Tables.lineitem(s, d))),
+    "q02_topn_flow" -> ((s, d) => FlowAnalytics.topNFlow(Tables.lineitem(s, d))),
+    "q03_speed_buckets" -> ((s, d) => FlowAnalytics.speedBuckets(Tables.lineitem(s, d))),
+    "q04_group_topn" -> ((s, d) => FlowAnalytics.groupTopN(Tables.lineitem(s, d))),
+    "q05_star_join_flow" -> ((s, d) => FlowAnalytics.starJoinFlow(
+      Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+      Tables.nation(s, d), Tables.region(s, d))),
+    "q06_group_concat" -> ((s, d) => FlowAnalytics.groupConcat(Tables.customer(s, d), Tables.nation(s, d))),
+    "q07_distinct_count" -> ((s, d) => FlowAnalytics.distinctCount(Tables.orders(s, d), Tables.customer(s, d))),
+    "q08_car_track" -> ((s, d) => TrackAnalytics.carTrack(Tables.events(s, d))),
+    "q09_funnel_step" -> ((s, d) => TrackAnalytics.funnelStep(Tables.events(s, d))),
+    "q10_collision" -> ((s, d) => TrackAnalytics.collision(Tables.events(s, d))),
+    "q11_sessionize" -> ((s, d) => TrackAnalytics.sessionize(Tables.events(s, d))),
+    "q12_rollup" -> ((s, d) => RelationalOps.rollupAgg(
+      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q13_running_total" -> ((s, d) => RelationalOps.runningTotal(Tables.orders(s, d))),
+    "q14_stratified_sample" -> ((s, d) => TrackAnalytics.stratifiedSample(Tables.events(s, d))),
+    "q15_pivot" -> ((s, d) => RelationalOps.pivotStatus(Tables.orders(s, d), Tables.customer(s, d))),
+    "q16_anti_join" -> ((s, d) => RelationalOps.antiJoin(Tables.customer(s, d), Tables.orders(s, d))),
+    "q17_semi_join" -> ((s, d) => RelationalOps.semiJoin(Tables.part(s, d), Tables.lineitem(s, d))),
+    "q18_set_ops" -> ((s, d) => RelationalOps.setOps(Tables.orders(s, d), Tables.customer(s, d))),
+    "q19_salted_agg" -> ((s, d) => RelationalOps.saltedAgg(Tables.orders(s, d))),
+    "q20_time_window" -> ((s, d) => TrackAnalytics.timeWindow(Tables.events(s, d))),
+    "q21_percentile" -> ((s, d) => RelationalOps.percentiles(Tables.lineitem(s, d))),
+    "q22_orders_histogram" -> ((s, d) => RelationalOps.ordersHistogram(Tables.customer(s, d), Tables.orders(s, d))),
+    "q23_broadcast_dim" -> ((s, d) => FlowAnalytics.broadcastDim(
+      Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d)))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracles.all
 }

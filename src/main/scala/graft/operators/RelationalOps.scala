@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General relational operators rounding out the reference's query
+  * surface: rollups, windows, pivots, join variants, set algebra,
+  * skew-resistant aggregation, percentiles and histograms.
+  */
+object RelationalOps {
+
+  /** q12_rollup — hierarchical ROLLUP (region → nation → total), the
+    * declarative form of the reference's multi-level accumulator
+    * report. NULL group slots are surfaced as 'ALL' so the output has
+    * no ambiguous nulls. */
+  def rollupAgg(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame = {
+    val joined = customer
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+    // SQL form: the DataFrame rollup's Expand output trips the
+    // ambiguous-self-join check when re-selected; GROUP BY ROLLUP in
+    // SQL plans identically without the lineage quirk
+    joined.createOrReplaceTempView("graft_rollup_src")
+    joined.sparkSession.sql(
+      """SELECT coalesce(r_name, 'ALL') AS r_name,
+                coalesce(n_name, 'ALL') AS n_name,
+                count(*) AS cust_cnt,
+                round(sum(c_acctbal), 2) AS acctbal_sum
+         FROM graft_rollup_src
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY r_name, n_name""")
+  }
+
+  /** q13_running_total — cumulative windowed sum per entity (running
+    * spend per customer over order time). ROWS frame with a full
+    * deterministic tiebreak so the partial sums are reproducible. */
+  def runningTotal(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders
+      .withColumn("running_spend", round(sum("o_totalprice").over(w), 2))
+      .select("o_custkey", "o_orderkey", "running_spend")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q15_pivot — pivot to wide conditional counts (order status per
+    * market segment). The value list is supplied explicitly so the plan
+    * is a single pass (no extra distinct-values job). */
+  def pivotStatus(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer.select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(
+        col("c_mktsegment"),
+        col("O").as("cnt_o"), col("F").as("cnt_f"), col("P").as("cnt_p"))
+      .orderBy("c_mktsegment")
+
+  /** q16_anti_join — entities with no matching facts (customers with no
+    * high-value order). Plans as a broadcast/shuffled hash anti join
+    * with the fact-side filter pushed below the join. */
+  def antiJoin(customer: DataFrame, orders: DataFrame, minPrice: Double = 400000): DataFrame =
+    customer
+      .join(orders.filter(col("o_totalprice") > minPrice).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** q17_semi_join — existence filter (parts that ever shipped at max
+    * quantity). The filter is pushed below the join; the semi join
+    * never materializes fact columns. */
+  def semiJoin(part: DataFrame, lineitem: DataFrame, minQty: Double = 48): DataFrame =
+    part
+      .join(lineitem.filter(col("l_quantity") >= minQty).select("l_partkey"),
+        col("p_partkey") === col("l_partkey"), "left_semi")
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+
+  /** q18_set_ops — cohort algebra: big-spender custkeys EXCEPT a
+    * segment cohort. EXCEPT plans as a distinct + anti-join shuffle on
+    * the key. */
+  def setOps(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders.filter(col("o_totalprice") > 250000).select(col("o_custkey").as("custkey")).distinct()
+      .except(customer.filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  /** q19_salted_agg — skew-resistant two-phase aggregation: a salt key
+    * splits hot groups across partitions for the partial agg, then the
+    * final agg merges per real key. Result is identical to the plain
+    * groupBy (the oracle checks exactly that). At 100 TB this is the
+    * pattern for power-law keys where AQE's skew handling isn't enough
+    * (e.g. a single monitor with 30% of all traffic). */
+  def saltedAgg(orders: DataFrame, saltBuckets: Int = 8): DataFrame =
+    orders
+      .withColumn("salt", pmod(col("o_orderkey"), lit(saltBuckets)))
+      .groupBy("o_orderpriority", "salt")
+      .agg(count(lit(1)).as("part_cnt"), sum("o_totalprice").as("part_sum"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum("part_cnt").as("order_cnt"),
+        round(sum("part_sum"), 2).as("total_price"))
+      .orderBy("o_orderpriority")
+
+  /** q21_percentile — exact interpolated percentiles per group
+    * (median / p90 speed per checkpoint class). At 100 TB swap to
+    * percentile_approx: single-pass, mergeable sketch. */
+  def percentiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 2).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 3).as("p50_price"))
+      .orderBy("l_returnflag")
+
+  /** q22_orders_histogram — distribution histogram via outer join +
+    * double aggregation (TPC-H Q13 shape: how many customers placed k
+    * orders). */
+  def ordersHistogram(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy("c_count")
+}

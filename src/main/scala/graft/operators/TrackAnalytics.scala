@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trajectory / event-sequence surface of the reference (TrafficTeach
+  * `CarTrackAnalyze`, `MonitorOneStepTimeAnalyze` (one-step conversion),
+  * `RandomExtractCars`, area-collision analysis), over the `events`
+  * fact table (ts/user_id/event_type ≈ action_time/car/monitor).
+  *
+  * Scale notes: every operator shuffles exactly once on the entity key
+  * (user_id); ordering within an entity is done with array_sort after
+  * collect (track) or a single window (funnel/session), never with a
+  * global sort. The reference does the same work with groupByKey +
+  * in-memory sort per car — the Spark plans here keep partial
+  * aggregation and spill handling.
+  */
+object TrackAnalytics {
+
+  /** q08_car_track — per-entity time-ordered trajectory assembly.
+    * collect_list is order-free (so partial aggregation still applies);
+    * the deterministic (ts, event_id) order is imposed by array_sort on
+    * the struct, inside codegen. */
+  def carTrack(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        concat_ws(">",
+          transform(
+            array_sort(collect_list(struct(col("ts_ns"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type"))).as("track"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  /** q09_funnel_step — consecutive-step transition counts (the
+    * reference's one-step conversion rate between checkpoints). */
+  def funnelStep(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    events
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** q10_collision — two-cohort intersection (cars seen in both areas;
+    * TrafficTeach "车辆碰撞" analysis). Distinct + intersect plans as a
+    * shuffle on the key with partial distinct on both sides. */
+  def collision(events: DataFrame, typeA: String = "click", typeB: String = "purchase"): DataFrame =
+    events.filter(col("event_type") === typeA).select("user_id").distinct()
+      .intersect(events.filter(col("event_type") === typeB).select("user_id").distinct())
+      .orderBy("user_id")
+
+  /** q11_sessionize — gap-based sessionization (30-minute gap), the
+    * batch twin of streaming session windows. Two stacked windows on
+    * the same (user_id) partitioning → a single shuffle. */
+  def sessionize(events: DataFrame, gapMs: Long = 1800000L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("cur_ms", expr("ts_ns div 1000000"))
+      .withColumn("prev_ms", lag(expr("ts_ns div 1000000"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull || col("cur_ms") - col("prev_ms") > gapMs, 1).otherwise(0))
+      .withColumn("session_id", sum("new_s").over(frame))
+      .groupBy("user_id")
+      .agg(
+        countDistinct("session_id").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Deterministic pseudo-random scramble used instead of rand() so the
+    * sample is reproducible across engines and runs (Knuth
+    * multiplicative hash over the record id). */
+  private def scramble(id: Column): Column = (id * lit(2654435761L)) % lit(4294967296L)
+
+  /** q14_stratified_sample — deterministic stratified sampling: N
+    * records per day-stratum (the reference's RandomExtractCars samples
+    * per hour-block). One shuffle on the stratum key. */
+  def stratifiedSample(events: DataFrame, perStratum: Int = 5): DataFrame = {
+    val w = Window.partitionBy(date_trunc("day", col("ts")))
+      .orderBy(scramble(col("event_id")), col("event_id"))
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perStratum)
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+  }
+
+  /** q20_time_window — tumbling event-time window aggregation (the
+    * reference's per-road congestion per time slice; batch twin of the
+    * streaming job in graft.streaming). Uses the standard `window`
+    * function so the same expression works under readStream. */
+  def timeWindow(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("event_type"),
+        unix_millis(col("window.start")).as("hour_ms"),
+        col("n_events"), col("sum_value"))
+      .orderBy("event_type", "hour_ms")
+}

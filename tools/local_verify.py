@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: read Verify.scala's
+parquet dumps + oracle_sql.json, run each oracle in DuckDB against the
+same test tables, compare schema + sorted values exactly.
+
+Usage: python3 tools/local_verify.py [sfdir] [outdir]
+(run `sbt "runMain graft.Verify <sfdir> <outdir>"` first)
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+ok = fail = 0
+for name, sql in sorted(oracle.items()):
+    pdir = f"{outdir}/{name}"
+    if not os.path.isdir(pdir):
+        print(f"FAIL {name}: no spark output dir"); fail += 1; continue
+    try:
+        spark_df = con.sql(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df()
+        duck_df = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fail += 1; continue
+    sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
+    if sc != dc:
+        print(f"FAIL {name}: columns spark={sc} duck={dc}"); fail += 1; continue
+    s = spark_df[sc].sort_values(sc).reset_index(drop=True)
+    d = duck_df[dc].sort_values(dc).reset_index(drop=True)
+    if len(s) != len(d):
+        print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}"); fail += 1; continue
+    # exact value compare (driver hashes values; emulate with exact match)
+    try:
+        mismatch = None
+        for c in sc:
+            a, b = s[c], d[c]
+            if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+                neq = ~((a.isna() & b.isna()) | (a == b))
+            else:
+                neq = ~((a.isna() & b.isna()) | (a.astype(object) == b.astype(object)))
+            if neq.any():
+                i = neq.idxmax()
+                mismatch = f"col {c} row {i}: spark={a[i]!r} duck={b[i]!r}"
+                break
+        if mismatch:
+            print(f"FAIL {name}: {mismatch}"); fail += 1
+        else:
+            print(f"OK   {name} ({len(s)} rows)"); ok += 1
+    except Exception as e:
+        print(f"FAIL {name}: compare error {e}"); fail += 1
+
+# queries without oracle: rows-only
+for pdir in sorted(glob.glob(f"{outdir}/*/")):
+    name = os.path.basename(pdir.rstrip('/'))
+    if name in oracle: continue
+    try:
+        n = len(con.sql(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df())
+        print(f"ROWS {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
+    except Exception as e:
+        print(f"ROWS {name}: read error {e}")
+
+print(f"\n{ok} OK, {fail} FAIL")
+sys.exit(1 if fail else 0)
