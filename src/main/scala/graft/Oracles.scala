@@ -173,5 +173,77 @@ object Oracles {
          GROUP BY n_name ORDER BY n_name"""
   )
 
-  def all: Map[String, String] = relational
+  /** d02 and d03 share one oracle: LSH + exact verification must equal
+    * the exact all-pairs computation at the same threshold. */
+  private val ngramJaccardSql =
+    """WITH t AS (
+         SELECT doc_id,
+                list_distinct([array_to_string(toks[i:i+2], ' ')
+                               for i in range(1, len(toks)-1)]) AS sh
+         FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+               FROM documents)
+         WHERE len(toks) >= 3),
+       e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM t),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.nsh AS na, b.nsh AS nb, count(*) AS shared
+             FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4)
+       SELECT doc_a, doc_b,
+              floor((shared*1.0/(na+nb-shared))*10000 + 0.5)/10000 AS jaccard
+       FROM p WHERE shared*1.0/(na+nb-shared) >= 0.8
+       ORDER BY doc_a, doc_b"""
+
+  val pipeline: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt FROM documents
+         GROUP BY text ORDER BY doc_id""",
+
+    "d02_ngram_jaccard" -> ngramJaccardSql,
+    "d03_minhash_lsh" -> ngramJaccardSql,
+
+    "d05_embed_dedup" ->
+      """WITH v AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vd
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, vd,
+                  sqrt(list_reduce(list_prepend(0.0, [x*x for x in vd]),
+                       (a, b) -> a + b)) AS nrm
+           FROM v)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                floor((list_reduce(list_prepend(0.0,
+                        [a.vd[i]*b.vd[i] for i in range(1, 65)]),
+                      (x, y) -> x + y) / (a.nrm*b.nrm))*10000 + 0.5)/10000 AS cos_sim
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_reduce(list_prepend(0.0,
+                 [a.vd[i]*b.vd[i] for i in range(1, 65)]),
+               (x, y) -> x + y) / (a.nrm*b.nrm) >= 0.5
+         ORDER BY vec_a, vec_b""",
+
+    "t01_token_stats" ->
+      """SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_uniq_tokens,
+         length(text) AS n_chars_actual, n_chars
+         FROM documents ORDER BY doc_id""",
+
+    "t02_quality_score" ->
+      """SELECT doc_id,
+         floor((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))*1.0/length(text))*10000 + 0.5)/10000 AS alpha_ratio,
+         floor((length(regexp_replace(text, '[^ ]', '', 'g'))*1.0/length(text))*10000 + 0.5)/10000 AS space_ratio,
+         floor((length(text)*1.0/len(string_split_regex(trim(text), '\s+')))*100 + 0.5)/100 AS chars_per_tok,
+         floor((least(1.0, len(string_split_regex(trim(text), '\s+'))/100.0)*0.4
+               + (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))*1.0/length(text))*0.4
+               + (1.0 - length(regexp_replace(text, '[^ ]', '', 'g'))*1.0/length(text))*0.2)*10000 + 0.5)/10000 AS quality
+         FROM documents WHERE length(text) > 0 ORDER BY doc_id""",
+
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             [unicode(c) for c in string_split(text, '')]),
+           (a, b) -> (a*31 + b) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id"""
+  )
+
+  def all: Map[String, String] = relational ++ pipeline
 }

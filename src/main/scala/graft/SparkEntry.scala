@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.dedup.Dedup
+import graft.text.TextStats
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -44,7 +46,16 @@ object SparkEntry {
     "q21_percentile" -> ((s, d) => RelationalOps.percentiles(Tables.lineitem(s, d))),
     "q22_orders_histogram" -> ((s, d) => RelationalOps.ordersHistogram(Tables.customer(s, d), Tables.orders(s, d))),
     "q23_broadcast_dim" -> ((s, d) => FlowAnalytics.broadcastDim(
-      Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d)))
+      Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "d01_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    "d02_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "d03_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(Tables.documents(s, d))),
+    "d04_simhash" -> ((s, d) => Dedup.simHash(Tables.documents(s, d))),
+    "d05_embed_dedup" -> ((s, d) => Dedup.embedDedup(Tables.embeddings(s, d))),
+    "t01_token_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),
+    "t02_quality_score" -> ((s, d) => TextStats.qualityScore(Tables.documents(s, d))),
+    "t03_langid" -> ((s, d) => TextStats.langId(Tables.documents(s, d))),
+    "t04_fingerprint" -> ((s, d) => TextStats.fingerprint(Tables.documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

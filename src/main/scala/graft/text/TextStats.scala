@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Num.stableRound
+
+/** Text-analysis operators for LLM-training-data pipelines
+  * (SURVEY.md §2 "Text analysis"). All are single-pass narrow
+  * transforms — no shuffle at all; at 100 TB they run at scan speed
+  * and stay inside whole-stage codegen.
+  */
+object TextStats {
+
+  /** t01_token_stats — tokenization + per-doc token/char counts.
+    * Whitespace tokenizer (the reference for token counting; a BPE-ish
+    * regex variant is `bpeTokenCount` below). */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq_tokens"),
+        length(col("text")).as("n_chars_actual"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Sub-word-ish token count: splits on word/non-word boundaries the
+    * way a BPE pre-tokenizer does its first pass. Not oracle-checked
+    * (regex-engine-specific); spec-tested. */
+  def bpeTokenCount(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "(?=\\W)|(?<=\\W)"), t => t =!= "")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** t02_quality_score — heuristic quality scoring from char-class
+    * ratios and length stats (the C4/Gopher-style filters). Every
+    * ratio is an int/int double division, so the oracle reproduces it
+    * exactly. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val nchars = length(col("text"))
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    val spaces = length(regexp_replace(col("text"), "[^ ]", ""))
+    val ntok = size(split(trim(col("text")), "\\s+"))
+    documents
+      .filter(nchars > 0)
+      .select(
+        col("doc_id"),
+        stableRound(alpha / nchars, 4).as("alpha_ratio"),
+        stableRound(spaces / nchars, 4).as("space_ratio"),
+        stableRound(nchars / ntok, 2).as("chars_per_tok"),
+        stableRound(
+          least(lit(1.0), ntok / lit(100.0)) * 0.4 +
+            (alpha / nchars) * 0.4 +
+            (lit(1.0) - spaces / nchars) * 0.2, 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker-word profiles for t03_langid. Real-language function words;
+    * on synthetic word-salad data everything scores 0 → 'und'
+    * (undetermined), which is the honest answer there. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is ", " to "),
+    "de" -> Seq(" der ", " die ", " und ", " ist ", " das "),
+    "es" -> Seq(" el ", " la ", " que ", " los ", " es "),
+    "fr" -> Seq(" le ", " la ", " et ", " les ", " est "),
+    "zh" -> Seq("的", "是", "在", "了", "我"))
+
+  /** t03_langid — marker-word language identification: count profile
+    * hits per language over the padded lowercase text, argmax with a
+    * deterministic tiebreak; 'und' when nothing matches. Single-pass,
+    * codegen-friendly (length/replace only — no regex in the loop). */
+  def langId(documents: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    def hits(ms: Seq[String]) = ms.map { m =>
+      (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), ""))) / m.length
+    }.reduce(_ + _)
+    val scored = markers.foldLeft(documents) { case (df, (l, ms)) =>
+      df.withColumn(s"score_$l", hits(ms))
+    }
+    val best = markers.map { case (l, _) => struct(col(s"score_$l").as("s"), lit(l).as("l")) }
+    scored
+      .withColumn("best", greatest(best: _*))
+      .select(
+        col("doc_id"),
+        when(col("best.s") > 0, col("best.l")).otherwise(lit("und")).as("pred_lang"),
+        col("lang"),
+        (when(col("best.s") > 0, col("best.l")).otherwise(lit("und")) === col("lang"))
+          .as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** t04_fingerprint — rolling polynomial hash (mod 1e9+7) over the
+    * document's codepoints: a locality-free exact fingerprint cheap
+    * enough to compute at scan speed. */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("codes", transform(split(col("text"), ""), c => ascii(c)))
+      .withColumn("fp", expr(
+        "aggregate(codes, 0L, (acc, c) -> (acc * 31 + c) % 1000000007L)"))
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+}
