@@ -242,7 +242,48 @@ object Oracles {
          list_reduce(list_prepend(CAST(0 AS BIGINT),
              [unicode(c) for c in string_split(text, '')]),
            (a, b) -> (a*31 + b) % 1000000007) AS fp
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    "a01_knn_brute" ->
+      """WITH v AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vd
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, vd,
+                  sqrt(list_reduce(list_prepend(0.0, [x*x for x in vd]),
+                       (a, b) -> a + b)) AS nrm
+           FROM v),
+         s AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_reduce(list_prepend(0.0,
+                      [q.vd[i]*c.vd[i] for i in range(1, 65)]),
+                    (x, y) -> x + y) / (q.nrm*c.nrm) AS sim
+           FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id >= 10),
+         r AS (
+           SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rn
+           FROM s)
+         SELECT query_id, neighbor_id,
+                floor(sim*10000 + 0.5)/10000 AS cos_sim, rn
+         FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
+
+    "m01_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         length(text) AS n_chars_actual,
+         sha256(text) AS payload_sha,
+         unicode(substr(text, 1, 1)) AS first_code
+         FROM documents ORDER BY doc_id""",
+
+    "m02_chunk_sample" ->
+      """SELECT doc_id, chunk_idx,
+         length(substr(text, chunk_idx*64 + 1, 64)) AS chunk_bytes,
+         sha256(substr(text, chunk_idx*64 + 1, 64)) AS chunk_sha
+         FROM (SELECT doc_id, text,
+                 unnest(range(0, CAST(floor((length(text)-1)/64) AS BIGINT) + 1)) AS chunk_idx
+               FROM documents)
+         WHERE chunk_idx % 4 = 0
+         ORDER BY doc_id, chunk_idx"""
   )
 
   def all: Map[String, String] = relational ++ pipeline

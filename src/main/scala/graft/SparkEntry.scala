@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
 import graft.dedup.Dedup
 import graft.text.TextStats
+import graft.ann.Ann
+import graft.multimodal.BinaryPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -55,7 +57,12 @@ object SparkEntry {
     "t01_token_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) => TextStats.qualityScore(Tables.documents(s, d))),
     "t03_langid" -> ((s, d) => TextStats.langId(Tables.documents(s, d))),
-    "t04_fingerprint" -> ((s, d) => TextStats.fingerprint(Tables.documents(s, d)))
+    "t04_fingerprint" -> ((s, d) => TextStats.fingerprint(Tables.documents(s, d))),
+    "a01_knn_brute" -> ((s, d) => Ann.knnBrute(Tables.embeddings(s, d))),
+    "a02_knn_lsh" -> ((s, d) => Ann.knnLsh(Tables.embeddings(s, d))),
+    "a03_centroid_assign" -> ((s, d) => Ann.centroidAssign(Tables.embeddings(s, d))),
+    "m01_binary_meta" -> ((s, d) => BinaryPipeline.binaryMeta(Tables.documents(s, d))),
+    "m02_chunk_sample" -> ((s, d) => BinaryPipeline.chunkSample(Tables.documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,112 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Num.stableRound
+import graft.functions.GraftFunctions
+
+/** Similarity search over embedding columns (SURVEY.md §2
+  * "Similarity search").
+  *
+  * Scale posture: brute force is the correctness baseline — queries
+  * broadcast, candidates scored map-side with the codegen'd
+  * `graft_cosine` expression, top-k via per-query window. The LSH and
+  * IVF variants bound the candidate set so the scoring join is
+  * bucket-local: at 100 TB only the bucket/centroid assignment of each
+  * vector shuffles, never the all-pairs product.
+  */
+object Ann {
+
+  /** a01_knn_brute — exact top-k cosine neighbours for each query
+    * vector (vec_id < nQueries) among the rest. */
+  def knnBrute(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = embeddings.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(q).crossJoin(c)
+      .withColumn("sim", expr("graft_cosine(qe, ce)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        stableRound(col("sim"), 4).as("cos_sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Deterministic random hyperplanes (splitmix-style LCG, seed 42) so
+    * LSH buckets are reproducible across runs and engines. */
+  private[ann] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    var s = 42L
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33).toDouble / (1L << 31).toDouble) - 0.5
+    }
+    Array.fill(nPlanes, dim)(next())
+  }
+
+  /** a02_knn_lsh — random-hyperplane LSH ANN, multi-table
+    * OR-construction: `tables` independent hash tables of `planesPerTable`
+    * sign bits each; a candidate is any vector sharing a bucket with the
+    * query in ANY table, then exact cosine + top-k over candidates only.
+    * Recall vs a01 is asserted in the spec; at 100 TB add tables (or
+    * multi-probe) for recall — the scoring join stays bucket-local. */
+  def knnLsh(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
+             tables: Int = 4, planesPerTable: Int = 6, dim: Int = 64): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val planes = hyperplanes(tables * planesPerTable, dim)
+    def dot(p: Array[Double]) = aggregate(
+      zip_with(array(p.map(lit).toSeq: _*), col("embedding"), (x, y) => x * y),
+      lit(0.0), (a, x) => a + x)
+    def bucket(t: Int) = (0 until planesPerTable).map { j =>
+      when(dot(planes(t * planesPerTable + j)) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val buckets = array((0 until tables).map(t =>
+      struct(lit(t).as("t"), bucket(t).as("b"))): _*)
+    val withB = embeddings
+      .withColumn("bucket", explode(buckets))
+      .select(col("vec_id"), col("embedding"), col("bucket.t").as("bt"), col("bucket.b").as("bb"))
+    val q = withB.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bt"), col("bb"))
+    val c = withB.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("bt"), col("bb"))
+    val cand = q.join(c, Seq("bt", "bb"))
+      .select(col("query_id"), col("qe"), col("neighbor_id"), col("ce"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cand
+      .withColumn("sim", expr("graft_cosine(qe, ce)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        stableRound(col("sim"), 4).as("cos_sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** a03_centroid_assign — IVF-style coarse quantization: build one
+    * centroid per label (elementwise mean via posexplode + two narrow
+    * groupBys), then assign every vector to its nearest centroid by
+    * cosine. The centroid table is tiny and broadcast; this is the
+    * coarse-quantizer half of an IVF index. */
+  def centroidAssign(embeddings: DataFrame): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val centroids = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg("x").as("cx"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        s => s.getField("cx").cast("float")).as("centroid"))
+      .select(col("label").as("c_label"), col("centroid"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("c_label"))
+    embeddings.crossJoin(broadcast(centroids))
+      .withColumn("sim", expr("graft_cosine(embedding, centroid)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"),
+        col("c_label").as("assigned_label"),
+        (col("label") === col("c_label")).as("is_match"))
+      .orderBy("vec_id")
+  }
+}

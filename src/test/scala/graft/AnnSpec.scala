@@ -1,0 +1,45 @@
+package graft
+
+import graft.ann.Ann
+
+class AnnSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // 8 vectors in 4-d: ids 0-1 are queries; 2-3 near query 0, 4-5 near
+  // query 1, 6-7 orthogonal noise
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+    (3L, Array(0.8f, 0.0f, 0.1f, 0.0f), 0),
+    (4L, Array(0.1f, 0.9f, 0.0f, 0.0f), 1),
+    (5L, Array(0.0f, 0.8f, 0.0f, 0.1f), 1),
+    (6L, Array(0.0f, 0.0f, 1.0f, 0.0f), 2),
+    (7L, Array(0.0f, 0.0f, 0.0f, 1.0f), 2)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("knnBrute returns nearest neighbours in similarity order") {
+    val out = Ann.knnBrute(vecs, nQueries = 2, k = 2).collect()
+    val q0 = out.filter(_.getLong(0) == 0L).map(_.getLong(1)).toSeq
+    val q1 = out.filter(_.getLong(0) == 1L).map(_.getLong(1)).toSeq
+    assert(q0 == Seq(2L, 3L))
+    assert(q1 == Seq(4L, 5L))
+    assert(out.forall(r => r.getDouble(2) > 0.85))
+  }
+
+  test("knnLsh candidates are a subset ranked identically, decent recall") {
+    val brute = Ann.knnBrute(vecs, nQueries = 2, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.knnLsh(vecs, nQueries = 2, k = 2, dim = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute) || lsh.nonEmpty) // candidates bucket-limited
+    val recall = (lsh intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("centroidAssign assigns clustered vectors to their label centroid") {
+    val out = Ann.centroidAssign(vecs).collect()
+    val matches = out.count(_.getBoolean(3))
+    assert(matches >= 6, s"only $matches/8 matched")
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import graft.multimodal.BinaryPipeline
+
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("binaryMeta extracts byte-level metadata") {
+    val d = Seq((0L, "hello")).toDF("doc_id", "text")
+    val r = BinaryPipeline.binaryMeta(d).collect()(0)
+    assert(r.getInt(1) == 5)
+    assert(r.getString(3) ==
+      "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
+    assert(r.getInt(4) == 'h'.toInt)
+  }
+
+  test("chunkSample keeps every 4th 64-byte chunk") {
+    val text = "x" * 300 // chunks 0..4 -> keep 0 and 4
+    val d = Seq((0L, text)).toDF("doc_id", "text")
+    val rows = BinaryPipeline.chunkSample(d).collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 4))
+    assert(rows(0).getInt(2) == 64)
+    assert(rows(1).getInt(2) == 300 - 4 * 64)
+  }
+
+  test("decodeFeatures produces the stub feature schema per row") {
+    val d = Seq((0L, "hello"), (1L, "world")).toDF("doc_id", "text")
+    val out = BinaryPipeline.decodeFeatures(d, featureDim = 4).collect()
+    assert(out.length == 2)
+    assert(out(0).getString(1) == "text/plain")
+    assert(out(0).getInt(2) == 5)
+    assert(out(0).getSeq[Float](3).length == 4)
+    // deterministic: same input -> same features
+    val again = BinaryPipeline.decodeFeatures(d, featureDim = 4).collect()
+    assert(out(0).getSeq[Float](3) == again(0).getSeq[Float](3))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.streaming.StreamingFlow
+import graft.streaming.StreamingFlow.{Ev, SessionCount}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(minute * 60000L)
+
+  test("s01 congestion aggregates per hour window across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingFlow.congestion(df).writeStream
+      .format("memory").queryName("congestion_out").outputMode("complete").start()
+    try {
+      input.addData((ts(0), "click", 1.0), (ts(10), "click", 2.0), (ts(70), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("congestion_out")
+        .orderBy("hour_ms").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getLong(2) == 2L && rows(0).getDouble(3) == 3.0)
+      assert(rows(1).getLong(2) == 1L && rows(1).getDouble(3) == 4.0)
+      // second micro-batch lands in the first window
+      input.addData((ts(20), "click", 10.0))
+      q.processAllAvailable()
+      val rows2 = spark.table("congestion_out").orderBy("hour_ms").collect()
+      assert(rows2(0).getLong(2) == 3L && rows2(0).getDouble(3) == 13.0)
+    } finally q.stop()
+  }
+
+  test("s02 blacklist filters stream rows by the static side") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("user_id", "event_type")
+    val blacklist = Seq(Tuple1(13L)).toDF("user_id")
+    val q = StreamingFlow.blacklistFilter(stream, blacklist).writeStream
+      .format("memory").queryName("bl_out").outputMode("append").start()
+    try {
+      input.addData((13L, "click"), (7L, "view"), (13L, "view"), (8L, "click"))
+      q.processAllAvailable()
+      val users = spark.table("bl_out").select("user_id").collect().map(_.getLong(0)).sorted
+      assert(users.toSeq == Seq(7L, 8L))
+    } finally q.stop()
+  }
+
+  test("s03 stateful sessionization carries state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingFlow.sessionCount(input.toDS()).writeStream
+      .format("memory").queryName("sess_out").outputMode("update").start()
+    try {
+      input.addData(Ev(1L, 0L), Ev(1L, 60000L))
+      q.processAllAvailable()
+      // 2h later in a second micro-batch: new session for user 1
+      input.addData(Ev(1L, 7200000L), Ev(2L, 0L))
+      q.processAllAvailable()
+      val last = spark.table("sess_out").collect()
+        .map(r => r.getAs[Long]("userId") -> r.getAs[Int]("sessions"))
+        .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
+      assert(last(1L) == 2)
+      assert(last(2L) == 1)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.TrackAnalytics
+import org.apache.spark.sql.functions._
+
+class TrackSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // events: user 1 has two sessions (gap > 30 min), user 2 one session
+  private def events = Seq(
+    (0L, 1000L * 0, 1L, "click"),
+    (1L, 1000L * 60, 1L, "view"),
+    (2L, 1000L * 60 * 60 * 2, 1L, "purchase"), // 2h later: new session
+    (3L, 1000L * 30, 2L, "view"),
+    (4L, 1000L * 90, 2L, "click")
+  ).toDF("event_id", "ts_ms", "user_id", "event_type")
+    .withColumn("ts_ns", col("ts_ms") * 1000000L)
+    .withColumn("ts", timestamp_millis(col("ts_ms")))
+    .withColumn("value", lit(1.0))
+
+  test("sessionize splits on the 30-minute gap") {
+    val out = TrackAnalytics.sessionize(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 2L)
+    assert(out(2L) == 1L)
+  }
+
+  test("carTrack orders events by time within user") {
+    val tracks = TrackAnalytics.carTrack(events).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tracks(1L) == "click>view>purchase")
+    assert(tracks(2L) == "view>click")
+  }
+
+  test("funnelStep counts adjacent transitions") {
+    val out = TrackAnalytics.funnelStep(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("click", "view")) == 1L)
+    assert(out(("view", "purchase")) == 1L)
+    assert(out(("view", "click")) == 1L)
+    assert(out.size == 3)
+  }
+
+  test("collision finds users present in both cohorts") {
+    val out = TrackAnalytics.collision(events, "click", "view").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+}
