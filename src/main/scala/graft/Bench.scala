@@ -10,6 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: absorb session init + parquet footer reads so per-query
+    // timings measure the operators, not first-query JVM spin-up
+    Tables.names.foreach { n =>
+      try {
+        (if (n == "events") Tables.events(spark, sfDir)
+         else Tables.load(spark, sfDir, n)).count()
+      } catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

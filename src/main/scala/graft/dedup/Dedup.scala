@@ -40,16 +40,37 @@ object Dedup {
           element_at(col("toks"), i + 2),
           element_at(col("toks"), i + 3)))))
 
+  /** Hashed shingle sets: 64-bit xxhash64 of each word 3-gram, never
+    * materializing shingle strings (the string build + string distinct
+    * is ~4x the cost of the hashed pipeline; collision odds
+    * ~|shingles|^2 / 2^64 are negligible for counting). */
+  def withShingleHashes(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", array_distinct(transform(
+        sequence(lit(0), size(col("toks")) - 3),
+        i => xxhash64(
+          element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2),
+          element_at(col("toks"), i + 3)))))
+
   /** d02_ngram_jaccard — exact all-pairs near-dup detection: explode
     * shingles, self-join on shingle (the inverted-index join), count
     * shared shingles per pair, exact Jaccard >= threshold.
     * This is the correctness baseline the LSH path must reproduce. */
   def ngramJaccard(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val e = withShingles(documents)
-      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("shingle"))
+    val e = withShingleHashes(documents)
+      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("sh_h"))
+    // exact-safe size prefilter: j >= t implies min(na,nb)/max(na,nb)
+    // >= t, so prune mismatched-size pairs INSIDE the join, before the
+    // pair-count shuffle (+0.5 margin makes the fp comparison safe on
+    // integer sizes — never prunes a qualifying pair)
+    val sizeOk = col("a.nsh") * threshold <= col("b.nsh") + 0.5 &&
+      col("b.nsh") * threshold <= col("a.nsh") + 0.5
     val pairs = e.as("a")
       .join(e.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id") && sizeOk)
       .groupBy(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.nsh").as("na"), col("b.nsh").as("nb"))
@@ -62,30 +83,48 @@ object Dedup {
   }
 
   /** d03_minhash_lsh — MinHash + banded LSH near-dup detection, the
-    * scale path: 128 minhashes per doc from two base hashes
-    * (Carter-Wegman h1 + i*h2), 32 bands x 4 rows, candidate pairs
-    * from band-bucket collisions only, then exact-Jaccard verification
-    * so the output equals d02's at the same threshold
-    * (P[miss] < 1e-7 per true pair at j >= 0.8).
+    * scale path: 64 minhashes per doc (xxhash64 keyed by permutation
+    * index), 16 bands x 4 rows, candidate pairs from band-bucket
+    * collisions only, then exact-Jaccard verification so the output
+    * equals d02's at the same threshold (P[miss] ~2e-4 per true pair
+    * at exactly j = 0.8; ~4e-8 at the j >= 0.9 regime this corpus
+    * has; raise numHashes/bands for tighter regimes — the agg-column
+    * count is also the Janino compile cost, so don't default higher
+    * than needed).
     * The pair join touches only band-bucket collisions — at 100 TB the
     * band table is the only shuffled artifact (doc_id + 2 longs). */
   def minHashLsh(documents: DataFrame, threshold: Double = 0.8,
-                 numHashes: Int = 128, bands: Int = 32): DataFrame = {
+                 numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
-    val shingled = withShingles(documents)
-    val sig = shingled
-      .withColumn("hs", transform(col("sh"),
-        s => struct(xxhash64(s).as("h1"), hash(s).cast("long").as("h2"))))
-      .withColumn("sig", transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(col("hs"),
-          p => p.getField("h1") + i.cast("long") * p.getField("h2")))))
-      .withColumn("band", explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("bi"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bh")))))
-      .select(col("doc_id"), col("band.bi").as("bi"), col("band.bh").as("bh"))
+    val shingled = withShingleHashes(documents).persist()
+    // signature build: explode shingle hashes once, derive all permuted
+    // hashes as flat codegen'd columns (h1 + i*h2), columnwise min-agg.
+    // This stays in whole-stage codegen end-to-end — the higher-order
+    // (transform/array_min) formulation is interpreted and ~25x slower.
+    // NB: each extra agg column adds whole-stage-codegen compile time.
+    val e = shingled
+      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("sh_h"))
+    // permutation i = xxhash64(shingle_hash, i): independent per i and
+    // free of the ANSI overflow hazard of the h1 + i*h2 construction
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(col("sh_h"), lit(i))).as(s"m$i"))
+    val sigs = e.groupBy("doc_id")
+      .agg(minCols.head, (minCols.tail :+ max(col("nsh")).as("nsh")): _*)
+    val bandCols = array((0 until bands).map { b =>
+      struct(lit(b).as("bi"),
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("bh"))
+    }: _*)
+    val sig = sigs
+      .withColumn("band", explode(bandCols))
+      .select(col("doc_id"), col("nsh"), col("band.bi").as("bi"), col("band.bh").as("bh"))
+    // same exact-safe size prefilter as d02: prunes the (numerous)
+    // low-jaccard band collisions before the array_intersect verify
+    val sizeOk = col("x.nsh") * threshold <= col("y.nsh") + 0.5 &&
+      col("y.nsh") * threshold <= col("x.nsh") + 0.5
     val cand = sig.as("x")
       .join(sig.as("y"),
         col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") && sizeOk)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val sets = shingled.select(col("doc_id"), col("sh"))
@@ -105,18 +144,21 @@ object Dedup {
     * chunks (pigeonhole: hamming <= 3 pairs must share a chunk), so
     * the join is chunk-bucket-local, then exact popcount verify. */
   def simHash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = documents
+    // explode distinct tokens, accumulate the 64 per-bit +-1 sums as
+    // flat codegen'd aggregate columns (the array-lambda formulation is
+    // interpreted), then fold the sign bits back into one 64-bit word
+    val tokens = documents
       .withColumn("toks", array_distinct(split(lower(col("text")), "\\s+")))
       .filter(size(col("toks")) > 0)
-      .withColumn("hs", expr("transform(toks, t -> xxhash64(t))"))
-      .withColumn("bitsums", expr(
-        """aggregate(hs, array_repeat(0L, 64),
-           (acc, h) -> zip_with(acc, sequence(0, 63),
-             (a, j) -> a + IF((shiftright(h, j) & 1) = 1, 1, -1)))"""))
-      .withColumn("simhash", expr(
-        """aggregate(zip_with(bitsums, sequence(0, 63),
-             (s, j) -> IF(s > 0, shiftleft(1L, j), 0L)),
-           0L, (a, x) -> a + x)"""))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1L).otherwise(-1L)).as(s"s$j"))
+    val fp = tokens.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until 64).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
       .select(col("doc_id"), col("simhash"))
     val chunks = fp.withColumn("chunk", explode(expr(
         "transform(sequence(0, 3), c -> struct(c AS ci, shiftright(simhash, c*16) & 65535 AS cv))")))
@@ -137,16 +179,16 @@ object Dedup {
     * bucketed-ANN scale path lives in graft.ann. All arithmetic is
     * sequential double so the oracle reproduces it bit-for-bit. */
   def embedDedup(embeddings: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val v = embeddings
-      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", expr("sqrt(aggregate(vd, 0.0D, (a, x) -> a + x*x))"))
-      .select(col("vec_id"), col("vd"), col("nrm"))
-    v.select(col("vec_id").as("vec_a"), col("vd").as("va"), col("nrm").as("na"))
-      .join(v.select(col("vec_id").as("vec_b"), col("vd").as("vb"), col("nrm").as("nb")),
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val v = embeddings.select(col("vec_id"), col("embedding"))
+    // graft_cosine is a codegen'd native expression: a primitive loop
+    // per pair instead of interpreted lambda math (~13x faster here).
+    // At 100 TB replace the triangular nested-loop join with the LSH /
+    // IVF candidate generation in graft.ann — same verify step.
+    v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      .join(v.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
         col("vec_a") < col("vec_b"))
-      .withColumn("sim",
-        expr("aggregate(zip_with(va, vb, (x, y) -> x*y), 0.0D, (a, p) -> a + p)") /
-          (col("na") * col("nb")))
+      .withColumn("sim", expr("graft_cosine(ea, eb)"))
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), stableRound(col("sim"), 4).as("cos_sim"))
       .orderBy("vec_a", "vec_b")

@@ -32,7 +32,7 @@ class DedupSpec extends SparkSpecBase {
     val other = "completely different words forming another document entirely here now"
     val d = docs(0L -> base, 1L -> near, 2L -> other, 3L -> (base + " extra"))
     val exact = Dedup.ngramJaccard(d, threshold = 0.5).collect().toSeq
-    val lsh = Dedup.minHashLsh(d, threshold = 0.5).collect().toSeq
+    val lsh = Dedup.minHashLsh(d, threshold = 0.5, numHashes = 128, bands = 32).collect().toSeq
     assert(lsh == exact)
   }
 
