@@ -66,12 +66,16 @@ object Oracles {
          FROM events GROUP BY user_id ORDER BY user_id""",
 
     "q09_funnel_step" ->
-      """SELECT event_type AS from_type, to_type, count(*) AS cnt FROM (
-           SELECT event_type,
-                  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
-           FROM events)
-         WHERE to_type IS NOT NULL
-         GROUP BY from_type, to_type ORDER BY from_type, to_type""",
+      """WITH c AS (
+           SELECT event_type AS from_type, to_type, count(*) AS cnt FROM (
+             SELECT event_type,
+                    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             FROM events)
+           WHERE to_type IS NOT NULL
+           GROUP BY from_type, to_type)
+         SELECT from_type, to_type, cnt,
+                floor((cnt*1.0/sum(cnt) OVER (PARTITION BY from_type))*10000 + 0.5)/10000 AS conv_rate
+         FROM c ORDER BY from_type, to_type""",
 
     "q10_collision" ->
       """SELECT user_id FROM events WHERE event_type = 'click'

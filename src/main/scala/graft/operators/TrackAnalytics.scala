@@ -33,15 +33,19 @@ object TrackAnalytics {
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
-  /** q09_funnel_step — consecutive-step transition counts (the
-    * reference's one-step conversion rate between checkpoints). */
+  /** q09_funnel_step — consecutive-step transition counts and
+    * conversion rate (the reference's one-step conversion rate between
+    * checkpoints: transitions / departures from the step). */
   def funnelStep(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val byFrom = Window.partitionBy("from_type")
     events
       .withColumn("to_type", lead("event_type", 1).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("cnt"))
+      .withColumn("conv_rate",
+        graft.Num.stableRound(col("cnt") / sum("cnt").over(byFrom), 4))
       .orderBy("from_type", "to_type")
   }
 

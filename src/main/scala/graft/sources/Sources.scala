@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY.md §2): the reference reads MySQL/Hive
+  * and Kafka and writes MySQL; a Spark-native deployment reads columnar
+  * files or JDBC and writes partitioned/bucketed columnar tables. These
+  * helpers centralize the options that matter at 100 TB.
+  *
+  * Scale posture: always pass an explicit schema (schema inference
+  * scans data twice); write with partitionBy on the pruning key so
+  * downstream queries get partition elimination; bucket fact tables on
+  * their dominant join key to make those joins shuffle-free.
+  */
+object Sources {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CSV with explicit schema — no inference pass. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** JSON lines with explicit schema — no inference pass. */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JDBC read with predicate-based parallelism: `numPartitions` range
+    * predicates on `partitionColumn` so every executor reads its own
+    * slice (the reference reads its MySQL tables single-threaded). */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               partitionColumn: String, lowerBound: Long, upperBound: Long,
+               numPartitions: Int): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound).option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .load()
+
+  /** Partitioned parquet sink: directory partitioning on the pruning
+    * key(s) → partition elimination for every downstream reader. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: String = "overwrite"): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed managed-table sink: co-locates rows by join key so
+    * bucket-aware joins/aggregations skip the shuffle entirely. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+
+  /** Streaming file source (the Spark-native stand-in for the
+    * reference's Kafka topic): new files in `dir` become micro-batches. */
+  def readStreamJson(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(dir)
+}
