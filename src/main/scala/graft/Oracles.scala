@@ -174,7 +174,38 @@ object Oracles {
          FROM lineitem
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation ON s_nationkey = n_nationkey
-         GROUP BY n_name ORDER BY n_name"""
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q24_monitor_health" ->
+      """SELECT s_suppkey, s_name,
+         coalesce(flow_cnt, 0) AS flow_cnt,
+         coalesce(flow_cnt, 0) < 30 AS abnormal
+         FROM supplier LEFT JOIN (
+           SELECT l_suppkey, count(*) AS flow_cnt FROM lineitem GROUP BY l_suppkey
+         ) ON s_suppkey = l_suppkey
+         ORDER BY s_suppkey""",
+
+    "q25_global_stats" ->
+      """WITH h AS (
+           SELECT s_suppkey, coalesce(flow_cnt, 0) AS flow_cnt,
+                  coalesce(flow_cnt, 0) < 30 AS abnormal
+           FROM supplier LEFT JOIN (
+             SELECT l_suppkey, count(*) AS flow_cnt FROM lineitem GROUP BY l_suppkey
+           ) ON s_suppkey = l_suppkey)
+         SELECT count(*) AS n_monitors,
+                count(*) FILTER (WHERE abnormal) AS n_abnormal,
+                count(*) FILTER (WHERE NOT abnormal) AS n_normal,
+                CAST(sum(flow_cnt) AS BIGINT) AS total_flow
+         FROM h""",
+
+    "q26_json_extract" ->
+      """SELECT event_type,
+         count(*) FILTER (WHERE k IS NOT NULL) AS n_with_k,
+         CAST(sum(k) AS BIGINT) AS k_sum, min(k) AS k_min, max(k) AS k_max
+         FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events)
+         GROUP BY event_type ORDER BY event_type"""
   )
 
   /** d02 and d03 share one oracle: LSH + exact verification must equal

@@ -49,6 +49,11 @@ object SparkEntry {
     "q22_orders_histogram" -> ((s, d) => RelationalOps.ordersHistogram(Tables.customer(s, d), Tables.orders(s, d))),
     "q23_broadcast_dim" -> ((s, d) => FlowAnalytics.broadcastDim(
       Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "q24_monitor_health" -> ((s, d) => FlowAnalytics.monitorHealth(
+      Tables.supplier(s, d), Tables.lineitem(s, d))),
+    "q25_global_stats" -> ((s, d) => FlowAnalytics.globalStats(
+      Tables.supplier(s, d), Tables.lineitem(s, d))),
+    "q26_json_extract" -> ((s, d) => FlowAnalytics.jsonExtract(Tables.events(s, d))),
     "d01_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "d02_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "d03_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(Tables.documents(s, d))),

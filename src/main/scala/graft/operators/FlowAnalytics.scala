@@ -116,6 +116,46 @@ object FlowAnalytics {
         count(lit(1)).as("order_cnt"))
       .orderBy("c_mktsegment")
 
+  /** q24_monitor_health — abnormal-checkpoint detection (TrafficTeach
+    * `MonitorAndCameraStateAccumulator` semantics): compare each
+    * registered unit (supplier ≈ monitor) against observed traffic;
+    * units below the activity floor are flagged. Left join from the
+    * dim so silent units still appear. */
+  def monitorHealth(supplier: DataFrame, lineitem: DataFrame, minFlow: Long = 30): DataFrame =
+    supplier.select("s_suppkey", "s_name")
+      .join(lineitem.groupBy("l_suppkey").agg(count(lit(1)).as("flow_cnt")),
+        col("s_suppkey") === col("l_suppkey"), "left_outer")
+      .select(
+        col("s_suppkey"), col("s_name"),
+        coalesce(col("flow_cnt"), lit(0L)).as("flow_cnt"),
+        (coalesce(col("flow_cnt"), lit(0L)) < minFlow).as("abnormal"))
+      .orderBy("s_suppkey")
+
+  /** q25_global_stats — the reference's accumulator report as a
+    * one-row declarative aggregate: global counts of units, records
+    * and health states in a single pass over pre-aggregated flows. */
+  def globalStats(supplier: DataFrame, lineitem: DataFrame, minFlow: Long = 30): DataFrame =
+    monitorHealth(supplier, lineitem, minFlow)
+      .agg(
+        count(lit(1)).as("n_monitors"),
+        count(when(col("abnormal"), 1)).as("n_abnormal"),
+        count(when(!col("abnormal"), 1)).as("n_normal"),
+        sum("flow_cnt").as("total_flow"))
+
+  /** q26_json_extract — typed extraction from a JSON string column
+    * (the reference string-splits its record payloads; Spark parses
+    * them columnar-side) + aggregation on the extracted field. */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(when(col("k").isNotNull, 1)).as("n_with_k"),
+        sum("k").as("k_sum"),
+        min("k").as("k_min"),
+        max("k").as("k_max"))
+      .orderBy("event_type")
+
   /** q23_broadcast_dim — explicit broadcast-hash dim join: the fact
     * side never shuffles for the join, only for the final agg. */
   def broadcastDim(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame =
