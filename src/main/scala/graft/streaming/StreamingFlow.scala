@@ -35,6 +35,15 @@ object StreamingFlow {
   def blacklistFilter(stream: DataFrame, blacklist: DataFrame): DataFrame =
     stream.join(broadcast(blacklist.select("user_id")), Seq("user_id"), "left_anti")
 
+  /** s04_stream_topn — real-time top-N congested roads: complete-mode
+    * ranking over the windowed aggregate (the reference recomputes a
+    * sorted RDD per batch; complete-mode output is the declarative
+    * equivalent). Order by congestion then key for determinism. */
+  def topNCongested(events: DataFrame, n: Int = 3): DataFrame =
+    congestion(events)
+      .orderBy(col("sum_value").desc, col("event_type"), col("hour_ms"))
+      .limit(n)
+
   case class Ev(userId: Long, tsMs: Long)
   case class SessionState(lastMs: Long, sessions: Int)
   case class SessionCount(userId: Long, sessions: Int)

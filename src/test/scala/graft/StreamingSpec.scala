@@ -48,6 +48,22 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s04 complete-mode top-N recomputes ranking per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingFlow.topNCongested(df, n = 1).writeStream
+      .format("memory").queryName("topn_out").outputMode("complete").start()
+    try {
+      input.addData((ts(0), "roadA", 5.0), (ts(1), "roadB", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("topn_out").collect().map(_.getString(0)).toSeq == Seq("roadA"))
+      input.addData((ts(2), "roadB", 9.0))
+      q.processAllAvailable()
+      assert(spark.table("topn_out").collect().map(_.getString(0)).toSeq == Seq("roadB"))
+    } finally q.stop()
+  }
+
   test("s03 stateful sessionization carries state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
