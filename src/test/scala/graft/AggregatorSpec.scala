@@ -1,0 +1,42 @@
+package graft
+
+import graft.functions.TypedAggregators
+import graft.operators.FlowAnalytics
+
+class AggregatorSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("group_concat_distinct UDAF matches the built-in q06 path") {
+    TypedAggregators.register(spark)
+    val customer = Seq(
+      (1L, "BUILDING", 1), (2L, "AUTOMOBILE", 1), (3L, "BUILDING", 1),
+      (4L, "MACHINERY", 2)
+    ).toDF("c_custkey", "c_mktsegment", "c_nationkey")
+    val nation = Seq((1, "FRANCE", 0), (2, "GERMANY", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+
+    val builtin = FlowAnalytics.groupConcat(customer, nation).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+
+    customer.createOrReplaceTempView("agg_cust")
+    nation.createOrReplaceTempView("agg_nat")
+    val viaUdaf = spark.sql(
+      """SELECT n_name, group_concat_distinct(c_mktsegment) AS segments
+         FROM agg_cust JOIN agg_nat ON c_nationkey = n_nationkey
+         GROUP BY n_name""").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+
+    assert(viaUdaf == builtin)
+    assert(builtin("FRANCE") == "AUTOMOBILE,BUILDING")
+  }
+
+  test("top_k_values keeps a bounded buffer of the k largest") {
+    TypedAggregators.register(spark)
+    Seq(("a", 1.0), ("a", 5.0), ("a", 3.0), ("a", 9.0), ("b", 2.0))
+      .toDF("k", "v").createOrReplaceTempView("agg_topk")
+    val out = spark.sql("SELECT k, top_k_values(v) AS top FROM agg_topk GROUP BY k")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(out("a") == Seq(9.0, 5.0, 3.0))
+    assert(out("b") == Seq(2.0))
+  }
+}
