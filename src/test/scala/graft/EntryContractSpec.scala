@@ -1,0 +1,36 @@
+package graft
+
+/** Guards the driver contract: every SURVEY §2 inventory entry must
+  * execute end-to-end on the smallest test data, every oracle key must
+  * reference an implemented query, and output schemas must be sane
+  * (the driver's compare sorts columns by name — duplicates or empty
+  * names would corrupt the hash).
+  */
+class EntryContractSpec extends SparkSpecBase {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("every oracle key has an implemented query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every inventory query executes with a well-formed schema") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val cols = df.columns.toSeq
+        val bad =
+          if (cols.isEmpty) Some(s"$name: no columns")
+          else if (cols.distinct.size != cols.size) Some(s"$name: duplicate columns $cols")
+          else if (cols.exists(_.trim.isEmpty)) Some(s"$name: blank column name")
+          else { df.count(); None }
+        bad
+      } catch { case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
