@@ -57,11 +57,12 @@ object Ann {
              tables: Int = 4, planesPerTable: Int = 6, dim: Int = 64): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     val planes = hyperplanes(tables * planesPerTable, dim)
-    def dot(p: Array[Double]) = aggregate(
-      zip_with(array(p.map(lit).toSeq: _*), col("embedding"), (x, y) => x * y),
-      lit(0.0), (a, x) => a + x)
+    // sign(dot) == sign(cosine), so the codegen'd graft_cosine gives
+    // the hyperplane side without interpreted lambda math
+    def side(p: Array[Double]) = expr("graft_cosine(embedding, " +
+      p.map(x => s"CAST($x AS FLOAT)").mkString("array(", ",", ")") + ")") > 0
     def bucket(t: Int) = (0 until planesPerTable).map { j =>
-      when(dot(planes(t * planesPerTable + j)) > 0, lit(1 << j)).otherwise(lit(0))
+      when(side(planes(t * planesPerTable + j)), lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
     val buckets = array((0 until tables).map(t =>
       struct(lit(t).as("t"), bucket(t).as("b"))): _*)

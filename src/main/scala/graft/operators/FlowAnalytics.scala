@@ -147,7 +147,10 @@ object FlowAnalytics {
     * them columnar-side) + aggregation on the extracted field. */
   def jsonExtract(events: DataFrame): DataFrame =
     events
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      // from_json parses once into a typed struct (get_json_object
+      // re-parses per extraction path)
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k"))
       .groupBy("event_type")
       .agg(
         count(when(col("k").isNotNull, 1)).as("n_with_k"),
