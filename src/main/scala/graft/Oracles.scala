@@ -198,6 +198,23 @@ object Oracles {
                 CAST(sum(flow_cnt) AS BIGINT) AS total_flow
          FROM h""",
 
+    "q27_range_join" ->
+      """SELECT s.event_id AS signup_id, count(c.event_id) AS clicks_30m
+         FROM (SELECT * FROM events WHERE event_type = 'signup') s
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON s.user_id = c.user_id AND c.ts > s.ts
+              AND epoch_ns(c.ts) - epoch_ns(s.ts) <= 1800000000000
+         GROUP BY signup_id ORDER BY signup_id""",
+
+    "t05_stopword_ratio" ->
+      """SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS n_stop,
+         floor((len(list_filter(toks, x -> x IN ('the','a','of','and','is')))*1.0/len(toks))*10000 + 0.5)/10000 AS stop_ratio
+         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+               FROM documents)
+         WHERE len(toks) > 0 ORDER BY doc_id""",
+
     "q26_json_extract" ->
       """SELECT event_type,
          count(*) FILTER (WHERE k IS NOT NULL) AS n_with_k,

@@ -54,6 +54,8 @@ object SparkEntry {
     "q25_global_stats" -> ((s, d) => FlowAnalytics.globalStats(
       Tables.supplier(s, d), Tables.lineitem(s, d))),
     "q26_json_extract" -> ((s, d) => FlowAnalytics.jsonExtract(Tables.events(s, d))),
+    "q27_range_join" -> ((s, d) => TrackAnalytics.rangeJoin(Tables.events(s, d))),
+    "t05_stopword_ratio" -> ((s, d) => TextStats.stopwordRatio(Tables.documents(s, d))),
     "d01_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "d02_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "d03_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(Tables.documents(s, d))),

@@ -94,6 +94,27 @@ object TrackAnalytics {
       .orderBy("event_id")
   }
 
+  /** q27_range_join — conversion-window counting: for every signup,
+    * count same-user clicks in the following 30 minutes. The plan is a
+    * hash join on the user key with the time-range predicate as a
+    * post-join filter — at 100 TB the equi key keeps this a plain
+    * shuffled hash join (never a nested-loop range join); a pure
+    * range-only join would add a time-bucket equi key the same way. */
+  def rangeJoin(events: DataFrame, windowNs: Long = 1800000000000L): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"), col("ts_ns").as("s_ns"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts_ns").as("c_ns"))
+    signups
+      .join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ns") > col("s_ns") && col("c_ns") - col("s_ns") <= windowNs,
+        "left_outer")
+      .groupBy("signup_id")
+      .agg(count(col("click_id")).as("clicks_30m"))
+      .orderBy("signup_id")
+  }
+
   /** q20_time_window — tumbling event-time window aggregation (the
     * reference's per-road congestion per time slice; batch twin of the
     * streaming job in graft.streaming). Uses the standard `window`

@@ -91,6 +91,23 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** t05_stopword_ratio — share of stopword tokens per document (the
+    * Gopher-style repetition/quality signal). Narrow, single pass. */
+  def stopwordRatio(documents: DataFrame,
+                    stopwords: Seq[String] = Seq("the", "a", "of", "and", "is")): DataFrame = {
+    val inList = stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+    documents
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        expr(s"size(filter(toks, x -> x IN $inList))").as("n_stop"),
+        stableRound(expr(s"size(filter(toks, x -> x IN $inList))") / size(col("toks")), 4)
+          .as("stop_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** t04_fingerprint — rolling polynomial hash (mod 1e9+7) over the
     * document's codepoints: a locality-free exact fingerprint cheap
     * enough to compute at scan speed. */
