@@ -55,6 +55,9 @@ object SparkEntry {
       Tables.supplier(s, d), Tables.lineitem(s, d))),
     "q26_json_extract" -> ((s, d) => FlowAnalytics.jsonExtract(Tables.events(s, d))),
     "q27_range_join" -> ((s, d) => TrackAnalytics.rangeJoin(Tables.events(s, d))),
+    "q28_approx_distinct" -> ((s, d) => FlowAnalytics.approxDistinct(
+      Tables.orders(s, d), Tables.customer(s, d))),
+    "a04_ivf_knn" -> ((s, d) => Ann.ivfKnn(Tables.embeddings(s, d))),
     "t05_stopword_ratio" -> ((s, d) => TextStats.stopwordRatio(Tables.documents(s, d))),
     "d01_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "d02_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),

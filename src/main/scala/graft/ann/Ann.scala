@@ -86,28 +86,59 @@ object Ann {
       .orderBy("query_id", "rn")
   }
 
-  /** a03_centroid_assign — IVF-style coarse quantization: build one
-    * centroid per label (elementwise mean via posexplode + two narrow
-    * groupBys), then assign every vector to its nearest centroid by
-    * cosine. The centroid table is tiny and broadcast; this is the
-    * coarse-quantizer half of an IVF index. */
-  def centroidAssign(embeddings: DataFrame): DataFrame = {
-    GraftFunctions.register(embeddings.sparkSession)
-    val centroids = embeddings
+  /** Per-label centroids: elementwise mean via posexplode + two narrow
+    * groupBys — the coarse-quantizer build of an IVF index. */
+  private[ann] def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("label", "pos").agg(avg("x").as("cx"))
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         s => s.getField("cx").cast("float")).as("centroid"))
       .select(col("label").as("c_label"), col("centroid"))
+
+  /** Nearest-centroid assignment by cosine (broadcast centroid table,
+    * one ranked window over vec x centroid scores). */
+  private[ann] def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("c_label"))
-    embeddings.crossJoin(broadcast(centroids))
+    vectors.crossJoin(broadcast(centroids))
       .withColumn("sim", expr("graft_cosine(embedding, centroid)"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+      .drop("rn", "sim", "centroid")
+  }
+
+  /** a03_centroid_assign — IVF-style coarse quantization: build one
+    * centroid per label, then assign every vector to its nearest
+    * centroid by cosine. */
+  def centroidAssign(embeddings: DataFrame): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    assign(embeddings, labelCentroids(embeddings))
       .select(col("vec_id"), col("label"),
         col("c_label").as("assigned_label"),
         (col("label") === col("c_label")).as("is_match"))
       .orderBy("vec_id")
+  }
+
+  /** a04_ivf_knn — IVF search: queries and candidates are both
+    * assigned to their nearest centroid; scoring happens only within a
+    * query's cell (nprobe=1). At 100 TB the cell id is the shuffle
+    * key — the all-pairs product never materializes. Recall depends on
+    * cluster structure; the spec asserts it on clustered data. */
+  def ivfKnn(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val assigned = assign(embeddings, labelCentroids(embeddings))
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("c_label"))
+    val c = assigned.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("c_label"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, "c_label")
+      .withColumn("sim", expr("graft_cosine(qe, ce)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        stableRound(col("sim"), 4).as("cos_sim"), col("rn"))
+      .orderBy("query_id", "rn")
   }
 }

@@ -159,6 +159,20 @@ object FlowAnalytics {
         max("k").as("k_max"))
       .orderBy("event_type")
 
+  /** q28_approx_distinct — single-pass HLL distinct counting, the
+    * 100 TB form of q07: mergeable sketch, no two-stage exact-distinct
+    * expansion. Spec-checked within rsd bounds against the exact count
+    * (sketches aren't bit-comparable across engines). */
+  def approxDistinct(orders: DataFrame, customer: DataFrame, rsd: Double = 0.02): DataFrame =
+    orders
+      .join(broadcast(customer.select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        approx_count_distinct(col("o_custkey"), rsd).as("cust_cnt_approx"),
+        count(lit(1)).as("order_cnt"))
+      .orderBy("c_mktsegment")
+
   /** q23_broadcast_dim — explicit broadcast-hash dim join: the fact
     * side never shuffles for the join, only for the final agg. */
   def broadcastDim(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame =

@@ -44,6 +44,15 @@ object StreamingFlow {
       .orderBy(col("sum_value").desc, col("event_type"), col("hour_ms"))
       .limit(n)
 
+  /** s05_stream_dedup — streaming exact dedup (the streaming twin of
+    * d01): first occurrence of each content key passes, duplicates are
+    * dropped; the watermark bounds the dedup state so it can't grow
+    * forever. */
+  def streamDedup(stream: DataFrame, keyCol: String = "content_key"): DataFrame =
+    stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(keyCol)
+
   case class Ev(userId: Long, tsMs: Long)
   case class SessionState(lastMs: Long, sessions: Int)
   case class SessionCount(userId: Long, sessions: Int)

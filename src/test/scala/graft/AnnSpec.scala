@@ -37,6 +37,14 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("ivfKnn achieves full recall on tightly clustered data") {
+    val brute = Ann.knnBrute(vecs, nQueries = 2, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfKnn(vecs, nQueries = 2, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == brute, s"ivf=$ivf brute=$brute")
+  }
+
   test("centroidAssign assigns clustered vectors to their label centroid") {
     val out = Ann.centroidAssign(vecs).collect()
     val matches = out.count(_.getBoolean(3))

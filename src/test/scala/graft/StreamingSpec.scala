@@ -64,6 +64,23 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s05 streaming dedup drops duplicate keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val df = input.toDF().toDF("ts", "content_key", "doc_id")
+    val q = StreamingFlow.streamDedup(df).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData((ts(0), "ka", 1L), (ts(1), "ka", 2L), (ts(2), "kb", 3L))
+      q.processAllAvailable()
+      input.addData((ts(3), "ka", 4L), (ts(4), "kc", 5L))
+      q.processAllAvailable()
+      val keys = spark.table("dedup_out").select("content_key").collect()
+        .map(_.getString(0)).sorted
+      assert(keys.toSeq == Seq("ka", "kb", "kc"))
+    } finally q.stop()
+  }
+
   test("s03 stateful sessionization carries state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
