@@ -215,6 +215,20 @@ object Oracles {
                FROM documents)
          WHERE len(toks) > 0 ORDER BY doc_id""",
 
+    "t06_word_freq" ->
+      """SELECT word, count(*) AS freq
+         FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+               FROM documents)
+         WHERE word != ''
+         GROUP BY word ORDER BY freq DESC, word LIMIT 20""",
+
+    "m03_media_manifest" ->
+      """SELECT source, count(*) AS n_docs,
+         CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+         min(octet_length(encode(text))) AS min_bytes,
+         max(octet_length(encode(text))) AS max_bytes
+         FROM documents GROUP BY source ORDER BY source""",
+
     "q26_json_extract" ->
       """SELECT event_type,
          count(*) FILTER (WHERE k IS NOT NULL) AS n_with_k,

@@ -58,6 +58,8 @@ object SparkEntry {
     "q28_approx_distinct" -> ((s, d) => FlowAnalytics.approxDistinct(
       Tables.orders(s, d), Tables.customer(s, d))),
     "a04_ivf_knn" -> ((s, d) => Ann.ivfKnn(Tables.embeddings(s, d))),
+    "t06_word_freq" -> ((s, d) => TextStats.wordFreq(Tables.documents(s, d))),
+    "m03_media_manifest" -> ((s, d) => BinaryPipeline.mediaManifest(Tables.documents(s, d))),
     "t05_stopword_ratio" -> ((s, d) => TextStats.stopwordRatio(Tables.documents(s, d))),
     "d01_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "d02_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),

@@ -50,6 +50,20 @@ object BinaryPipeline {
         sha2(col("chunk.bytes"), 256).as("chunk_sha"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** m03_media_manifest — per-source payload manifest: the media-lake
+    * inventory report (counts, byte totals, size extremes) that drives
+    * partition planning for a decode fleet. */
+  def mediaManifest(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("n_bytes", octet_length(col("text")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        min("n_bytes").as("min_bytes"),
+        max("n_bytes").as("max_bytes"))
+      .orderBy("source")
+
   /** Feature schema a real media decoder would produce. */
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

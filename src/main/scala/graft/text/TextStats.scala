@@ -108,6 +108,19 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** t06_word_freq — corpus-level token frequency (the Zipf-profile /
+    * vocabulary report): explode tokens, count, top-N with full
+    * tiebreak. The explode shuffles only (word, partial count) pairs
+    * thanks to map-side partial aggregation. */
+  def wordFreq(documents: DataFrame, topN: Int = 20): DataFrame =
+    documents
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(topN)
+
   /** t04_fingerprint — rolling polynomial hash (mod 1e9+7) over the
     * document's codepoints: a locality-free exact fingerprint cheap
     * enough to compute at scan speed. */
