@@ -58,6 +58,7 @@ object SparkEntry {
     "q28_approx_distinct" -> ((s, d) => FlowAnalytics.approxDistinct(
       Tables.orders(s, d), Tables.customer(s, d))),
     "a04_ivf_knn" -> ((s, d) => Ann.ivfKnn(Tables.embeddings(s, d))),
+    "a05_kmeans_cells" -> ((s, d) => Ann.kmeansAssign(Tables.embeddings(s, d))),
     "t06_word_freq" -> ((s, d) => TextStats.wordFreq(Tables.documents(s, d))),
     "m03_media_manifest" -> ((s, d) => BinaryPipeline.mediaManifest(Tables.documents(s, d))),
     "t05_stopword_ratio" -> ((s, d) => TextStats.stopwordRatio(Tables.documents(s, d))),

@@ -120,6 +120,34 @@ object Ann {
       .orderBy("vec_id")
   }
 
+  /** a05_kmeans_build — unlabeled IVF coarse-quantizer build: k-means
+    * with deterministic seeding (the k vectors with the smallest
+    * scrambled ids) and a fixed iteration count. Each iteration is one
+    * broadcast-assign pass + one narrow elementwise-mean rebuild — at
+    * 100 TB that's `iters` scans with only (cell, pos, partial-sum)
+    * shuffles, never a vector-vector product. Returns (vec_id, cell). */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 10, iters: Int = 3): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val vecs = embeddings.select(col("vec_id"), col("embedding")).persist()
+    val seeds = vecs
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .orderBy("vec_id")
+      .select(row_number().over(Window.orderBy("vec_id")).as("c_label"), col("embedding").as("centroid"))
+    var centroids = seeds
+    for (_ <- 1 to iters) {
+      val assigned = assign(vecs, centroids)
+      centroids = assigned
+        .select(col("c_label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("c_label", "pos").agg(avg("x").as("cx"))
+        .groupBy("c_label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          s => s.getField("cx").cast("float")).as("centroid"))
+    }
+    assign(vecs, centroids)
+      .select(col("vec_id"), col("c_label").as("cell"))
+      .orderBy("vec_id")
+  }
+
   /** a04_ivf_knn — IVF search: queries and candidates are both
     * assigned to their nearest centroid; scoring happens only within a
     * query's cell (nprobe=1). At 100 TB the cell id is the shuffle

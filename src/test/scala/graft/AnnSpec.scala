@@ -45,6 +45,15 @@ class AnnSpec extends SparkSpecBase {
     assert(ivf == brute, s"ivf=$ivf brute=$brute")
   }
 
+  test("kmeansAssign separates orthogonal clusters into distinct cells") {
+    val out = Ann.kmeansAssign(vecs, k = 3, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // vectors near e1 (0,2,3), near e2 (1,4,5) must land in coherent cells
+    assert(out(0L) == out(2L) && out(0L) == out(3L))
+    assert(out(1L) == out(4L) && out(1L) == out(5L))
+    assert(out(0L) != out(1L))
+  }
+
   test("centroidAssign assigns clustered vectors to their label centroid") {
     val out = Ann.centroidAssign(vecs).collect()
     val matches = out.count(_.getBoolean(3))
