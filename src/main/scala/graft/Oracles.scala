@@ -259,15 +259,10 @@ object Oracles {
        FROM p WHERE shared*1.0/(na+nb-shared) >= 0.8
        ORDER BY doc_a, doc_b"""
 
-  val pipeline: Map[String, String] = Map(
-    "d01_exact_dedup" ->
-      """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt FROM documents
-         GROUP BY text ORDER BY doc_id""",
-
-    "d02_ngram_jaccard" -> ngramJaccardSql,
-    "d03_minhash_lsh" -> ngramJaccardSql,
-
-    "d05_embed_dedup" ->
+  /** d05 and d06 share one oracle: LSH-bucketed candidates + exact
+    * cosine verify must equal the brute-force pairs at the same
+    * threshold (the d02/d03 pattern for embeddings). */
+  private val embedDedupSql =
       """WITH v AS (
            SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vd
            FROM embeddings),
@@ -284,7 +279,18 @@ object Oracles {
          WHERE list_reduce(list_prepend(0.0,
                  [a.vd[i]*b.vd[i] for i in range(1, 65)]),
                (x, y) -> x + y) / (a.nrm*b.nrm) >= 0.5
-         ORDER BY vec_a, vec_b""",
+         ORDER BY vec_a, vec_b"""
+
+  val pipeline: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt FROM documents
+         GROUP BY text ORDER BY doc_id""",
+
+    "d02_ngram_jaccard" -> ngramJaccardSql,
+    "d03_minhash_lsh" -> ngramJaccardSql,
+
+    "d05_embed_dedup" -> embedDedupSql,
+    "d06_embed_dedup_lsh" -> embedDedupSql,
 
     "t01_token_stats" ->
       """SELECT doc_id,

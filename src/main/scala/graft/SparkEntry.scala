@@ -64,9 +64,13 @@ object SparkEntry {
     "t05_stopword_ratio" -> ((s, d) => TextStats.stopwordRatio(Tables.documents(s, d))),
     "d01_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "d02_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
-    "d03_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(Tables.documents(s, d))),
+    // dfCap active (hot-shingle guard exercised) but non-binding at
+    // test SFs (max shingle DF is 25 at sf0.1), so the exact oracle
+    // still holds
+    "d03_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(Tables.documents(s, d), dfCap = Some(1000L))),
     "d04_simhash" -> ((s, d) => Dedup.simHash(Tables.documents(s, d))),
     "d05_embed_dedup" -> ((s, d) => Dedup.embedDedup(Tables.embeddings(s, d))),
+    "d06_embed_dedup_lsh" -> ((s, d) => Dedup.embedDedupLsh(Tables.embeddings(s, d))),
     "t01_token_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) => TextStats.qualityScore(Tables.documents(s, d))),
     "t03_langid" -> ((s, d) => TextStats.langId(Tables.documents(s, d))),

@@ -55,12 +55,36 @@ object Dedup {
           element_at(col("toks"), i + 2),
           element_at(col("toks"), i + 3)))))
 
+  /** Capped shingle sets: drop shingles whose document frequency
+    * exceeds `dfCap` before any pair generation. A single hot shingle
+    * ("in the of") otherwise creates one quadratic bucket in the
+    * inverted-index join — the classic straggler at 100 TB. The hot
+    * set is tiny by construction (few shingles exceed the cap), so it
+    * broadcast-anti-joins away; the DF count itself is one extra
+    * partial-agg pass over (sh_h, count). Jaccard is then defined over
+    * the capped shingle universe — d02 and d03 stay exactly equal
+    * under the same cap. */
+  private[graft] def cappedShingleSets(documents: DataFrame,
+                                       dfCap: Option[Long]): DataFrame = {
+    val sets = withShingleHashes(documents).select(col("doc_id"), col("sh"))
+    dfCap match {
+      case None => sets
+      case Some(p) =>
+        val e = sets.select(col("doc_id"), explode(col("sh")).as("sh_h"))
+        val hot = e.groupBy("sh_h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > p).select("sh_h")
+        e.join(broadcast(hot), Seq("sh_h"), "left_anti")
+          .groupBy("doc_id").agg(collect_list(col("sh_h")).as("sh"))
+    }
+  }
+
   /** d02_ngram_jaccard — exact all-pairs near-dup detection: explode
     * shingles, self-join on shingle (the inverted-index join), count
     * shared shingles per pair, exact Jaccard >= threshold.
     * This is the correctness baseline the LSH path must reproduce. */
-  def ngramJaccard(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val e = withShingleHashes(documents)
+  def ngramJaccard(documents: DataFrame, threshold: Double = 0.8,
+                   dfCap: Option[Long] = None): DataFrame = {
+    val e = cappedShingleSets(documents, dfCap)
       .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("sh_h"))
     // exact-safe size prefilter: j >= t implies min(na,nb)/max(na,nb)
     // >= t, so prune mismatched-size pairs INSIDE the join, before the
@@ -94,9 +118,14 @@ object Dedup {
     * The pair join touches only band-bucket collisions — at 100 TB the
     * band table is the only shuffled artifact (doc_id + 2 longs). */
   def minHashLsh(documents: DataFrame, threshold: Double = 0.8,
-                 numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                 numHashes: Int = 64, bands: Int = 16,
+                 dfCap: Option[Long] = None): DataFrame = {
     val rows = numHashes / bands
-    val shingled = withShingleHashes(documents).persist()
+    // session-scoped cache: the shingle sets feed both the signature
+    // build and the verify join. Operators return lazy plans, so
+    // there is no point to unpersist before evaluation; one-shot
+    // callers can spark.catalog.clearCache() after the action.
+    val shingled = cappedShingleSets(documents, dfCap).persist()
     // signature build: explode shingle hashes once, derive all permuted
     // hashes as flat codegen'd columns (h1 + i*h2), columnwise min-agg.
     // This stays in whole-stage codegen end-to-end — the higher-order
@@ -183,11 +212,61 @@ object Dedup {
     val v = embeddings.select(col("vec_id"), col("embedding"))
     // graft_cosine is a codegen'd native expression: a primitive loop
     // per pair instead of interpreted lambda math (~13x faster here).
-    // At 100 TB replace the triangular nested-loop join with the LSH /
-    // IVF candidate generation in graft.ann — same verify step.
+    // The production-scale path is embedDedupLsh below — identical
+    // verify step, bucketed candidate generation.
     v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
       .join(v.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
         col("vec_a") < col("vec_b"))
+      .withColumn("sim", expr("graft_cosine(ea, eb)"))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), stableRound(col("sim"), 4).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** d06_embed_dedup_lsh — embedding near-dup pairs via hyperplane-LSH
+    * candidate generation + exact-cosine verify: the scale path that
+    * replaces d05's triangular nested-loop join. Multi-table OR
+    * construction (`tables` independent tables of `bits` sign bits,
+    * all bucket ids computed by one codegen'd
+    * `graft_hyperplane_buckets` call per row); a pair is a candidate
+    * iff it shares a bucket in ANY table; candidates are verified with
+    * the same `graft_cosine >= threshold` predicate as d05, so the
+    * output equals d05's at the same threshold whenever every true
+    * pair collides somewhere.
+    *
+    * Recall analysis: a pair at exactly cos = 0.5 agrees with a random
+    * hyperplane with p = 1 - acos(0.5)/pi = 2/3, so it shares a
+    * 4-bit bucket in one table with p^4 ~ 0.198 and is missed by all
+    * 32 tables with (1-p^4)^32 ~ 8.6e-4 — and the miss probability
+    * falls fast above the threshold. The defaults target this
+    * lowest-useful threshold; at the 0.9+ regime real embedding dedup
+    * runs at, 8 tables suffice.
+    *
+    * Scale posture (100 TB): per vector only (vec_id, 2 ints) x tables
+    * rows shuffle for the candidate join; the distinct on candidate id
+    * PAIRS carries no embeddings — vectors are re-joined only for the
+    * per-pair verify. Candidate volume is ~ tables/2^bits x n^2 on
+    * uniformly random data (rho = ln(1/p1)/ln 2 ~ 0.58 asymptotics),
+    * so `bits` must grow with log2(n) — at 1e9 vectors use bits ~ 20+
+    * and tables per recall target. */
+  def embedDedupLsh(embeddings: DataFrame, threshold: Double = 0.5,
+                    tables: Int = 32, bits: Int = 4, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val withB = embeddings
+      .select(col("vec_id"), col("embedding"),
+        posexplode(expr(s"graft_hyperplane_buckets(embedding, 42L, $tables, $bits, $dim)"))
+          .as(Seq("bt", "bb")))
+    val ids = withB.select(col("vec_id"), col("bt"), col("bb"))
+    val cand = ids.as("x")
+      .join(ids.as("y"),
+        col("x.bt") === col("y.bt") && col("x.bb") === col("y.bb") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
       .withColumn("sim", expr("graft_cosine(ea, eb)"))
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), stableRound(col("sim"), 4).as("cos_sim"))

@@ -67,11 +67,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * usable as `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
   * via the companion extensions class. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
+  /** Builds HyperplaneBuckets from SQL: the scalar args must be
+    * literals (they parameterize plane generation, not row data). */
+  private def hyperplaneBuilder(children: Seq[Expression]): Expression = {
+    def intArg(i: Int): Int = children(i).eval().asInstanceOf[Number].intValue()
+    def longArg(i: Int): Long = children(i).eval().asInstanceOf[Number].longValue()
+    HyperplaneBuckets(children.head, longArg(1), intArg(2), intArg(3), intArg(4))
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    // idempotent: re-registering logs a replace warning per call
+    if (!reg.functionExists(FunctionIdentifier("graft_cosine")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_cosine"),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+        (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
+    if (!reg.functionExists(FunctionIdentifier("graft_hyperplane_buckets")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_hyperplane_buckets"),
+        new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
+        hyperplaneBuilder _)
+  }
 }
 
 /** SparkSessionExtensions hook: injects graft's native functions at

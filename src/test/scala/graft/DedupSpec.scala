@@ -46,6 +46,39 @@ class DedupSpec extends SparkSpecBase {
     assert(out(0).getLong(0) == 0L && out(0).getLong(1) == 1L && out(0).getInt(2) == 0)
   }
 
+  test("dfCap drops a planted hot shingle and bounds the pair blowup") {
+    // 40 docs all sharing one hot 3-gram ("common shared prefix") but
+    // otherwise disjoint: uncapped, the hot shingle makes every pair a
+    // candidate (40*39/2 = 780 joined rows); capped at 10 the shingle's
+    // bucket disappears and no pair survives anywhere.
+    val d = docs((0L until 40L).map(i =>
+      i -> s"common shared prefix unique$i word$i token$i filler$i tail$i"): _*)
+    val capped = Dedup.ngramJaccard(d, threshold = 0.2, dfCap = Some(10L)).collect()
+    assert(capped.isEmpty)
+    val uncapped = Dedup.ngramJaccard(d, threshold = 0.2).collect()
+    assert(uncapped.isEmpty) // hot shingle alone is below threshold...
+    // ...but it did inflate the candidate join: prove the cap removes
+    // the quadratic bucket at the exploded level
+    val hotPairs = Dedup.cappedShingleSets(d, None)
+      .selectExpr("doc_id", "explode(sh) AS sh_h")
+      .groupBy("sh_h").count().filter($"count" > 10).count()
+    val cappedHot = Dedup.cappedShingleSets(d, Some(10L))
+      .selectExpr("doc_id", "explode(sh) AS sh_h")
+      .groupBy("sh_h").count().filter($"count" > 10).count()
+    assert(hotPairs >= 1 && cappedHot == 0)
+  }
+
+  test("minHashLsh with a non-binding dfCap still equals exact d02") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val other = "completely different words forming another document entirely here now"
+    val d = docs(0L -> base, 1L -> near, 2L -> other, 3L -> (base + " extra"))
+    val exact = Dedup.ngramJaccard(d, threshold = 0.5).collect().toSeq
+    val lsh = Dedup.minHashLsh(d, threshold = 0.5, numHashes = 128, bands = 32,
+      dfCap = Some(1000L)).collect().toSeq
+    assert(lsh == exact)
+  }
+
   test("embedDedup flags only the high-cosine pair") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
@@ -56,5 +89,21 @@ class DedupSpec extends SparkSpecBase {
     assert(out.length == 1)
     assert(out(0).getLong(0) == 0L && out(0).getLong(1) == 1L)
     assert(out(0).getDouble(2) > 0.99)
+  }
+
+  test("embedDedupLsh reproduces brute-force embedDedup on real vectors") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Dedup.embedDedup(emb, threshold = 0.5).collect().toSeq
+    val lsh = Dedup.embedDedupLsh(emb, threshold = 0.5).collect().toSeq
+    assert(lsh == brute)
+    // and on a synthetic corpus with a planted near-dup pair
+    val vecs = Seq(
+      (0L, Array.tabulate(64)(i => if (i == 0) 1.0f else 0.01f)),
+      (1L, Array.tabulate(64)(i => if (i == 0) 0.98f else 0.012f)),
+      (2L, Array.tabulate(64)(i => if (i == 1) 1.0f else -0.01f))
+    ).toDF("vec_id", "embedding")
+    val b2 = Dedup.embedDedup(vecs, threshold = 0.9).collect().toSeq
+    val l2 = Dedup.embedDedupLsh(vecs, threshold = 0.9).collect().toSeq
+    assert(b2 == l2 && b2.nonEmpty)
   }
 }
