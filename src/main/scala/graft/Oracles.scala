@@ -292,6 +292,68 @@ object Oracles {
     "d05_embed_dedup" -> embedDedupSql,
     "d06_embed_dedup_lsh" -> embedDedupSql,
 
+    // SimHash is fully SQL-expressible with an engine-portable token
+    // hash (top 60 bits of md5): per-bit +-1 sums over the distinct
+    // token set, sign fold, 4x15-bit pigeonhole chunks, popcount.
+    "d04_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS tok
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                       for c in string_split(substr(md5(tok), 1, 15), '')]),
+                    (a, b) -> a * 16 + b) AS h
+           FROM toks),
+         b AS (
+           SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM h, range(60) t(j) GROUP BY doc_id, j),
+         fp AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+           FROM b GROUP BY doc_id),
+         ch AS (
+           SELECT doc_id, simhash, c, (simhash >> (c*15)) & 32767 AS cv
+           FROM fp, range(4) t(c))
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+         FROM ch x JOIN ch y ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         ORDER BY doc_a, doc_b""",
+
+    // Nearest-centroid assignment: per-label float-cast mean centroids
+    // (the float cast absorbs summation-order ulp noise), then argmax
+    // cosine with the same sequential-double arithmetic as
+    // graft_cosine and a c_label tiebreak.
+    "a03_centroid_assign" ->
+      """WITH x AS (
+           SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+           FROM embeddings),
+         c AS (
+           SELECT label AS c_label, list(CAST(cx AS FLOAT) ORDER BY pos) AS centroid
+           FROM (SELECT label, pos, avg(v) AS cx FROM x GROUP BY label, pos)
+           GROUP BY label),
+         n AS (
+           SELECT vec_id, label, [CAST(e AS DOUBLE) for e in embedding] AS vd
+           FROM embeddings),
+         s AS (
+           SELECT n.vec_id, n.label, c.c_label,
+                  list_reduce(list_prepend(0.0,
+                      [n.vd[i] * CAST(c.centroid[i] AS DOUBLE) for i in range(1, 65)]),
+                    (x, y) -> x + y)
+                  / (sqrt(list_reduce(list_prepend(0.0, [e*e for e in n.vd]), (x, y) -> x + y))
+                     * sqrt(list_reduce(list_prepend(0.0,
+                         [CAST(e AS DOUBLE)*CAST(e AS DOUBLE) for e in c.centroid]),
+                       (x, y) -> x + y))) AS sim
+           FROM n CROSS JOIN c),
+         r AS (
+           SELECT vec_id, label, c_label,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn
+           FROM s)
+         SELECT vec_id, label, c_label AS assigned_label, (label = c_label) AS is_match
+         FROM r WHERE rn = 1 ORDER BY vec_id""",
+
     "t01_token_stats" ->
       """SELECT doc_id,
          len(string_split_regex(trim(text), '\s+')) AS n_tokens,

@@ -46,6 +46,7 @@ object SparkEntry {
     "q19_salted_agg" -> ((s, d) => RelationalOps.saltedAgg(Tables.orders(s, d))),
     "q20_time_window" -> ((s, d) => TrackAnalytics.timeWindow(Tables.events(s, d))),
     "q21_percentile" -> ((s, d) => RelationalOps.percentiles(Tables.lineitem(s, d))),
+    "q29_percentile_approx" -> ((s, d) => RelationalOps.percentilesApprox(Tables.lineitem(s, d))),
     "q22_orders_histogram" -> ((s, d) => RelationalOps.ordersHistogram(Tables.customer(s, d), Tables.orders(s, d))),
     "q23_broadcast_dim" -> ((s, d) => FlowAnalytics.broadcastDim(
       Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))),

@@ -97,16 +97,23 @@ object Ann {
         s => s.getField("cx").cast("float")).as("centroid"))
       .select(col("label").as("c_label"), col("centroid"))
 
-  /** Nearest-centroid assignment by cosine (broadcast centroid table,
-    * one ranked window over vec x centroid scores). */
-  private[ann] def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+  /** Top-`nprobe` nearest-centroid assignment by cosine (broadcast
+    * centroid table, one ranked window over vec x centroid scores).
+    * nprobe=1 is storage assignment (each vector lives in one cell);
+    * nprobe>1 is query-side multi-probe. */
+  private[ann] def assignN(vectors: DataFrame, centroids: DataFrame,
+                           nprobe: Int): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("c_label"))
     vectors.crossJoin(broadcast(centroids))
       .withColumn("sim", expr("graft_cosine(embedding, centroid)"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= nprobe)
       .drop("rn", "sim", "centroid")
   }
+
+  /** Nearest-centroid (single-cell) assignment. */
+  private[ann] def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assignN(vectors, centroids, 1)
 
   /** a03_centroid_assign — IVF-style coarse quantization: build one
     * centroid per label, then assign every vector to its nearest
@@ -127,38 +134,56 @@ object Ann {
     * 100 TB that's `iters` scans with only (cell, pos, partial-sum)
     * shuffles, never a vector-vector product. Returns (vec_id, cell). */
   def kmeansAssign(embeddings: DataFrame, k: Int = 10, iters: Int = 3): DataFrame = {
-    GraftFunctions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
     val vecs = embeddings.select(col("vec_id"), col("embedding")).persist()
-    val seeds = vecs
+    // the k x dim centroid table is tiny: collect it to the driver
+    // after every Lloyd iteration and re-broadcast as a fresh literal
+    // table. This keeps each iteration's plan flat (no nested lineage
+    // whose planning time grows per iteration) and is NOT a hot-path
+    // collect — k*dim floats, not data. Iterations run eagerly here.
+    def centroidTable(cs: Seq[(Int, Array[Float])]): DataFrame =
+      cs.toDF("c_label", "centroid")
+    var centroids: Seq[(Int, Array[Float])] = vecs
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
-      .orderBy("vec_id")
-      .select(row_number().over(Window.orderBy("vec_id")).as("c_label"), col("embedding").as("centroid"))
-    var centroids = seeds
+      .orderBy("vec_id").collect()
+      .zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Float](1).toArray) }.toSeq
     for (_ <- 1 to iters) {
-      val assigned = assign(vecs, centroids)
-      centroids = assigned
+      centroids = assign(vecs, centroidTable(centroids))
         .select(col("c_label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("c_label", "pos").agg(avg("x").as("cx"))
-        .groupBy("c_label")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-          s => s.getField("cx").cast("float")).as("centroid"))
+        .collect()
+        .groupBy(_.getInt(0)).toSeq
+        .map { case (label, rows) =>
+          (label, rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray)
+        }
+        .sortBy(_._1)
     }
-    assign(vecs, centroids)
+    val finalCentroids = centroidTable(centroids)
+    vecs.unpersist()
+    // final assignment reads the source fresh — the iteration cache is
+    // released before the caller ever evaluates the returned plan
+    assign(embeddings.select(col("vec_id"), col("embedding")), finalCentroids)
       .select(col("vec_id"), col("c_label").as("cell"))
       .orderBy("vec_id")
   }
 
-  /** a04_ivf_knn — IVF search: queries and candidates are both
-    * assigned to their nearest centroid; scoring happens only within a
-    * query's cell (nprobe=1). At 100 TB the cell id is the shuffle
-    * key — the all-pairs product never materializes. Recall depends on
-    * cluster structure; the spec asserts it on clustered data. */
-  def ivfKnn(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+  /** a04_ivf_knn — IVF search: every candidate vector is stored in its
+    * single nearest-centroid cell; each query probes its `nprobe`
+    * nearest cells and scores only inside them. At 100 TB the cell id
+    * is the shuffle key — the all-pairs product never materializes.
+    * nprobe trades recall for probed volume: a query sitting on a cell
+    * boundary has true neighbours in its 2nd-nearest cell, which
+    * nprobe=1 silently loses (the spec plants exactly that vector). */
+  def ivfKnn(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
+             nprobe: Int = 2): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val assigned = assign(embeddings, labelCentroids(embeddings))
-    val q = assigned.filter(col("vec_id") < nQueries)
+    val centroids = labelCentroids(embeddings)
+    val q = assignN(embeddings.filter(col("vec_id") < nQueries), centroids, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("c_label"))
-    val c = assigned.filter(col("vec_id") >= nQueries)
+    val c = assign(embeddings.filter(col("vec_id") >= nQueries), centroids)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("c_label"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     q.join(c, "c_label")

@@ -168,29 +168,34 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** d04_simhash — 64-bit SimHash over the distinct word set, near-dup
-    * pairs by Hamming distance. Candidate generation: 4 x 16-bit
+  /** d04_simhash — 60-bit SimHash over the distinct word set, near-dup
+    * pairs by Hamming distance. Candidate generation: 4 x 15-bit
     * chunks (pigeonhole: hamming <= 3 pairs must share a chunk), so
-    * the join is chunk-bucket-local, then exact popcount verify. */
+    * the join is chunk-bucket-local, then exact popcount verify.
+    *
+    * Token hash = the top 60 bits of md5, which both engines compute
+    * identically — that makes this operator fully oracle-checkable
+    * (a production deployment would swap in xxhash64 for hash speed;
+    * the hash choice is orthogonal to the SimHash construction). */
   def simHash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // explode distinct tokens, accumulate the 64 per-bit +-1 sums as
+    // explode distinct tokens, accumulate the 60 per-bit +-1 sums as
     // flat codegen'd aggregate columns (the array-lambda formulation is
-    // interpreted), then fold the sign bits back into one 64-bit word
+    // interpreted), then fold the sign bits back into one 60-bit word
     val tokens = documents
       .withColumn("toks", array_distinct(split(lower(col("text")), "\\s+")))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(j =>
+      .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+    val bitSums = (0 until 60).map(j =>
       sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1L).otherwise(-1L)).as(s"s$j"))
     val fp = tokens.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash",
-        (0 until 64).map(j =>
+        (0 until 60).map(j =>
           when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
       .select(col("doc_id"), col("simhash"))
     val chunks = fp.withColumn("chunk", explode(expr(
-        "transform(sequence(0, 3), c -> struct(c AS ci, shiftright(simhash, c*16) & 65535 AS cv))")))
+        "transform(sequence(0, 3), c -> struct(c AS ci, shiftright(simhash, c*15) & 32767 AS cv))")))
       .select(col("doc_id"), col("simhash"), col("chunk.ci").as("ci"), col("chunk.cv").as("cv"))
     chunks.as("x")
       .join(chunks.as("y"),

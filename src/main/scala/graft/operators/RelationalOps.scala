@@ -109,8 +109,11 @@ object RelationalOps {
       .orderBy("o_orderpriority")
 
   /** q21_percentile — exact interpolated percentiles per group
-    * (median / p90 speed per checkpoint class). At 100 TB swap to
-    * percentile_approx: single-pass, mergeable sketch. */
+    * (median / p90 speed per checkpoint class). Exact `percentile`
+    * buffers every value of a group in one aggregation buffer — fine
+    * at test SFs and the strongest oracle, but an executor OOM at
+    * 100 TB. q29 below is the scale path; this stays as its oracle
+    * twin (the q28/q29 pattern). */
   def percentiles(lineitem: DataFrame): DataFrame =
     lineitem
       .groupBy("l_returnflag")
@@ -118,6 +121,20 @@ object RelationalOps {
         round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"),
         round(expr("percentile(l_quantity, 0.9)"), 2).as("p90_qty"),
         round(expr("percentile(l_extendedprice, 0.5)"), 3).as("p50_price"))
+      .orderBy("l_returnflag")
+
+  /** q29_percentile_approx — the 100 TB percentile path: single-pass
+    * mergeable KLL-style sketch (`percentile_approx`), O(accuracy)
+    * memory per group regardless of group size, partial-agg friendly
+    * (sketches merge map-side). Error is bounded by 1/accuracy of
+    * rank; the spec bounds it against the exact q21 values. */
+  def percentilesApprox(lineitem: DataFrame, accuracy: Int = 10000): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr(s"percentile_approx(l_quantity, 0.5, $accuracy)"), 2).as("p50_qty"),
+        round(expr(s"percentile_approx(l_quantity, 0.9, $accuracy)"), 2).as("p90_qty"),
+        round(expr(s"percentile_approx(l_extendedprice, 0.5, $accuracy)"), 3).as("p50_price"))
       .orderBy("l_returnflag")
 
   /** q22_orders_histogram — distribution histogram via outer join +

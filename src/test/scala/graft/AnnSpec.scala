@@ -45,6 +45,33 @@ class AnnSpec extends SparkSpecBase {
     assert(ivf == brute, s"ivf=$ivf brute=$brute")
   }
 
+  test("ivfKnn nprobe=2 recovers the boundary query that nprobe=1 loses") {
+    // query 0 sits BETWEEN cluster 0 (e1) and cluster 1 (e2), leaning
+    // slightly to e1: its nearest cell is 0, but true neighbour 4 (pure
+    // e2 direction, cos ~0.74) lives in cell 1 — invisible at nprobe=1
+    val boundary = Seq(
+      (0L, Array(0.74f, 0.67f, 0.0f, 0.0f), 0), // boundary query
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.95f, 0.05f, 0.0f, 0.0f), 0),
+      (4L, Array(0.05f, 1.0f, 0.0f, 0.0f), 1),
+      (5L, Array(0.0f, 0.95f, 0.05f, 0.0f), 1),
+      (6L, Array(0.0f, 0.0f, 1.0f, 0.0f), 2),
+      (7L, Array(0.0f, 0.0f, 0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    def recallVsBrute(nprobe: Int): Double = {
+      val brute = Ann.knnBrute(boundary, nQueries = 1, k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivf = Ann.ivfKnn(boundary, nQueries = 1, k = 3, nprobe = nprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (ivf intersect brute).size.toDouble / brute.size
+    }
+    val r1 = recallVsBrute(1)
+    val r2 = recallVsBrute(2)
+    assert(r1 < 1.0, s"nprobe=1 recall unexpectedly full: $r1")
+    assert(r2 == 1.0, s"nprobe=2 recall $r2")
+    assert(r2 >= r1)
+  }
+
   test("kmeansAssign separates orthogonal clusters into distinct cells") {
     val out = Ann.kmeansAssign(vecs, k = 3, iters = 3).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap

@@ -4,6 +4,24 @@ import graft.operators.FlowAnalytics
 
 class ApproxSpec extends SparkSpecBase {
 
+  test("percentile_approx sketch lands within 2% of the exact percentiles") {
+    val d = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, d)
+    val exact = graft.operators.RelationalOps.percentiles(li)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = graft.operators.RelationalOps.percentilesApprox(li)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (flag, (p50q, p90q, p50p)) =>
+      val (a50q, a90q, a50p) = approx(flag)
+      // percentile_approx returns an actual data value, percentile
+      // interpolates — allow the neighbouring-value gap
+      assert(math.abs(a50q - p50q) / p50q < 0.02, s"$flag p50_qty $a50q vs $p50q")
+      assert(math.abs(a90q - p90q) / p90q < 0.02, s"$flag p90_qty $a90q vs $p90q")
+      assert(math.abs(a50p - p50p) / p50p < 0.02, s"$flag p50_price $a50p vs $p50p")
+    }
+  }
+
   test("approx_count_distinct lands within rsd bounds of the exact count") {
     val d = "/root/testdata/sf0.001"
     val exact = FlowAnalytics.distinctCount(Tables.orders(spark, d), Tables.customer(spark, d))
