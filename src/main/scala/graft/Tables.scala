@@ -29,9 +29,12 @@ object Tables {
     * vectorized reader rejects. Read nanos as raw long (`ts_ns`, the
     * exact sort key — full nanosecond precision, matching the oracle's
     * ORDER BY ts) and surface `ts` as a microsecond-truncated proper
-    * timestamp for window/date functions. */
+    * timestamp for window/date functions.
+    * `spark.sql.legacy.parquet.nanosAsLong` is expected from the
+    * session builder (GraftSession / Verify / Bench / specs) — setting
+    * it here as a loader side effect would silently change how OTHER
+    * readers in the same session see nanos columns. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       .withColumn("ts_ns", col("ts").cast("long"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.dedup.Dedup
+import graft.text.TextStats
+import graft.ann.Ann
+
+/** Task-parameter-driven execution — the reference pulls each
+  * analysis' parameters (date range, filters, top-N size) from a task
+  * table at runtime instead of recompiling. `run` binds a
+  * `Map[String,String]` param set onto any inventory query;
+  * `parseParams` accepts the reference's JSON task_parm shape, so a
+  * scheduler row like `{"topN": 5, "startTs": "2024-03-01"}` drives
+  * the same compiled jar through arbitrary re-runs.
+  *
+  * Queries without an entry in `runners` fall back to their
+  * default-parameter `SparkEntry.queries` form, so every inventory
+  * name is runnable here.
+  */
+object TaskRunner {
+
+  private def i(p: Map[String, String], k: String, d: Int): Int =
+    p.get(k).map(_.trim.toInt).getOrElse(d)
+  private def l(p: Map[String, String], k: String, d: Long): Long =
+    p.get(k).map(_.trim.toLong).getOrElse(d)
+  private def dbl(p: Map[String, String], k: String, d: Double): Double =
+    p.get(k).map(_.trim.toDouble).getOrElse(d)
+  private def str(p: Map[String, String], k: String, d: String): String =
+    p.getOrElse(k, d)
+  private def optL(p: Map[String, String], k: String): Option[Long] =
+    p.get(k).map(_.trim.toLong)
+
+  /** The reference's tasks carry a date range; every events-driven
+    * analysis honors optional ISO `startTs`/`endTs` params. The filter
+    * lands before the operator's plan, so it pushes down to the scan. */
+  private def eventsIn(s: SparkSession, d: String, p: Map[String, String]): DataFrame = {
+    val base = Tables.events(s, d)
+    val afterStart = p.get("startTs")
+      .map(t => base.filter(col("ts") >= to_timestamp(lit(t)))).getOrElse(base)
+    p.get("endTs")
+      .map(t => afterStart.filter(col("ts") < to_timestamp(lit(t)))).getOrElse(afterStart)
+  }
+
+  /** Parameter-aware runners (query name -> bound operator). */
+  val runners: Map[String, (SparkSession, String, Map[String, String]) => DataFrame] = Map(
+    "q02_topn_flow" -> ((s, d, p) => FlowAnalytics.topNFlow(Tables.lineitem(s, d), i(p, "topN", 10))),
+    "q04_group_topn" -> ((s, d, p) => FlowAnalytics.groupTopN(Tables.lineitem(s, d), i(p, "topN", 3))),
+    "q16_anti_join" -> ((s, d, p) => RelationalOps.antiJoin(
+      Tables.customer(s, d), Tables.orders(s, d), dbl(p, "minPrice", 400000))),
+    "q17_semi_join" -> ((s, d, p) => RelationalOps.semiJoin(
+      Tables.part(s, d), Tables.lineitem(s, d), dbl(p, "minQty", 48))),
+    "q19_salted_agg" -> ((s, d, p) => RelationalOps.saltedAgg(
+      Tables.orders(s, d), i(p, "saltBuckets", 8))),
+    "q24_monitor_health" -> ((s, d, p) => FlowAnalytics.monitorHealth(
+      Tables.supplier(s, d), Tables.lineitem(s, d), l(p, "minFlow", 30))),
+    "q25_global_stats" -> ((s, d, p) => FlowAnalytics.globalStats(
+      Tables.supplier(s, d), Tables.lineitem(s, d), l(p, "minFlow", 30))),
+    "q28_approx_distinct" -> ((s, d, p) => FlowAnalytics.approxDistinct(
+      Tables.orders(s, d), Tables.customer(s, d), dbl(p, "rsd", 0.02))),
+    "q29_percentile_approx" -> ((s, d, p) => RelationalOps.percentilesApprox(
+      Tables.lineitem(s, d), i(p, "accuracy", 10000))),
+    "q08_car_track" -> ((s, d, p) => TrackAnalytics.carTrack(eventsIn(s, d, p))),
+    "q09_funnel_step" -> ((s, d, p) => TrackAnalytics.funnelStep(eventsIn(s, d, p))),
+    "q10_collision" -> ((s, d, p) => TrackAnalytics.collision(
+      eventsIn(s, d, p), str(p, "typeA", "click"), str(p, "typeB", "purchase"))),
+    "q11_sessionize" -> ((s, d, p) => TrackAnalytics.sessionize(
+      eventsIn(s, d, p), l(p, "gapMs", 1800000L))),
+    "q14_stratified_sample" -> ((s, d, p) => TrackAnalytics.stratifiedSample(
+      eventsIn(s, d, p), i(p, "perStratum", 5))),
+    "q20_time_window" -> ((s, d, p) => TrackAnalytics.timeWindow(eventsIn(s, d, p))),
+    "q27_range_join" -> ((s, d, p) => TrackAnalytics.rangeJoin(
+      eventsIn(s, d, p), l(p, "windowNs", 1800000000000L))),
+    "t06_word_freq" -> ((s, d, p) => TextStats.wordFreq(Tables.documents(s, d), i(p, "topN", 20))),
+    "d02_ngram_jaccard" -> ((s, d, p) => Dedup.ngramJaccard(
+      Tables.documents(s, d), dbl(p, "threshold", 0.8), optL(p, "dfCap"))),
+    "d03_minhash_lsh" -> ((s, d, p) => Dedup.minHashLsh(
+      Tables.documents(s, d), dbl(p, "threshold", 0.8),
+      i(p, "numHashes", 64), i(p, "bands", 16), optL(p, "dfCap"))),
+    "d05_embed_dedup" -> ((s, d, p) => Dedup.embedDedup(
+      Tables.embeddings(s, d), dbl(p, "threshold", 0.5))),
+    "d06_embed_dedup_lsh" -> ((s, d, p) => Dedup.embedDedupLsh(
+      Tables.embeddings(s, d), dbl(p, "threshold", 0.5),
+      i(p, "tables", 32), i(p, "bits", 4), i(p, "dim", 64))),
+    "a01_knn_brute" -> ((s, d, p) => Ann.knnBrute(
+      Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3))),
+    "a02_knn_lsh" -> ((s, d, p) => Ann.knnLsh(
+      Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3),
+      i(p, "tables", 4), i(p, "planesPerTable", 6), i(p, "dim", 64))),
+    "a04_ivf_knn" -> ((s, d, p) => Ann.ivfKnn(
+      Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3), i(p, "nprobe", 2))),
+    "a05_kmeans_cells" -> ((s, d, p) => Ann.kmeansAssign(
+      Tables.embeddings(s, d), i(p, "k", 10), i(p, "iters", 3)))
+  )
+
+  /** Run any inventory query under a param set; unknown params are
+    * ignored, unlisted queries run with their defaults. */
+  def run(spark: SparkSession, dir: String, query: String,
+          params: Map[String, String] = Map.empty): DataFrame =
+    runners.get(query).map(_(spark, dir, params))
+      .orElse(SparkEntry.queries.get(query).map(_(spark, dir)))
+      .getOrElse(throw new IllegalArgumentException(s"unknown query: $query"))
+
+  /** Parse the reference's JSON task_parm shape into a flat param map
+    * (scalars only; numbers/booleans are stringified). */
+  def parseParams(json: String): Map[String, String] = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case JObject(fields) => fields.collect {
+        case (k, JString(v)) => k -> v
+        case (k, JInt(v)) => k -> v.toString
+        case (k, JLong(v)) => k -> v.toString
+        case (k, JDouble(v)) => k -> v.toString
+        case (k, JDecimal(v)) => k -> v.toString
+        case (k, JBool(v)) => k -> v.toString
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+}

@@ -36,17 +36,6 @@ object Ann {
       .orderBy("query_id", "rn")
   }
 
-  /** Deterministic random hyperplanes (splitmix-style LCG, seed 42) so
-    * LSH buckets are reproducible across runs and engines. */
-  private[ann] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
-    var s = 42L
-    def next(): Double = {
-      s = s * 6364136223846793005L + 1442695040888963407L
-      ((s >>> 33).toDouble / (1L << 31).toDouble) - 0.5
-    }
-    Array.fill(nPlanes, dim)(next())
-  }
-
   /** a02_knn_lsh — random-hyperplane LSH ANN, multi-table
     * OR-construction: `tables` independent hash tables of `planesPerTable`
     * sign bits each; a candidate is any vector sharing a bucket with the
@@ -56,19 +45,16 @@ object Ann {
   def knnLsh(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
              tables: Int = 4, planesPerTable: Int = 6, dim: Int = 64): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val planes = hyperplanes(tables * planesPerTable, dim)
-    // sign(dot) == sign(cosine), so the codegen'd graft_cosine gives
-    // the hyperplane side without interpreted lambda math
-    def side(p: Array[Double]) = expr("graft_cosine(embedding, " +
-      p.map(x => s"CAST($x AS FLOAT)").mkString("array(", ",", ")") + ")") > 0
-    def bucket(t: Int) = (0 until planesPerTable).map { j =>
-      when(side(planes(t * planesPerTable + j)), lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-    val buckets = array((0 until tables).map(t =>
-      struct(lit(t).as("t"), bucket(t).as("b"))): _*)
+    // all per-table bucket ids from one codegen'd expression call
+    // (planes derived from HyperplaneBuckets' seed-42 LCG, so
+    // buckets are unchanged) — the previous per-plane graft_cosine
+    // formulation carried tables*planesPerTable 64-float literals in
+    // the plan text and paid for it in Janino compile time
     val withB = embeddings
-      .withColumn("bucket", explode(buckets))
-      .select(col("vec_id"), col("embedding"), col("bucket.t").as("bt"), col("bucket.b").as("bb"))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(expr(
+          s"graft_hyperplane_buckets(embedding, 42L, $tables, $planesPerTable, $dim)"))
+          .as(Seq("bt", "bb")))
     val q = withB.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bt"), col("bb"))
     val c = withB.filter(col("vec_id") >= nQueries)

@@ -40,20 +40,26 @@ object Dedup {
           element_at(col("toks"), i + 2),
           element_at(col("toks"), i + 3)))))
 
-  /** Hashed shingle sets: 64-bit xxhash64 of each word 3-gram, never
-    * materializing shingle strings (the string build + string distinct
-    * is ~4x the cost of the hashed pipeline; collision odds
-    * ~|shingles|^2 / 2^64 are negligible for counting). */
-  def withShingleHashes(documents: DataFrame): DataFrame =
+  /** Hashed shingle sets: 64-bit chained-XXH64 of each word 3-gram,
+    * never materializing shingle strings (collision odds
+    * ~|shingles|^2 / 2^64 are negligible for counting). The hash loop
+    * is the native `graft_shingle_hashes` expression — the
+    * transform/array_distinct formulation runs on Spark 4's
+    * interpreted HOF path and was the dominant cost of every near-dup
+    * operator. The repartition spreads the CPU-heavy shingle build
+    * across the cluster when the input arrives as a few large
+    * unsplittable files (a single parquet row group cannot be split by
+    * config); at 100 TB the scan is already thousands of splits and
+    * AQE coalesces the extra exchange cheaply relative to the 3x
+    * downstream explode. */
+  def withShingleHashes(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     documents
+      .repartition(col("doc_id"))
       .withColumn("toks", split(lower(col("text")), "\\s+"))
       .filter(size(col("toks")) >= 3)
-      .withColumn("sh", array_distinct(transform(
-        sequence(lit(0), size(col("toks")) - 3),
-        i => xxhash64(
-          element_at(col("toks"), i + 1),
-          element_at(col("toks"), i + 2),
-          element_at(col("toks"), i + 3)))))
+      .withColumn("sh", expr("graft_shingle_hashes(toks, 3)"))
+  }
 
   /** Capped shingle sets: drop shingles whose document frequency
     * exceeds `dfCap` before any pair generation. A single hot shingle
@@ -92,8 +98,12 @@ object Dedup {
     // integer sizes — never prunes a qualifying pair)
     val sizeOk = col("a.nsh") * threshold <= col("b.nsh") + 0.5 &&
       col("b.nsh") * threshold <= col("a.nsh") + 0.5
+    // shuffle_hash hint: the post-explode size estimate is bogus (the
+    // planner sees the pre-explode scan bytes), so without it Spark
+    // broadcasts millions of exploded shingle rows; the inverted-index
+    // self-join must partition on the shingle key at any scale
     val pairs = e.as("a")
-      .join(e.as("b"),
+      .join(e.as("b").hint("shuffle_hash"),
         col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id") && sizeOk)
       .groupBy(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -112,46 +122,33 @@ object Dedup {
     * collisions only, then exact-Jaccard verification so the output
     * equals d02's at the same threshold (P[miss] ~2e-4 per true pair
     * at exactly j = 0.8; ~4e-8 at the j >= 0.9 regime this corpus
-    * has; raise numHashes/bands for tighter regimes — the agg-column
-    * count is also the Janino compile cost, so don't default higher
-    * than needed).
+    * has; raise numHashes/bands for tighter regimes — signatures are
+    * one compiled loop per doc, so extra hashes cost only CPU).
     * The pair join touches only band-bucket collisions — at 100 TB the
     * band table is the only shuffled artifact (doc_id + 2 longs). */
   def minHashLsh(documents: DataFrame, threshold: Double = 0.8,
                  numHashes: Int = 64, bands: Int = 16,
                  dfCap: Option[Long] = None): DataFrame = {
-    val rows = numHashes / bands
     // session-scoped cache: the shingle sets feed both the signature
     // build and the verify join. Operators return lazy plans, so
     // there is no point to unpersist before evaluation; one-shot
     // callers can spark.catalog.clearCache() after the action.
     val shingled = cappedShingleSets(documents, dfCap).persist()
-    // signature build: explode shingle hashes once, derive all permuted
-    // hashes as flat codegen'd columns (h1 + i*h2), columnwise min-agg.
-    // This stays in whole-stage codegen end-to-end — the higher-order
-    // (transform/array_min) formulation is interpreted and ~25x slower.
-    // NB: each extra agg column adds whole-stage-codegen compile time.
-    val e = shingled
-      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("sh_h"))
-    // permutation i = xxhash64(shingle_hash, i): independent per i and
-    // free of the ANSI overflow hazard of the h1 + i*h2 construction
-    val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(col("sh_h"), lit(i))).as(s"m$i"))
-    val sigs = e.groupBy("doc_id")
-      .agg(minCols.head, (minCols.tail :+ max(col("nsh")).as("nsh")): _*)
-    val bandCols = array((0 until bands).map { b =>
-      struct(lit(b).as("bi"),
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("bh"))
-    }: _*)
-    val sig = sigs
-      .withColumn("band", explode(bandCols))
-      .select(col("doc_id"), col("nsh"), col("band.bi").as("bi"), col("band.bh").as("bh"))
+    // signature build: one narrow graft_minhash_bands call per doc —
+    // all permutation minima and band hashes in a single compiled
+    // loop. No explode, no shuffle, no per-agg-column Janino compile
+    // (the previous 64-min-agg-column formulation paid ~2 s of codegen
+    // compile and shuffled every shingle row into agg buffers).
+    val sig = shingled
+      .select(col("doc_id"), size(col("sh")).as("nsh"),
+        posexplode(expr(s"graft_minhash_bands(sh, $numHashes, $bands)"))
+          .as(Seq("bi", "bh")))
     // same exact-safe size prefilter as d02: prunes the (numerous)
     // low-jaccard band collisions before the array_intersect verify
     val sizeOk = col("x.nsh") * threshold <= col("y.nsh") + 0.5 &&
       col("y.nsh") * threshold <= col("x.nsh") + 0.5
     val cand = sig.as("x")
-      .join(sig.as("y"),
+      .join(sig.as("y").hint("shuffle_hash"),
         col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id") && sizeOk)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -181,19 +178,17 @@ object Dedup {
     // explode distinct tokens, accumulate the 60 per-bit +-1 sums as
     // flat codegen'd aggregate columns (the array-lambda formulation is
     // interpreted), then fold the sign bits back into one 60-bit word
-    val tokens = documents
+    // narrow single-pass fingerprint: graft_simhash folds the per-token
+    // md5 votes and the sign bits in one compiled loop per document —
+    // no explode, no 60-column aggregate, no shuffle. The repartition
+    // is the same few-large-unsplittable-files parallelism guard as
+    // withShingleHashes.
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val fp = documents
+      .repartition(col("doc_id"))
       .withColumn("toks", array_distinct(split(lower(col("text")), "\\s+")))
       .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
-    val bitSums = (0 until 60).map(j =>
-      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1L).otherwise(-1L)).as(s"s$j"))
-    val fp = tokens.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash",
-        (0 until 60).map(j =>
-          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
-      .select(col("doc_id"), col("simhash"))
+      .select(col("doc_id"), expr("graft_simhash(toks)").as("simhash"))
     val chunks = fp.withColumn("chunk", explode(expr(
         "transform(sequence(0, 3), c -> struct(c AS ci, shiftright(simhash, c*15) & 32767 AS cv))")))
       .select(col("doc_id"), col("simhash"), col("chunk.ci").as("ci"), col("chunk.cv").as("cv"))

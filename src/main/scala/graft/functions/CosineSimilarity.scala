@@ -88,6 +88,24 @@ object GraftFunctions {
         FunctionIdentifier("graft_hyperplane_buckets"),
         new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
         hyperplaneBuilder _)
+    if (!reg.functionExists(FunctionIdentifier("graft_shingle_hashes")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_shingle_hashes"),
+        new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+        (children: Seq[Expression]) => ShingleHashes(children.head,
+          children(1).eval().asInstanceOf[Number].intValue()))
+    if (!reg.functionExists(FunctionIdentifier("graft_minhash_bands")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_minhash_bands"),
+        new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
+        (children: Seq[Expression]) => MinHashBands(children.head,
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].intValue()))
+    if (!reg.functionExists(FunctionIdentifier("graft_simhash")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_simhash"),
+        new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+        (children: Seq[Expression]) => SimHash64(children.head))
   }
 }
 

@@ -40,6 +40,27 @@ object Sources {
       .option("numPartitions", numPartitions)
       .load()
 
+  /** JDBC result sink — the reference persists every analysis result
+    * to a transactional store (MySQL); any JDBC database slots in via
+    * the url. Results of graft operators are small aggregates, so the
+    * default is a single-connection batched write; pass
+    * `numPartitions` to open that many parallel connections for large
+    * result sets (each task writes its own slice). */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: String = "overwrite", batchSize: Int = 10000,
+                numPartitions: Option[Int] = None): Unit =
+    numPartitions.map(df.repartition(_)).getOrElse(df)
+      .write.format("jdbc").mode(mode)
+      .option("url", url).option("dbtable", table)
+      .option("batchsize", batchSize.toString)
+      .save()
+
+  /** Catalog-table read — the Hive/metastore seam: operators take
+    * DataFrames, so swapping a parquet path for a catalog table is
+    * this one call. */
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** Partitioned parquet sink: directory partitioning on the pruning
     * key(s) → partition elimination for every downstream reader. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
@@ -58,4 +79,21 @@ object Sources {
     * reference's Kafka topic): new files in `dir` become micro-batches. */
   def readStreamJson(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).json(dir)
+
+  /** Format-agnostic streaming source: a real deployment swaps the
+    * file stand-in for Kafka as pure config —
+    * `readStreamSource(spark, "kafka", Map("kafka.bootstrap.servers"
+    * -> ..., "subscribe" -> topic, "startingOffsets" -> "latest",
+    * "maxOffsetsPerTrigger" -> "100000"))` — no operator changes
+    * (this environment carries no Kafka connector, so only the file
+    * formats are exercised by specs). `maxOffsetsPerTrigger` /
+    * `maxFilesPerTrigger` is the backpressure bound that keeps one
+    * micro-batch within cluster memory at production volume. */
+  def readStreamSource(spark: SparkSession, format: String,
+                       options: Map[String, String],
+                       schema: Option[StructType] = None): DataFrame = {
+    val r = spark.readStream.format(format).options(options)
+    schema.foreach(r.schema)
+    r.load()
+  }
 }

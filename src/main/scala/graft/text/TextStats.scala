@@ -74,7 +74,7 @@ object TextStats {
   def langId(documents: DataFrame): DataFrame = {
     val padded = concat(lit(" "), lower(col("text")), lit(" "))
     def hits(ms: Seq[String]) = ms.map { m =>
-      (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), ""))) / m.length
+      (length(padded) - length(replace(padded, lit(m), lit("")))) / m.length
     }.reduce(_ + _)
     val scored = markers.foldLeft(documents) { case (df, (l, ms)) =>
       df.withColumn(s"score_$l", hits(ms))
@@ -114,6 +114,11 @@ object TextStats {
     * thanks to map-side partial aggregation. */
   def wordFreq(documents: DataFrame, topN: Int = 20): DataFrame =
     documents
+      // parallelism guard for few-large-unsplittable-files inputs (one
+      // parquet row group can't be split): spread the explode +
+      // partial agg; at 100 TB the scan is already split and this
+      // coalesces to a no-op-sized exchange next to the explode volume
+      .repartition(col("doc_id"))
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word")

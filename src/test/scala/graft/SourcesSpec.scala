@@ -40,6 +40,53 @@ class SourcesSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters") || pruned.count() == 2)
   }
 
+  test("jdbc write + predicate-parallel read roundtrip via embedded Derby") {
+    // Derby ships on Spark's classpath (the Hive-metastore engine), so
+    // the JDBC path is exercisable fully in-JVM — the same code reaches
+    // MySQL/Postgres by swapping the url.
+    val dbDir = Files.createTempDirectory("graft_derby").toString
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    Sources.writeJdbc(sample, url, "graft_results")
+    val back = Sources.readJdbc(spark, url, "graft_results",
+      partitionColumn = "id", lowerBound = 1L, upperBound = 4L, numPartitions = 3)
+    assert(back.rdd.getNumPartitions == 3, "predicate-parallel read should split")
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // append mode lands new rows without dropping the table
+    Sources.writeJdbc(Seq((4L, "d", "g2")).toDF("id", "name", "grp"),
+      url, "graft_results", mode = "append")
+    assert(Sources.readJdbc(spark, url, "graft_results", "id", 1L, 5L, 2).count() == 4)
+  }
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Sources.writeBucketed(sample, "graft_bucketed_a", "id", 4)
+      Sources.writeBucketed(sample.selectExpr("id", "name AS name2"),
+        "graft_bucketed_b", "id", 4)
+      val j = Sources.readTable(spark, "graft_bucketed_a")
+        .join(Sources.readTable(spark, "graft_bucketed_b"), "id")
+      assert(j.count() == 3)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("readStreamSource is config-swappable between file formats") {
+    val dir = Files.createTempDirectory("graft_streamsrc").toString
+    sample.coalesce(1).write.mode("append").json(dir)
+    val q = Sources.readStreamSource(spark, "json", Map("path" -> dir), Some(schema))
+      .groupBy("grp").count()
+      .writeStream.format("memory").queryName("srcfmt_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val counts = spark.table("srcfmt_out").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("g1" -> 2L, "g2" -> 1L))
+    } finally q.stop()
+  }
+
   test("streaming file source reads new json files as micro-batches") {
     val dir = Files.createTempDirectory("graft_stream").toString
     val q = Sources.readStreamJson(spark, dir, schema)

@@ -1,0 +1,40 @@
+package graft
+
+class TaskRunnerSpec extends SparkSpecBase {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("one compiled jar, two param sets: topN changes the result size") {
+    val top10 = TaskRunner.run(spark, d, "q02_topn_flow")
+    val top3 = TaskRunner.run(spark, d, "q02_topn_flow", Map("topN" -> "3"))
+    assert(top10.count() == 10 && top3.count() == 3)
+  }
+
+  test("sessionize gap param changes session structure") {
+    val wide = TaskRunner.run(spark, d, "q11_sessionize", Map("gapMs" -> "86400000"))
+      .collect().map(_.getLong(1)).sum
+    val tight = TaskRunner.run(spark, d, "q11_sessionize", Map("gapMs" -> "60000"))
+      .collect().map(_.getLong(1)).sum
+    assert(tight > wide, s"1-min gap sessions ($tight) should exceed 1-day gap ($wide)")
+  }
+
+  test("date-range task params filter events before the operator") {
+    val all = TaskRunner.run(spark, d, "q08_car_track").count()
+    val none = TaskRunner.run(spark, d, "q08_car_track",
+      Map("startTs" -> "2099-01-01")).count()
+    assert(all > 0 && none == 0)
+  }
+
+  test("JSON task_parm round trip drives a run") {
+    val params = TaskRunner.parseParams("""{"topN": 5, "note": "ignored-extra"}""")
+    assert(params("topN") == "5")
+    assert(TaskRunner.run(spark, d, "q02_topn_flow", params).count() == 5)
+  }
+
+  test("queries without a param binding fall back to SparkEntry defaults") {
+    assert(TaskRunner.run(spark, d, "q01_flow_agg").count() > 0)
+    intercept[IllegalArgumentException] {
+      TaskRunner.run(spark, d, "no_such_query")
+    }
+  }
+}
