@@ -229,6 +229,23 @@ object Oracles {
          max(octet_length(encode(text))) AS max_bytes
          FROM documents GROUP BY source ORDER BY source""",
 
+    "q30_asof_join" ->
+      """WITH t AS (
+           SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts_ns
+           FROM events WHERE event_type IN ('click', 'signup')),
+         w AS (
+           SELECT event_id, user_id, event_type, ts_ns,
+                  last_value(CASE WHEN event_type = 'click' THEN ts_ns END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ns,
+                  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id
+           FROM t)
+         SELECT event_id AS signup_id, user_id, click_id,
+                (ts_ns // 1000) - (click_ns // 1000) AS gap_us
+         FROM w WHERE event_type = 'signup' ORDER BY signup_id""",
+
     "q26_json_extract" ->
       """SELECT event_type,
          count(*) FILTER (WHERE k IS NOT NULL) AS n_with_k,
@@ -370,6 +387,39 @@ object Oracles {
                + (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))*1.0/length(text))*0.4
                + (1.0 - length(regexp_replace(text, '[^ ]', '', 'g'))*1.0/length(text))*0.2)*10000 + 0.5)/10000 AS quality
          FROM documents WHERE length(text) > 0 ORDER BY doc_id""",
+
+    "t07_repetition" ->
+      """SELECT doc_id,
+         len(toks) - 1 AS n_bigrams,
+         len(list_distinct([array_to_string(toks[i:i+1], ' ')
+                            for i in range(1, len(toks))])) AS n_uniq_bigrams,
+         floor((1.0 - len(list_distinct([array_to_string(toks[i:i+1], ' ')
+                            for i in range(1, len(toks))]))*1.0/(len(toks)-1))*10000 + 0.5)/10000 AS rep_ratio
+         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+               FROM documents)
+         WHERE len(toks) >= 2 ORDER BY doc_id""",
+
+    "t08_pii_scrub" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+         md5(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g')) AS scrubbed_md5
+         FROM documents ORDER BY doc_id""",
+
+    "m04_modality_route" ->
+      """SELECT route, count(*) AS n_docs,
+         CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+         FROM (SELECT text,
+                 CASE WHEN unicode(substr(text, 1, 1)) = 123 THEN 'json'
+                      WHEN unicode(substr(text, 1, 1)) = 60 THEN 'markup'
+                      WHEN unicode(substr(text, 1, 1)) BETWEEN 48 AND 57 THEN 'numeric'
+                      WHEN unicode(substr(text, 1, 1)) BETWEEN 65 AND 90
+                        OR unicode(substr(text, 1, 1)) BETWEEN 97 AND 122 THEN 'prose'
+                      ELSE 'other' END AS route
+               FROM documents)
+         GROUP BY route ORDER BY route""",
 
     "t04_fingerprint" ->
       """SELECT doc_id,

@@ -56,6 +56,7 @@ object SparkEntry {
       Tables.supplier(s, d), Tables.lineitem(s, d))),
     "q26_json_extract" -> ((s, d) => FlowAnalytics.jsonExtract(Tables.events(s, d))),
     "q27_range_join" -> ((s, d) => TrackAnalytics.rangeJoin(Tables.events(s, d))),
+    "q30_asof_join" -> ((s, d) => TrackAnalytics.asofJoin(Tables.events(s, d))),
     "q28_approx_distinct" -> ((s, d) => FlowAnalytics.approxDistinct(
       Tables.orders(s, d), Tables.customer(s, d))),
     "a04_ivf_knn" -> ((s, d) => Ann.ivfKnn(Tables.embeddings(s, d))),
@@ -76,6 +77,9 @@ object SparkEntry {
     "t02_quality_score" -> ((s, d) => TextStats.qualityScore(Tables.documents(s, d))),
     "t03_langid" -> ((s, d) => TextStats.langId(Tables.documents(s, d))),
     "t04_fingerprint" -> ((s, d) => TextStats.fingerprint(Tables.documents(s, d))),
+    "t07_repetition" -> ((s, d) => TextStats.repetition(Tables.documents(s, d))),
+    "t08_pii_scrub" -> ((s, d) => TextStats.piiScrub(Tables.documents(s, d))),
+    "m04_modality_route" -> ((s, d) => BinaryPipeline.modalityRoute(Tables.documents(s, d))),
     "a01_knn_brute" -> ((s, d) => Ann.knnBrute(Tables.embeddings(s, d))),
     "a02_knn_lsh" -> ((s, d) => Ann.knnLsh(Tables.embeddings(s, d))),
     "a03_centroid_assign" -> ((s, d) => Ann.centroidAssign(Tables.embeddings(s, d))),

@@ -61,7 +61,8 @@ object TaskRunner {
       Tables.orders(s, d), Tables.customer(s, d), dbl(p, "rsd", 0.02))),
     "q29_percentile_approx" -> ((s, d, p) => RelationalOps.percentilesApprox(
       Tables.lineitem(s, d), i(p, "accuracy", 10000))),
-    "q08_car_track" -> ((s, d, p) => TrackAnalytics.carTrack(eventsIn(s, d, p))),
+    "q08_car_track" -> ((s, d, p) => TrackAnalytics.carTrack(
+      eventsIn(s, d, p), p.get("maxEvents").map(_.trim.toInt))),
     "q09_funnel_step" -> ((s, d, p) => TrackAnalytics.funnelStep(eventsIn(s, d, p))),
     "q10_collision" -> ((s, d, p) => TrackAnalytics.collision(
       eventsIn(s, d, p), str(p, "typeA", "click"), str(p, "typeB", "purchase"))),

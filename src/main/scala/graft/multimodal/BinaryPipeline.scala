@@ -64,6 +64,28 @@ object BinaryPipeline {
         max("n_bytes").as("max_bytes"))
       .orderBy("source")
 
+  /** m04_modality_route — magic-byte routing: classify each payload by
+    * its leading bytes and report per-route volume, the dispatch step
+    * that sends each modality to its decode fleet. On these text
+    * payloads the "magic bytes" are the first codepoint's class; a
+    * binary corpus swaps the CASE arms for real signatures (0xFFD8
+    * JPEG, 'RIFF' WAV, ...) — the routing plumbing is identical. */
+  def modalityRoute(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("first_code", ascii(substring(col("text"), 1, 1)))
+      .withColumn("route",
+        when(col("first_code") === 123, "json")          // '{'
+          .when(col("first_code") === 60, "markup")      // '<'
+          .when(col("first_code").between(48, 57), "numeric")
+          .when(col("first_code").between(65, 90) ||
+            col("first_code").between(97, 122), "prose")
+          .otherwise("other"))
+      .groupBy("route")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text")).cast("long")).as("total_bytes"))
+      .orderBy("route")
+
   /** Feature schema a real media decoder would produce. */
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -21,9 +21,23 @@ object TrackAnalytics {
   /** q08_car_track — per-entity time-ordered trajectory assembly.
     * collect_list is order-free (so partial aggregation still applies);
     * the deterministic (ts, event_id) order is imposed by array_sort on
-    * the struct, inside codegen. */
-  def carTrack(events: DataFrame): DataFrame =
-    events
+    * the struct, inside codegen.
+    *
+    * The per-entity array is bounded by the domain (a car passes
+    * checkpoints at human timescales); for unbounded entities pass
+    * `maxEvents` — a ranked-window pre-filter keeps only each entity's
+    * earliest `maxEvents` events, so no single group can exceed a
+    * known buffer size (the window sorts within the same single
+    * entity-key shuffle the aggregation needs). */
+  def carTrack(events: DataFrame, maxEvents: Option[Int] = None): DataFrame = {
+    val bounded = maxEvents match {
+      case None => events
+      case Some(m) =>
+        val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        events.withColumn("ev_rn", row_number().over(w))
+          .filter(col("ev_rn") <= m).drop("ev_rn")
+    }
+    bounded
       .groupBy("user_id")
       .agg(
         concat_ws(">",
@@ -32,6 +46,7 @@ object TrackAnalytics {
             x => x.getField("event_type"))).as("track"),
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
+  }
 
   /** q09_funnel_step — consecutive-step transition counts and
     * conversion rate (the reference's one-step conversion rate between
@@ -112,6 +127,35 @@ object TrackAnalytics {
         "left_outer")
       .groupBy("signup_id")
       .agg(count(col("click_id")).as("clicks_30m"))
+      .orderBy("signup_id")
+  }
+
+  /** q30_asof_join — as-of join: each signup is joined to the MOST
+    * RECENT prior click of the same user (the "state at event time"
+    * operator Spark lacks natively). Formulated as one tagged window
+    * pass instead of a per-pair range join: a single shuffle on the
+    * entity key, then `last(click, ignoreNulls)` over the preceding
+    * frame carries the nearest-prior click to every signup row — cost
+    * is O(events log events-per-user), independent of the pair count
+    * a range join would enumerate. Nanosecond ordering with event_id
+    * tiebreak keeps it deterministic. */
+  def asofJoin(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .filter(col("event_type").isin("click", "signup"))
+      .withColumn("prev_click",
+        last(when(col("event_type") === "click",
+          struct(col("ts_ns"), col("event_id"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "signup")
+      .select(
+        col("event_id").as("signup_id"),
+        col("user_id"),
+        col("prev_click.event_id").as("click_id"),
+        // gap surfaced at microsecond precision: each side truncated
+        // BEFORE subtracting (truncate-then-subtract is engine-stable;
+        // subtract-then-truncate is not)
+        (expr("ts_ns div 1000") - expr("prev_click.ts_ns div 1000")).as("gap_us"))
       .orderBy("signup_id")
   }
 

@@ -126,6 +126,40 @@ object TextStats {
       .orderBy(col("freq").desc, col("word"))
       .limit(topN)
 
+  /** t07_repetition — within-document repetition signal (the Gopher
+    * duplicate-n-gram filter): fraction of word bigram occurrences
+    * that repeat an earlier bigram. Distinct-bigram counting reuses
+    * the compiled graft_shingle_hashes loop; single pass, no shuffle. */
+  def repetition(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(col("toks")) >= 2)
+      .select(
+        col("doc_id"),
+        (size(col("toks")) - 1).as("n_bigrams"),
+        size(expr("graft_shingle_hashes(toks, 2)")).as("n_uniq_bigrams"))
+      .withColumn("rep_ratio",
+        stableRound(lit(1.0) - col("n_uniq_bigrams") / col("n_bigrams"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** t08_pii_scrub — PII redaction pass (the pre-training scrub):
+    * count and replace email addresses and URLs, surfacing the
+    * scrubbed text as an md5 so the full text never leaves the scan.
+    * Patterns are RE2-safe so the DuckDB oracle runs them verbatim. */
+  def piiScrub(documents: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^\\s]+"
+    documents.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(email)).as("n_emails"),
+      regexp_count(col("text"), lit(url)).as("n_urls"),
+      md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+        url, "<URL>")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
   /** t04_fingerprint — rolling polynomial hash (mod 1e9+7) over the
     * document's codepoints: a locality-free exact fingerprint cheap
     * enough to compute at scan speed. */

@@ -23,6 +23,20 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows(1).getInt(2) == 300 - 4 * 64)
   }
 
+  test("modalityRoute dispatches payloads by leading byte class") {
+    val d = Seq(
+      (0L, """{"k": 1}"""),
+      (1L, "<html>hi</html>"),
+      (2L, "42 is a number"),
+      (3L, "plain prose text"),
+      (4L, "  leading space")
+    ).toDF("doc_id", "text")
+    val out = graft.multimodal.BinaryPipeline.modalityRoute(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("json" -> 1L, "markup" -> 1L, "numeric" -> 1L,
+      "prose" -> 1L, "other" -> 1L))
+  }
+
   test("decodeFeatures produces the stub feature schema per row") {
     val d = Seq((0L, "hello"), (1L, "world")).toDF("doc_id", "text")
     val out = BinaryPipeline.decodeFeatures(d, featureDim = 4).collect()

@@ -24,6 +24,34 @@ class TextSpec extends SparkSpecBase {
     assert(preds(5L) == "und")
   }
 
+  test("repetition scores duplicated bigrams high, fresh text zero") {
+    val d = Seq(
+      (0L, "spam spam spam spam spam"),      // one distinct bigram, 4 total
+      (1L, "all words here are different")   // every bigram unique
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetition(d).collect().map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(out(0L) == ((4, 1, 0.75)))
+    assert(out(1L) == ((4, 4, 0.0)))
+  }
+
+  test("piiScrub counts and redacts planted emails and urls") {
+    val d = Seq(
+      (0L, "contact me at jane.doe@example.com or https://example.com/x now"),
+      (1L, "no pii in this document at all")
+    ).toDF("doc_id", "text")
+    val out = TextStats.piiScrub(d).collect().map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(0L) == ((1, 1)))
+    assert(out(1L) == ((0, 0)))
+    // scrubbed hash differs from the raw hash (content actually changed)
+    val raw = d.selectExpr("doc_id", "md5(text) AS m").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scrubbed = TextStats.piiScrub(d).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(scrubbed(0L) != raw(0L) && scrubbed(1L) == raw(1L))
+  }
+
   test("tokenStats counts whitespace tokens and uniques") {
     val d = Seq((0L, "a b b c", 7L)).toDF("doc_id", "text", "n_chars")
     val r = TextStats.tokenStats(d).collect()(0)

@@ -41,6 +41,32 @@ class TrackSpec extends SparkSpecBase {
     assert(out.size == 3)
   }
 
+  test("asofJoin finds the most recent prior click per signup") {
+    val ev = Seq(
+      (0L, 1000L, 1L, "click"),
+      (1L, 2000L, 1L, "click"),
+      (2L, 3000L, 1L, "signup"),   // nearest prior click = 1
+      (3L, 4000L, 1L, "signup"),   // still 1 (no click between)
+      (4L, 1000L, 2L, "signup"),   // no prior click -> null
+      (5L, 2000L, 2L, "click")
+    ).toDF("event_id", "ts_ms", "user_id", "event_type")
+      .withColumn("ts_ns", col("ts_ms") * 1000000L)
+    val out = TrackAnalytics.asofJoin(ev).collect()
+    val byId = out.map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(byId == Map(2L -> 1L, 3L -> 1L, 4L -> -1L))
+    val gap = out.find(_.getLong(0) == 2L).get.getLong(3)
+    assert(gap == 1000L * 1000) // 1 s in micros
+  }
+
+  test("carTrack maxEvents caps each entity to its earliest events") {
+    val capped = TrackAnalytics.carTrack(events, maxEvents = Some(2)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(capped == Map(1L -> 2L, 2L -> 2L))
+    val full = TrackAnalytics.carTrack(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(full == Map(1L -> 3L, 2L -> 2L))
+  }
+
   test("collision finds users present in both cohorts") {
     val out = TrackAnalytics.collision(events, "click", "view").collect().map(_.getLong(0))
     assert(out.toSeq == Seq(1L, 2L))
