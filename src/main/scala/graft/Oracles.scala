@@ -298,7 +298,28 @@ object Oracles {
                (x, y) -> x + y) / (a.nrm*b.nrm) >= 0.5
          ORDER BY vec_a, vec_b"""
 
+  /** d07: connected components over the d02/d03 pair graph via
+    * recursive transitive closure (pair graphs at verify scale are
+    * tiny; Spark's iterative min-label propagation must agree). */
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE ndpairs AS (
+          ${ngramJaccardSql.replace("ORDER BY doc_a, doc_b", "")}),
+        ndedges AS (SELECT doc_a AS ea, doc_b AS eb FROM ndpairs
+                    UNION SELECT doc_b, doc_a FROM ndpairs),
+        ndreach(ra, rb) AS (SELECT ea, eb FROM ndedges
+                            UNION SELECT ndreach.ra, ndedges.eb
+                                  FROM ndreach JOIN ndedges ON ndreach.rb = ndedges.ea),
+        ndmin AS (SELECT ra AS doc_id, least(ra, min(rb)) AS cluster_id
+                  FROM ndreach GROUP BY ra)
+        SELECT d.doc_id,
+               coalesce(ndmin.cluster_id, d.doc_id) AS cluster_id,
+               (coalesce(ndmin.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
+        FROM documents d LEFT JOIN ndmin ON d.doc_id = ndmin.doc_id
+        ORDER BY d.doc_id"""
+
   val pipeline: Map[String, String] = Map(
+    "d07_dedup_clusters" -> dedupClustersSql,
+
     "d01_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt FROM documents
          GROUP BY text ORDER BY doc_id""",

@@ -165,6 +165,53 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d07_dedup_clusters — the dedup DECISION step: connected
+    * components over the near-dup pair graph (pairs from the d03 LSH
+    * path), each doc labeled with its component's minimum doc_id as
+    * cluster_id; the canonical survivor is the minimum. Min-label
+    * propagation: each round every doc takes the min of its own and
+    * its neighbors' labels — one join + one groupBy per round,
+    * converging in O(component diameter) rounds (near-dup clusters
+    * are near-cliques, so diameter is small). The driver-side loop
+    * checks a scalar changed-count per round — labels/edges shuffle on
+    * doc_id, never document content. This is the standard scalable CC
+    * formulation; at 100 TB swap in alternating small-star/large-star
+    * rounds if diameters grow. */
+  def dedupClusters(documents: DataFrame, threshold: Double = 0.8,
+                    dfCap: Option[Long] = None, maxIters: Int = 20): DataFrame = {
+    val pairs = minHashLsh(documents, threshold, dfCap = dfCap)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = documents.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("n_lbl")), "doc_b")
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("n_lbl")).as("n_min"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"),
+          (col("n_min") < col("cluster_id")).as("chg"))
+        .persist()
+      changed = next.filter(col("chg")).count()
+      labels.unpersist()
+      labels = next.drop("chg")
+      iter += 1
+    }
+    edges.unpersist()
+    // the final label table stays session-cached: every iteration was
+    // materialized by its changed-count, so unpersisting here would
+    // force the caller to replay the whole iteration lineage
+    labels
+      .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** d04_simhash — 60-bit SimHash over the distinct word set, near-dup
     * pairs by Hamming distance. Candidate generation: 4 x 15-bit
     * chunks (pigeonhole: hamming <= 3 pairs must share a chunk), so

@@ -53,6 +53,21 @@ object StreamingFlow {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** s06_stream_approx_distinct — real-time distinct users per window
+    * via the mergeable HLL sketch (approx_count_distinct): constant
+    * state per (type, window) regardless of cardinality — the only
+    * distinct-count that survives unbounded streams. Batch twin:
+    * q28_approx_distinct (spec-bounded against exact there). */
+  def approxDistinctUsers(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct("user_id", rsd).as("uniq_users"))
+      .select(
+        col("event_type"),
+        unix_millis(col("window.start")).as("hour_ms"),
+        col("uniq_users"))
+
   case class Ev(userId: Long, tsMs: Long)
   case class SessionState(lastMs: Long, sessions: Int)
   case class SessionCount(userId: Long, sessions: Int)

@@ -79,6 +79,23 @@ class DedupSpec extends SparkSpecBase {
     assert(lsh == exact)
   }
 
+  test("dedupClusters merges a transitive near-dup chain into one cluster") {
+    // 0~1 and 1~2 pair above threshold but 0~2 does NOT — only
+    // transitive closure puts all three in one cluster
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu".split(" ")
+    val doc0 = t.mkString(" ")
+    val doc1 = (t.dropRight(1) :+ "CHANGED").mkString(" ")
+    val doc2 = ("FIRST" +: t.drop(1).dropRight(1) :+ "CHANGED").mkString(" ")
+    val other = "totally unrelated words that share nothing with the chain docs"
+    val d = docs(0L -> doc0, 1L -> doc1, 2L -> doc2, 3L -> other)
+    val pairs = Dedup.ngramJaccard(d, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (1L, 2L)), s"planted chain wrong: $pairs")
+    val out = Dedup.dedupClusters(d, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((0L, 0L, true), (1L, 0L, false), (2L, 0L, false), (3L, 3L, true)))
+  }
+
   test("embedDedup flags only the high-cosine pair") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

@@ -64,6 +64,25 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s06 streaming approx distinct counts unique users per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val df = input.toDF().toDF("ts", "event_type", "user_id")
+    val q = StreamingFlow.approxDistinctUsers(df).writeStream
+      .format("memory").queryName("approx_out").outputMode("complete").start()
+    try {
+      input.addData((ts(0), "click", 1L), (ts(5), "click", 1L), (ts(10), "click", 2L))
+      q.processAllAvailable()
+      // second batch adds one repeat and one new user to the same window
+      input.addData((ts(20), "click", 2L), (ts(25), "click", 3L))
+      q.processAllAvailable()
+      val rows = spark.table("approx_out").collect()
+      assert(rows.length == 1)
+      // rsd 2% on tiny cardinalities is exact
+      assert(rows(0).getLong(2) == 3L, s"got ${rows(0).getLong(2)}")
+    } finally q.stop()
+  }
+
   test("s05 streaming dedup drops duplicate keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long)]
