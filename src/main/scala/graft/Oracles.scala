@@ -442,6 +442,46 @@ object Oracles {
                FROM documents)
          GROUP BY route ORDER BY route""",
 
+    "t09_corpus_stats" ->
+      """SELECT count(*) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         floor((sum(n_toks)*1.0/count(*))*100 + 0.5)/100 AS mean_tokens,
+         round(quantile_cont(n_toks, 0.5), 2) AS p50_tokens,
+         round(quantile_cont(n_toks, 0.95), 2) AS p95_tokens,
+         count(*) FILTER (WHERE n_toks < 20) AS n_short
+         FROM (SELECT len(string_split_regex(trim(text), '\s+')) AS n_toks
+               FROM documents)""",
+
+    "a06_outlier_score" ->
+      """WITH x AS (
+           SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+           FROM embeddings),
+         c AS (
+           SELECT label AS c_label, list(CAST(cx AS FLOAT) ORDER BY pos) AS centroid
+           FROM (SELECT label, pos, avg(v) AS cx FROM x GROUP BY label, pos)
+           GROUP BY label),
+         n AS (
+           SELECT vec_id, [CAST(e AS DOUBLE) for e in embedding] AS vd
+           FROM embeddings),
+         s AS (
+           SELECT n.vec_id, c.c_label,
+                  list_reduce(list_prepend(0.0,
+                      [n.vd[i] * CAST(c.centroid[i] AS DOUBLE) for i in range(1, 65)]),
+                    (x, y) -> x + y)
+                  / (sqrt(list_reduce(list_prepend(0.0, [e*e for e in n.vd]), (x, y) -> x + y))
+                     * sqrt(list_reduce(list_prepend(0.0,
+                         [CAST(e AS DOUBLE)*CAST(e AS DOUBLE) for e in c.centroid]),
+                       (x, y) -> x + y))) AS sim
+           FROM n CROSS JOIN c),
+         r AS (
+           SELECT vec_id, c_label, sim,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn
+           FROM s)
+         SELECT vec_id, c_label AS assigned_label,
+                floor(sim*10000 + 0.5)/10000 AS centroid_sim,
+                sim < 0.5 AS is_outlier
+         FROM r WHERE rn = 1 ORDER BY vec_id""",
+
     "t04_fingerprint" ->
       """SELECT doc_id,
          list_reduce(list_prepend(CAST(0 AS BIGINT),

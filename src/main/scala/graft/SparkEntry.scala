@@ -84,6 +84,8 @@ object SparkEntry {
     "a01_knn_brute" -> ((s, d) => Ann.knnBrute(Tables.embeddings(s, d))),
     "a02_knn_lsh" -> ((s, d) => Ann.knnLsh(Tables.embeddings(s, d))),
     "a03_centroid_assign" -> ((s, d) => Ann.centroidAssign(Tables.embeddings(s, d))),
+    "a06_outlier_score" -> ((s, d) => Ann.outlierScore(Tables.embeddings(s, d))),
+    "t09_corpus_stats" -> ((s, d) => TextStats.corpusStats(Tables.documents(s, d))),
     "m01_binary_meta" -> ((s, d) => BinaryPipeline.binaryMeta(Tables.documents(s, d))),
     "m02_chunk_sample" -> ((s, d) => BinaryPipeline.chunkSample(Tables.documents(s, d)))
   )

@@ -113,6 +113,26 @@ object Ann {
       .orderBy("vec_id")
   }
 
+  /** a06_outlier_score — embedding-space data-quality signal: each
+    * vector's cosine to its assigned (nearest) centroid. Low scores
+    * mark vectors far from every cluster — mislabeled or noise rows a
+    * curation pipeline drops or re-routes. Same broadcast-assign shape
+    * as a03; one scan, no vector-vector join. */
+  def outlierScore(embeddings: DataFrame, simThreshold: Double = 0.5): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("c_label"))
+    embeddings.crossJoin(broadcast(labelCentroids(embeddings)))
+      .withColumn("sim", expr("graft_cosine(embedding, centroid)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("vec_id"),
+        col("c_label").as("assigned_label"),
+        stableRound(col("sim"), 4).as("centroid_sim"),
+        (col("sim") < simThreshold).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   /** a05_kmeans_build — unlabeled IVF coarse-quantizer build: k-means
     * with deterministic seeding (the k vectors with the smallest
     * scrambled ids) and a fixed iteration count. Each iteration is one

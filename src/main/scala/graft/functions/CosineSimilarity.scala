@@ -69,7 +69,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
   /** Builds HyperplaneBuckets from SQL: the scalar args must be
     * literals (they parameterize plane generation, not row data). */
-  private def hyperplaneBuilder(children: Seq[Expression]): Expression = {
+  private[functions] def hyperplaneBuilder(children: Seq[Expression]): Expression = {
     def intArg(i: Int): Int = children(i).eval().asInstanceOf[Number].intValue()
     def longArg(i: Int): Long = children(i).eval().asInstanceOf[Number].longValue()
     HyperplaneBuckets(children.head, longArg(1), intArg(2), intArg(3), intArg(4))
@@ -109,13 +109,34 @@ object GraftFunctions {
   }
 }
 
-/** SparkSessionExtensions hook: injects graft's native functions at
+/** SparkSessionExtensions hook: injects every graft native function at
   * session build time (`withExtensions(new GraftExtensions)` or the
-  * spark.sql.extensions conf). */
+  * spark.sql.extensions conf) — the deployment path where operators
+  * run through plain `spark.sql` without calling GraftFunctions. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("graft_cosine"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
         (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_hyperplane_buckets"),
+        new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
+        GraftFunctions.hyperplaneBuilder _))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_shingle_hashes"),
+        new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+        (children: Seq[Expression]) => ShingleHashes(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_minhash_bands"),
+        new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
+        (children: Seq[Expression]) => MinHashBands(children.head,
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_simhash"),
+        new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+        (children: Seq[Expression]) => SimHash64(children.head)))
+  }
 }

@@ -160,6 +160,25 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** t09_corpus_stats — the curator's one-row corpus report: document
+    * and token volume, length distribution (exact percentiles — at
+    * 100 TB swap percentile -> percentile_approx, the q21/q29 rule),
+    * and the share of short documents. One narrow scan + one single-
+    * group aggregation. */
+  def corpusStats(documents: DataFrame, shortDocTokens: Int = 20): DataFrame =
+    documents
+      .select(size(split(trim(col("text")), "\\s+")).as("n_toks"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("total_tokens"),
+        // avg of ints is an exact-integer division, so the double is
+        // engine-identical; stableRound erases the round() algorithm
+        // difference (SURVEY.md §5)
+        stableRound(avg("n_toks"), 2).as("mean_tokens"),
+        round(expr("percentile(n_toks, 0.5)"), 2).as("p50_tokens"),
+        round(expr("percentile(n_toks, 0.95)"), 2).as("p95_tokens"),
+        count(when(col("n_toks") < shortDocTokens, 1)).as("n_short"))
+
   /** t04_fingerprint — rolling polynomial hash (mod 1e9+7) over the
     * document's codepoints: a locality-free exact fingerprint cheap
     * enough to compute at scan speed. */

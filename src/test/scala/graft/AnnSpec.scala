@@ -81,6 +81,16 @@ class AnnSpec extends SparkSpecBase {
     assert(out(0L) != out(1L))
   }
 
+  test("outlierScore flags the vector far from every centroid") {
+    // 8th vector sits diagonal to all three label clusters -> low sim
+    val withOutlier = vecs.union(Seq(
+      (8L, Array(0.5f, -0.5f, 0.5f, -0.5f), 0)).toDF("vec_id", "embedding", "label"))
+    val out = Ann.outlierScore(withOutlier, simThreshold = 0.8).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(8L)._2, s"planted outlier not flagged: ${out(8L)}")
+    assert(out(2L)._1 > 0.9 && !out(2L)._2)
+  }
+
   test("centroidAssign assigns clustered vectors to their label centroid") {
     val out = Ann.centroidAssign(vecs).collect()
     val matches = out.count(_.getBoolean(3))

@@ -52,6 +52,18 @@ class TextSpec extends SparkSpecBase {
     assert(scrubbed(0L) != raw(0L) && scrubbed(1L) == raw(1L))
   }
 
+  test("corpusStats reports volume, length percentiles and short share") {
+    val d = Seq(
+      (0L, "a b c d"),          // 4 tokens (short)
+      (1L, Seq.fill(30)("w").mkString(" ")), // 30 tokens
+      (2L, Seq.fill(10)("x").mkString(" "))  // 10 tokens (short)
+    ).toDF("doc_id", "text")
+    val r = TextStats.corpusStats(d, shortDocTokens = 20).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 44L)
+    assert(r.getDouble(3) == 10.0) // p50 of (4, 10, 30)
+    assert(r.getLong(5) == 2L)
+  }
+
   test("tokenStats counts whitespace tokens and uniques") {
     val d = Seq((0L, "a b b c", 7L)).toDF("doc_id", "text", "n_chars")
     val r = TextStats.tokenStats(d).collect()(0)
