@@ -105,6 +105,24 @@ object Oracles {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name, n_name""",
 
+    "q31_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+         coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+         count(*) AS order_cnt, round(sum(o_totalprice), 2) AS total_price
+         FROM orders
+         GROUP BY CUBE(o_orderpriority, o_orderstatus)
+         ORDER BY o_orderpriority, o_orderstatus""",
+
+    "q32_moving_window" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS recent_spend,
+         count(*) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS recent_orders
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
     "q13_running_total" ->
       """SELECT o_custkey, o_orderkey,
          round(sum(o_totalprice) OVER (PARTITION BY o_custkey

@@ -38,6 +38,8 @@ object SparkEntry {
     "q12_rollup" -> ((s, d) => RelationalOps.rollupAgg(
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q13_running_total" -> ((s, d) => RelationalOps.runningTotal(Tables.orders(s, d))),
+    "q31_cube" -> ((s, d) => RelationalOps.cubeAgg(Tables.orders(s, d))),
+    "q32_moving_window" -> ((s, d) => RelationalOps.movingWindow(Tables.orders(s, d))),
     "q14_stratified_sample" -> ((s, d) => TrackAnalytics.stratifiedSample(Tables.events(s, d))),
     "q15_pivot" -> ((s, d) => RelationalOps.pivotStatus(Tables.orders(s, d), Tables.customer(s, d))),
     "q16_anti_join" -> ((s, d) => RelationalOps.antiJoin(Tables.customer(s, d), Tables.orders(s, d))),

@@ -34,6 +34,39 @@ object RelationalOps {
          ORDER BY r_name, n_name""")
   }
 
+  /** q31_cube — full CUBE over (priority, status): every grouping-set
+    * combination in one pass (Expand + single aggregation — Catalyst
+    * plans one shuffle, not 4 unioned queries). NULL slots surfaced as
+    * 'ALL', same protocol as q12. */
+  def cubeAgg(orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("graft_cube_src")
+    orders.sparkSession.sql(
+      """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                count(*) AS order_cnt,
+                round(sum(o_totalprice), 2) AS total_price
+         FROM graft_cube_src
+         GROUP BY CUBE(o_orderpriority, o_orderstatus)
+         ORDER BY o_orderpriority, o_orderstatus""")
+  }
+
+  /** q32_moving_window — trailing 5-row sliding-frame aggregate per
+    * customer (the smoothing pass of any monitoring series): recent
+    * spend sum + row count (the consumer derives the mean; a raw
+    * windowed avg over a PARTIAL frame divides cents by 3 — a
+    * non-terminating decimal no cross-engine rounding survives, the
+    * SURVEY §5 rule). ROWS frame keeps per-row state bounded
+    * regardless of partition size. */
+  def movingWindow(orders: DataFrame, frame: Int = 5): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    orders
+      .withColumn("recent_spend", round(sum("o_totalprice").over(w), 2))
+      .withColumn("recent_orders", count(lit(1)).over(w))
+      .select("o_custkey", "o_orderkey", "recent_spend", "recent_orders")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** q13_running_total — cumulative windowed sum per entity (running
     * spend per customer over order time). ROWS frame with a full
     * deterministic tiebreak so the partial sums are reproducible. */
