@@ -98,10 +98,12 @@ object Dedup {
     // integer sizes — never prunes a qualifying pair)
     val sizeOk = col("a.nsh") * threshold <= col("b.nsh") + 0.5 &&
       col("b.nsh") * threshold <= col("a.nsh") + 0.5
-    // shuffle_hash hint: the post-explode size estimate is bogus (the
-    // planner sees the pre-explode scan bytes), so without it Spark
-    // broadcasts millions of exploded shingle rows; the inverted-index
-    // self-join must partition on the shingle key at any scale
+    // shuffle_hash hint: the post-explode estimate is the pre-explode
+    // scan bytes, so the planner broadcasts millions of exploded
+    // shingle rows — a single-threaded driver-side hash build that
+    // measured 6x slower than the shingle-key shuffle join even at
+    // sf0.1 (at corpus scale estimates grow with the input and the
+    // planner lands on the same shuffle join by itself)
     val pairs = e.as("a")
       .join(e.as("b").hint("shuffle_hash"),
         col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id") && sizeOk)
@@ -304,6 +306,11 @@ object Dedup {
         posexplode(expr(s"graft_hyperplane_buckets(embedding, 42L, $tables, $bits, $dim)"))
           .as(Seq("bt", "bb")))
     val ids = withB.select(col("vec_id"), col("bt"), col("bb"))
+    // join strategy is left to the planner: size estimates scale with
+    // input bytes, so the broadcast these joins get at test SF flips
+    // to a bucket-key / vec_id-partitioned shuffle join at corpus
+    // scale on its own (verified cheaper locally than pinning
+    // shuffle_hash, which costs three extra exchanges here)
     val cand = ids.as("x")
       .join(ids.as("y"),
         col("x.bt") === col("y.bt") && col("x.bb") === col("y.bb") &&
