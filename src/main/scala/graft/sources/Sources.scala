@@ -80,6 +80,19 @@ object Sources {
   def readStreamJson(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).json(dir)
 
+  /** Checkpointed streaming parquet sink: exactly-once file output —
+    * the checkpoint directory carries offsets + file-commit log, so a
+    * restarted query resumes without duplicating batches. Append mode
+    * (file sinks take no updates); downstream readers see only
+    * committed files. */
+  def writeStreamParquet(df: DataFrame, path: String,
+                         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** Format-agnostic streaming source: a real deployment swaps the
     * file stand-in for Kafka as pure config —
     * `readStreamSource(spark, "kafka", Map("kafka.bootstrap.servers"

@@ -68,6 +68,23 @@ object StreamingFlow {
         unix_millis(col("window.start")).as("hour_ms"),
         col("uniq_users"))
 
+  /** s07_stream_interval_join — stream-stream join with bounded state:
+    * clicks within `windowMin` minutes AFTER a signup, both sides
+    * watermarked so the join state for expired intervals is evicted
+    * (without both watermarks + the time-range condition the state
+    * grows forever). Batch twin: q27_range_join. */
+  def intervalJoin(signups: DataFrame, clicks: DataFrame, windowMin: Int = 30): DataFrame = {
+    val s = signups.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("s_ts"))
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    s.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") > col("s_ts") &&
+        col("c_ts") <= col("s_ts") + expr(s"INTERVAL $windowMin MINUTES"))
+      .select(col("signup_id"), col("click_id"), col("user_id"))
+  }
+
   case class Ev(userId: Long, tsMs: Long)
   case class SessionState(lastMs: Long, sessions: Int)
   case class SessionCount(userId: Long, sessions: Int)

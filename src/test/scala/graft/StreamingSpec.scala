@@ -83,6 +83,48 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s07 stream-stream interval join matches clicks inside the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    // realistic timestamps: event times at epoch ~0 collide with the
+    // join's INITIAL watermark (0) and are dropped as late
+    def rts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+    val signups = MemoryStream[(Long, Long, Timestamp, String)]
+    val clicks = MemoryStream[(Long, Long, Timestamp, String)]
+    def df(m: MemoryStream[(Long, Long, Timestamp, String)]) =
+      m.toDF().toDF("event_id", "user_id", "ts", "event_type")
+    val q = StreamingFlow.intervalJoin(df(signups), df(clicks), windowMin = 30)
+      .writeStream.format("memory").queryName("ivj_out").outputMode("append").start()
+    try {
+      signups.addData((1L, 7L, rts(0), "signup"))
+      clicks.addData(
+        (2L, 7L, rts(10), "click"),   // inside 30 min -> match
+        (3L, 7L, rts(45), "click"),   // outside window -> no match
+        (4L, 8L, rts(5), "click"))    // other user -> no match
+      q.processAllAvailable()
+      val rows = spark.table("ivj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 2L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("s08 checkpointed streaming parquet sink commits micro-batches to files") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssink").toString
+    val input = MemoryStream[(Long, String)]
+    val q = graft.sources.Sources.writeStreamParquet(
+      input.toDF().toDF("id", "v"), s"$dir/data", s"$dir/ckpt")
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$dir/data")
+      assert(back.count() == 3)
+      // the checkpoint recorded both committed batches
+      assert(new java.io.File(s"$dir/ckpt/commits").list().length >= 2)
+    } finally q.stop()
+  }
+
   test("s05 streaming dedup drops duplicate keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long)]
