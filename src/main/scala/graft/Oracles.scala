@@ -97,6 +97,22 @@ object Oracles {
          SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
          FROM s GROUP BY user_id ORDER BY user_id""",
 
+    "q34_session_window" ->
+      """WITH l AS (
+           SELECT user_id, event_id, epoch_us(ts) AS cur_us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         s AS (
+           SELECT user_id, cur_us,
+                  sum(CASE WHEN prev_us IS NULL OR cur_us - prev_us >= 1800000000 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY cur_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM l)
+         SELECT user_id, CAST(min(cur_us) // 1000 AS BIGINT) AS session_start_ms,
+                count(*) AS n_events
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_start_ms""",
+
     "q12_rollup" ->
       """SELECT coalesce(r_name,'ALL') AS r_name, coalesce(n_name,'ALL') AS n_name,
          count(*) AS cust_cnt, round(sum(c_acctbal),2) AS acctbal_sum
@@ -179,6 +195,14 @@ object Oracles {
          round(quantile_cont(l_quantity, 0.9),2) AS p90_qty,
          round(quantile_cont(l_extendedprice, 0.5),3) AS p50_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q33_division" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority <> '1-URGENT')
+         ORDER BY c_custkey""",
 
     "q22_orders_histogram" ->
       """SELECT c_count, count(*) AS custdist FROM (

@@ -35,6 +35,7 @@ object SparkEntry {
     "q09_funnel_step" -> ((s, d) => TrackAnalytics.funnelStep(Tables.events(s, d))),
     "q10_collision" -> ((s, d) => TrackAnalytics.collision(Tables.events(s, d))),
     "q11_sessionize" -> ((s, d) => TrackAnalytics.sessionize(Tables.events(s, d))),
+    "q34_session_window" -> ((s, d) => TrackAnalytics.sessionWindow(Tables.events(s, d))),
     "q12_rollup" -> ((s, d) => RelationalOps.rollupAgg(
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q13_running_total" -> ((s, d) => RelationalOps.runningTotal(Tables.orders(s, d))),
@@ -50,6 +51,7 @@ object SparkEntry {
     "q21_percentile" -> ((s, d) => RelationalOps.percentiles(Tables.lineitem(s, d))),
     "q29_percentile_approx" -> ((s, d) => RelationalOps.percentilesApprox(Tables.lineitem(s, d))),
     "q22_orders_histogram" -> ((s, d) => RelationalOps.ordersHistogram(Tables.customer(s, d), Tables.orders(s, d))),
+    "q33_division" -> ((s, d) => RelationalOps.division(Tables.customer(s, d), Tables.orders(s, d))),
     "q23_broadcast_dim" -> ((s, d) => FlowAnalytics.broadcastDim(
       Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
     "q24_monitor_health" -> ((s, d) => FlowAnalytics.monitorHealth(

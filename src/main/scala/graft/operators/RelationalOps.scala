@@ -170,6 +170,21 @@ object RelationalOps {
         round(expr(s"percentile_approx(l_extendedprice, 0.5, $accuracy)"), 3).as("p50_price"))
       .orderBy("l_returnflag")
 
+  /** q33_division — relational division ("for all"): customers whose
+    * EVERY order is urgent-priority (and who have at least one order).
+    * Declaratively: semi join on having orders, anti join on having a
+    * counter-example — both existence joins materialize no fact
+    * columns and push their filters to the scan. */
+  def division(customer: DataFrame, orders: DataFrame,
+               priority: String = "1-URGENT"): DataFrame =
+    customer
+      .join(orders.select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(orders.filter(col("o_orderpriority") =!= priority).select(col("o_custkey").as("bad_cust")),
+        col("c_custkey") === col("bad_cust"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
   /** q22_orders_histogram — distribution histogram via outer join +
     * double aggregation (TPC-H Q13 shape: how many customers placed k
     * orders). */

@@ -130,6 +130,23 @@ object TrackAnalytics {
       .orderBy("signup_id")
   }
 
+  /** q34_session_window — sessionization via the NATIVE session_window
+    * operator (vs q11's lag/sum formulation): one mergeable
+    * aggregation, no window-function pass, and the same expression
+    * works under readStream with a watermark. Boundary semantics:
+    * session_window merges an event iff it lands strictly INSIDE the
+    * previous window (diff < gap; an exact-gap event opens a new
+    * session) — the oracle encodes exactly that rule. */
+  def sessionWindow(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_ms")
+
   /** q30_asof_join — as-of join: each signup is joined to the MOST
     * RECENT prior click of the same user (the "state at event time"
     * operator Spark lacks natively). Formulated as one tagged window
