@@ -524,6 +524,46 @@ object Oracles {
                 sim < 0.5 AS is_outlier
          FROM r WHERE rn = 1 ORDER BY vec_id""",
 
+    // marker lists and the (score DESC, lang DESC) tiebreak mirror
+    // TextStats.markers / greatest(struct) exactly; every score is an
+    // integer so the argmax is engine-deterministic
+    "t03_langid" ->
+      """WITH p AS (
+           SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents),
+         sc AS (
+           SELECT doc_id, lang,
+             (length(t)-length(replace(t,' the ','')))//5 + (length(t)-length(replace(t,' and ','')))//5
+               + (length(t)-length(replace(t,' of ','')))//4 + (length(t)-length(replace(t,' is ','')))//4
+               + (length(t)-length(replace(t,' to ','')))//4 AS s_en,
+             (length(t)-length(replace(t,' der ','')))//5 + (length(t)-length(replace(t,' die ','')))//5
+               + (length(t)-length(replace(t,' und ','')))//5 + (length(t)-length(replace(t,' ist ','')))//5
+               + (length(t)-length(replace(t,' das ','')))//5 AS s_de,
+             (length(t)-length(replace(t,' el ','')))//4 + (length(t)-length(replace(t,' la ','')))//4
+               + (length(t)-length(replace(t,' que ','')))//5 + (length(t)-length(replace(t,' los ','')))//5
+               + (length(t)-length(replace(t,' es ','')))//4 AS s_es,
+             (length(t)-length(replace(t,' le ','')))//4 + (length(t)-length(replace(t,' la ','')))//4
+               + (length(t)-length(replace(t,' et ','')))//4 + (length(t)-length(replace(t,' les ','')))//5
+               + (length(t)-length(replace(t,' est ','')))//5 AS s_fr,
+             (length(t)-length(replace(t,'的','')))//1 + (length(t)-length(replace(t,'是','')))//1
+               + (length(t)-length(replace(t,'在','')))//1 + (length(t)-length(replace(t,'了','')))//1
+               + (length(t)-length(replace(t,'我','')))//1 AS s_zh
+           FROM p),
+         un AS (
+           SELECT doc_id, lang,
+                  unnest([{'s': s_en, 'l': 'en'}, {'s': s_de, 'l': 'de'},
+                          {'s': s_es, 'l': 'es'}, {'s': s_fr, 'l': 'fr'},
+                          {'s': s_zh, 'l': 'zh'}]) AS c
+           FROM sc),
+         r AS (
+           SELECT doc_id, lang, c.s AS s, c.l AS l,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY c.s DESC, c.l DESC) AS rn
+           FROM un)
+         SELECT doc_id,
+                CASE WHEN s > 0 THEN l ELSE 'und' END AS pred_lang,
+                lang,
+                (CASE WHEN s > 0 THEN l ELSE 'und' END = lang) AS correct
+         FROM r WHERE rn = 1 ORDER BY doc_id""",
+
     "t04_fingerprint" ->
       """SELECT doc_id,
          list_reduce(list_prepend(CAST(0 AS BIGINT),

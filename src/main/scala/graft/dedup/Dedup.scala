@@ -186,7 +186,12 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
-    var labels = documents.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    // iterate ONLY over docs that appear in some pair: the label state
+    // per round is pair-graph-sized, not corpus-sized (near-dup graphs
+    // are a small fraction of a deduped corpus); singletons join back
+    // once at the end
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).persist()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -209,7 +214,10 @@ object Dedup {
     // the final label table stays session-cached: every iteration was
     // materialized by its changed-count, so unpersisting here would
     // force the caller to replay the whole iteration lineage
-    labels
+    documents.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
       .orderBy("doc_id")
   }
