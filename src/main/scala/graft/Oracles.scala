@@ -595,6 +595,58 @@ object Oracles {
                 floor(sim*10000 + 0.5)/10000 AS cos_sim, rn
          FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
 
+    "a02_knn_lsh" -> a02Sql,
+
+    // IVF search is deterministic SQL given the a03-proven centroid
+    // math: store each candidate in its rn=1 cell, probe each query's
+    // top-2 cells (nprobe=2, the Spark default), score cell-locally.
+    "a04_ivf_knn" ->
+      """WITH x AS (
+           SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+           FROM embeddings),
+         c AS (
+           SELECT label AS c_label, list(CAST(cx AS FLOAT) ORDER BY pos) AS centroid
+           FROM (SELECT label, pos, avg(v) AS cx FROM x GROUP BY label, pos)
+           GROUP BY label),
+         nv AS (
+           SELECT vec_id, [CAST(e AS DOUBLE) for e in embedding] AS vd,
+                  sqrt(list_reduce(list_prepend(0.0,
+                    [CAST(e AS DOUBLE)*CAST(e AS DOUBLE) for e in embedding]),
+                    (a, b) -> a + b)) AS nrm
+           FROM embeddings),
+         simc AS (
+           SELECT nv.vec_id, c.c_label,
+                  list_reduce(list_prepend(0.0,
+                      [nv.vd[i] * CAST(c.centroid[i] AS DOUBLE) for i in range(1, 65)]),
+                    (x, y) -> x + y)
+                  / (nv.nrm * sqrt(list_reduce(list_prepend(0.0,
+                       [CAST(e AS DOUBLE)*CAST(e AS DOUBLE) for e in c.centroid]),
+                       (x, y) -> x + y))) AS sim
+           FROM nv CROSS JOIN c),
+         rankc AS (
+           SELECT vec_id, c_label,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn
+           FROM simc),
+         cand AS (SELECT vec_id, c_label FROM rankc WHERE rn = 1 AND vec_id >= 10),
+         qry AS (SELECT vec_id, c_label FROM rankc WHERE rn <= 2 AND vec_id < 10),
+         scored AS (
+           SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+                  list_reduce(list_prepend(0.0,
+                      [qv.vd[i] * av.vd[i] for i in range(1, 65)]),
+                    (x, y) -> x + y) / (qv.nrm * av.nrm) AS sim
+           FROM qry q
+           JOIN cand a ON q.c_label = a.c_label
+           JOIN nv qv ON qv.vec_id = q.vec_id
+           JOIN nv av ON av.vec_id = a.vec_id),
+         r AS (
+           SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rn
+           FROM scored)
+         SELECT query_id, neighbor_id,
+                floor(sim*10000 + 0.5)/10000 AS cos_sim, rn
+         FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
+
     "m01_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
          length(text) AS n_chars_actual,
@@ -612,6 +664,62 @@ object Oracles {
          WHERE chunk_idx % 4 = 0
          ORDER BY doc_id, chunk_idx"""
   )
+
+  /** a02: the hyperplane LSH oracle is GENERATED — the plane matrix is
+    * deterministic from seed 42 (same LCG as HyperplaneBuckets), so
+    * its values are embedded as literals and DuckDB rebuilds the exact
+    * buckets: bit j of table t = sign of the plane-dot (sign(dot) ==
+    * sign(cosine)), candidates = distinct cross-table bucket
+    * collisions, then the a01-pattern exact scoring. */
+  private lazy val a02Sql: String = {
+    val tables = 4; val bits = 6; val dim = 64
+    val planes = {
+      var s = 42L
+      Array.fill(tables * bits * dim) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 33).toDouble / (1L << 31).toDouble) - 0.5
+      }
+    }
+    def planeList(t: Int, j: Int): String =
+      (0 until dim).map(d => planes((t * bits + j) * dim + d).toString)
+        .mkString("[", ",", "]")
+    def dot(t: Int, j: Int): String =
+      s"list_reduce(list_prepend(0.0, [nv.vd[i] * (${planeList(t, j)})[i] " +
+        s"for i in range(1, ${dim + 1})]), (x, y) -> x + y)"
+    def bucket(t: Int): String =
+      (0 until bits).map(j => s"(CASE WHEN ${dot(t, j)} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+    val bucketStructs = (0 until tables)
+      .map(t => s"{'t': $t, 'b': ${bucket(t)}}").mkString("[", ", ", "]")
+    s"""WITH nv AS (
+          SELECT vec_id, [CAST(e AS DOUBLE) for e in embedding] AS vd,
+                 sqrt(list_reduce(list_prepend(0.0,
+                   [CAST(e AS DOUBLE)*CAST(e AS DOUBLE) for e in embedding]),
+                   (a, b) -> a + b)) AS nrm
+          FROM embeddings),
+        bk AS (SELECT vec_id, unnest($bucketStructs) AS b FROM nv),
+        bk2 AS (SELECT vec_id, b.t AS bt, b.b AS bb FROM bk),
+        pr AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM bk2 q JOIN bk2 c ON q.bt = c.bt AND q.bb = c.bb
+          WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        scored AS (
+          SELECT p.query_id, p.neighbor_id,
+                 list_reduce(list_prepend(0.0,
+                   [qv.vd[i]*cv.vd[i] for i in range(1, ${dim + 1})]),
+                   (x, y) -> x + y) / (qv.nrm*cv.nrm) AS sim
+          FROM pr p
+          JOIN nv qv ON qv.vec_id = p.query_id
+          JOIN nv cv ON cv.vec_id = p.neighbor_id),
+        r AS (
+          SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id) AS rn
+          FROM scored)
+        SELECT query_id, neighbor_id,
+               floor(sim*10000 + 0.5)/10000 AS cos_sim, rn
+        FROM r WHERE rn <= 3 ORDER BY query_id, rn"""
+  }
 
   def all: Map[String, String] = relational ++ pipeline
 }
