@@ -73,7 +73,18 @@ object TaskRunner {
     "q20_time_window" -> ((s, d, p) => TrackAnalytics.timeWindow(eventsIn(s, d, p))),
     "q27_range_join" -> ((s, d, p) => TrackAnalytics.rangeJoin(
       eventsIn(s, d, p), l(p, "windowNs", 1800000000000L))),
+    "q33_division" -> ((s, d, p) => RelationalOps.division(
+      Tables.customer(s, d), Tables.orders(s, d), str(p, "priority", "1-URGENT"))),
+    "q34_session_window" -> ((s, d, p) => TrackAnalytics.sessionWindow(
+      eventsIn(s, d, p), str(p, "gap", "30 minutes"))),
     "t06_word_freq" -> ((s, d, p) => TextStats.wordFreq(Tables.documents(s, d), i(p, "topN", 20))),
+    "t09_corpus_stats" -> ((s, d, p) => TextStats.corpusStats(
+      Tables.documents(s, d), i(p, "shortDocTokens", 20))),
+    "a06_outlier_score" -> ((s, d, p) => Ann.outlierScore(
+      Tables.embeddings(s, d), dbl(p, "simThreshold", 0.5))),
+    "d07_dedup_clusters" -> ((s, d, p) => Dedup.dedupClusters(
+      Tables.documents(s, d), dbl(p, "threshold", 0.8), optL(p, "dfCap"),
+      i(p, "maxIters", 20))),
     "d02_ngram_jaccard" -> ((s, d, p) => Dedup.ngramJaccard(
       Tables.documents(s, d), dbl(p, "threshold", 0.8), optL(p, "dfCap"))),
     "d03_minhash_lsh" -> ((s, d, p) => Dedup.minHashLsh(

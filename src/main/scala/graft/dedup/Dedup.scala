@@ -181,8 +181,11 @@ object Dedup {
     * rounds if diameters grow. */
   def dedupClusters(documents: DataFrame, threshold: Double = 0.8,
                     dfCap: Option[Long] = None, maxIters: Int = 20): DataFrame = {
+    // cache the pair list BEFORE the symmetric union — the union
+    // evaluates both branches, which would otherwise run the whole
+    // LSH pipeline twice
     val pairs = minHashLsh(documents, threshold, dfCap = dfCap)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).persist()
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
@@ -211,6 +214,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    pairs.unpersist()
     // the final label table stays session-cached: every iteration was
     // materialized by its changed-count, so unpersisting here would
     // force the caller to replay the whole iteration lineage
