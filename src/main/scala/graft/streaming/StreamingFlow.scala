@@ -85,6 +85,21 @@ object StreamingFlow {
       .select(col("signup_id"), col("click_id"), col("user_id"))
   }
 
+  /** s09_stream_near_dedup — streaming NEAR-duplicate dedup: the
+    * graft_simhash fingerprint collapses trivially-perturbed rewrites
+    * to one key, then dropDuplicatesWithinWatermark keeps the first
+    * arrival per fingerprint (exact-dup streaming dedup is s05; this
+    * is its fuzzy sibling — constant state per distinct fingerprint
+    * inside the watermark). */
+  def streamNearDedup(stream: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    stream
+      .withColumn("sim_key",
+        expr("graft_simhash(array_distinct(split(lower(text), '\\\\s+')))"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("sim_key")
+  }
+
   case class Ev(userId: Long, tsMs: Long)
   case class SessionState(lastMs: Long, sessions: Int)
   case class SessionCount(userId: Long, sessions: Int)

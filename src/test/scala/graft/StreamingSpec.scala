@@ -125,6 +125,27 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s09 streaming near-dedup collapses reordered rewrites, keeps distinct docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    // away from epoch 0: initial-watermark collision drops ts(0) rows
+    def rts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+    val q = StreamingFlow.streamNearDedup(input.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("ndedup_out").outputMode("append").start()
+    try {
+      input.addData((rts(0), 1L, "alpha beta gamma delta"))
+      q.processAllAvailable()
+      // reordered + word-repeated rewrite -> same distinct-token set ->
+      // same fingerprint -> dropped; genuinely new doc -> kept
+      input.addData(
+        (rts(1), 2L, "delta gamma beta alpha alpha"),
+        (rts(2), 3L, "completely different content here"))
+      q.processAllAvailable()
+      val ids = spark.table("ndedup_out").collect().map(_.getLong(1)).toSet
+      assert(ids == Set(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("s05 streaming dedup drops duplicate keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long)]
