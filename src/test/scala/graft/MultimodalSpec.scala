@@ -37,6 +37,15 @@ class MultimodalSpec extends SparkSpecBase {
       "prose" -> 1L, "other" -> 1L))
   }
 
+  test("decoded features feed the ANN index: multimodal -> embedding pipeline composes") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val feats = graft.multimodal.BinaryPipeline.decodeFeatures(docs, featureDim = 8)
+      .selectExpr("doc_id AS vec_id", "feature AS embedding")
+    val cells = graft.ann.Ann.kmeansAssign(feats, k = 4, iters = 2).collect()
+    assert(cells.length == docs.count())
+    assert(cells.map(_.getInt(1)).distinct.length > 1, "all docs in one cell")
+  }
+
   test("decodeFeatures produces the stub feature schema per row") {
     val d = Seq((0L, "hello"), (1L, "world")).toDF("doc_id", "text")
     val out = BinaryPipeline.decodeFeatures(d, featureDim = 4).collect()
