@@ -28,7 +28,7 @@ object Bench {
       catch { case e: Throwable =>
         // a swallowed failure would read as a suspiciously FAST query;
         // surface it so the timing line can't hide a broken operator
-        errors(name) = e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(120)
+        errors(name) = e.toString.replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(120)
       }
       name -> (System.nanoTime() - t0) / 1e9
     }

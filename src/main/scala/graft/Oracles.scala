@@ -359,6 +359,18 @@ object Oracles {
         FROM documents d LEFT JOIN ndmin ON d.doc_id = ndmin.doc_id
         ORDER BY d.doc_id"""
 
+  /** Shared by the a03/a04/a06 oracles: per-label mean centroids with
+    * the float cast that absorbs summation-order ulp noise (any change
+    * to the centroid math lives HERE, once). */
+  private val centroidBuildCte =
+    """x AS (
+         SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+         FROM embeddings),
+       c AS (
+         SELECT label AS c_label, list(CAST(cx AS FLOAT) ORDER BY pos) AS centroid
+         FROM (SELECT label, pos, avg(v) AS cx FROM x GROUP BY label, pos)
+         GROUP BY label)"""
+
   val pipeline: Map[String, String] = Map(
     "d07_dedup_clusters" -> dedupClustersSql,
 
@@ -407,13 +419,7 @@ object Oracles {
     // cosine with the same sequential-double arithmetic as
     // graft_cosine and a c_label tiebreak.
     "a03_centroid_assign" ->
-      """WITH x AS (
-           SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
-           FROM embeddings),
-         c AS (
-           SELECT label AS c_label, list(CAST(cx AS FLOAT) ORDER BY pos) AS centroid
-           FROM (SELECT label, pos, avg(v) AS cx FROM x GROUP BY label, pos)
-           GROUP BY label),
+      s"""WITH $centroidBuildCte,
          n AS (
            SELECT vec_id, label, [CAST(e AS DOUBLE) for e in embedding] AS vd
            FROM embeddings),
@@ -465,10 +471,10 @@ object Oracles {
     "t08_pii_scrub" ->
       """SELECT doc_id,
          len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-         len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+         len(regexp_extract_all(text, 'https?://[^ \t\n\x0B\f\r]+')) AS n_urls,
          md5(regexp_replace(regexp_replace(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             'https?://[^\s]+', '<URL>', 'g')) AS scrubbed_md5
+             'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g')) AS scrubbed_md5
          FROM documents ORDER BY doc_id""",
 
     "m04_modality_route" ->
@@ -495,13 +501,7 @@ object Oracles {
                FROM documents)""",
 
     "a06_outlier_score" ->
-      """WITH x AS (
-           SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
-           FROM embeddings),
-         c AS (
-           SELECT label AS c_label, list(CAST(cx AS FLOAT) ORDER BY pos) AS centroid
-           FROM (SELECT label, pos, avg(v) AS cx FROM x GROUP BY label, pos)
-           GROUP BY label),
+      s"""WITH $centroidBuildCte,
          n AS (
            SELECT vec_id, [CAST(e AS DOUBLE) for e in embedding] AS vd
            FROM embeddings),
@@ -601,13 +601,7 @@ object Oracles {
     // math: store each candidate in its rn=1 cell, probe each query's
     // top-2 cells (nprobe=2, the Spark default), score cell-locally.
     "a04_ivf_knn" ->
-      """WITH x AS (
-           SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
-           FROM embeddings),
-         c AS (
-           SELECT label AS c_label, list(CAST(cx AS FLOAT) ORDER BY pos) AS centroid
-           FROM (SELECT label, pos, avg(v) AS cx FROM x GROUP BY label, pos)
-           GROUP BY label),
+      s"""WITH $centroidBuildCte,
          nv AS (
            SELECT vec_id, [CAST(e AS DOUBLE) for e in embedding] AS vd,
                   sqrt(list_reduce(list_prepend(0.0,

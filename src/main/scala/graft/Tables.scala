@@ -35,6 +35,11 @@ object Tables {
     * it here as a loader side effect would silently change how OTHER
     * readers in the same session see nanos columns. */
   def events(s: SparkSession, d: String): DataFrame = {
+    // fail fast with an actionable message instead of the cryptic
+    // "Illegal Parquet type" an unconfigured external session would hit
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "Tables.events needs spark.sql.legacy.parquet.nanosAsLong=true in the session " +
+        "builder (GraftSession.create sets it) — the events table carries TIMESTAMP(NANOS)")
     load(s, d, "events")
       .withColumn("ts_ns", col("ts").cast("long"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

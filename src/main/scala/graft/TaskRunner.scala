@@ -83,13 +83,17 @@ object TaskRunner {
     "a06_outlier_score" -> ((s, d, p) => Ann.outlierScore(
       Tables.embeddings(s, d), dbl(p, "simThreshold", 0.5))),
     "d07_dedup_clusters" -> ((s, d, p) => Dedup.dedupClusters(
-      Tables.documents(s, d), dbl(p, "threshold", 0.8), optL(p, "dfCap"),
-      i(p, "maxIters", 20))),
+      Tables.documents(s, d), dbl(p, "threshold", 0.8),
+      optL(p, "dfCap").orElse(Some(1000L)), i(p, "maxIters", 20))),
     "d02_ngram_jaccard" -> ((s, d, p) => Dedup.ngramJaccard(
       Tables.documents(s, d), dbl(p, "threshold", 0.8), optL(p, "dfCap"))),
+    // dfCap defaults to the SparkEntry parameterization (1000) so the
+    // param-driven path keeps the hot-shingle straggler guard unless a
+    // task explicitly overrides it
     "d03_minhash_lsh" -> ((s, d, p) => Dedup.minHashLsh(
       Tables.documents(s, d), dbl(p, "threshold", 0.8),
-      i(p, "numHashes", 64), i(p, "bands", 16), optL(p, "dfCap"))),
+      i(p, "numHashes", 64), i(p, "bands", 16),
+      optL(p, "dfCap").orElse(Some(1000L)))),
     "d05_embed_dedup" -> ((s, d, p) => Dedup.embedDedup(
       Tables.embeddings(s, d), dbl(p, "threshold", 0.5))),
     "d06_embed_dedup_lsh" -> ((s, d, p) => Dedup.embedDedupLsh(

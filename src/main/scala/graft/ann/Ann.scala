@@ -90,11 +90,13 @@ object Ann {
   private[ann] def assignN(vectors: DataFrame, centroids: DataFrame,
                            nprobe: Int): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("c_label"))
+    // sim is kept: callers select their own columns, and outlierScore
+    // needs the winning centroid's score
     vectors.crossJoin(broadcast(centroids))
       .withColumn("sim", expr("graft_cosine(embedding, centroid)"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nprobe)
-      .drop("rn", "sim", "centroid")
+      .drop("rn", "centroid")
   }
 
   /** Nearest-centroid (single-cell) assignment. */
@@ -120,11 +122,7 @@ object Ann {
     * as a03; one scan, no vector-vector join. */
   def outlierScore(embeddings: DataFrame, simThreshold: Double = 0.5): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("c_label"))
-    embeddings.crossJoin(broadcast(labelCentroids(embeddings)))
-      .withColumn("sim", expr("graft_cosine(embedding, centroid)"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    assign(embeddings, labelCentroids(embeddings))
       .select(
         col("vec_id"),
         col("c_label").as("assigned_label"),

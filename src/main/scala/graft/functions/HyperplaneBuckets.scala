@@ -11,8 +11,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * tables of `bits` sign bits each, returned as array<int> of length
   * `tables` (entry t = the bucket id of table t).
   *
-  * The plane matrix is derived deterministically from `seed` by the
-  * same splitmix-style LCG as [[graft.ann.Ann.hyperplanes]], so
+  * The plane matrix is derived deterministically from `seed` by a
+  * splitmix-style LCG (this is its canonical definition; the a02
+  * oracle generator in graft.Oracles reproduces it for DuckDB), so
   * nothing large lives in the SQL plan text: building the buckets for
   * 32 tables x 4 bits is one expression call per row instead of 128
   * `graft_cosine` calls, which keeps Janino compile time flat.

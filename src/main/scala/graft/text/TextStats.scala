@@ -150,7 +150,9 @@ object TextStats {
     * Patterns are RE2-safe so the DuckDB oracle runs them verbatim. */
   def piiScrub(documents: DataFrame): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val url = "https?://[^\\s]+"
+    // whitespace class spelled out: Java's \s includes \x0B, RE2's
+    // does not — an explicit set keeps both engines byte-identical
+    val url = "https?://[^ \\t\\n\\x0B\\f\\r]+"
     documents.select(
       col("doc_id"),
       regexp_count(col("text"), lit(email)).as("n_emails"),
