@@ -85,13 +85,13 @@ object Oracles {
 
     "q11_sessionize" ->
       """WITH l AS (
-           SELECT user_id, event_id, epoch_ms(ts) AS cur_ms,
+           SELECT user_id, event_id, epoch_ms(ts) AS cur_ms, epoch_us(ts) AS cur_us,
                   lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
            FROM events),
          s AS (
            SELECT user_id,
                   sum(CASE WHEN prev_ms IS NULL OR cur_ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY user_id ORDER BY cur_ms, event_id
+                    OVER (PARTITION BY user_id ORDER BY cur_us, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_id
            FROM l)
          SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events

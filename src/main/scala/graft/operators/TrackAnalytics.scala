@@ -33,7 +33,8 @@ object TrackAnalytics {
     val bounded = maxEvents match {
       case None => events
       case Some(m) =>
-        val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        val w = Window.partitionBy("user_id")
+          .orderBy(expr("ts_ns div 1000"), col("event_id"))
         events.withColumn("ev_rn", row_number().over(w))
           .filter(col("ev_rn") <= m).drop("ev_rn")
     }
@@ -42,7 +43,8 @@ object TrackAnalytics {
       .agg(
         concat_ws(">",
           transform(
-            array_sort(collect_list(struct(col("ts_ns"), col("event_id"), col("event_type")))),
+            array_sort(collect_list(struct(expr("ts_ns div 1000").as("ts_us"),
+              col("event_id"), col("event_type")))),
             x => x.getField("event_type"))).as("track"),
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
@@ -52,7 +54,10 @@ object TrackAnalytics {
     * conversion rate (the reference's one-step conversion rate between
     * checkpoints: transitions / departures from the step). */
   def funnelStep(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    // ties ordered at MICROsecond precision + event_id: DuckDB's ts is
+    // micro-truncated, so nano-level ordering would silently diverge
+    // on same-microsecond events (none in the test data; latent)
+    val w = Window.partitionBy("user_id").orderBy(expr("ts_ns div 1000"), col("event_id"))
     val byFrom = Window.partitionBy("from_type")
     events
       .withColumn("to_type", lead("event_type", 1).over(w))
@@ -76,7 +81,8 @@ object TrackAnalytics {
     * batch twin of streaming session windows. Two stacked windows on
     * the same (user_id) partitioning → a single shuffle. */
   def sessionize(events: DataFrame, gapMs: Long = 1800000L): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    // micro-precision tie order — see funnelStep
+    val w = Window.partitionBy("user_id").orderBy(expr("ts_ns div 1000"), col("event_id"))
     val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
       .withColumn("cur_ms", expr("ts_ns div 1000000"))
@@ -157,7 +163,8 @@ object TrackAnalytics {
     * a range join would enumerate. Nanosecond ordering with event_id
     * tiebreak keeps it deterministic. */
   def asofJoin(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val w = Window.partitionBy("user_id")
+      .orderBy(expr("ts_ns div 1000"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     events
       .filter(col("event_type").isin("click", "signup"))
