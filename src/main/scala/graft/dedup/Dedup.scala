@@ -130,7 +130,16 @@ object Dedup {
     * band table is the only shuffled artifact (doc_id + 2 longs). */
   def minHashLsh(documents: DataFrame, threshold: Double = 0.8,
                  numHashes: Int = 64, bands: Int = 16,
-                 dfCap: Option[Long] = None): DataFrame = {
+                 dfCap: Option[Long] = None): DataFrame =
+    minHashPairs(documents, threshold, numHashes, bands, dfCap)
+      .orderBy("doc_a", "doc_b")
+
+  /** Unsorted verified near-dup pairs — the shared core of d03 and
+    * d07. Consumers that only need the pair set (cluster resolution)
+    * skip d03's presentation-level global sort. */
+  private[graft] def minHashPairs(documents: DataFrame, threshold: Double = 0.8,
+                                  numHashes: Int = 64, bands: Int = 16,
+                                  dfCap: Option[Long] = None): DataFrame = {
     // session-scoped cache: the shingle sets feed both the signature
     // build and the verify join. Operators return lazy plans, so
     // there is no point to unpersist before evaluation; one-shot
@@ -164,7 +173,6 @@ object Dedup {
         col("shared") / (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), stableRound(col("jaccard"), 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** d07_dedup_clusters — the dedup DECISION step: connected
@@ -184,7 +192,7 @@ object Dedup {
     // cache the pair list BEFORE the symmetric union — the union
     // evaluates both branches, which would otherwise run the whole
     // LSH pipeline twice
-    val pairs = minHashLsh(documents, threshold, dfCap = dfCap)
+    val pairs = minHashPairs(documents, threshold, dfCap = dfCap)
       .select(col("doc_a"), col("doc_b")).persist()
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))

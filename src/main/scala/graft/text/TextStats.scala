@@ -44,6 +44,12 @@ object TextStats {
     val spaces = length(regexp_replace(col("text"), "[^ ]", ""))
     val ntok = size(split(trim(col("text")), "\\s+"))
     documents
+      // parallelism guard: two full-text regex passes per doc are the
+      // CPU cost here, and a few-large-unsplittable-files input (one
+      // parquet row group cannot be split by config) would run them
+      // single-threaded; at 100 TB the scan arrives pre-split and AQE
+      // coalesces the exchange
+      .repartition(col("doc_id"))
       .filter(nchars > 0)
       .select(
         col("doc_id"),
