@@ -198,4 +198,31 @@ object Ann {
         stableRound(col("sim"), 4).as("cos_sim"), col("rn"))
       .orderBy("query_id", "rn")
   }
+
+  /** a07_knn_join — full kNN SELF-join: every vector in the corpus
+    * gets its top-k neighbours among all the others, via the same IVF
+    * index as a04 (storage assignment = nearest cell, query side
+    * multi-probes its `nprobe` nearest cells). This is the batch op
+    * that builds a corpus-wide similarity graph (semantic dedup,
+    * curation, retrieval eval). At 100 TB the cell id is the only
+    * join key — candidate volume is Σ|cell|·|probed cells|, never n²,
+    * and only (vec_id, cell) assignments shuffle; a pair can meet at
+    * most once because storage assignment is unique. */
+  def knnJoin(embeddings: DataFrame, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val centroids = labelCentroids(embeddings)
+    val q = assignN(embeddings, centroids, nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("c_label"))
+    val c = assign(embeddings, centroids)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("c_label"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, "c_label")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", expr("graft_cosine(qe, ce)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        stableRound(col("sim"), 4).as("cos_sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
 }

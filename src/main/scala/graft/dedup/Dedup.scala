@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Num.stableRound
 
@@ -232,6 +233,29 @@ object Dedup {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
       .orderBy("doc_id")
+  }
+
+  /** d08_dedup_apply — the MATERIALIZATION step after cluster
+    * resolution: one survivor per near-dup cluster by a keep-best
+    * policy (longest document wins, doc_id tiebreak — real pipelines
+    * swap in a quality score), plus what the pass reclaims. Consumes
+    * d07's labels; the ranking window and both aggregations shuffle
+    * only (doc_id, cluster_id, n_chars) triples, never text. */
+  def dedupApply(documents: DataFrame, threshold: Double = 0.8,
+                 dfCap: Option[Long] = None): DataFrame = {
+    val clusters = dedupClusters(documents, threshold, dfCap)
+      .select("doc_id", "cluster_id")
+    val w = Window.partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
+    documents.select(col("doc_id"), col("n_chars"))
+      .join(clusters, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(
+        max(when(col("rk") === 1, col("doc_id"))).as("survivor_id"),
+        count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")) - max(when(col("rk") === 1, col("n_chars"))))
+          .as("chars_removed"))
+      .orderBy("cluster_id")
   }
 
   /** d04_simhash — 60-bit SimHash over the distinct word set, near-dup

@@ -86,6 +86,25 @@ object BinaryPipeline {
         sum(octet_length(col("text")).cast("long")).as("total_bytes"))
       .orderBy("route")
 
+  /** m05_payload_dedup — exact payload-level dedup across the media
+    * lake: group on the content digest so the shuffle carries a
+    * 32-byte key, never the payload; keep the smallest doc_id per
+    * identical blob and report copies + bytes reclaimed. This is the
+    * blob-store dedup pass that runs BEFORE any decode fleet — at
+    * 100 TB it's one scan + one digest-keyed aggregation. */
+  def payloadDedup(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("payload", col("text").cast("binary"))
+      .groupBy(sha2(col("payload"), 256).as("payload_sha"))
+      .agg(
+        min("doc_id").as("keep_doc_id"),
+        count(lit(1)).as("n_copies"),
+        // copies of the same digest have identical length, so
+        // reclaimed bytes = (copies-1) x payload size
+        ((count(lit(1)) - 1) * max(length(col("payload")))).as("bytes_saved"))
+      .select("keep_doc_id", "payload_sha", "n_copies", "bytes_saved")
+      .orderBy("keep_doc_id")
+
   /** Feature schema a real media decoder would produce. */
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

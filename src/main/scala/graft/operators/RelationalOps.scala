@@ -197,4 +197,28 @@ object RelationalOps {
       .groupBy("c_count")
       .agg(count(lit(1)).as("custdist"))
       .orderBy("c_count")
+
+  /** q36_correlated_subquery — correlated scalar subquery (TPC-H Q17
+    * shape): lineitems whose quantity falls below half their part's
+    * own average quantity, revenue summed per brand. The subquery is
+    * left CORRELATED on purpose: Catalyst decorrelates it into one
+    * per-part aggregate + join (RewriteCorrelatedScalarSubquery), so
+    * the physical plan never re-executes the subquery per row — the
+    * same plan a hand-decorrelated formulation gets, with the honest
+    * SQL surface users actually write. */
+  def correlatedSubquery(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    lineitem.createOrReplaceTempView("q36_lineitem")
+    part.createOrReplaceTempView("q36_part")
+    spark.sql(
+      """SELECT p_brand,
+                count(*) AS n_small,
+                floor(sum(l_extendedprice)*100 + 0.5)/100 AS small_revenue
+         FROM q36_lineitem JOIN q36_part ON p_partkey = l_partkey
+         WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                             FROM q36_lineitem l2
+                             WHERE l2.l_partkey = p_partkey)
+         GROUP BY p_brand
+         ORDER BY p_brand""")
+  }
 }

@@ -198,4 +198,26 @@ object TrackAnalytics {
         unix_millis(col("window.start")).as("hour_ms"),
         col("n_events"), col("sum_value"))
       .orderBy("event_type", "hour_ms")
+
+  /** q35_gaps_islands — consecutive-day activity streaks per entity
+    * (the gaps-and-islands pattern): a user's distinct active days
+    * collapse into islands of consecutive dates via the classic
+    * day-minus-row_number constant, then two aggregations report
+    * streak structure. One shuffle on user_id (the window), then
+    * narrow partial-agg-friendly groupBys — the island constant is
+    * computed inside codegen, no self-join, no sequence explode. */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("island", date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("streak_len"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_streaks"),
+        max("streak_len").as("longest_streak"),
+        sum("streak_len").as("n_active_days"))
+      .orderBy("user_id")
+  }
 }
