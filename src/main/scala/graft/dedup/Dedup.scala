@@ -47,16 +47,14 @@ object Dedup {
     * is the native `graft_shingle_hashes` expression — the
     * transform/array_distinct formulation runs on Spark 4's
     * interpreted HOF path and was the dominant cost of every near-dup
-    * operator. The repartition spreads the CPU-heavy shingle build
-    * across the cluster when the input arrives as a few large
-    * unsplittable files (a single parquet row group cannot be split by
-    * config); at 100 TB the scan is already thousands of splits and
-    * AQE coalesces the extra exchange cheaply relative to the 3x
-    * downstream explode. */
+    * operator. Scans.spreadIfNarrow spreads the CPU-heavy shingle
+    * build across the cluster only when the input arrives as a few
+    * large unsplittable files (a single parquet row group cannot be
+    * split by config); a pre-split 100 TB scan passes through with no
+    * text exchange. */
   def withShingleHashes(documents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
-    documents
-      .repartition(col("doc_id"))
+    graft.Scans.spreadIfNarrow(documents, col("doc_id"))
       .withColumn("toks", split(lower(col("text")), "\\s+"))
       .filter(size(col("toks")) >= 3)
       .withColumn("sh", expr("graft_shingle_hashes(toks, 3)"))
@@ -273,12 +271,11 @@ object Dedup {
     // interpreted), then fold the sign bits back into one 60-bit word
     // narrow single-pass fingerprint: graft_simhash folds the per-token
     // md5 votes and the sign bits in one compiled loop per document —
-    // no explode, no 60-column aggregate, no shuffle. The repartition
+    // no explode, no 60-column aggregate, no shuffle. spreadIfNarrow
     // is the same few-large-unsplittable-files parallelism guard as
     // withShingleHashes.
     graft.functions.GraftFunctions.register(documents.sparkSession)
-    val fp = documents
-      .repartition(col("doc_id"))
+    val fp = graft.Scans.spreadIfNarrow(documents, col("doc_id"))
       .withColumn("toks", array_distinct(split(lower(col("text")), "\\s+")))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), expr("graft_simhash(toks)").as("simhash"))

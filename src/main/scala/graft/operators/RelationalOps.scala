@@ -10,6 +10,27 @@ import org.apache.spark.sql.functions._
   */
 object RelationalOps {
 
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Run SQL over per-invocation temp views of `dfs`: fixed view names
+    * would let interleaved calls with different inputs on one session
+    * clobber each other's views before the lazy plan runs. Views
+    * resolve at analysis time, so forcing analysis lets them be
+    * dropped before returning — the DataFrame carries the resolved
+    * plan, not the view reference. */
+  private def sqlOverViews(dfs: (String, DataFrame)*)(mkSql: Map[String, String] => String): DataFrame = {
+    val spark = dfs.head._2.sparkSession
+    val tag = s"graft_v${viewSeq.incrementAndGet()}"
+    val names = dfs.map { case (alias, df) =>
+      val v = s"${tag}_$alias"; df.createOrReplaceTempView(v); alias -> v
+    }.toMap
+    try {
+      val out = spark.sql(mkSql(names))
+      out.queryExecution.analyzed // force view resolution before the drop
+      out
+    } finally names.values.foreach(spark.catalog.dropTempView)
+  }
+
   /** q12_rollup — hierarchical ROLLUP (region → nation → total), the
     * declarative form of the reference's multi-level accumulator
     * report. NULL group slots are surfaced as 'ALL' so the output has
@@ -23,32 +44,31 @@ object RelationalOps {
     // SQL form: the DataFrame rollup's Expand output trips the
     // ambiguous-self-join check when re-selected; GROUP BY ROLLUP in
     // SQL plans identically without the lineage quirk
-    joined.createOrReplaceTempView("graft_rollup_src")
-    joined.sparkSession.sql(
-      """SELECT coalesce(r_name, 'ALL') AS r_name,
+    sqlOverViews("src" -> joined) { v =>
+      s"""SELECT coalesce(r_name, 'ALL') AS r_name,
                 coalesce(n_name, 'ALL') AS n_name,
                 count(*) AS cust_cnt,
                 round(sum(c_acctbal), 2) AS acctbal_sum
-         FROM graft_rollup_src
+         FROM ${v("src")}
          GROUP BY ROLLUP(r_name, n_name)
-         ORDER BY r_name, n_name""")
+         ORDER BY r_name, n_name"""
+    }
   }
 
   /** q31_cube — full CUBE over (priority, status): every grouping-set
     * combination in one pass (Expand + single aggregation — Catalyst
     * plans one shuffle, not 4 unioned queries). NULL slots surfaced as
     * 'ALL', same protocol as q12. */
-  def cubeAgg(orders: DataFrame): DataFrame = {
-    orders.createOrReplaceTempView("graft_cube_src")
-    orders.sparkSession.sql(
-      """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+  def cubeAgg(orders: DataFrame): DataFrame =
+    sqlOverViews("orders" -> orders) { v =>
+      s"""SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
                 coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
                 count(*) AS order_cnt,
                 round(sum(o_totalprice), 2) AS total_price
-         FROM graft_cube_src
+         FROM ${v("orders")}
          GROUP BY CUBE(o_orderpriority, o_orderstatus)
-         ORDER BY o_orderpriority, o_orderstatus""")
-  }
+         ORDER BY o_orderpriority, o_orderstatus"""
+    }
 
   /** q32_moving_window — trailing 5-row sliding-frame aggregate per
     * customer (the smoothing pass of any monitoring series): recent
@@ -206,19 +226,16 @@ object RelationalOps {
     * the physical plan never re-executes the subquery per row — the
     * same plan a hand-decorrelated formulation gets, with the honest
     * SQL surface users actually write. */
-  def correlatedSubquery(lineitem: DataFrame, part: DataFrame): DataFrame = {
-    val spark = lineitem.sparkSession
-    lineitem.createOrReplaceTempView("q36_lineitem")
-    part.createOrReplaceTempView("q36_part")
-    spark.sql(
-      """SELECT p_brand,
+  def correlatedSubquery(lineitem: DataFrame, part: DataFrame): DataFrame =
+    sqlOverViews("lineitem" -> lineitem, "part" -> part) { v =>
+      s"""SELECT p_brand,
                 count(*) AS n_small,
                 floor(sum(l_extendedprice)*100 + 0.5)/100 AS small_revenue
-         FROM q36_lineitem JOIN q36_part ON p_partkey = l_partkey
+         FROM ${v("lineitem")} JOIN ${v("part")} ON p_partkey = l_partkey
          WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
-                             FROM q36_lineitem l2
+                             FROM ${v("lineitem")} l2
                              WHERE l2.l_partkey = p_partkey)
          GROUP BY p_brand
-         ORDER BY p_brand""")
-  }
+         ORDER BY p_brand"""
+    }
 }

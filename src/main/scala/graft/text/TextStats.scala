@@ -1,13 +1,18 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Num.stableRound
+import graft.Scans
 
 /** Text-analysis operators for LLM-training-data pipelines
   * (SURVEY.md §2 "Text analysis"). All are single-pass narrow
-  * transforms — no shuffle at all; at 100 TB they run at scan speed
-  * and stay inside whole-stage codegen.
+  * transforms that run at scan speed inside whole-stage codegen.
+  * The CPU-heavy ones (t02, t06) guard against degenerate input
+  * parallelism via Scans.spreadIfNarrow: a few-unsplittable-files
+  * input is spread once, while a pre-split scan (the 100 TB case)
+  * passes through with no shuffle — document text never transits an
+  * exchange at scale.
   */
 object TextStats {
 
@@ -34,34 +39,36 @@ object TextStats {
         size(filter(split(col("text"), "(?=\\W)|(?<=\\W)"), t => t =!= "")).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  private def nchars = length(col("text"))
+  private def alphaChars = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+  private def spaceChars = length(regexp_replace(col("text"), "[^ ]", ""))
+  private def ntok = size(split(trim(col("text")), "\\s+"))
+
+  /** The t02 quality formula over a `text` column, rounded with
+    * stableRound — the SINGLE definition shared by the batch scorer
+    * and the streaming quality gate (s10), so a doc sitting exactly
+    * at a threshold routes identically in both. */
+  private[graft] def qualityExpr: Column =
+    stableRound(
+      least(lit(1.0), ntok / lit(100.0)) * 0.4 +
+        (alphaChars / nchars) * 0.4 +
+        (lit(1.0) - spaceChars / nchars) * 0.2, 4)
+
   /** t02_quality_score — heuristic quality scoring from char-class
     * ratios and length stats (the C4/Gopher-style filters). Every
     * ratio is an int/int double division, so the oracle reproduces it
-    * exactly. */
-  def qualityScore(documents: DataFrame): DataFrame = {
-    val nchars = length(col("text"))
-    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
-    val spaces = length(regexp_replace(col("text"), "[^ ]", ""))
-    val ntok = size(split(trim(col("text")), "\\s+"))
-    documents
-      // parallelism guard: two full-text regex passes per doc are the
-      // CPU cost here, and a few-large-unsplittable-files input (one
-      // parquet row group cannot be split by config) would run them
-      // single-threaded; at 100 TB the scan arrives pre-split and AQE
-      // coalesces the exchange
-      .repartition(col("doc_id"))
+    * exactly. Two full-text regex passes per doc are the CPU cost —
+    * hence the narrow-input spread guard. */
+  def qualityScore(documents: DataFrame): DataFrame =
+    Scans.spreadIfNarrow(documents, col("doc_id"))
       .filter(nchars > 0)
       .select(
         col("doc_id"),
-        stableRound(alpha / nchars, 4).as("alpha_ratio"),
-        stableRound(spaces / nchars, 4).as("space_ratio"),
+        stableRound(alphaChars / nchars, 4).as("alpha_ratio"),
+        stableRound(spaceChars / nchars, 4).as("space_ratio"),
         stableRound(nchars / ntok, 2).as("chars_per_tok"),
-        stableRound(
-          least(lit(1.0), ntok / lit(100.0)) * 0.4 +
-            (alpha / nchars) * 0.4 +
-            (lit(1.0) - spaces / nchars) * 0.2, 4).as("quality"))
+        qualityExpr.as("quality"))
       .orderBy("doc_id")
-  }
 
   /** Marker-word profiles for t03_langid. Real-language function words;
     * on synthetic word-salad data everything scores 0 → 'und'
@@ -119,12 +126,7 @@ object TextStats {
     * tiebreak. The explode shuffles only (word, partial count) pairs
     * thanks to map-side partial aggregation. */
   def wordFreq(documents: DataFrame, topN: Int = 20): DataFrame =
-    documents
-      // parallelism guard for few-large-unsplittable-files inputs (one
-      // parquet row group can't be split): spread the explode +
-      // partial agg; at 100 TB the scan is already split and this
-      // coalesces to a no-op-sized exchange next to the explode volume
-      .repartition(col("doc_id"))
+    Scans.spreadIfNarrow(documents, col("doc_id"))
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word")
