@@ -20,6 +20,9 @@ object RelationalOps {
     * plan, not the view reference. */
   private def sqlOverViews(dfs: (String, DataFrame)*)(mkSql: Map[String, String] => String): DataFrame = {
     val spark = dfs.head._2.sparkSession
+    require(dfs.forall(_._2.sparkSession eq spark),
+      "sqlOverViews: all inputs must share one SparkSession — views register " +
+        "in each DataFrame's own session but the SQL runs on the first's")
     val tag = s"graft_v${viewSeq.incrementAndGet()}"
     val names = dfs.map { case (alias, df) =>
       val v = s"${tag}_$alias"; df.createOrReplaceTempView(v); alias -> v

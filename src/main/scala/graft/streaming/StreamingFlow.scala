@@ -105,20 +105,14 @@ object StreamingFlow {
     * document stream, routing each doc to 'pass' or 'reject' with the
     * score attached. No state, no shuffle, no watermark needed — runs
     * at ingest line rate; the reject route feeds a quarantine sink
-    * instead of the training corpus. Batch twin: t02_quality_score. */
-  def qualityGate(stream: DataFrame, minQuality: Double = 0.5): DataFrame = {
-    val nchars = length(col("text"))
-    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
-    val spaces = length(regexp_replace(col("text"), "[^ ]", ""))
-    val ntok = size(split(trim(col("text")), "\\s+"))
+    * instead of the training corpus. Scores via TextStats.qualityExpr
+    * — the same rounded column expression as batch t02 — so a doc
+    * sitting exactly at the threshold routes identically in both. */
+  def qualityGate(stream: DataFrame, minQuality: Double = 0.5): DataFrame =
     stream
-      .filter(nchars > 0)
-      .withColumn("quality",
-        least(lit(1.0), ntok / lit(100.0)) * 0.4 +
-          (alpha / nchars) * 0.4 +
-          (lit(1.0) - spaces / nchars) * 0.2)
+      .filter(length(col("text")) > 0)
+      .withColumn("quality", graft.text.TextStats.qualityExpr)
       .withColumn("route", when(col("quality") >= minQuality, "pass").otherwise("reject"))
-  }
 
   case class Ev(userId: Long, tsMs: Long)
   case class SessionState(lastMs: Long, sessions: Int)

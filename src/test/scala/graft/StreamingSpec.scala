@@ -163,6 +163,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s10 quality gate routes docs and scores identically to batch t02") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = StreamingFlow.qualityGate(stream, minQuality = 0.5).writeStream
+      .format("memory").queryName("gate_out").outputMode("append").start()
+    val good = ("the quick brown fox jumps over the lazy dog " * 12).trim
+    val junk = "!!! ### 123 &&& *** 456 @@@ %%% 789"
+    try {
+      input.addData((1L, good), (2L, junk), (3L, ""))
+      q.processAllAvailable()
+      val rows = spark.table("gate_out").orderBy("doc_id").collect()
+      assert(rows.length == 2) // the empty doc is filtered, not routed
+      assert(rows.map(r => r.getLong(0) -> r.getString(3)).toSeq ==
+        Seq(1L -> "pass", 2L -> "reject"))
+      // the stream score IS the batch t02 score — same qualityExpr,
+      // same rounding, so threshold routing is engine-identical
+      val batch = graft.text.TextStats.qualityScore(
+          Seq((1L, good), (2L, junk)).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+      val streamed = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("s03 stateful sessionization carries state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
