@@ -340,10 +340,10 @@ object Oracles {
                (x, y) -> x + y) / (a.nrm*b.nrm) >= 0.5
          ORDER BY vec_a, vec_b"""
 
-  /** d07: connected components over the d02/d03 pair graph via
+  /** Shared by d07/d08: cluster labels over the d02/d03 pair graph via
     * recursive transitive closure (pair graphs at verify scale are
-    * tiny; Spark's iterative min-label propagation must agree). */
-  private val dedupClustersSql =
+    * tiny; Spark's resolution strategies must agree). */
+  private val clusterLabelCtes =
     s"""WITH RECURSIVE ndpairs AS (
           ${ngramJaccardSql.replace("ORDER BY doc_a, doc_b", "")}),
         ndedges AS (SELECT doc_a AS ea, doc_b AS eb FROM ndpairs
@@ -352,12 +352,34 @@ object Oracles {
                             UNION SELECT ndreach.ra, ndedges.eb
                                   FROM ndreach JOIN ndedges ON ndreach.rb = ndedges.ea),
         ndmin AS (SELECT ra AS doc_id, least(ra, min(rb)) AS cluster_id
-                  FROM ndreach GROUP BY ra)
+                  FROM ndreach GROUP BY ra)"""
+
+  private val dedupClustersSql =
+    s"""$clusterLabelCtes
         SELECT d.doc_id,
                coalesce(ndmin.cluster_id, d.doc_id) AS cluster_id,
                (coalesce(ndmin.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
         FROM documents d LEFT JOIN ndmin ON d.doc_id = ndmin.doc_id
         ORDER BY d.doc_id"""
+
+  /** d08: keep-best materialization over the d07 labels — longest doc
+    * survives (doc_id tiebreak), plus per-cluster reclaim stats. */
+  private val dedupApplySql =
+    s"""$clusterLabelCtes,
+        lab AS (
+          SELECT d.doc_id, coalesce(ndmin.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+          FROM documents d LEFT JOIN ndmin ON d.doc_id = ndmin.doc_id),
+        rk AS (
+          SELECT doc_id, cluster_id, n_chars,
+                 row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id) AS rk
+          FROM lab)
+        SELECT cluster_id,
+               max(CASE WHEN rk = 1 THEN doc_id END) AS survivor_id,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) - max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+                 AS chars_removed
+        FROM rk GROUP BY cluster_id ORDER BY cluster_id"""
 
   /** Shared by the a03/a04/a06 oracles: per-label mean centroids with
     * the float cast that absorbs summation-order ulp noise (any change
@@ -373,6 +395,7 @@ object Oracles {
 
   val pipeline: Map[String, String] = Map(
     "d07_dedup_clusters" -> dedupClustersSql,
+    "d08_dedup_apply" -> dedupApplySql,
 
     "d01_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt FROM documents
@@ -630,6 +653,51 @@ object Oracles {
                     (x, y) -> x + y) / (qv.nrm * av.nrm) AS sim
            FROM qry q
            JOIN cand a ON q.c_label = a.c_label
+           JOIN nv qv ON qv.vec_id = q.vec_id
+           JOIN nv av ON av.vec_id = a.vec_id),
+         r AS (
+           SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rn
+           FROM scored)
+         SELECT query_id, neighbor_id,
+                floor(sim*10000 + 0.5)/10000 AS cos_sim, rn
+         FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
+
+    // Full kNN self-join over the same IVF index as a04: storage
+    // assignment = rn=1 cell for every vector, every vector queries
+    // its top-2 cells, self excluded. A pair meets at most once
+    // because storage assignment is unique.
+    "a07_knn_join" ->
+      s"""WITH $centroidBuildCte,
+         nv AS (
+           SELECT vec_id, [CAST(e AS DOUBLE) for e in embedding] AS vd,
+                  sqrt(list_reduce(list_prepend(0.0,
+                    [CAST(e AS DOUBLE)*CAST(e AS DOUBLE) for e in embedding]),
+                    (a, b) -> a + b)) AS nrm
+           FROM embeddings),
+         simc AS (
+           SELECT nv.vec_id, c.c_label,
+                  list_reduce(list_prepend(0.0,
+                      [nv.vd[i] * CAST(c.centroid[i] AS DOUBLE) for i in range(1, 65)]),
+                    (x, y) -> x + y)
+                  / (nv.nrm * sqrt(list_reduce(list_prepend(0.0,
+                       [CAST(e AS DOUBLE)*CAST(e AS DOUBLE) for e in c.centroid]),
+                       (x, y) -> x + y))) AS sim
+           FROM nv CROSS JOIN c),
+         rankc AS (
+           SELECT vec_id, c_label,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn
+           FROM simc),
+         cand AS (SELECT vec_id, c_label FROM rankc WHERE rn = 1),
+         qry AS (SELECT vec_id, c_label FROM rankc WHERE rn <= 2),
+         scored AS (
+           SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+                  list_reduce(list_prepend(0.0,
+                      [qv.vd[i] * av.vd[i] for i in range(1, 65)]),
+                    (x, y) -> x + y) / (qv.nrm * av.nrm) AS sim
+           FROM qry q
+           JOIN cand a ON q.c_label = a.c_label AND q.vec_id <> a.vec_id
            JOIN nv qv ON qv.vec_id = q.vec_id
            JOIN nv av ON av.vec_id = a.vec_id),
          r AS (

@@ -78,6 +78,8 @@ object SparkEntry {
     "d05_embed_dedup" -> ((s, d) => Dedup.embedDedup(Tables.embeddings(s, d))),
     "d06_embed_dedup_lsh" -> ((s, d) => Dedup.embedDedupLsh(Tables.embeddings(s, d))),
     "d07_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d), dfCap = Some(1000L))),
+    "d08_dedup_apply" -> ((s, d) => Dedup.dedupApply(Tables.documents(s, d), dfCap = Some(1000L))),
+    "a07_knn_join" -> ((s, d) => Ann.knnJoin(Tables.embeddings(s, d))),
     "t01_token_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) => TextStats.qualityScore(Tables.documents(s, d))),
     "t03_langid" -> ((s, d) => TextStats.langId(Tables.documents(s, d))),

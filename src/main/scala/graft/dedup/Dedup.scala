@@ -177,29 +177,82 @@ object Dedup {
   /** d07_dedup_clusters — the dedup DECISION step: connected
     * components over the near-dup pair graph (pairs from the d03 LSH
     * path), each doc labeled with its component's minimum doc_id as
-    * cluster_id; the canonical survivor is the minimum. Min-label
-    * propagation: each round every doc takes the min of its own and
-    * its neighbors' labels — one join + one groupBy per round,
-    * converging in O(component diameter) rounds (near-dup clusters
-    * are near-cliques, so diameter is small). The driver-side loop
-    * checks a scalar changed-count per round — labels/edges shuffle on
-    * doc_id, never document content. This is the standard scalable CC
-    * formulation; at 100 TB swap in alternating small-star/large-star
-    * rounds if diameters grow. */
+    * cluster_id; the canonical survivor is the minimum.
+    *
+    * Size-adaptive strategy. The pair graph is orders of magnitude
+    * smaller than the corpus (it holds only above-threshold near-dup
+    * pairs), so first count it — the count also materializes the
+    * cached pair list exactly once. At or below `localEdgeLimit`
+    * edges (16 bytes/edge → ≤64 MiB at the 4M default) the edge list
+    * is a bounded collect: union-find with path compression on the
+    * driver is microseconds, against 3+ full Spark jobs of fixed
+    * latency per min-label round. Above the limit — a 100 TB corpus
+    * with a double-digit dup rate has billions of pairs — the
+    * distributed min-label propagation runs: each round every doc
+    * takes the min of its own and its neighbors' labels (one join +
+    * one groupBy per round), converging in O(component diameter)
+    * rounds; near-dup clusters are near-cliques, so diameter is
+    * small. Labels/edges shuffle on doc_id, never document content;
+    * at extreme diameters swap in alternating small-star/large-star
+    * rounds. */
   def dedupClusters(documents: DataFrame, threshold: Double = 0.8,
-                    dfCap: Option[Long] = None, maxIters: Int = 20): DataFrame = {
-    // cache the pair list BEFORE the symmetric union — the union
-    // evaluates both branches, which would otherwise run the whole
-    // LSH pipeline twice
+                    dfCap: Option[Long] = None, maxIters: Int = 20,
+                    localEdgeLimit: Long = 4L << 20): DataFrame = {
+    // cache the pair list BEFORE any reuse — the symmetric union and
+    // the iteration would otherwise run the whole LSH pipeline twice
     val pairs = minHashPairs(documents, threshold, dfCap = dfCap)
       .select(col("doc_a"), col("doc_b")).persist()
+    val nEdges = pairs.count()
+    val labels =
+      if (nEdges <= localEdgeLimit) localUnionFind(documents.sparkSession, pairs)
+      else distributedMinLabel(pairs, maxIters)
+    pairs.unpersist()
+    // the final label table stays session-cached: it was materialized
+    // above, so unpersisting here would force the caller to replay the
+    // whole resolution lineage
+    documents.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Bounded-size exact resolution: union-find with path compression
+    * over a collected edge list, labels re-keyed to each component's
+    * min doc_id, result broadcast back as a (doc_id, cluster_id)
+    * table. Only pair-graph doc_ids appear — singletons join back in
+    * the caller. */
+  private def localUnionFind(spark: org.apache.spark.sql.SparkSession,
+                             pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val resolved = parent.keys.toSeq.map(x => (x, find(x)))
+    resolved.toDF("doc_id", "cluster_id").persist()
+  }
+
+  /** Distributed min-label propagation; labels persist per round and
+    * the scalar changed-count both drives convergence and
+    * materializes each round's cache. */
+  private def distributedMinLabel(pairs: DataFrame, maxIters: Int): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
     // iterate ONLY over docs that appear in some pair: the label state
-    // per round is pair-graph-sized, not corpus-sized (near-dup graphs
-    // are a small fraction of a deduped corpus); singletons join back
-    // once at the end
+    // per round is pair-graph-sized, not corpus-sized
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).persist()
     var changed = 1L
@@ -221,16 +274,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    pairs.unpersist()
-    // the final label table stays session-cached: every iteration was
-    // materialized by its changed-count, so unpersisting here would
-    // force the caller to replay the whole iteration lineage
-    documents.select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
-      .orderBy("doc_id")
+    labels
   }
 
   /** d08_dedup_apply — the MATERIALIZATION step after cluster

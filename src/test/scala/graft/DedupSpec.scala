@@ -94,6 +94,11 @@ class DedupSpec extends SparkSpecBase {
     val out = Dedup.dedupClusters(d, threshold = 0.7).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(out.toSeq == Seq((0L, 0L, true), (1L, 0L, false), (2L, 0L, false), (3L, 3L, true)))
+    // localEdgeLimit=0 forces the distributed min-label path — both
+    // resolution strategies must produce identical labels
+    val dist = Dedup.dedupClusters(d, threshold = 0.7, localEdgeLimit = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(dist.toSeq == out.toSeq)
   }
 
   test("embedDedup flags only the high-cosine pair") {
