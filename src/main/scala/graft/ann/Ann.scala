@@ -131,44 +131,64 @@ object Ann {
       .orderBy("vec_id")
   }
 
-  /** a05_kmeans_build — unlabeled IVF coarse-quantizer build: k-means
-    * with deterministic seeding (the k vectors with the smallest
-    * scrambled ids) and a fixed iteration count. Each iteration is one
-    * broadcast-assign pass + one narrow elementwise-mean rebuild — at
-    * 100 TB that's `iters` scans with only (cell, pos, partial-sum)
-    * shuffles, never a vector-vector product. Returns (vec_id, cell). */
-  def kmeansAssign(embeddings: DataFrame, k: Int = 10, iters: Int = 3): DataFrame = {
+  /** a05_kmeans_build — unlabeled IVF coarse-quantizer build.
+    *
+    * Training is sample-bounded (the FAISS pattern): the model is only
+    * k x dim parameters, so Lloyd iterations run over a deterministic
+    * scrambled-id sample of `trainSample` vectors collected once to
+    * the driver — sampling error shrinks as 1/sqrt(m) and is
+    * independent of corpus size, so at 100 TB the training cost is
+    * CONSTANT (one top-m scan) while the previous formulation paid
+    * `iters` full broadcast-assign passes over every vector. The
+    * corpus-sized work is exactly one distributed assign pass against
+    * the broadcast centroid table. Seeding: the k sample vectors with
+    * the smallest scrambled ids, labeled 1..k in vec_id order.
+    * Driver-side math mirrors assign(): cosine argmax with smallest
+    * c_label tiebreak, float-cast elementwise means. Returns
+    * (vec_id, cell). */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 10, iters: Int = 3,
+                   trainSample: Int = 4096): DataFrame = {
     val spark = embeddings.sparkSession
     GraftFunctions.register(spark)
     import spark.implicits._
-    val vecs = embeddings.select(col("vec_id"), col("embedding")).persist()
-    // the k x dim centroid table is tiny: collect it to the driver
-    // after every Lloyd iteration and re-broadcast as a fresh literal
-    // table. This keeps each iteration's plan flat (no nested lineage
-    // whose planning time grows per iteration) and is NOT a hot-path
-    // collect — k*dim floats, not data. Iterations run eagerly here.
-    def centroidTable(cs: Seq[(Int, Array[Float])]): DataFrame =
-      cs.toDF("c_label", "centroid")
-    var centroids: Seq[(Int, Array[Float])] = vecs
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
-      .orderBy("vec_id").collect()
-      .zipWithIndex
-      .map { case (r, i) => (i + 1, r.getSeq[Float](1).toArray) }.toSeq
-    for (_ <- 1 to iters) {
-      centroids = assign(vecs, centroidTable(centroids))
-        .select(col("c_label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("c_label", "pos").agg(avg("x").as("cx"))
-        .collect()
-        .groupBy(_.getInt(0)).toSeq
-        .map { case (label, rows) =>
-          (label, rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray)
-        }
-        .sortBy(_._1)
+    // TakeOrdered: map-side top-m per partition, never a full sort
+    val sample: Array[(Long, Array[Double])] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(trainSample)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val finalCentroids = centroidTable(centroids)
-    vecs.unpersist()
-    // final assignment reads the source fresh — the iteration cache is
-    // released before the caller ever evaluates the returned plan
+    val dim = sample.head._2.length
+    // seeds = the k scrambled-first vectors (the sample is already in
+    // scrambled order), re-labeled 1..k in vec_id order
+    var centroids: Seq[(Int, Array[Double])] = sample.take(k)
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v), i) => (i + 1, v) }.toSeq
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k + 1)(new Array[Double](dim))
+      val cnts = new Array[Long](k + 1)
+      sample.foreach { case (_, v) =>
+        var best = 0; var bestSim = Double.NegativeInfinity
+        centroids.foreach { case (lbl, c) =>
+          val s = cos(v, c)
+          if (s > bestSim) { bestSim = s; best = lbl } // ascending labels: ties keep the smallest
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        cnts(best) += 1
+      }
+      centroids = centroids.collect { case (lbl, _) if cnts(lbl) > 0 =>
+        // float cast matches the distributed centroid build's storage type
+        (lbl, Array.tabulate(dim)(i => (sums(lbl)(i) / cnts(lbl)).toFloat.toDouble))
+      }
+    }
+    val finalCentroids = centroids
+      .map { case (lbl, c) => (lbl, c.map(_.toFloat)) }
+      .toDF("c_label", "centroid")
     assign(embeddings.select(col("vec_id"), col("embedding")), finalCentroids)
       .select(col("vec_id"), col("c_label").as("cell"))
       .orderBy("vec_id")
