@@ -184,6 +184,13 @@ object Oracles {
          round(sum(o_totalprice),2) AS total_price
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    // the salted replicated join must equal the plain join exactly
+    "q35_salted_join" ->
+      """SELECT s_nationkey, round(sum(l_quantity),2) AS sum_qty,
+         count(*) AS n_li
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
+
     "q20_time_window" ->
       """SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
          count(*) AS n_events, round(sum(value),2) AS sum_value
@@ -522,6 +529,45 @@ object Oracles {
          count(*) FILTER (WHERE n_toks < 20) AS n_short
          FROM (SELECT len(string_split_regex(trim(text), '\s+')) AS n_toks
                FROM documents)""",
+
+    // Pack-then-chunk layout: the oracle's single global window cumsum
+    // must equal Spark's hierarchical (bucketed) prefix sum exactly.
+    "t10_seq_pack" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+                  CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS end_off
+           FROM t)
+         SELECT doc_id, n_tokens, end_off - n_tokens AS start_off,
+                (end_off - n_tokens) // 2048 AS first_chunk,
+                (end_off - 1) // 2048 AS last_chunk,
+                (end_off - 1) // 2048 - (end_off - n_tokens) // 2048 + 1 AS n_chunks
+         FROM c ORDER BY doc_id""",
+
+    // Span strings in DuckDB vs 64-bit span hashes in Spark: document
+    // frequencies agree unless xxhash64 collides (~|spans|^2/2^64).
+    "t11_span_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         i AS (SELECT doc_id, toks, unnest(range(0, len(toks) // 10)) AS si FROM t),
+         sp AS (SELECT DISTINCT doc_id,
+                  array_to_string(toks[si*10+1 : si*10+10], ' ') AS span
+                FROM i),
+         ns AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+         dfq AS (SELECT span, count(*) AS span_df FROM sp GROUP BY span)
+         SELECT sp.doc_id, ns.n_spans,
+                count(CASE WHEN dfq.span_df > 1 THEN 1 END) AS dup_spans,
+                floor((count(CASE WHEN dfq.span_df > 1 THEN 1 END) * 1.0 / ns.n_spans)
+                      * 10000 + 0.5) / 10000 AS dup_share
+         FROM sp
+         JOIN dfq USING (span)
+         JOIN ns ON ns.doc_id = sp.doc_id
+         GROUP BY sp.doc_id, ns.n_spans
+         ORDER BY sp.doc_id""",
 
     "a06_outlier_score" ->
       s"""WITH $centroidBuildCte,

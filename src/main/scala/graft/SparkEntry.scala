@@ -47,6 +47,7 @@ object SparkEntry {
     "q17_semi_join" -> ((s, d) => RelationalOps.semiJoin(Tables.part(s, d), Tables.lineitem(s, d))),
     "q18_set_ops" -> ((s, d) => RelationalOps.setOps(Tables.orders(s, d), Tables.customer(s, d))),
     "q19_salted_agg" -> ((s, d) => RelationalOps.saltedAgg(Tables.orders(s, d))),
+    "q35_salted_join" -> ((s, d) => RelationalOps.saltedJoin(Tables.lineitem(s, d), Tables.supplier(s, d))),
     "q20_time_window" -> ((s, d) => TrackAnalytics.timeWindow(Tables.events(s, d))),
     "q21_percentile" -> ((s, d) => RelationalOps.percentiles(Tables.lineitem(s, d))),
     "q29_percentile_approx" -> ((s, d) => RelationalOps.percentilesApprox(Tables.lineitem(s, d))),
@@ -92,6 +93,8 @@ object SparkEntry {
     "a03_centroid_assign" -> ((s, d) => Ann.centroidAssign(Tables.embeddings(s, d))),
     "a06_outlier_score" -> ((s, d) => Ann.outlierScore(Tables.embeddings(s, d))),
     "t09_corpus_stats" -> ((s, d) => TextStats.corpusStats(Tables.documents(s, d))),
+    "t10_seq_pack" -> ((s, d) => TextStats.seqPack(Tables.documents(s, d))),
+    "t11_span_dedup" -> ((s, d) => TextStats.spanDedup(Tables.documents(s, d))),
     "m01_binary_meta" -> ((s, d) => BinaryPipeline.binaryMeta(Tables.documents(s, d))),
     "m02_chunk_sample" -> ((s, d) => BinaryPipeline.chunkSample(Tables.documents(s, d)))
   )

@@ -94,6 +94,14 @@ object GraftFunctions {
         new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
         (children: Seq[Expression]) => ShingleHashes(children.head,
           children(1).eval().asInstanceOf[Number].intValue()))
+    if (!reg.functionExists(FunctionIdentifier("graft_span_hashes")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_span_hashes"),
+        new ExpressionInfo(classOf[ShingleHashes].getName, "graft_span_hashes"),
+        (children: Seq[Expression]) => {
+          val n = children(1).eval().asInstanceOf[Number].intValue()
+          ShingleHashes(children.head, n, n)
+        })
     if (!reg.functionExists(FunctionIdentifier("graft_minhash_bands")))
       reg.registerFunction(
         FunctionIdentifier("graft_minhash_bands"),
@@ -128,6 +136,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
         (children: Seq[Expression]) => ShingleHashes(children.head,
           children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_span_hashes"),
+        new ExpressionInfo(classOf[ShingleHashes].getName, "graft_span_hashes"),
+        (children: Seq[Expression]) => {
+          val n = children(1).eval().asInstanceOf[Number].intValue()
+          ShingleHashes(children.head, n, n)
+        }))
     ext.injectFunction(
       (FunctionIdentifier("graft_minhash_bands"),
         new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),

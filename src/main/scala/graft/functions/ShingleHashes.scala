@@ -5,9 +5,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, U
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** Native expression: the DISTINCT 64-bit hashes of all word `n`-grams
-  * of a token array, in one compiled pass — the shingle-set builder of
-  * the near-dup operators.
+/** Native expression: the DISTINCT 64-bit hashes of word `n`-grams of
+  * a token array taken every `stride` positions, in one compiled pass.
+  * stride=1 (`graft_shingle_hashes`) is the overlapping shingle-set
+  * builder of the near-dup operators; stride=n (`graft_span_hashes`)
+  * is the non-overlapping span fingerprinter of the substring-dedup
+  * operator.
   *
   * The equivalent `array_distinct(transform(sequence(...), xxhash64))`
   * formulation runs on Spark 4's INTERPRETED higher-order-function
@@ -17,17 +20,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * xxhash64(t1, t2, t3): each token's hash seeds the next), and
   * dedupes via sort — no boxing, no per-element plan eval.
   */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, n: Int, stride: Int = 1) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_shingle_hashes"
+  override def prettyName: String =
+    if (stride == 1) "graft_shingle_hashes" else "graft_span_hashes"
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHashes.compute(input.asInstanceOf[ArrayData], n)
+    ShingleHashes.compute(input.asInstanceOf[ArrayData], n, stride)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.ShingleHashes.compute($v, $n);")
+      s"${ev.value} = graft.functions.ShingleHashes.compute($v, $n, $stride);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -36,16 +40,16 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 object ShingleHashes {
   /** Shared by eval and codegen: one call per row keeps the enclosing
     * projection inside whole-stage codegen. */
-  def compute(toks: ArrayData, n: Int): ArrayData = {
-    val cnt = toks.numElements() - n + 1
-    if (cnt <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+  def compute(toks: ArrayData, n: Int, stride: Int): ArrayData = {
+    if (toks.numElements() < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val cnt = (toks.numElements() - n) / stride + 1
     val out = new Array[Long](cnt)
     var i = 0
     while (i < cnt) {
       var h = 42L
       var j = 0
       while (j < n) {
-        val t = toks.getUTF8String(i + j)
+        val t = toks.getUTF8String(i * stride + j)
         h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, h)
         j += 1
       }

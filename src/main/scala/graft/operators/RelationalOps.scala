@@ -58,6 +58,30 @@ object RelationalOps {
     }
   }
 
+  /** q35_salted_join — skew-resistant replicated join: when a handful
+    * of hot join keys would funnel most fact rows into a few shuffle
+    * partitions, replicate the small build side `salts` times and
+    * scatter each fact row to one replica — a hot key's rows spread
+    * across `salts` tasks at the cost of a salts-x larger (still
+    * broadcastable) build side. Complements q19's salted aggregation;
+    * the result provably equals the unsalted join, which is exactly
+    * what the oracle checks. AQE's skew-join splits oversized
+    * partitions post hoc; explicit salting is the deterministic form
+    * for known-hot keys and composes with bucketed layouts. */
+  def saltedJoin(lineitem: DataFrame, supplier: DataFrame, salts: Int = 8): DataFrame = {
+    val fact = lineitem
+      .withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)).cast("int"))
+    val dim = supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .withColumn("d_salt", explode(sequence(lit(0), lit(salts - 1))))
+    fact
+      .join(broadcast(dim),
+        col("l_suppkey") === col("s_suppkey") && col("salt") === col("d_salt"))
+      .groupBy("s_nationkey")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_li"))
+      .orderBy("s_nationkey")
+  }
+
   /** q31_cube — full CUBE over (priority, status): every grouping-set
     * combination in one pass (Expand + single aggregation — Catalyst
     * plans one shuffle, not 4 unioned queries). NULL slots surfaced as

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Num.stableRound
 import graft.Scans
@@ -199,4 +200,72 @@ object TextStats {
         "aggregate(codes, 0L, (acc, c) -> (acc * 31 + c) % 1000000007L)"))
       .select(col("doc_id"), col("fp"))
       .orderBy("doc_id")
+
+  /** t10_seq_pack — training-sequence packing by global concatenation:
+    * lay every document's tokens end-to-end in doc_id order and cut
+    * the stream every `ctxLen` tokens (the standard pretraining
+    * pack-then-chunk). Each doc learns its global token offset and
+    * which training chunks it spans.
+    *
+    * The global prefix sum is built HIERARCHICALLY, never with a
+    * single-partition window: (1) per-bucket token totals (tiny
+    * aggregate), (2) running totals over the bucket table — corpus /
+    * bucketSize rows, broadcastable; size bucketSize so this stays
+    * small at the target scale, (3) a per-bucket window adds the
+    * in-bucket cumsum to the bucket's base offset. The full-corpus
+    * data shuffles once, on bucket — a global orderBy window would
+    * serialize 100 TB through one task. */
+  def seqPack(documents: DataFrame, ctxLen: Int = 2048,
+              bucketSize: Long = 1024L): DataFrame = {
+    val base = documents
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id div $bucketSize"))
+    val bucketOffsets = base
+      .groupBy("bucket").agg(sum("n_tokens").as("btoks"))
+      .withColumn("boff",
+        coalesce(sum("btoks").over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("bucket", "boff")
+    val wInBucket = Window.partitionBy("bucket").orderBy("doc_id")
+    base
+      .join(broadcast(bucketOffsets), "bucket")
+      .withColumn("end_off", col("boff") + sum("n_tokens").over(wInBucket))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("start_off"),
+        expr(s"start_off div $ctxLen").as("first_chunk"),
+        expr(s"(end_off - 1) div $ctxLen").as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+      .orderBy("doc_id")
+  }
+
+  /** t11_span_dedup — substring-level duplication (the span-granular
+    * form of Lee et al.'s exact substring dedup): fingerprint every
+    * non-overlapping `spanTokens`-token span with the compiled
+    * graft_span_hashes loop, count each span's document frequency,
+    * and report per doc how much of it appears verbatim elsewhere in
+    * the corpus. At 100 TB only (doc_id, 8-byte span hash) pairs
+    * shuffle — document text never leaves the scan — and the span-DF
+    * aggregation is partial (map-side combined). */
+  def spanDedup(documents: DataFrame, spanTokens: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val spans = graft.Scans.spreadIfNarrow(documents, col("doc_id"))
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .select(col("doc_id"), expr(s"graft_span_hashes(toks, $spanTokens)").as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_spans"),
+        explode(col("sh")).as("h"))
+    // span hashes are distinct within a doc, so count(*) per hash IS
+    // the document frequency
+    val df = spans.groupBy("h").agg(count(lit(1)).as("span_df"))
+    spans
+      .join(df, "h")
+      .groupBy("doc_id", "n_spans")
+      .agg(count(when(col("span_df") > 1, 1)).as("dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        stableRound(col("dup_spans") / col("n_spans"), 4).as("dup_share"))
+      .orderBy("doc_id")
+  }
 }

@@ -35,6 +35,35 @@ class TextSpec extends SparkSpecBase {
     assert(out(1L) == ((4, 4, 0.0)))
   }
 
+  test("seqPack lays docs end-to-end and cuts chunks at the context length") {
+    val d = Seq(
+      (0L, "a b c"),            // 3 toks: offsets 0..2, chunk 0
+      (1L, "d e f g"),          // 4 toks: offsets 3..6, straddles chunks 0-1 at C=5
+      (2L, "h i j k l m n")     // 7 toks: offsets 7..13, chunks 1-2
+    ).toDF("doc_id", "text")
+    val out = TextStats.seqPack(d, ctxLen = 5, bucketSize = 2L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(0L) == ((3L, 0L, 0L, 0L, 1L)))
+    assert(out(1L) == ((4L, 3L, 0L, 1L, 2L)))
+    assert(out(2L) == ((7L, 7L, 1L, 2L, 2L)))
+  }
+
+  test("spanDedup reports the corpus-duplicated span share per doc") {
+    val spanA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val spanB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val spanC = (1 to 10).map(i => s"c$i").mkString(" ")
+    val spanD = (1 to 10).map(i => s"d$i").mkString(" ")
+    val d = Seq(
+      (0L, s"$spanA $spanB"),   // shares A with doc 1
+      (1L, s"$spanA $spanC"),   // shares A with doc 0
+      (2L, spanD),              // nothing shared
+      (3L, "too short")         // < 10 tokens: no spans, excluded
+    ).toDF("doc_id", "text")
+    val out = TextStats.spanDedup(d, spanTokens = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0L, 2L, 1L, 0.5), (1L, 2L, 1L, 0.5), (2L, 1L, 0L, 0.0)))
+  }
+
   test("piiScrub counts and redacts planted emails and urls") {
     val d = Seq(
       (0L, "contact me at jane.doe@example.com or https://example.com/x now"),
