@@ -107,7 +107,19 @@ object TaskRunner {
     "a04_ivf_knn" -> ((s, d, p) => Ann.ivfKnn(
       Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3), i(p, "nprobe", 2))),
     "a05_kmeans_cells" -> ((s, d, p) => Ann.kmeansAssign(
-      Tables.embeddings(s, d), i(p, "k", 10), i(p, "iters", 3)))
+      Tables.embeddings(s, d), i(p, "k", 10), i(p, "iters", 3),
+      i(p, "trainSample", 4096))),
+    "a07_knn_join" -> ((s, d, p) => Ann.knnJoin(
+      Tables.embeddings(s, d), i(p, "k", 3), i(p, "nprobe", 2))),
+    "d08_dedup_apply" -> ((s, d, p) => Dedup.dedupApply(
+      Tables.documents(s, d), dbl(p, "threshold", 0.8),
+      optL(p, "dfCap").orElse(Some(1000L)))),
+    "q35_salted_join" -> ((s, d, p) => RelationalOps.saltedJoin(
+      Tables.lineitem(s, d), Tables.supplier(s, d), i(p, "salts", 8))),
+    "t10_seq_pack" -> ((s, d, p) => TextStats.seqPack(
+      Tables.documents(s, d), i(p, "ctxLen", 2048), l(p, "bucketSize", 1024L))),
+    "t11_span_dedup" -> ((s, d, p) => TextStats.spanDedup(
+      Tables.documents(s, d), i(p, "spanTokens", 10)))
   )
 
   /** Run any inventory query under a param set; unknown params are
