@@ -81,6 +81,7 @@ object SparkEntry {
     "d07_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d), dfCap = Some(1000L))),
     "d08_dedup_apply" -> ((s, d) => Dedup.dedupApply(Tables.documents(s, d), dfCap = Some(1000L))),
     "a07_knn_join" -> ((s, d) => Ann.knnJoin(Tables.embeddings(s, d))),
+    "a08_pq_knn" -> ((s, d) => Ann.pqKnn(Tables.embeddings(s, d))),
     "t01_token_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) => TextStats.qualityScore(Tables.documents(s, d))),
     "t03_langid" -> ((s, d) => TextStats.langId(Tables.documents(s, d))),

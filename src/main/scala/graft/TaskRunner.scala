@@ -111,6 +111,10 @@ object TaskRunner {
       i(p, "trainSample", 4096))),
     "a07_knn_join" -> ((s, d, p) => Ann.knnJoin(
       Tables.embeddings(s, d), i(p, "k", 3), i(p, "nprobe", 2))),
+    "a08_pq_knn" -> ((s, d, p) => Ann.pqKnn(
+      Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3),
+      i(p, "m", 8), i(p, "ksub", 16), i(p, "iters", 5),
+      i(p, "trainSample", 2048), i(p, "rerank", 50), i(p, "dim", 64))),
     "d08_dedup_apply" -> ((s, d, p) => Dedup.dedupApply(
       Tables.documents(s, d), dbl(p, "threshold", 0.8),
       optL(p, "dfCap").orElse(Some(1000L)))),

@@ -219,6 +219,121 @@ object Ann {
       .orderBy("query_id", "rn")
   }
 
+  /** a08_pq_knn — product-quantization ANN (the memory-bound scale
+    * path): train m sub-codebooks of ksub centroids on a bounded
+    * sample (per-subspace Lloyd on the driver, the a05 pattern),
+    * encode every vector as m small codes with the codegen'd
+    * `PqEncode` expression (one narrow pass, codebook shipped as a
+    * codegen reference object), then answer queries by asymmetric
+    * distance computation: each query's m x ksub partial-dot table is
+    * a tiny broadcast; a candidate's approximate cosine is m table
+    * lookups — expressed as posexplode(codes) -> broadcast join ->
+    * partial-aggregated sum, so the corpus-side shuffle carries only
+    * (neighbor_id, sub, cid) ints. The top `rerank` PQ candidates per
+    * query are re-scored with exact graft_cosine. At dim=64/m=8 the
+    * ADC scan reads 8 ints per vector instead of 64 floats; at 1e9+
+    * vectors PQ codes are the only index that fits in executor
+    * memory. Approximation quality is spec-bounded against a01. */
+  def pqKnn(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
+            m: Int = 8, ksub: Int = 16, iters: Int = 5,
+            trainSample: Int = 2048, rerank: Int = 50, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val sample: Array[Array[Float]] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(trainSample)
+      .collect().map(_.getSeq[Float](1).toArray)
+    // per-subspace Lloyd over the sample: deterministic seeds (first
+    // ksub sample subvectors), lowest-cid tie break, empty cells keep
+    // their previous centroid so the codebook stays ksub-sized
+    val codebook = new Array[Float](m * ksub * subDim)
+    for (sub <- 0 until m) {
+      var cents = Array.tabulate(ksub)(c =>
+        Array.tabulate(subDim)(d => sample(c % sample.length)(sub * subDim + d).toDouble))
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(ksub)(new Array[Double](subDim))
+        val cnts = new Array[Long](ksub)
+        sample.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d2 = 0.0; var d = 0
+            while (d < subDim) {
+              val diff = v(sub * subDim + d).toDouble - cents(c)(d); d2 += diff * diff; d += 1
+            }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          var d = 0
+          while (d < subDim) { sums(best)(d) += v(sub * subDim + d); d += 1 }
+          cnts(best) += 1
+        }
+        cents = Array.tabulate(ksub)(c =>
+          if (cnts(c) > 0) Array.tabulate(subDim)(d => (sums(c)(d) / cnts(c)).toFloat.toDouble)
+          else cents(c))
+      }
+      for (c <- 0 until ksub; d <- 0 until subDim)
+        codebook((sub * ksub + c) * subDim + d) = cents(c)(d).toFloat
+    }
+    // the trained codebook can't transit SQL text (Column-from-
+    // Expression constructors are sql-private), so bind it through a
+    // per-call registry entry: the builder closure captures the
+    // codebook, analysis is EAGER at DataFrame creation, and the
+    // temporary name is dropped before returning — nothing leaks
+    val fname = GraftFunctions.registerPqEncode(spark, codebook, m, ksub, subDim)
+    val cands = embeddings.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"),
+        posexplode(expr(s"$fname(embedding)")).as(Seq("sub", "cid")))
+    // ADC tables: nQueries x m x ksub rows of (partial dot, centroid
+    // norm term, query norm) — tiny, broadcast
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val tables = for {
+      (qid, qv) <- queries.toSeq
+      sub <- 0 until m
+      cid <- 0 until ksub
+    } yield {
+      val base = (sub * ksub + cid) * subDim
+      var pdot = 0.0; var ndot = 0.0
+      var d = 0
+      while (d < subDim) {
+        pdot += qv(sub * subDim + d).toDouble * codebook(base + d)
+        ndot += codebook(base + d).toDouble * codebook(base + d)
+        d += 1
+      }
+      val qnorm = math.sqrt(qv.map(x => x.toDouble * x).sum)
+      (qid, sub, cid, pdot, ndot, qnorm)
+    }
+    val tablesDf = tables.toDF("query_id", "sub", "cid", "pdot", "ndot", "qnorm")
+    val wApprox = Window.partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id"))
+    val shortlist = cands
+      .join(broadcast(tablesDf), Seq("sub", "cid"))
+      .groupBy("query_id", "neighbor_id")
+      .agg((sum(col("pdot")) / (max(col("qnorm")) * sqrt(sum(col("ndot"))))).as("approx"))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= rerank)
+      .select("query_id", "neighbor_id")
+    // exact re-rank of the PQ shortlist only
+    val qDf = queries.toSeq.map { case (qid, qv) => (qid, qv) }.toDF("query_id", "qe")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    val out = shortlist
+      .join(broadcast(qDf), "query_id")
+      .join(embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")),
+        "neighbor_id")
+      .withColumn("sim", expr("graft_cosine(qe, ce)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        stableRound(col("sim"), 4).as("cos_sim"), col("rn"))
+      .orderBy("query_id", "rn")
+    GraftFunctions.dropFunction(spark, fname) // every dependent plan is already analyzed
+    out
+  }
+
   /** a07_knn_join — full kNN SELF-join: every vector in the corpus
     * gets its top-k neighbours among all the others, via the same IVF
     * index as a04 (storage assignment = nearest cell, query side

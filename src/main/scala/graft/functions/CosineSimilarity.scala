@@ -115,6 +115,25 @@ object GraftFunctions {
         new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
         (children: Seq[Expression]) => SimHash64(children.head))
   }
+
+  private val pqSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Bind a TRAINED PQ codebook under a unique per-call function name
+    * (data can't ride in SQL text; the builder closure carries it).
+    * Analysis is eager at DataFrame creation, so callers drop the name
+    * via [[dropFunction]] as soon as their plans are built. */
+  def registerPqEncode(spark: SparkSession, codebook: Array[Float],
+                       m: Int, ksub: Int, subDim: Int): String = {
+    val fname = s"graft_pq_encode_${pqSeq.incrementAndGet()}"
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(fname),
+      new ExpressionInfo(classOf[PqEncode].getName, fname),
+      (children: Seq[Expression]) => PqEncode(children.head, codebook, m, ksub, subDim))
+    fname
+  }
+
+  def dropFunction(spark: SparkSession, fname: String): Unit =
+    spark.sessionState.functionRegistry.dropFunction(FunctionIdentifier(fname))
 }
 
 /** SparkSessionExtensions hook: injects every graft native function at

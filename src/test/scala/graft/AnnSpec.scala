@@ -72,6 +72,24 @@ class AnnSpec extends SparkSpecBase {
     assert(r2 >= r1)
   }
 
+  test("pqKnn exact-reranks to brute-force results on the toy set and real embeddings") {
+    // toy set: with a generous shortlist the exact re-rank must equal
+    // brute force outright
+    val brute = Ann.knnBrute(vecs, nQueries = 2, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Ann.pqKnn(vecs, nQueries = 2, k = 2, m = 2, ksub = 4,
+      trainSample = 8, rerank = 6, dim = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq == brute, s"pq=$pq brute=$brute")
+    // sf0.001 embeddings: the ADC shortlist + re-rank must keep solid
+    // recall@3 vs exact brute force
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val b = Ann.knnBrute(emb).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p = Ann.pqKnn(emb).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (p intersect b).size.toDouble / b.size
+    assert(recall >= 0.5, s"pq recall@3 $recall too low")
+  }
+
   test("kmeansAssign separates orthogonal clusters into distinct cells") {
     val out = Ann.kmeansAssign(vecs, k = 3, iters = 3).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
