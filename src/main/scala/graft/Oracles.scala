@@ -302,7 +302,37 @@ object Oracles {
          FROM (SELECT event_type,
                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                FROM events)
-         GROUP BY event_type ORDER BY event_type"""
+         GROUP BY event_type ORDER BY event_type""",
+
+    // q36: the correlated avg is exact — l_quantity is integer-valued,
+    // so sum-in-double is order-independent and avg = an exact IEEE
+    // division both engines share; the boundary predicate cannot flip.
+    "q36_correlated_subquery" ->
+      """SELECT p_brand, count(*) AS n_small,
+         floor(sum(l_extendedprice)*100 + 0.5)/100 AS small_revenue
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = p_partkey)
+         GROUP BY p_brand ORDER BY p_brand""",
+
+    "q37_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         isl AS (SELECT user_id,
+                   day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                              AS INTEGER) AS island
+                 FROM days),
+         st AS (SELECT user_id, count(*) AS streak_len FROM isl
+                GROUP BY user_id, island)
+         SELECT user_id, count(*) AS n_streaks, max(streak_len) AS longest_streak,
+                CAST(sum(streak_len) AS BIGINT) AS n_active_days
+         FROM st GROUP BY user_id ORDER BY user_id""",
+
+    "m05_payload_dedup" ->
+      """SELECT min(doc_id) AS keep_doc_id, sha256(text) AS payload_sha,
+         count(*) AS n_copies,
+         (count(*) - 1) * max(octet_length(encode(text))) AS bytes_saved
+         FROM documents GROUP BY sha256(text) ORDER BY keep_doc_id"""
   )
 
   /** d02 and d03 share one oracle: LSH + exact verification must equal

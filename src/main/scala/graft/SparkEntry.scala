@@ -31,7 +31,9 @@ object SparkEntry {
       Tables.nation(s, d), Tables.region(s, d))),
     "q06_group_concat" -> ((s, d) => FlowAnalytics.groupConcat(Tables.customer(s, d), Tables.nation(s, d))),
     "q07_distinct_count" -> ((s, d) => FlowAnalytics.distinctCount(Tables.orders(s, d), Tables.customer(s, d))),
-    "q08_car_track" -> ((s, d) => TrackAnalytics.carTrack(Tables.events(s, d))),
+    // default cap bounds the per-entity array for the generic engine;
+    // non-binding at test SFs (max events/user is 99 at sf0.1)
+    "q08_car_track" -> ((s, d) => TrackAnalytics.carTrack(Tables.events(s, d), Some(1000))),
     "q09_funnel_step" -> ((s, d) => TrackAnalytics.funnelStep(Tables.events(s, d))),
     "q10_collision" -> ((s, d) => TrackAnalytics.collision(Tables.events(s, d))),
     "q11_sessionize" -> ((s, d) => TrackAnalytics.sessionize(Tables.events(s, d))),
@@ -61,10 +63,21 @@ object SparkEntry {
       Tables.supplier(s, d), Tables.lineitem(s, d))),
     "q26_json_extract" -> ((s, d) => FlowAnalytics.jsonExtract(Tables.events(s, d))),
     "q27_range_join" -> ((s, d) => TrackAnalytics.rangeJoin(Tables.events(s, d))),
+    "q36_correlated_subquery" -> ((s, d) => RelationalOps.correlatedSubquery(
+      Tables.lineitem(s, d), Tables.part(s, d))),
+    "q37_streaks" -> ((s, d) => TrackAnalytics.activityStreaks(Tables.events(s, d))),
+    "m05_payload_dedup" -> ((s, d) => BinaryPipeline.payloadDedup(Tables.documents(s, d))),
     "q30_asof_join" -> ((s, d) => TrackAnalytics.asofJoin(Tables.events(s, d))),
     "q28_approx_distinct" -> ((s, d) => FlowAnalytics.approxDistinct(
       Tables.orders(s, d), Tables.customer(s, d))),
-    "a04_ivf_knn" -> ((s, d) => Ann.ivfKnn(Tables.embeddings(s, d))),
+    // a04/a07 pass the label-centroid table explicitly: it is the
+    // SQL-expressible oracle twin. The function default (no centroid
+    // table) is the unlabeled sample-trained k-means build with
+    // ~sqrt(n) cells — the 100 TB path, spec-covered in AnnSpec.
+    "a04_ivf_knn" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.ivfKnn(e, centroids = Some(Ann.labelCentroids(e)))
+    }),
     "a05_kmeans_cells" -> ((s, d) => Ann.kmeansAssign(Tables.embeddings(s, d))),
     "t06_word_freq" -> ((s, d) => TextStats.wordFreq(Tables.documents(s, d))),
     "m03_media_manifest" -> ((s, d) => BinaryPipeline.mediaManifest(Tables.documents(s, d))),
@@ -80,7 +93,10 @@ object SparkEntry {
     "d06_embed_dedup_lsh" -> ((s, d) => Dedup.embedDedupLsh(Tables.embeddings(s, d))),
     "d07_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d), dfCap = Some(1000L))),
     "d08_dedup_apply" -> ((s, d) => Dedup.dedupApply(Tables.documents(s, d), dfCap = Some(1000L))),
-    "a07_knn_join" -> ((s, d) => Ann.knnJoin(Tables.embeddings(s, d))),
+    "a07_knn_join" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.knnJoin(e, centroids = Some(Ann.labelCentroids(e)))
+    }),
     "a08_pq_knn" -> ((s, d) => Ann.pqKnn(Tables.embeddings(s, d))),
     "t01_token_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) => TextStats.qualityScore(Tables.documents(s, d))),

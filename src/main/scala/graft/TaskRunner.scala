@@ -31,6 +31,14 @@ object TaskRunner {
     p.getOrElse(k, d)
   private def optL(p: Map[String, String], k: String): Option[Long] =
     p.get(k).map(_.trim.toLong)
+  /** Cap param with a default and an off switch: absent → Some(default),
+    * 0 or negative → None (uncapped — e.g. bench sweeps), else Some(v). */
+  private def capL(p: Map[String, String], k: String, default: Long): Option[Long] =
+    p.get(k).map(_.trim.toLong) match {
+      case None => Some(default)
+      case Some(v) if v <= 0 => None
+      case Some(v) => Some(v)
+    }
 
   /** The reference's tasks carry a date range; every events-driven
     * analysis honors optional ISO `startTs`/`endTs` params. The filter
@@ -104,13 +112,27 @@ object TaskRunner {
     "a02_knn_lsh" -> ((s, d, p) => Ann.knnLsh(
       Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3),
       i(p, "tables", 4), i(p, "planesPerTable", 6), i(p, "dim", 64))),
-    "a04_ivf_knn" -> ((s, d, p) => Ann.ivfKnn(
-      Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3), i(p, "nprobe", 2))),
+    // IVF cell source: labelCells=true pins the supervised (oracle
+    // twin) build; otherwise cells (0 = auto ~sqrt(n)) sizes the
+    // sample-trained k-means quantizer — the binding that scales cell
+    // count with the corpus
+    "a04_ivf_knn" -> ((s, d, p) => {
+      val e = Tables.embeddings(s, d)
+      Ann.ivfKnn(e, i(p, "nQueries", 10), i(p, "k", 3), i(p, "nprobe", 2),
+        centroids = if (p.get("labelCells").exists(_.trim.toBoolean))
+          Some(Ann.labelCentroids(e)) else None,
+        cells = i(p, "cells", 0))
+    }),
     "a05_kmeans_cells" -> ((s, d, p) => Ann.kmeansAssign(
       Tables.embeddings(s, d), i(p, "k", 10), i(p, "iters", 3),
       i(p, "trainSample", 4096))),
-    "a07_knn_join" -> ((s, d, p) => Ann.knnJoin(
-      Tables.embeddings(s, d), i(p, "k", 3), i(p, "nprobe", 2))),
+    "a07_knn_join" -> ((s, d, p) => {
+      val e = Tables.embeddings(s, d)
+      Ann.knnJoin(e, i(p, "k", 3), i(p, "nprobe", 2),
+        centroids = if (p.get("labelCells").exists(_.trim.toBoolean))
+          Some(Ann.labelCentroids(e)) else None,
+        cells = i(p, "cells", 0))
+    }),
     "a08_pq_knn" -> ((s, d, p) => Ann.pqKnn(
       Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3),
       i(p, "m", 8), i(p, "ksub", 16), i(p, "iters", 5),

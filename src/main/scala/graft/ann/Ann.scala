@@ -73,8 +73,11 @@ object Ann {
   }
 
   /** Per-label centroids: elementwise mean via posexplode + two narrow
-    * groupBys — the coarse-quantizer build of an IVF index. */
-  private[ann] def labelCentroids(embeddings: DataFrame): DataFrame =
+    * groupBys — the SUPERVISED coarse-quantizer build (one cell per
+    * label). This is the oracle twin: cell count is bound to label
+    * cardinality, so it does NOT scale cells with the corpus — the
+    * unlabeled production build is [[kmeansCentroids]]. */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("label", "pos").agg(avg("x").as("cx"))
@@ -147,7 +150,19 @@ object Ann {
     * c_label tiebreak, float-cast elementwise means. Returns
     * (vec_id, cell). */
   def kmeansAssign(embeddings: DataFrame, k: Int = 10, iters: Int = 3,
-                   trainSample: Int = 4096): DataFrame = {
+                   trainSample: Int = 4096): DataFrame =
+    assign(embeddings.select(col("vec_id"), col("embedding")),
+      kmeansCentroids(embeddings, k, iters, trainSample))
+      .select(col("vec_id"), col("c_label").as("cell"))
+      .orderBy("vec_id")
+
+  /** The UNSUPERVISED coarse-quantizer build backing a05 (and the
+    * default cells of a04/a07): sample-trained k-means centroid table
+    * (c_label, centroid). k is capped at the sample size (duplicate
+    * seeds would leave permanently empty cells). See [[kmeansAssign]]
+    * for the scale rationale. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 10, iters: Int = 3,
+                      trainSample: Int = 4096): DataFrame = {
     val spark = embeddings.sparkSession
     GraftFunctions.register(spark)
     import spark.implicits._
@@ -157,20 +172,22 @@ object Ann {
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(trainSample)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    require(sample.nonEmpty, "kmeansCentroids: embeddings table is empty — nothing to train on")
+    val kEff = math.min(k, sample.length)
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
     val dim = sample.head._2.length
-    // seeds = the k scrambled-first vectors (the sample is already in
-    // scrambled order), re-labeled 1..k in vec_id order
-    var centroids: Seq[(Int, Array[Double])] = sample.take(k)
+    // seeds = the kEff scrambled-first vectors (the sample is already in
+    // scrambled order), re-labeled 1..kEff in vec_id order
+    var centroids: Seq[(Int, Array[Double])] = sample.take(kEff)
       .sortBy(_._1).zipWithIndex
       .map { case ((_, v), i) => (i + 1, v) }.toSeq
     for (_ <- 1 to iters) {
-      val sums = Array.fill(k + 1)(new Array[Double](dim))
-      val cnts = new Array[Long](k + 1)
+      val sums = Array.fill(kEff + 1)(new Array[Double](dim))
+      val cnts = new Array[Long](kEff + 1)
       sample.foreach { case (_, v) =>
         var best = 0; var bestSim = Double.NegativeInfinity
         centroids.foreach { case (lbl, c) =>
@@ -186,13 +203,25 @@ object Ann {
         (lbl, Array.tabulate(dim)(i => (sums(lbl)(i) / cnts(lbl)).toFloat.toDouble))
       }
     }
-    val finalCentroids = centroids
+    centroids
       .map { case (lbl, c) => (lbl, c.map(_.toFloat)) }
       .toDF("c_label", "centroid")
-    assign(embeddings.select(col("vec_id"), col("embedding")), finalCentroids)
-      .select(col("vec_id"), col("c_label").as("cell"))
-      .orderBy("vec_id")
   }
+
+  /** Cell table for the IVF operators: an explicit centroid table wins;
+    * otherwise train k-means on a bounded sample with `cells` cells —
+    * 0 means the IVF norm k ~ sqrt(n) (FAISS guidance), so the
+    * per-cell candidate volume n/k and the probe fan-out both grow as
+    * sqrt(n) instead of one of them going quadratic. The count is a
+    * parquet-metadata action, not a scan. */
+  private def resolveCentroids(embeddings: DataFrame, centroids: Option[DataFrame],
+                               cells: Int): DataFrame =
+    centroids.getOrElse {
+      val k =
+        if (cells > 0) cells
+        else math.max(1, math.round(math.sqrt(embeddings.count().toDouble)).toInt)
+      kmeansCentroids(embeddings, k)
+    }
 
   /** a04_ivf_knn — IVF search: every candidate vector is stored in its
     * single nearest-centroid cell; each query probes its `nprobe`
@@ -200,14 +229,21 @@ object Ann {
     * is the shuffle key — the all-pairs product never materializes.
     * nprobe trades recall for probed volume: a query sitting on a cell
     * boundary has true neighbours in its 2nd-nearest cell, which
-    * nprobe=1 silently loses (the spec plants exactly that vector). */
+    * nprobe=1 silently loses (the spec plants exactly that vector).
+    *
+    * The cell source is an argument: pass a centroid table (c_label,
+    * centroid) — e.g. [[labelCentroids]] when a trusted label column
+    * exists — or let the default train sample-bounded k-means with
+    * ~sqrt(n) cells, the build that keeps the cell-local join
+    * sub-quadratic on an unlabeled corpus of any size. */
   def ivfKnn(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
-             nprobe: Int = 2): DataFrame = {
+             nprobe: Int = 2, centroids: Option[DataFrame] = None,
+             cells: Int = 0): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val centroids = labelCentroids(embeddings)
-    val q = assignN(embeddings.filter(col("vec_id") < nQueries), centroids, nprobe)
+    val cents = resolveCentroids(embeddings, centroids, cells)
+    val q = assignN(embeddings.filter(col("vec_id") < nQueries), cents, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("c_label"))
-    val c = assign(embeddings.filter(col("vec_id") >= nQueries), centroids)
+    val c = assign(embeddings.filter(col("vec_id") >= nQueries), cents)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("c_label"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     q.join(c, "c_label")
@@ -246,6 +282,10 @@ object Ann {
       .select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(trainSample)
       .collect().map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "pqKnn: embeddings table is empty — nothing to train on")
+    require(sample.length >= ksub,
+      s"pqKnn: training sample (${sample.length}) must cover ksub=$ksub distinct seeds — " +
+        "duplicate seeds would leave permanently empty codebook cells")
     // per-subspace Lloyd over the sample: deterministic seeds (first
     // ksub sample subvectors), lowest-cid tie break, empty cells keep
     // their previous centroid so the codebook stays ksub-sized
@@ -342,13 +382,18 @@ object Ann {
     * curation, retrieval eval). At 100 TB the cell id is the only
     * join key — candidate volume is Σ|cell|·|probed cells|, never n²,
     * and only (vec_id, cell) assignments shuffle; a pair can meet at
-    * most once because storage assignment is unique. */
-  def knnJoin(embeddings: DataFrame, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    * most once because storage assignment is unique.
+    *
+    * Same cell-source contract as [[ivfKnn]]: explicit centroid table,
+    * or the default sample-trained k-means with ~sqrt(n) cells so the
+    * Σ|cell|² candidate volume stays ~n·sqrt(n) as the corpus grows. */
+  def knnJoin(embeddings: DataFrame, k: Int = 3, nprobe: Int = 2,
+              centroids: Option[DataFrame] = None, cells: Int = 0): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val centroids = labelCentroids(embeddings)
-    val q = assignN(embeddings, centroids, nprobe)
+    val cents = resolveCentroids(embeddings, centroids, cells)
+    val q = assignN(embeddings, cents, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("c_label"))
-    val c = assign(embeddings, centroids)
+    val c = assign(embeddings, cents)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("c_label"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     q.join(c, "c_label")

@@ -301,18 +301,23 @@ object Dedup {
   }
 
   /** d04_simhash — 60-bit SimHash over the distinct word set, near-dup
-    * pairs by Hamming distance. Candidate generation: 4 x 15-bit
-    * chunks (pigeonhole: hamming <= 3 pairs must share a chunk), so
-    * the join is chunk-bucket-local, then exact popcount verify.
+    * pairs by Hamming distance. Candidate generation is Manku-style
+    * block permutation (the Google near-dup-crawl construction): the
+    * fingerprint splits into 6 blocks of 10 bits, and a pair at
+    * hamming <= h differs in at most h blocks, so it must agree on
+    * EVERY block of some (6-h)-block combination — C(6, 6-h) tables
+    * keyed by the concatenated combination (30+ bits at h=3). The
+    * join is table-bucket-local with a key space of 2^30+ PER TABLE,
+    * so bucket occupancy keeps falling as the corpus grows — unlike
+    * single-block keys (15-bit ceiling), which degenerate toward
+    * n²/2^15 candidate pairs beyond ~10^6 docs. Exact popcount verify
+    * on the candidates; pigeonhole makes recall exact.
     *
     * Token hash = the top 60 bits of md5, which both engines compute
     * identically — that makes this operator fully oracle-checkable
     * (a production deployment would swap in xxhash64 for hash speed;
     * the hash choice is orthogonal to the SimHash construction). */
   def simHash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // explode distinct tokens, accumulate the 60 per-bit +-1 sums as
-    // flat codegen'd aggregate columns (the array-lambda formulation is
-    // interpreted), then fold the sign bits back into one 60-bit word
     // narrow single-pass fingerprint: graft_simhash folds the per-token
     // md5 votes and the sign bits in one compiled loop per document —
     // no explode, no 60-column aggregate, no shuffle. spreadIfNarrow
@@ -323,18 +328,38 @@ object Dedup {
       .withColumn("toks", array_distinct(split(lower(col("text")), "\\s+")))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), expr("graft_simhash(toks)").as("simhash"))
-    val chunks = fp.withColumn("chunk", explode(expr(
-        "transform(sequence(0, 3), c -> struct(c AS ci, shiftright(simhash, c*15) & 32767 AS cv))")))
+    simHashCandidates(fp, maxHamming)
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Candidate pairs (doc_a, doc_b, hamming) from a (doc_id, simhash)
+    * fingerprint table via the 6-block combination keys — distinct,
+    * NOT yet filtered by maxHamming (exposed so the spec can measure
+    * raw candidate volume). Every pair at hamming <= maxHamming is
+    * guaranteed present (pigeonhole over the block combinations). */
+  private[graft] def simHashCandidates(fp: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 3,
+      s"simHash: maxHamming $maxHamming outside [1,3] — the 6-block combination " +
+        "scheme is exact only up to 3 differing blocks; raise the block count for more")
+    val comboSize = 6 - maxHamming
+    val keyStructs = (0 until 6).combinations(comboSize).zipWithIndex.map {
+      case (combo, t) =>
+        // concatenate the combination's 10-bit blocks into one key
+        val key = combo.zipWithIndex.map { case (b, slot) =>
+          s"((shiftright(simhash, ${b * 10}) & 1023) << ${slot * 10})"
+        }.mkString(" | ")
+        s"struct($t AS ci, $key AS cv)"
+    }
+    val keys = fp.withColumn("chunk", explode(expr(s"array(${keyStructs.mkString(",")})")))
       .select(col("doc_id"), col("simhash"), col("chunk.ci").as("ci"), col("chunk.cv").as("cv"))
-    chunks.as("x")
-      .join(chunks.as("y"),
+    keys.as("x")
+      .join(keys.as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** d05_embed_dedup — embedding-cosine near-dup pairs. Brute-force

@@ -199,7 +199,7 @@ object TrackAnalytics {
         col("n_events"), col("sum_value"))
       .orderBy("event_type", "hour_ms")
 
-  /** q35_gaps_islands — consecutive-day activity streaks per entity
+  /** q37_streaks — consecutive-day activity streaks per entity
     * (the gaps-and-islands pattern): a user's distinct active days
     * collapse into islands of consecutive dates via the classic
     * day-minus-row_number constant, then two aggregations report

@@ -37,12 +37,51 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
-  test("ivfKnn achieves full recall on tightly clustered data") {
+  test("ivfKnn achieves full recall on tightly clustered data (label-centroid twin)") {
     val brute = Ann.knnBrute(vecs, nQueries = 2, k = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Ann.ivfKnn(vecs, nQueries = 2, k = 2).collect()
+    val ivf = Ann.ivfKnn(vecs, nQueries = 2, k = 2,
+      centroids = Some(Ann.labelCentroids(vecs))).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf == brute, s"ivf=$ivf brute=$brute")
+  }
+
+  // 4 planted clusters of 10 vectors around orthogonal axes, NO label
+  // column — the corpus shape a real training set has. Ground truth =
+  // the same knnJoin machinery over a single all-covering cell (the
+  // cell-local join degenerates to the exact full self-join).
+  private def unlabeled = {
+    val rows = for {
+      c <- 0 until 4
+      j <- 0 until 10
+    } yield {
+      val v = Array.fill(4)(0.0f)
+      v(c) = 1.0f
+      v((c + 1) % 4) = 0.02f * j // deterministic within-cluster spread
+      ((c * 10 + j).toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("knnJoin over sample-trained k-means cells: recall vs exact on unlabeled clusters") {
+    val oneCell = Seq((1, Array(1.0f, 1.0f, 1.0f, 1.0f))).toDF("c_label", "centroid")
+    val exact = Ann.knnJoin(unlabeled, k = 3, nprobe = 1,
+      centroids = Some(oneCell)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cells=0 → auto ~sqrt(40) ≈ 6 k-means cells, trained without labels
+    val kmeans = Ann.knnJoin(unlabeled, k = 3, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (kmeans intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"k-means-cell knnJoin recall $recall too low")
+  }
+
+  test("ivfKnn default (unlabeled k-means cells) matches brute on planted clusters") {
+    val brute = Ann.knnBrute(unlabeled, nQueries = 2, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfKnn(unlabeled, nQueries = 2, k = 3, nprobe = 2, cells = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"unlabeled ivf recall $recall too low")
   }
 
   test("ivfKnn nprobe=2 recovers the boundary query that nprobe=1 loses") {
@@ -61,7 +100,8 @@ class AnnSpec extends SparkSpecBase {
     def recallVsBrute(nprobe: Int): Double = {
       val brute = Ann.knnBrute(boundary, nQueries = 1, k = 3).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val ivf = Ann.ivfKnn(boundary, nQueries = 1, k = 3, nprobe = nprobe).collect()
+      val ivf = Ann.ivfKnn(boundary, nQueries = 1, k = 3, nprobe = nprobe,
+        centroids = Some(Ann.labelCentroids(boundary))).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       (ivf intersect brute).size.toDouble / brute.size
     }

@@ -46,6 +46,41 @@ class DedupSpec extends SparkSpecBase {
     assert(out(0).getLong(0) == 0L && out(0).getLong(1) == 1L && out(0).getInt(2) == 0)
   }
 
+  test("simHash block-combination candidates: exact recall on planted hamming-1..3 pairs") {
+    import org.apache.spark.sql.functions._
+    // base fingerprint + planted variants at hamming 1/2/3 across DIFFERENT
+    // blocks (the worst case for block keying), plus far-away noise
+    val base = 0x0F0F0F0F0F0F0F0L & ((1L << 60) - 1)
+    val fps = Seq(
+      0L -> base,
+      1L -> (base ^ 1L),                         // h=1, block 0
+      2L -> (base ^ (1L << 11) ^ (1L << 25)),    // h=2, blocks 1+2
+      3L -> (base ^ (1L << 5) ^ (1L << 35) ^ (1L << 55)), // h=3, blocks 0,3,5
+      4L -> (~base & ((1L << 60) - 1))           // h=60
+    ).toDF("doc_id", "simhash")
+    val pairs = Dedup.simHashCandidates(fps, maxHamming = 3)
+      .filter(col("hamming") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute ground truth: every pair among 0..3 is within hamming 3+3=6 of
+    // each other ONLY through doc 0; assert exactly the <=3 pairs appear
+    val expected = Set((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3), (1L, 2L, 3))
+    assert(pairs == expected, s"got $pairs")
+  }
+
+  test("simHash candidate key space scales: 1e5 random fingerprints stay near-linear") {
+    import org.apache.spark.sql.functions._
+    // 10^5 uniform 60-bit fingerprints: with 20 tables of 30-bit keys the
+    // expected collision volume is C(n,2)*20/2^30 ≈ 93 pairs — versus
+    // ~6e5 under the old 4x15-bit chunk keys (n²-degenerate). Assert the
+    // candidate set stays a vanishing fraction of n, i.e. the key space
+    // grew with the corpus instead of capping at 2^15.
+    val n = 100000L
+    val fp = spark.range(n).select(col("id").as("doc_id"),
+      expr("xxhash64(id) & ((1L << 60) - 1)").as("simhash"))
+    val cands = Dedup.simHashCandidates(fp, maxHamming = 3).count()
+    assert(cands < n / 20, s"candidate volume $cands degenerated for n=$n")
+  }
+
   test("dfCap drops a planted hot shingle and bounds the pair blowup") {
     // 40 docs all sharing one hot 3-gram ("common shared prefix") but
     // otherwise disjoint: uncapped, the hot shingle makes every pair a
