@@ -98,6 +98,7 @@ object SparkEntry {
       Ann.knnJoin(e, centroids = Some(Ann.labelCentroids(e)))
     }),
     "a08_pq_knn" -> ((s, d) => Ann.pqKnn(Tables.embeddings(s, d))),
+    "a09_ivf_pq" -> ((s, d) => Ann.ivfPqKnn(Tables.embeddings(s, d))),
     "t01_token_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) => TextStats.qualityScore(Tables.documents(s, d))),
     "t03_langid" -> ((s, d) => TextStats.langId(Tables.documents(s, d))),

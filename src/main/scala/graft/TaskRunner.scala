@@ -92,16 +92,16 @@ object TaskRunner {
       Tables.embeddings(s, d), dbl(p, "simThreshold", 0.5))),
     "d07_dedup_clusters" -> ((s, d, p) => Dedup.dedupClusters(
       Tables.documents(s, d), dbl(p, "threshold", 0.8),
-      optL(p, "dfCap").orElse(Some(1000L)), i(p, "maxIters", 20))),
+      capL(p, "dfCap", 1000L), i(p, "maxIters", 20))),
     "d02_ngram_jaccard" -> ((s, d, p) => Dedup.ngramJaccard(
       Tables.documents(s, d), dbl(p, "threshold", 0.8), optL(p, "dfCap"))),
     // dfCap defaults to the SparkEntry parameterization (1000) so the
     // param-driven path keeps the hot-shingle straggler guard unless a
-    // task explicitly overrides it
+    // task explicitly overrides it; dfCap=0 disables the cap outright
     "d03_minhash_lsh" -> ((s, d, p) => Dedup.minHashLsh(
       Tables.documents(s, d), dbl(p, "threshold", 0.8),
       i(p, "numHashes", 64), i(p, "bands", 16),
-      optL(p, "dfCap").orElse(Some(1000L)))),
+      capL(p, "dfCap", 1000L))),
     "d05_embed_dedup" -> ((s, d, p) => Dedup.embedDedup(
       Tables.embeddings(s, d), dbl(p, "threshold", 0.5))),
     "d06_embed_dedup_lsh" -> ((s, d, p) => Dedup.embedDedupLsh(
@@ -137,9 +137,14 @@ object TaskRunner {
       Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3),
       i(p, "m", 8), i(p, "ksub", 16), i(p, "iters", 5),
       i(p, "trainSample", 2048), i(p, "rerank", 50), i(p, "dim", 64))),
+    "a09_ivf_pq" -> ((s, d, p) => Ann.ivfPqKnn(
+      Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3),
+      i(p, "nprobe", 2), i(p, "cells", 0),
+      i(p, "m", 8), i(p, "ksub", 16), i(p, "iters", 5),
+      i(p, "trainSample", 2048), i(p, "rerank", 50), i(p, "dim", 64))),
     "d08_dedup_apply" -> ((s, d, p) => Dedup.dedupApply(
       Tables.documents(s, d), dbl(p, "threshold", 0.8),
-      optL(p, "dfCap").orElse(Some(1000L)))),
+      capL(p, "dfCap", 1000L))),
     "q35_salted_join" -> ((s, d, p) => RelationalOps.saltedJoin(
       Tables.lineitem(s, d), Tables.supplier(s, d), i(p, "salts", 8))),
     "t10_seq_pack" -> ((s, d, p) => TextStats.seqPack(

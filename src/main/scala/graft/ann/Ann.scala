@@ -272,7 +272,8 @@ object Ann {
     * memory. Approximation quality is spec-bounded against a01. */
   def pqKnn(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
             m: Int = 8, ksub: Int = 16, iters: Int = 5,
-            trainSample: Int = 2048, rerank: Int = 50, dim: Int = 64): DataFrame = {
+            trainSample: Int = 2048, rerank: Int = 50, dim: Int = 64,
+            cellPairs: Option[DataFrame] = None): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val subDim = dim / m
     val spark = embeddings.sparkSession
@@ -350,8 +351,15 @@ object Ann {
     }
     val tablesDf = tables.toDF("query_id", "sub", "cid", "pdot", "ndot", "qnorm")
     val wApprox = Window.partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id"))
-    val shortlist = cands
-      .join(broadcast(tablesDf), Seq("sub", "cid"))
+    // IVF-PQ seam: with a (query_id, neighbor_id) candidate table the
+    // ADC scan touches only those pairs — the posting-list shape of a
+    // cell-restricted index — instead of the full query x corpus product
+    val scored = cellPairs match {
+      case None => cands.join(broadcast(tablesDf), Seq("sub", "cid"))
+      case Some(cp) => cands.join(cp, "neighbor_id")
+        .join(broadcast(tablesDf), Seq("query_id", "sub", "cid"))
+    }
+    val shortlist = scored
       .groupBy("query_id", "neighbor_id")
       .agg((sum(col("pdot")) / (max(col("qnorm")) * sqrt(sum(col("ndot"))))).as("approx"))
       .withColumn("arn", row_number().over(wApprox))
@@ -372,6 +380,31 @@ object Ann {
       .orderBy("query_id", "rn")
     GraftFunctions.dropFunction(spark, fname) // every dependent plan is already analyzed
     out
+  }
+
+  /** a09_ivf_pq — the composed billion-vector index shape: a05's
+    * sample-trained k-means cells bound the CANDIDATE SET (each query
+    * scans only its `nprobe` probed cells' posting lists) while a08's
+    * product-quantization codes bound the BYTES PER CANDIDATE (m small
+    * ints instead of dim floats), with the same exact top-`rerank`
+    * re-score. This is the FAISS IVF-PQ layout: at 1e9+ vectors the
+    * IVF part keeps the scan sub-linear and the PQ part keeps the
+    * index in executor memory — either alone runs out of one or the
+    * other. Recall vs brute is spec-bounded (AnnSpec). */
+  def ivfPqKnn(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
+               nprobe: Int = 2, cells: Int = 0,
+               m: Int = 8, ksub: Int = 16, iters: Int = 5,
+               trainSample: Int = 2048, rerank: Int = 50, dim: Int = 64): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val cents = resolveCentroids(embeddings, None, cells)
+    val qa = assignN(embeddings.filter(col("vec_id") < nQueries), cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("c_label"))
+    val ca = assign(embeddings.filter(col("vec_id") >= nQueries), cents)
+      .select(col("vec_id").as("neighbor_id"), col("c_label"))
+    val cellPairs = qa.join(ca, "c_label")
+      .select("query_id", "neighbor_id").distinct()
+    pqKnn(embeddings, nQueries, k, m, ksub, iters, trainSample, rerank, dim,
+      cellPairs = Some(cellPairs))
   }
 
   /** a07_knn_join — full kNN SELF-join: every vector in the corpus

@@ -183,8 +183,9 @@ object Dedup {
     * smaller than the corpus (it holds only above-threshold near-dup
     * pairs), so first count it — the count also materializes the
     * cached pair list exactly once. At or below `localEdgeLimit`
-    * edges (16 bytes/edge → ≤64 MiB at the 4M default) the edge list
-    * is a bounded collect: union-find with path compression on the
+    * edges (~60 bytes/edge peak with the primitive-array union-find,
+    * ~240 MiB at the 4M default) the edge list is a bounded collect:
+    * union-find with path compression on the
     * driver is microseconds, against 3+ full Spark jobs of fixed
     * latency per min-label round. Above the limit — a 100 TB corpus
     * with a double-digit dup rate has billions of pairs — the
@@ -207,9 +208,11 @@ object Dedup {
       if (nEdges <= localEdgeLimit) localUnionFind(documents.sparkSession, pairs)
       else distributedMinLabel(pairs, maxIters)
     pairs.unpersist()
-    // the final label table stays session-cached: it was materialized
-    // above, so unpersisting here would force the caller to replay the
-    // whole resolution lineage
+    // cache hygiene: the local path returns a LocalRelation (driver
+    // memory, nothing cached); only the distributed path leaves its
+    // final label table persisted — unpersisting it here would force
+    // the caller to replay every min-label round (clearCache() is the
+    // one-shot escape for long-lived sessions)
     documents.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
@@ -220,28 +223,55 @@ object Dedup {
 
   /** Bounded-size exact resolution: union-find with path compression
     * over a collected edge list, labels re-keyed to each component's
-    * min doc_id, result broadcast back as a (doc_id, cluster_id)
-    * table. Only pair-graph doc_ids appear — singletons join back in
-    * the caller. */
+    * min doc_id, result returned as a LocalRelation (doc_id,
+    * cluster_id) table — driver memory, no cache entry. Only
+    * pair-graph doc_ids appear — singletons join back in the caller.
+    *
+    * Primitive end-to-end: edges collect as specialized (Long, Long)
+    * tuples and the id->index map is open-addressed over flat long/int
+    * arrays, so the driver footprint is ~60 bytes/edge peak (the boxed
+    * Map[Long,Long] formulation measured 10-25x the naive 16 B/edge
+    * estimate) — ~240 MiB at the 4M-edge default limit. */
   private def localUnionFind(spark: org.apache.spark.sql.SparkSession,
                              pairs: DataFrame): DataFrame = {
     import spark.implicits._
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
+    val edges = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+    val maxIds = math.max(1, edges.length * 2)
+    // open-addressed long->compact-index map, power-of-two capacity,
+    // linear probing at load factor <= 0.5
+    val cap = java.lang.Integer.highestOneBit(math.max(16, maxIds * 2 - 1)) * 2
+    val keys = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val slotOf = new Array[Int](cap)
+    val ids = new Array[Long](maxIds)
+    val parent = new Array[Int](maxIds)
+    var nIds = 0
+    def idx(x: Long): Int = {
+      val m = x * -0x61c8864680b583ebL // golden-ratio mix
+      var h = (m ^ (m >>> 32)).toInt & (cap - 1)
+      while (used(h) && keys(h) != x) h = (h + 1) & (cap - 1)
+      if (!used(h)) {
+        used(h) = true; keys(h) = x; slotOf(h) = nIds
+        ids(nIds) = x; parent(nIds) = nIds; nIds += 1
+      }
+      slotOf(h)
+    }
+    def find(i: Int): Int = {
+      var r = i
       while (parent(r) != r) r = parent(r)
-      var c = x
+      var c = i
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    pairs.collect().foreach { row =>
-      val (a, b) = (row.getLong(0), row.getLong(1))
-      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    edges.foreach { case (a, b) =>
+      val ra = find(idx(a)); val rb = find(idx(b))
+      // point the larger-id root at the smaller: roots stay component minima
+      if (ra != rb) {
+        if (ids(ra) < ids(rb)) parent(rb) = ra else parent(ra) = rb
+      }
     }
-    val resolved = parent.keys.toSeq.map(x => (x, find(x)))
-    resolved.toDF("doc_id", "cluster_id").persist()
+    (0 until nIds).map(i => (ids(i), ids(find(i))))
+      .toDF("doc_id", "cluster_id")
   }
 
   /** Distributed min-label propagation; labels persist per round and

@@ -106,6 +106,47 @@ object Sources {
       .outputMode("append")
       .start()
 
+  /** The per-batch JDBC writer behind [[writeStreamJdbc]], exposed so a
+    * retried batch can be exercised (and spec-tested) directly: tags
+    * every row with the micro-batch id, DELETEs any rows a previous
+    * attempt of the SAME batch left behind, then appends — so a batch
+    * replayed after a failure (or a checkpoint restart) lands exactly
+    * once. The delete-then-append pair is the standard foreachBatch
+    * idempotence recipe for stores without MERGE; `batch_id` must not
+    * collide with an input column. */
+  def jdbcBatchWriter(url: String, table: String,
+                      batchSize: Int = 10000): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"DELETE FROM $table WHERE ${dialect.quoteIdentifier("batch_id")} = $batchId")
+        finally st.close()
+      } catch {
+        case _: java.sql.SQLException => () // first batch: table not created yet
+      } finally conn.close()
+      batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+        .write.format("jdbc").mode("append")
+        .option("url", url).option("dbtable", table)
+        .option("batchsize", batchSize.toString)
+        .save()
+    }
+
+  /** Streaming JDBC result sink — the reference's Spark Streaming jobs
+    * store every micro-batch's results in MySQL; this is that shape on
+    * Structured Streaming: checkpointed offsets + the batch-id
+    * idempotent writer above give exactly-once table contents across
+    * restarts. Any JDBC store slots in via the url. */
+  def writeStreamJdbc(df: DataFrame, url: String, table: String, checkpoint: String,
+                      batchSize: Int = 10000): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(jdbcBatchWriter(url, table, batchSize))
+      .start()
+
   /** Format-agnostic streaming source: a real deployment swaps the
     * file stand-in for Kafka as pure config —
     * `readStreamSource(spark, "kafka", Map("kafka.bootstrap.servers"

@@ -107,7 +107,13 @@ object StreamingFlow {
     * at ingest line rate; the reject route feeds a quarantine sink
     * instead of the training corpus. Scores via TextStats.qualityExpr
     * — the same rounded column expression as batch t02 — so a doc
-    * sitting exactly at the threshold routes identically in both. */
+    * sitting exactly at the threshold routes identically in both.
+    *
+    * Behavior note (since the qualityExpr share): the score is rounded
+    * to 4 decimals BEFORE the threshold compare, so a doc within 5e-5
+    * of `minQuality` can route differently than under the pre-share
+    * unrounded streaming score — the price of exact batch/stream score
+    * parity, asserted by the s10 spec. */
   def qualityGate(stream: DataFrame, minQuality: Double = 0.5): DataFrame =
     stream
       .filter(length(col("text")) > 0)

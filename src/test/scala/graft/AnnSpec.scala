@@ -130,6 +130,23 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"pq recall@3 $recall too low")
   }
 
+  test("ivfPqKnn composes k-means cells with PQ re-rank at bounded recall") {
+    // real embeddings: the cell-restricted ADC scan + exact re-rank must
+    // keep solid recall@3 vs exact brute force (the a08 bound, now with
+    // the a05 cells also pruning candidates)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val b = Ann.knnBrute(emb).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cells ~ the corpus's natural cluster count (5 labeled clusters at
+    // this SF); nprobe=3 keeps the probe fan-out < the cell count
+    val p = Ann.ivfPqKnn(emb, cells = 5, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (p intersect b).size.toDouble / b.size
+    assert(recall >= 0.5, s"ivf-pq recall@3 $recall too low")
+    // the composition must never beat its own PQ ceiling: candidates are
+    // a subset of a08's, so any pair found is also PQ-scorable
+    assert(p.size == b.size, "ivf-pq must still return k results per query")
+  }
+
   test("kmeansAssign separates orthogonal clusters into distinct cells") {
     val out = Ann.kmeansAssign(vecs, k = 3, iters = 3).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
