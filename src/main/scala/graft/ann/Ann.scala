@@ -122,10 +122,14 @@ object Ann {
     * vector's cosine to its assigned (nearest) centroid. Low scores
     * mark vectors far from every cluster — mislabeled or noise rows a
     * curation pipeline drops or re-routes. Same broadcast-assign shape
-    * as a03; one scan, no vector-vector join. */
-  def outlierScore(embeddings: DataFrame, simThreshold: Double = 0.5): DataFrame = {
+    * as a03; one scan, no vector-vector join. Defaults to the label
+    * centroids (the oracle twin — "far from its own label's center" is
+    * the mislabel signal); pass e.g. [[kmeansCentroids]] for an
+    * unlabeled corpus. */
+  def outlierScore(embeddings: DataFrame, simThreshold: Double = 0.5,
+                   centroids: Option[DataFrame] = None): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    assign(embeddings, labelCentroids(embeddings))
+    assign(embeddings, centroids.getOrElse(labelCentroids(embeddings)))
       .select(
         col("vec_id"),
         col("c_label").as("assigned_label"),

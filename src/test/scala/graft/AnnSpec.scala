@@ -164,6 +164,14 @@ class AnnSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
     assert(out(8L)._2, s"planted outlier not flagged: ${out(8L)}")
     assert(out(2L)._1 > 0.9 && !out(2L)._2)
+    // unlabeled corpus: k-means centroids trained on the clean corpus
+    // drive the same scoring (training WITH the outlier can absorb it
+    // as a seed — correct k-means behavior, wrong reference set)
+    val unl = Ann.outlierScore(withOutlier.drop("label"), simThreshold = 0.8,
+      centroids = Some(Ann.kmeansCentroids(vecs.drop("label"), k = 3)))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(unl(8L), "planted outlier not flagged under k-means centroids")
+    assert(!unl(2L), "clean vector wrongly flagged under k-means centroids")
   }
 
   test("centroidAssign assigns clustered vectors to their label centroid") {
