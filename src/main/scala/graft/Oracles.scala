@@ -444,6 +444,28 @@ object Oracles {
     "d05_embed_dedup" -> embedDedupSql,
     "d06_embed_dedup_lsh" -> embedDedupSql,
 
+    // d09: shingle EQUALITY is all that matters, so the oracle counts
+    // shared 3-gram STRINGS where Spark counts shared 64-bit shingle
+    // hashes — identical results absent a hash collision (~|sh|²/2^64)
+    "d09_decontaminate" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  list_distinct([array_to_string(toks[i:i+2], ' ')
+                                 for i in range(1, len(toks)-1)]) AS sh
+           FROM (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3),
+         ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM t WHERE source = 'src0'),
+         corp AS (SELECT doc_id, sh FROM t WHERE source != 'src0'),
+         sc AS (SELECT doc_id, count(*) AS n_shared
+                FROM (SELECT doc_id, unnest(sh) AS shingle FROM corp) c
+                JOIN ev USING (shingle)
+                GROUP BY doc_id)
+         SELECT corp.doc_id, coalesce(sc.n_shared, 0) AS n_shared,
+                coalesce(sc.n_shared, 0) >= 8 AS contaminated
+         FROM corp LEFT JOIN sc ON corp.doc_id = sc.doc_id
+         ORDER BY corp.doc_id""",
+
     // SimHash is fully SQL-expressible with an engine-portable token
     // hash (top 60 bits of md5): per-bit +-1 sums over the distinct
     // token set, sign fold, 4x15-bit pigeonhole chunks, popcount.

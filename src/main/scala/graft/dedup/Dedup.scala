@@ -392,6 +392,36 @@ object Dedup {
       .distinct()
   }
 
+  /** d09_decontaminate — benchmark-contamination detection, the
+    * decontamination pass every serious pre-training pipeline runs
+    * (Dolma/DataComp shape): documents from `evalSource` form the
+    * held-out benchmark; every other document is scored by how many
+    * DISTINCT word-3-gram shingles it shares with the benchmark's
+    * shingle union and flagged at `minShared`. Docs under 3 tokens
+    * carry no shingles and are skipped (the d02 convention).
+    *
+    * Scale posture: the benchmark shingle set is eval-sized (bounded —
+    * benchmarks are small by definition), so the planner broadcasts
+    * it and the corpus side never shuffles text: one compiled
+    * `graft_shingle_hashes` pass, an explode of 8-byte hashes, a
+    * broadcast-hash inner join, a partial-agg count. At 100 TB this
+    * is one scan of the corpus. */
+  def decontaminate(documents: DataFrame, evalSource: String = "src0",
+                    minShared: Long = 8): DataFrame = {
+    val sets = withShingleHashes(documents).select(col("doc_id"), col("source"), col("sh"))
+    val evalSh = sets.filter(col("source") === evalSource)
+      .select(explode(col("sh")).as("sh_h")).distinct()
+    val corpus = sets.filter(col("source") =!= evalSource)
+    val shared = corpus.select(col("doc_id"), explode(col("sh")).as("sh_h"))
+      .join(evalSh, "sh_h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    corpus.select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+      .orderBy("doc_id")
+  }
+
   /** d05_embed_dedup — embedding-cosine near-dup pairs. Brute-force
     * all-pairs is the correctness baseline (the oracle); the
     * bucketed-ANN scale path lives in graft.ann. All arithmetic is

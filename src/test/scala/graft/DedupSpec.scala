@@ -81,6 +81,24 @@ class DedupSpec extends SparkSpecBase {
     assert(cands < n / 20, s"candidate volume $cands degenerated for n=$n")
   }
 
+  test("decontaminate flags the doc that leaks the benchmark, not the clean ones") {
+    val bench = "the capital of france is paris and the capital of spain is madrid"
+    val leak = "answer key the capital of france is paris and the capital of spain"
+    val clean = "a completely unrelated training document about cooking pasta at home"
+    val short = "too short" // < 3 tokens after split? 2 tokens -> skipped
+    val d = Seq(
+      (0L, bench, "eval"), (1L, leak, "train"), (2L, clean, "train"),
+      (3L, short, "train")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.decontaminate(d, evalSource = "eval", minShared = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L)._2, s"leaked doc not flagged: ${out(1L)}")
+    assert(out(1L)._1 >= 5)
+    assert(!out(2L)._2 && out(2L)._1 == 0)
+    assert(!out.contains(3L), "sub-3-token doc should carry no shingles")
+    assert(!out.contains(0L), "eval docs are the reference set, not scored")
+  }
+
   test("dfCap drops a planted hot shingle and bounds the pair blowup") {
     // 40 docs all sharing one hot 3-gram ("common shared prefix") but
     // otherwise disjoint: uncapped, the hot shingle makes every pair a
