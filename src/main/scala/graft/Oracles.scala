@@ -522,6 +522,15 @@ object Oracles {
          SELECT vec_id, label, c_label AS assigned_label, (label = c_label) AS is_match
          FROM r WHERE rn = 1 ORDER BY vec_id""",
 
+    // t12: the pattern is lookaround-free with identical leftmost-first
+    // alternation on Java regex and RE2; '' doubles the SQL-quote
+    "t12_bpe_tokens" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(lower(trim(text)),
+             '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+')) AS n_bpe_tokens,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_ws_tokens
+         FROM documents ORDER BY doc_id""",
+
     "t01_token_stats" ->
       """SELECT doc_id,
          len(string_split_regex(trim(text), '\s+')) AS n_tokens,

@@ -18,8 +18,8 @@ import graft.Scans
 object TextStats {
 
   /** t01_token_stats — tokenization + per-doc token/char counts.
-    * Whitespace tokenizer (the reference for token counting; a BPE-ish
-    * regex variant is `bpeTokenCount` below). */
+    * Whitespace tokenizer (the reference for token counting; the
+    * BPE-pretokenizer variant is t12 `bpeTokens` below). */
   def tokenStats(documents: DataFrame): DataFrame =
     documents
       .withColumn("toks", split(trim(col("text")), "\\s+"))
@@ -31,13 +31,27 @@ object TextStats {
         col("n_chars"))
       .orderBy("doc_id")
 
-  /** Sub-word-ish token count: splits on word/non-word boundaries the
-    * way a BPE pre-tokenizer does its first pass. Not oracle-checked
-    * (regex-engine-specific); spec-tested. */
-  def bpeTokenCount(documents: DataFrame): DataFrame =
+  /** The GPT-2-style pre-tokenizer pattern, restricted to constructs
+    * with identical leftmost-first alternation semantics on Java regex
+    * (Spark) and RE2 (the DuckDB oracle): contraction suffixes,
+    * space-attached letter/digit/punctuation runs, whitespace runs. No
+    * lookarounds (RE2 has none), ASCII classes (case folded first). */
+  private val bpePattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
+
+  /** t12_bpe_tokens — token counting in the units models bill in: a
+    * BPE pre-tokenizer's first pass next to the whitespace count, so
+    * length filters and the t10 packing math can work in model-ish
+    * tokens ("words + punctuation + contraction splits") instead of
+    * words. Single narrow regexp pass at scan speed; a production
+    * pipeline swaps the pattern for its tokenizer's exact pre-tokenize
+    * regex — the plumbing and the oracle protocol are unchanged. */
+  def bpeTokens(documents: DataFrame): DataFrame =
     documents
+      .withColumn("t", lower(trim(col("text"))))
       .select(col("doc_id"),
-        size(filter(split(col("text"), "(?=\\W)|(?<=\\W)"), t => t =!= "")).as("n_bpe_tokens"))
+        size(regexp_extract_all(col("t"), lit(bpePattern), lit(0))).as("n_bpe_tokens"),
+        size(split(col("t"), "\\s+")).as("n_ws_tokens"))
       .orderBy("doc_id")
 
   private def nchars = length(col("text"))

@@ -106,9 +106,14 @@ class TextSpec extends SparkSpecBase {
     assert(fp == expected)
   }
 
-  test("bpeTokenCount splits on word boundaries") {
-    val d = Seq((0L, "hello, world!")).toDF("doc_id", "text")
-    // tokens: hello , ' ' world ! -> 5 non-empty pieces
-    assert(TextStats.bpeTokenCount(d).collect()(0).getInt(1) == 5)
+  test("bpeTokens splits contractions, punctuation and numbers like a pre-tokenizer") {
+    val d = Seq((0L, "I can't pay $12.50, she'll agree!"), (1L, "plain words only"))
+      .toDF("doc_id", "text")
+    val out = TextStats.bpeTokens(d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // lowercased: "i| can|'t| pay| $|12|.|50|,| she|'ll| agree|!" = 13 bpe vs 6 ws
+    assert(out(0L) == (13, 6), s"got ${out(0L)}")
+    assert(out(1L) == (3, 3))
   }
+
 }
