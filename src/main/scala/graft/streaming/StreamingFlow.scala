@@ -120,6 +120,41 @@ object StreamingFlow {
       .withColumn("quality", graft.text.TextStats.qualityExpr)
       .withColumn("route", when(col("quality") >= minQuality, "pass").otherwise("reject"))
 
+  /** The benchmark shingle union for [[streamDecontaminate]], derived
+    * once from a static documents table (the d09 eval side), sorted
+    * for a deterministic plan literal. Benchmarks are small by
+    * definition, so this is a bounded driver array. */
+  def evalShingleSet(documents: DataFrame, evalSource: String = "src0"): Array[Long] =
+    graft.dedup.Dedup.withShingleHashes(
+        documents.filter(col("source") === evalSource))
+      .select(explode(col("sh")).as("sh_h")).distinct()
+      .collect().map(_.getLong(0)).sorted
+
+  /** s11_stream_decontaminate — ingest-time benchmark decontamination,
+    * the streaming twin of batch d09: each arriving doc's distinct
+    * shingle-hash set (one compiled graft_shingle_hashes call)
+    * intersects the broadcast eval shingle union; `minShared` shared
+    * shingles routes it to quarantine. Stateless per-row transform —
+    * no watermark, no state store, runs at ingest line rate. The eval
+    * set rides as a plan literal, the right shape for benchmark-sized
+    * sets; a corpus-scale contamination list would use the d09 batch
+    * join instead. Sub-3-token docs carry no shingles and pass (the
+    * d09 convention: they cannot leak a 3-gram). */
+  def streamDecontaminate(stream: DataFrame, evalShingles: Array[Long],
+                          minShared: Long = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    stream
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("sh",
+        when(size(col("toks")) >= 3, expr("graft_shingle_hashes(toks, 3)"))
+          .otherwise(array().cast("array<bigint>")))
+      .withColumn("n_shared",
+        size(array_intersect(col("sh"), typedLit(evalShingles))).cast("long"))
+      .withColumn("route",
+        when(col("n_shared") >= minShared, "quarantine").otherwise("pass"))
+      .drop("toks", "sh")
+  }
+
   case class Ev(userId: Long, tsMs: Long)
   case class SessionState(lastMs: Long, sessions: Int)
   case class SessionCount(userId: Long, sessions: Int)

@@ -163,6 +163,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s11 streaming decontamination counts shared shingles identically to batch d09") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bench = "the capital of france is paris and the capital of spain is madrid"
+    val leak = "answer key the capital of france is paris and the capital of spain"
+    val clean = "a completely unrelated training document about cooking pasta at home"
+    val static = Seq(
+      (0L, bench, "eval"), (1L, leak, "train"), (2L, clean, "train")
+    ).toDF("doc_id", "text", "source")
+    val evalSet = StreamingFlow.evalShingleSet(static, evalSource = "eval")
+    assert(evalSet.nonEmpty)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingFlow.streamDecontaminate(
+        input.toDF().toDF("doc_id", "text"), evalSet, minShared = 5)
+      .writeStream.format("memory").queryName("decon_out").outputMode("append").start()
+    try {
+      input.addData((1L, leak), (2L, clean), (3L, "too short"))
+      q.processAllAvailable()
+      val rows = spark.table("decon_out").orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+      assert(rows(1L)._2 == "quarantine" && rows(2L)._2 == "pass")
+      assert(rows(3L) == (0L, "pass"), "sub-3-token doc carries no shingles")
+      // stream n_shared == batch d09 n_shared for the same docs
+      val batch = graft.dedup.Dedup.decontaminate(static, "eval", 5).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows(1L)._1 == batch(1L) && rows(2L)._1 == batch(2L),
+        s"stream ${rows.view.mapValues(_._1).toMap} vs batch $batch")
+    } finally q.stop()
+  }
+
   test("s10 quality gate routes docs and scores identically to batch t02") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
