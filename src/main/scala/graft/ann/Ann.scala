@@ -394,7 +394,14 @@ object Ann {
     * re-score. This is the FAISS IVF-PQ layout: at 1e9+ vectors the
     * IVF part keeps the scan sub-linear and the PQ part keeps the
     * index in executor memory — either alone runs out of one or the
-    * other. Recall vs brute is spec-bounded (AnnSpec). */
+    * other. Recall vs brute is spec-bounded (AnnSpec).
+    *
+    * Codes are over the ORIGINAL vectors (FAISS's by_residual=false
+    * variant): one shared codebook, one encode pass, per-query ADC
+    * tables independent of the probed cell. The by_residual=true
+    * variant quantizes v - centroid(cell) for finer codes at the cost
+    * of per-(query, cell) ADC tables; with the exact re-rank pass on
+    * top, the recall difference is absorbed by `rerank` here. */
   def ivfPqKnn(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
                nprobe: Int = 2, cells: Int = 0,
                m: Int = 8, ksub: Int = 16, iters: Int = 5,

@@ -253,13 +253,14 @@ object RelationalOps {
     * the physical plan never re-executes the subquery per row — the
     * same plan a hand-decorrelated formulation gets, with the honest
     * SQL surface users actually write. */
-  def correlatedSubquery(lineitem: DataFrame, part: DataFrame): DataFrame =
+  def correlatedSubquery(lineitem: DataFrame, part: DataFrame,
+                         ratio: Double = 0.5): DataFrame =
     sqlOverViews("lineitem" -> lineitem, "part" -> part) { v =>
       s"""SELECT p_brand,
                 count(*) AS n_small,
                 floor(sum(l_extendedprice)*100 + 0.5)/100 AS small_revenue
          FROM ${v("lineitem")} JOIN ${v("part")} ON p_partkey = l_partkey
-         WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+         WHERE l_quantity < (SELECT $ratio * avg(l2.l_quantity)
                              FROM ${v("lineitem")} l2
                              WHERE l2.l_partkey = p_partkey)
          GROUP BY p_brand

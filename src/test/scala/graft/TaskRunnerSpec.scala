@@ -31,6 +31,11 @@ class TaskRunnerSpec extends SparkSpecBase {
     assert(TaskRunner.run(spark, d, "q02_topn_flow", params).count() == 5)
   }
 
+  test("every param-aware runner binds an existing inventory query") {
+    val orphans = TaskRunner.runners.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"runners with no inventory query: $orphans")
+  }
+
   test("queries without a param binding fall back to SparkEntry defaults") {
     assert(TaskRunner.run(spark, d, "q01_flow_agg").count() > 0)
     intercept[IllegalArgumentException] {
