@@ -523,12 +523,13 @@ object Oracles {
          FROM r WHERE rn = 1 ORDER BY vec_id""",
 
     // t12: the pattern is lookaround-free with identical leftmost-first
-    // alternation on Java regex and RE2; '' doubles the SQL-quote
+    // alternation on Java regex and RE2; whitespace is an explicit
+    // class (Java \s has \x0B, RE2's does not); '' doubles the SQL-quote
     "t12_bpe_tokens" ->
       """SELECT doc_id,
          len(regexp_extract_all(lower(trim(text)),
-             '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+')) AS n_bpe_tokens,
-         len(string_split_regex(lower(trim(text)), '\s+')) AS n_ws_tokens
+             '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+')) AS n_bpe_tokens,
+         len(string_split_regex(lower(trim(text)), '[ \t\n\f\r\x0B]+')) AS n_ws_tokens
          FROM documents ORDER BY doc_id""",
 
     "t01_token_stats" ->

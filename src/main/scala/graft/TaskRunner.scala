@@ -39,6 +39,8 @@ object TaskRunner {
       case Some(v) if v <= 0 => None
       case Some(v) => Some(v)
     }
+  private def capI(p: Map[String, String], k: String, default: Int): Option[Int] =
+    capL(p, k, default.toLong).map(_.toInt)
 
   /** The reference's tasks carry a date range; every events-driven
     * analysis honors optional ISO `startTs`/`endTs` params. The filter
@@ -69,8 +71,9 @@ object TaskRunner {
       Tables.orders(s, d), Tables.customer(s, d), dbl(p, "rsd", 0.02))),
     "q29_percentile_approx" -> ((s, d, p) => RelationalOps.percentilesApprox(
       Tables.lineitem(s, d), i(p, "accuracy", 10000))),
+    // maxEvents mirrors the SparkEntry default cap; 0 disables it
     "q08_car_track" -> ((s, d, p) => TrackAnalytics.carTrack(
-      eventsIn(s, d, p), p.get("maxEvents").map(_.trim.toInt))),
+      eventsIn(s, d, p), capI(p, "maxEvents", 1000))),
     "q09_funnel_step" -> ((s, d, p) => TrackAnalytics.funnelStep(eventsIn(s, d, p))),
     "q10_collision" -> ((s, d, p) => TrackAnalytics.collision(
       eventsIn(s, d, p), str(p, "typeA", "click"), str(p, "typeB", "purchase"))),

@@ -224,7 +224,12 @@ object Ann {
       val k =
         if (cells > 0) cells
         else math.max(1, math.round(math.sqrt(embeddings.count().toDouble)).toInt)
-      kmeansCentroids(embeddings, k)
+      // trainSample must scale with k or kmeansCentroids' kEff cap
+      // silently re-freezes the cell count at the corpus sizes this
+      // path exists for (FAISS recommends ~39 samples/centroid; 32/k
+      // with a 4096 floor keeps the driver collect bounded at ~32k
+      // vectors even for k = sqrt(1e9) ~ 32k cells)
+      kmeansCentroids(embeddings, k, trainSample = math.max(4096, 32 * k))
     }
 
   /** a04_ivf_knn — IVF search: every candidate vector is stored in its

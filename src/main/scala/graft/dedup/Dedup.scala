@@ -183,8 +183,9 @@ object Dedup {
     * smaller than the corpus (it holds only above-threshold near-dup
     * pairs), so first count it — the count also materializes the
     * cached pair list exactly once. At or below `localEdgeLimit`
-    * edges (~60 bytes/edge peak with the primitive-array union-find,
-    * ~240 MiB at the 4M default) the edge list is a bounded collect:
+    * edges (~150 bytes/edge peak: collected tuples + the open-
+    * addressed table + id/parent arrays — ~150 MiB at the 1M default)
+    * the edge list is a bounded collect:
     * union-find with path compression on the
     * driver is microseconds, against 3+ full Spark jobs of fixed
     * latency per min-label round. Above the limit — a 100 TB corpus
@@ -198,7 +199,7 @@ object Dedup {
     * rounds. */
   def dedupClusters(documents: DataFrame, threshold: Double = 0.8,
                     dfCap: Option[Long] = None, maxIters: Int = 20,
-                    localEdgeLimit: Long = 4L << 20): DataFrame = {
+                    localEdgeLimit: Long = 1L << 20): DataFrame = {
     // cache the pair list BEFORE any reuse — the symmetric union and
     // the iteration would otherwise run the whole LSH pipeline twice
     val pairs = minHashPairs(documents, threshold, dfCap = dfCap)
@@ -228,10 +229,11 @@ object Dedup {
     * pair-graph doc_ids appear — singletons join back in the caller.
     *
     * Primitive end-to-end: edges collect as specialized (Long, Long)
-    * tuples and the id->index map is open-addressed over flat long/int
-    * arrays, so the driver footprint is ~60 bytes/edge peak (the boxed
-    * Map[Long,Long] formulation measured 10-25x the naive 16 B/edge
-    * estimate) — ~240 MiB at the 4M-edge default limit. */
+    * tuples (~40 B/edge transient) and the id->index map is
+    * open-addressed over flat long/int arrays (~110 B/edge at the
+    * <=0.5 load factor), ~150 B/edge peak — versus the boxed
+    * Map[Long,Long] formulation's 10-25x blowup over the naive
+    * estimate that ADVICE flagged. */
   private def localUnionFind(spark: org.apache.spark.sql.SparkSession,
                              pairs: DataFrame): DataFrame = {
     import spark.implicits._

@@ -120,12 +120,22 @@ object Sources {
       val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
       val conn = java.sql.DriverManager.getConnection(url)
       try {
-        val st = conn.createStatement()
-        try st.executeUpdate(
-          s"DELETE FROM $table WHERE ${dialect.quoteIdentifier("batch_id")} = $batchId")
-        finally st.close()
-      } catch {
-        case _: java.sql.SQLException => () // first batch: table not created yet
+        // existence probe instead of swallowing SQLException: a DELETE
+        // that fails for any reason OTHER than "first batch, no table
+        // yet" (lock timeout, dropped connection) must abort the batch,
+        // or the replayed rows would duplicate — the exact failure mode
+        // this writer exists to prevent
+        val meta = conn.getMetaData
+        def exists(n: String): Boolean = {
+          val rs = meta.getTables(null, null, n, null)
+          try rs.next() finally rs.close()
+        }
+        if (exists(table) || exists(table.toUpperCase) || exists(table.toLowerCase)) {
+          val st = conn.createStatement()
+          try st.executeUpdate(
+            s"DELETE FROM $table WHERE ${dialect.quoteIdentifier("batch_id")} = $batchId")
+          finally st.close()
+        }
       } finally conn.close()
       batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
         .write.format("jdbc").mode("append")

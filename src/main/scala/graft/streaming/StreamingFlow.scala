@@ -145,9 +145,9 @@ object StreamingFlow {
     graft.functions.GraftFunctions.register(stream.sparkSession)
     stream
       .withColumn("toks", split(lower(col("text")), "\\s+"))
-      .withColumn("sh",
-        when(size(col("toks")) >= 3, expr("graft_shingle_hashes(toks, 3)"))
-          .otherwise(array().cast("array<bigint>")))
+      // graft_shingle_hashes already yields an empty array below n
+      // tokens — no short-doc guard needed
+      .withColumn("sh", expr("graft_shingle_hashes(toks, 3)"))
       .withColumn("n_shared",
         size(array_intersect(col("sh"), typedLit(evalShingles))).cast("long"))
       .withColumn("route",

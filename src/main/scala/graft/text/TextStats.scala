@@ -35,9 +35,13 @@ object TextStats {
     * with identical leftmost-first alternation semantics on Java regex
     * (Spark) and RE2 (the DuckDB oracle): contraction suffixes,
     * space-attached letter/digit/punctuation runs, whitespace runs. No
-    * lookarounds (RE2 has none), ASCII classes (case folded first). */
+    * lookarounds (RE2 has none), ASCII classes (case folded first),
+    * and whitespace spelled as an EXPLICIT class — Java's \s includes
+    * vertical tab (\x0B), RE2's does not, so \s itself is not
+    * engine-portable. */
+  private val bpeWs = " \\t\\n\\f\\r\\x0B"
   private val bpePattern =
-    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
+    s"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9$bpeWs]+|[$bpeWs]+"
 
   /** t12_bpe_tokens — token counting in the units models bill in: a
     * BPE pre-tokenizer's first pass next to the whitespace count, so
@@ -51,7 +55,7 @@ object TextStats {
       .withColumn("t", lower(trim(col("text"))))
       .select(col("doc_id"),
         size(regexp_extract_all(col("t"), lit(bpePattern), lit(0))).as("n_bpe_tokens"),
-        size(split(col("t"), "\\s+")).as("n_ws_tokens"))
+        size(split(col("t"), s"[$bpeWs]+")).as("n_ws_tokens"))
       .orderBy("doc_id")
 
   private def nchars = length(col("text"))
