@@ -31,6 +31,27 @@ class TaskRunnerSpec extends SparkSpecBase {
     assert(TaskRunner.run(spark, d, "q02_topn_flow", params).count() == 5)
   }
 
+  test("q08 cap params: default cap is non-binding at test SF, 0 disables it") {
+    val capped = TaskRunner.run(spark, d, "q08_car_track").collect()
+    val uncapped = TaskRunner.run(spark, d, "q08_car_track",
+      Map("maxEvents" -> "0")).collect()
+    val tight = TaskRunner.run(spark, d, "q08_car_track",
+      Map("maxEvents" -> "1")).collect()
+    assert(capped.toSeq == uncapped.toSeq, "default 1000 cap must be non-binding here")
+    assert(tight.forall(_.getLong(2) == 1L), "maxEvents=1 must truncate every track")
+  }
+
+  test("a04 cell params: labelCells=true reproduces the registered oracle twin") {
+    val labeled = TaskRunner.run(spark, d, "a04_ivf_knn",
+      Map("labelCells" -> "true")).collect().toSeq
+    val registered = SparkEntry.queries("a04_ivf_knn")(spark, d).collect().toSeq
+    assert(labeled == registered)
+    // unlabeled default with pinned cells still returns k rows per query
+    val kmeans = TaskRunner.run(spark, d, "a04_ivf_knn",
+      Map("cells" -> "5")).collect()
+    assert(kmeans.nonEmpty)
+  }
+
   test("every param-aware runner binds an existing inventory query") {
     val orphans = TaskRunner.runners.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"runners with no inventory query: $orphans")
