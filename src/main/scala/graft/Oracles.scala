@@ -532,6 +532,24 @@ object Oracles {
          len(string_split_regex(lower(trim(text)), '[ \t\n\f\r\x0B]+')) AS n_ws_tokens
          FROM documents ORDER BY doc_id""",
 
+    // t13: shared n-gram EQUALITY again lets the oracle count strings
+    // where Spark counts 64-bit hashes (the d09 argument); the mean is
+    // exact-integer-sum / exact-integer-count — IEEE-identical
+    "t13_ngram_novelty" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(toks[i:i+1], ' ')
+                                 for i in range(1, len(toks))]) AS bg
+           FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                 FROM documents)
+           WHERE len(toks) >= 2),
+         e AS (SELECT doc_id, unnest(bg) AS b FROM t),
+         dfq AS (SELECT b, count(*) AS df FROM e GROUP BY b)
+         SELECT doc_id, count(*) AS n_ngrams,
+                floor((CAST(sum(df) AS DOUBLE)/count(*))*10000 + 0.5)/10000 AS mean_ngram_df
+         FROM e JOIN dfq USING (b)
+         GROUP BY doc_id ORDER BY doc_id""",
+
     "t01_token_stats" ->
       """SELECT doc_id,
          len(string_split_regex(trim(text), '\s+')) AS n_tokens,

@@ -158,7 +158,9 @@ object TaskRunner {
     "t10_seq_pack" -> ((s, d, p) => TextStats.seqPack(
       Tables.documents(s, d), i(p, "ctxLen", 2048), l(p, "bucketSize", 1024L))),
     "t11_span_dedup" -> ((s, d, p) => TextStats.spanDedup(
-      Tables.documents(s, d), i(p, "spanTokens", 10)))
+      Tables.documents(s, d), i(p, "spanTokens", 10))),
+    "t13_ngram_novelty" -> ((s, d, p) => TextStats.ngramNovelty(
+      Tables.documents(s, d), i(p, "n", 2)))
   )
 
   /** Run any inventory query under a param set; unknown params are

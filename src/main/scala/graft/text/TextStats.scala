@@ -286,4 +286,29 @@ object TextStats {
         stableRound(col("dup_spans") / col("n_spans"), 4).as("dup_share"))
       .orderBy("doc_id")
   }
+
+  /** t13_ngram_novelty — corpus-normalized phrase novelty: each doc's
+    * mean document frequency over its distinct word n-grams (default
+    * bigrams). High mean-DF documents are built from phrases the whole
+    * corpus repeats — boilerplate, templates, navigation chrome — the
+    * document-frequency feature pass curation pipelines score before
+    * filtering. Two partial-agg-friendly passes over (doc_id, 8-byte
+    * n-gram hash) pairs: the DF count shuffles on the hash, the
+    * re-join shuffles on the same key, text never leaves the scan
+    * (the d02 inverted-index shape minus the quadratic pair step).
+    * mean_ngram_df is a sum of exact long counts divided by an exact
+    * long — an exact IEEE division both engines share (SURVEY §5). */
+  def ngramNovelty(documents: DataFrame, n: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val e = graft.Scans.spreadIfNarrow(documents, col("doc_id"))
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(s"graft_shingle_hashes(toks, $n)")).as("ng_h"))
+    val df = e.groupBy("ng_h").agg(count(lit(1)).as("df"))
+    e.join(df, "ng_h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        stableRound(sum("df") / count(lit(1)), 4).as("mean_ngram_df"))
+      .orderBy("doc_id")
+  }
 }

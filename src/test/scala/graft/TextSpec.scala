@@ -106,6 +106,18 @@ class TextSpec extends SparkSpecBase {
     assert(fp == expected)
   }
 
+  test("ngramNovelty scores corpus-wide boilerplate above unique prose") {
+    val boiler = "click here to subscribe now"
+    val d = Seq(
+      (0L, boiler), (1L, boiler), (2L, boiler),
+      (3L, "entirely unique prose about falcons hunting at dawn")
+    ).toDF("doc_id", "text")
+    val out = TextStats.ngramNovelty(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(0L) == 3.0, s"boilerplate mean DF ${out(0L)}") // every bigram in 3 docs
+    assert(out(3L) == 1.0, s"unique-prose mean DF ${out(3L)}")
+  }
+
   test("bpeTokens splits contractions, punctuation and numbers like a pre-tokenizer") {
     val d = Seq((0L, "I can't pay $12.50, she'll agree!"), (1L, "plain words only"))
       .toDF("doc_id", "text")
