@@ -377,6 +377,19 @@ object Oracles {
                (x, y) -> x + y) / (a.nrm*b.nrm) >= 0.5
          ORDER BY vec_a, vec_b"""
 
+  /** d10: the d02/d03 pair set rolled up to source pairs (unordered,
+    * least/greatest-normalized). */
+  private lazy val sourceOverlapSql =
+    s"""WITH ndp AS (
+          ${ngramJaccardSql.replace("ORDER BY doc_a, doc_b", "")}),
+        srcs AS (SELECT doc_id, source FROM documents)
+        SELECT least(sa.source, sb.source) AS source_a,
+               greatest(sa.source, sb.source) AS source_b,
+               count(*) AS n_pairs
+        FROM ndp JOIN srcs sa ON ndp.doc_a = sa.doc_id
+                 JOIN srcs sb ON ndp.doc_b = sb.doc_id
+        GROUP BY source_a, source_b ORDER BY source_a, source_b"""
+
   /** Shared by d07/d08: cluster labels over the d02/d03 pair graph via
     * recursive transitive closure (pair graphs at verify scale are
     * tiny; Spark's resolution strategies must agree). */
@@ -440,6 +453,7 @@ object Oracles {
 
     "d02_ngram_jaccard" -> ngramJaccardSql,
     "d03_minhash_lsh" -> ngramJaccardSql,
+    "d10_source_overlap" -> sourceOverlapSql,
 
     "d05_embed_dedup" -> embedDedupSql,
     "d06_embed_dedup_lsh" -> embedDedupSql,

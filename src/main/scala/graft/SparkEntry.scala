@@ -94,6 +94,8 @@ object SparkEntry {
     "d07_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d), dfCap = Some(1000L))),
     "d08_dedup_apply" -> ((s, d) => Dedup.dedupApply(Tables.documents(s, d), dfCap = Some(1000L))),
     "d09_decontaminate" -> ((s, d) => Dedup.decontaminate(Tables.documents(s, d))),
+    "d10_source_overlap" -> ((s, d) => Dedup.sourceOverlap(
+      Tables.documents(s, d), dfCap = Some(1000L))),
     "a07_knn_join" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Ann.knnJoin(e, centroids = Some(Ann.labelCentroids(e)))

@@ -153,6 +153,9 @@ object TaskRunner {
     "d09_decontaminate" -> ((s, d, p) => Dedup.decontaminate(
       Tables.documents(s, d), str(p, "evalSource", "src0"),
       l(p, "minShared", 8L))),
+    "d10_source_overlap" -> ((s, d, p) => Dedup.sourceOverlap(
+      Tables.documents(s, d), dbl(p, "threshold", 0.8),
+      capL(p, "dfCap", 1000L))),
     "q35_salted_join" -> ((s, d, p) => RelationalOps.saltedJoin(
       Tables.lineitem(s, d), Tables.supplier(s, d), i(p, "salts", 8))),
     "t10_seq_pack" -> ((s, d, p) => TextStats.seqPack(

@@ -394,6 +394,28 @@ object Dedup {
       .distinct()
   }
 
+  /** d10_source_overlap — which sources duplicate which: the verified
+    * near-dup pair graph (the d03 LSH path, so candidates stay
+    * bucket-local) rolled up to an unordered source x source overlap
+    * matrix. The report that tells a curation team two crawls ingest
+    * the same sites, or that a "new" source is a near-copy of an old
+    * one, before any doc-level decision runs. Pairs are tiny relative
+    * to the corpus; the two source lookups shuffle only (doc_id,
+    * source) pairs. */
+  def sourceOverlap(documents: DataFrame, threshold: Double = 0.8,
+                    dfCap: Option[Long] = None): DataFrame = {
+    val pairs = minHashPairs(documents, threshold, dfCap = dfCap)
+    val src = documents.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** d09_decontaminate — benchmark-contamination detection, the
     * decontamination pass every serious pre-training pipeline runs
     * (Dolma/DataComp shape): documents from `evalSource` form the

@@ -81,6 +81,23 @@ class DedupSpec extends SparkSpecBase {
     assert(cands < n / 20, s"candidate volume $cands degenerated for n=$n")
   }
 
+  test("sourceOverlap rolls near-dup pairs into an unordered source matrix") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val other = "completely different words forming another document entirely here now"
+    val d = Seq(
+      (0L, base, "crawlB"), (1L, near, "crawlA"), // cross-source near-dup
+      (2L, base + " x", "crawlA"),                // same-pair within... near of 0 too
+      (3L, other, "crawlC")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(d, threshold = 0.5).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // pairs: (0,1) B-A, (0,2) B-A, (1,2) A-A; least/greatest normalizes
+    assert(out(("crawlA", "crawlB")) == 2L, s"got $out")
+    assert(out(("crawlA", "crawlA")) == 1L)
+    assert(!out.keySet.exists { case (a, b) => a.contains("crawlC") || b.contains("crawlC") })
+  }
+
   test("decontaminate flags the doc that leaks the benchmark, not the clean ones") {
     val bench = "the capital of france is paris and the capital of spain is madrid"
     val leak = "answer key the capital of france is paris and the capital of spain"
