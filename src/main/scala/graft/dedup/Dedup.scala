@@ -375,15 +375,22 @@ object Dedup {
       s"simHash: maxHamming $maxHamming outside [1,3] — the 6-block combination " +
         "scheme is exact only up to 3 differing blocks; raise the block count for more")
     val comboSize = 6 - maxHamming
+    // hoist the 6 block extractions into named columns so the C(6,k)
+    // key structs reference them instead of re-deriving each shift
+    // C(5,k-1) times — a ~3x smaller generated-code body for Janino
+    val withBlocks = (0 until 6).foldLeft(fp) { (df, b) =>
+      df.withColumn(s"blk$b", expr(s"shiftright(simhash, ${b * 10}) & 1023"))
+    }
     val keyStructs = (0 until 6).combinations(comboSize).zipWithIndex.map {
       case (combo, t) =>
         // concatenate the combination's 10-bit blocks into one key
         val key = combo.zipWithIndex.map { case (b, slot) =>
-          s"((shiftright(simhash, ${b * 10}) & 1023) << ${slot * 10})"
+          s"(blk$b << ${slot * 10})"
         }.mkString(" | ")
         s"struct($t AS ci, $key AS cv)"
     }
-    val keys = fp.withColumn("chunk", explode(expr(s"array(${keyStructs.mkString(",")})")))
+    val keys = withBlocks
+      .withColumn("chunk", explode(expr(s"array(${keyStructs.mkString(",")})")))
       .select(col("doc_id"), col("simhash"), col("chunk.ci").as("ci"), col("chunk.cv").as("cv"))
     keys.as("x")
       .join(keys.as("y"),
