@@ -40,7 +40,9 @@ object TaskRunner {
       case Some(v) => Some(v)
     }
   private def capI(p: Map[String, String], k: String, default: Int): Option[Int] =
-    capL(p, k, default.toLong).map(_.toInt)
+    // clamp before narrowing: a cap above Int.MaxValue means "huge",
+    // not a wrapped-negative cap that silently empties the result
+    capL(p, k, default.toLong).map(v => math.min(v, Int.MaxValue.toLong).toInt)
 
   /** The reference's tasks carry a date range; every events-driven
     * analysis honors optional ISO `startTs`/`endTs` params. The filter

@@ -212,24 +212,64 @@ object Ann {
       .toDF("c_label", "centroid")
   }
 
+  /** Distributed-update Lloyd for LARGE cell counts: past what a
+    * bounded driver sample can train (32 samples/centroid stops
+    * fitting a sane collect around k ~ 4k), the centroid UPDATE moves
+    * to the cluster — each iteration is one broadcast nearest-centroid
+    * assign pass over the corpus plus one narrow per-(cell, pos) mean,
+    * the classic distributed k-means. The driver only ever holds the
+    * k x dim centroid table (collected and re-broadcast per iteration
+    * so lineage stays flat — the a05 pattern); `iters` full corpus
+    * passes is the honest cost of training a big quantizer. Seeds are
+    * the k scrambled-first vectors, re-labeled 1..k in vec_id order
+    * (the sampled build's determinism contract). */
+  def kmeansCentroidsDistributed(embeddings: DataFrame, k: Int,
+                                 iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    def collected(df: DataFrame): DataFrame =
+      df.collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
+        .toDF("c_label", "centroid")
+    val seeds = embeddings.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select(
+        row_number().over(Window.orderBy("vec_id")).as("c_label"),
+        col("embedding").as("centroid"))
+      .collect()
+    require(seeds.nonEmpty,
+      "kmeansCentroidsDistributed: embeddings table is empty — nothing to train on")
+    var cents = seeds.map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
+      .toDF("c_label", "centroid")
+    for (_ <- 1 to iters) {
+      val assigned = assign(embeddings.select(col("vec_id"), col("embedding")), cents)
+      cents = collected(assigned
+        .select(col("c_label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("c_label", "pos").agg(avg("x").as("cx"))
+        .groupBy("c_label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          s => s.getField("cx").cast("float")).as("centroid")))
+    }
+    cents
+  }
+
   /** Cell table for the IVF operators: an explicit centroid table wins;
-    * otherwise train k-means on a bounded sample with `cells` cells —
-    * 0 means the IVF norm k ~ sqrt(n) (FAISS guidance), so the
-    * per-cell candidate volume n/k and the probe fan-out both grow as
-    * sqrt(n) instead of one of them going quadratic. The count is a
-    * parquet-metadata action, not a scan. */
+    * otherwise train k-means with `cells` cells — 0 means the IVF norm
+    * k ~ sqrt(n) (FAISS guidance), so the per-cell candidate volume
+    * n/k and the probe fan-out both grow as sqrt(n) instead of one of
+    * them going quadratic. The count is a parquet-metadata action, not
+    * a scan. Builder choice by k: the sample-trained Lloyd (constant
+    * cost, 32 samples/centroid, <=131k-vector collect) up to 4096
+    * cells, the distributed-update Lloyd beyond — the driver never
+    * holds more than the k x dim centroid table either way. */
   private def resolveCentroids(embeddings: DataFrame, centroids: Option[DataFrame],
                                cells: Int): DataFrame =
     centroids.getOrElse {
       val k =
         if (cells > 0) cells
         else math.max(1, math.round(math.sqrt(embeddings.count().toDouble)).toInt)
-      // trainSample must scale with k or kmeansCentroids' kEff cap
-      // silently re-freezes the cell count at the corpus sizes this
-      // path exists for (FAISS recommends ~39 samples/centroid; 32/k
-      // with a 4096 floor keeps the driver collect bounded at ~32k
-      // vectors even for k = sqrt(1e9) ~ 32k cells)
-      kmeansCentroids(embeddings, k, trainSample = math.max(4096, 32 * k))
+      if (k <= 4096) kmeansCentroids(embeddings, k, trainSample = math.max(4096, 32 * k))
+      else kmeansCentroidsDistributed(embeddings, k)
     }
 
   /** a04_ivf_knn — IVF search: every candidate vector is stored in its

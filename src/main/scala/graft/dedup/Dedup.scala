@@ -52,12 +52,12 @@ object Dedup {
     * large unsplittable files (a single parquet row group cannot be
     * split by config); a pre-split 100 TB scan passes through with no
     * text exchange. */
-  def withShingleHashes(documents: DataFrame): DataFrame = {
+  def withShingleHashes(documents: DataFrame, n: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     graft.Scans.spreadIfNarrow(documents, col("doc_id"))
       .withColumn("toks", split(lower(col("text")), "\\s+"))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("sh", expr("graft_shingle_hashes(toks, 3)"))
+      .filter(size(col("toks")) >= n)
+      .withColumn("sh", expr(s"graft_shingle_hashes(toks, $n)"))
   }
 
   /** Capped shingle sets: drop shingles whose document frequency

@@ -126,8 +126,14 @@ object Sources {
         // or the replayed rows would duplicate — the exact failure mode
         // this writer exists to prevent
         val meta = conn.getMetaData
+        // getTables treats _ and % as LIKE wildcards — escape them, or
+        // a sink named stream_results matches any streamXresults table
+        // and the DELETE on the truly-missing table kills the query
+        val esc = meta.getSearchStringEscape
         def exists(n: String): Boolean = {
-          val rs = meta.getTables(null, null, n, null)
+          val pat = n.replace(esc, esc + esc)
+            .replace("_", esc + "_").replace("%", esc + "%")
+          val rs = meta.getTables(null, null, pat, Array("TABLE"))
           try rs.next() finally rs.close()
         }
         if (exists(table) || exists(table.toUpperCase) || exists(table.toLowerCase)) {

@@ -148,8 +148,11 @@ object StreamingFlow {
       // graft_shingle_hashes already yields an empty array below n
       // tokens — no short-doc guard needed
       .withColumn("sh", expr("graft_shingle_hashes(toks, 3)"))
+      // coalesce: a null text yields null shingles; route it as an
+      // unshared doc (0), not a null that breaks downstream arithmetic
       .withColumn("n_shared",
-        size(array_intersect(col("sh"), typedLit(evalShingles))).cast("long"))
+        coalesce(size(array_intersect(col("sh"), typedLit(evalShingles))), lit(0))
+          .cast("long"))
       .withColumn("route",
         when(col("n_shared") >= minShared, "quarantine").otherwise("pass"))
       .drop("toks", "sh")

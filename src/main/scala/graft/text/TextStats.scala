@@ -299,11 +299,12 @@ object TextStats {
     * mean_ngram_df is a sum of exact long counts divided by an exact
     * long — an exact IEEE division both engines share (SURVEY §5). */
   def ngramNovelty(documents: DataFrame, n: Int = 2): DataFrame = {
-    graft.functions.GraftFunctions.register(documents.sparkSession)
-    val e = graft.Scans.spreadIfNarrow(documents, col("doc_id"))
-      .withColumn("toks", split(lower(col("text")), "\\s+"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(expr(s"graft_shingle_hashes(toks, $n)")).as("ng_h"))
+    // shared tokenize-and-shingle pipeline (one definition to evolve);
+    // persisted because the exploded relation feeds BOTH the DF count
+    // and the probe side of the re-join — the minHashPairs precedent
+    val e = graft.dedup.Dedup.withShingleHashes(documents, n)
+      .select(col("doc_id"), explode(col("sh")).as("ng_h"))
+      .persist()
     val df = e.groupBy("ng_h").agg(count(lit(1)).as("df"))
     e.join(df, "ng_h")
       .groupBy("doc_id")

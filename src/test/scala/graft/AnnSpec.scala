@@ -75,6 +75,19 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"k-means-cell knnJoin recall $recall too low")
   }
 
+  test("distributed-update Lloyd trains cells that keep knnJoin recall on unlabeled clusters") {
+    val oneCell = Seq((1, Array(1.0f, 1.0f, 1.0f, 1.0f))).toDF("c_label", "centroid")
+    val exact = Ann.knnJoin(unlabeled, k = 3, nprobe = 1,
+      centroids = Some(oneCell)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Ann.kmeansCentroidsDistributed(unlabeled, k = 4, iters = 2)
+    val viaDist = Ann.knnJoin(unlabeled, k = 3, nprobe = 2,
+      centroids = Some(cents)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (viaDist intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"distributed-Lloyd-cell knnJoin recall $recall too low")
+  }
+
   test("ivfKnn default (unlabeled k-means cells) matches brute on planted clusters") {
     val brute = Ann.knnBrute(unlabeled, nQueries = 2, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
