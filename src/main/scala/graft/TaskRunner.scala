@@ -144,11 +144,20 @@ object TaskRunner {
       Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3),
       i(p, "m", 8), i(p, "ksub", 16), i(p, "iters", 5),
       i(p, "trainSample", 2048), i(p, "rerank", 50), i(p, "dim", 64))),
-    "a09_ivf_pq" -> ((s, d, p) => Ann.ivfPqKnn(
-      Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3),
-      i(p, "nprobe", 2), i(p, "cells", 0),
-      i(p, "m", 8), i(p, "ksub", 16), i(p, "iters", 5),
-      i(p, "trainSample", 2048), i(p, "rerank", 50), i(p, "dim", 64))),
+    // byResidual=true swaps in the residual-trained codebook (FAISS
+    // by_residual) — same parameters, finer codes, per-cell ADC tables
+    "a09_ivf_pq" -> ((s, d, p) => {
+      val e = Tables.embeddings(s, d)
+      if (p.get("byResidual").exists(_.trim.toBoolean))
+        Ann.ivfPqKnnResidual(e, i(p, "nQueries", 10), i(p, "k", 3),
+          i(p, "nprobe", 2), i(p, "cells", 0),
+          i(p, "m", 8), i(p, "ksub", 16), i(p, "iters", 5),
+          i(p, "trainSample", 2048), i(p, "rerank", 50), i(p, "dim", 64))
+      else Ann.ivfPqKnn(e, i(p, "nQueries", 10), i(p, "k", 3),
+        i(p, "nprobe", 2), i(p, "cells", 0),
+        i(p, "m", 8), i(p, "ksub", 16), i(p, "iters", 5),
+        i(p, "trainSample", 2048), i(p, "rerank", 50), i(p, "dim", 64))
+    }),
     "d08_dedup_apply" -> ((s, d, p) => Dedup.dedupApply(
       Tables.documents(s, d), dbl(p, "threshold", 0.8),
       capL(p, "dfCap", 1000L))),

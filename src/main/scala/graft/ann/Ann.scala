@@ -319,26 +319,12 @@ object Ann {
     * ADC scan reads 8 ints per vector instead of 64 floats; at 1e9+
     * vectors PQ codes are the only index that fits in executor
     * memory. Approximation quality is spec-bounded against a01. */
-  def pqKnn(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
-            m: Int = 8, ksub: Int = 16, iters: Int = 5,
-            trainSample: Int = 2048, rerank: Int = 50, dim: Int = 64,
-            cellPairs: Option[DataFrame] = None): DataFrame = {
-    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    val subDim = dim / m
-    val spark = embeddings.sparkSession
-    GraftFunctions.register(spark)
-    import spark.implicits._
-    val sample: Array[Array[Float]] = embeddings
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(trainSample)
-      .collect().map(_.getSeq[Float](1).toArray)
-    require(sample.nonEmpty, "pqKnn: embeddings table is empty — nothing to train on")
-    require(sample.length >= ksub,
-      s"pqKnn: training sample (${sample.length}) must cover ksub=$ksub distinct seeds — " +
-        "duplicate seeds would leave permanently empty codebook cells")
-    // per-subspace Lloyd over the sample: deterministic seeds (first
-    // ksub sample subvectors), lowest-cid tie break, empty cells keep
-    // their previous centroid so the codebook stays ksub-sized
+  /** Per-subspace Lloyd over a driver-side sample: deterministic seeds
+    * (first ksub sample subvectors), lowest-cid tie break, empty cells
+    * keep their previous centroid so the codebook stays ksub-sized.
+    * Shared by the plain-PQ (a08) and residual-PQ trainers. */
+  private def trainPqCodebook(sample: Array[Array[Float]], m: Int, ksub: Int,
+                              subDim: Int, iters: Int): Array[Float] = {
     val codebook = new Array[Float](m * ksub * subDim)
     for (sub <- 0 until m) {
       var cents = Array.tabulate(ksub)(c =>
@@ -368,6 +354,27 @@ object Ann {
       for (c <- 0 until ksub; d <- 0 until subDim)
         codebook((sub * ksub + c) * subDim + d) = cents(c)(d).toFloat
     }
+    codebook
+  }
+
+  def pqKnn(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
+            m: Int = 8, ksub: Int = 16, iters: Int = 5,
+            trainSample: Int = 2048, rerank: Int = 50, dim: Int = 64,
+            cellPairs: Option[DataFrame] = None): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val sample: Array[Array[Float]] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(trainSample)
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "pqKnn: embeddings table is empty — nothing to train on")
+    require(sample.length >= ksub,
+      s"pqKnn: training sample (${sample.length}) must cover ksub=$ksub distinct seeds — " +
+        "duplicate seeds would leave permanently empty codebook cells")
+    val codebook = trainPqCodebook(sample, m, ksub, subDim, iters)
     // the trained codebook can't transit SQL text (Column-from-
     // Expression constructors are sql-private), so bind it through a
     // per-call registry entry: the builder closure captures the
@@ -415,9 +422,21 @@ object Ann {
       .filter(col("arn") <= rerank)
       .select("query_id", "neighbor_id")
     // exact re-rank of the PQ shortlist only
+    val out = exactRerank(embeddings, shortlist, queries, k)
+    GraftFunctions.dropFunction(spark, fname) // every dependent plan is already analyzed
+    out
+  }
+
+  /** Exact graft_cosine re-score of a (query_id, neighbor_id)
+    * shortlist, top-k per query — the final pass every approximate
+    * index variant shares. */
+  private def exactRerank(embeddings: DataFrame, shortlist: DataFrame,
+                          queries: Array[(Long, Array[Float])], k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val qDf = queries.toSeq.map { case (qid, qv) => (qid, qv) }.toDF("query_id", "qe")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    val out = shortlist
+    shortlist
       .join(broadcast(qDf), "query_id")
       .join(embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")),
         "neighbor_id")
@@ -427,8 +446,6 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         stableRound(col("sim"), 4).as("cos_sim"), col("rn"))
       .orderBy("query_id", "rn")
-    GraftFunctions.dropFunction(spark, fname) // every dependent plan is already analyzed
-    out
   }
 
   /** a09_ivf_pq — the composed billion-vector index shape: a05's
@@ -461,6 +478,124 @@ object Ann {
       .select("query_id", "neighbor_id").distinct()
     pqKnn(embeddings, nQueries, k, m, ksub, iters, trainSample, rerank, dim,
       cellPairs = Some(cellPairs))
+  }
+
+  /** ivfPqKnnResidual — FAISS's by_residual=true IVF-PQ: the PQ
+    * codebook is trained on CELL RESIDUALS v - centroid(cell(v)), so
+    * the quantizer spends its ksub^m capacity on the (much tighter)
+    * within-cell distribution instead of the whole space — finer codes
+    * at the same bytes/vector. Approximate scoring reconstructs
+    * dot(q, v) ~ dot(q, c) + Σ_sub dot(q_sub, cb[code]) and
+    * ||v||² ~ ||c||² + 2 Σ_sub dot(c_sub, cb[code]) + Σ_sub ||cb[code]||²
+    * from three broadcast ADC tables — per-query (nQueries·m·ksub),
+    * per-cell (cells·m·ksub; the k-dependent cost the by_residual=false
+    * variant avoids, broadcastable up to thousands of cells), and
+    * per-(query, cell) offsets — then the shared exact re-rank runs.
+    * The corpus-side shuffle still carries only (neighbor_id, cell,
+    * sub, cid) ints; the residual subtraction is one zip_with in the
+    * encode pass. Recall vs brute and vs the non-residual a09 is
+    * spec-bounded. */
+  def ivfPqKnnResidual(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
+                       nprobe: Int = 2, cells: Int = 0,
+                       m: Int = 8, ksub: Int = 16, iters: Int = 5,
+                       trainSample: Int = 2048, rerank: Int = 50,
+                       dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cents = resolveCentroids(embeddings, None, cells)
+    val centsArr: Array[(Int, Array[Float])] = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def nearestCell(v: Array[Float]): Int =
+      centsArr.maxBy { case (lbl, c) => (cos(v, c), -lbl) }._1
+    // residual training sample: same deterministic scramble as a08,
+    // residual = v - centroid(nearest cell), driver-side
+    val sample: Array[Array[Float]] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(trainSample)
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(sample.length >= ksub,
+      s"ivfPqKnnResidual: training sample (${sample.length}) must cover ksub=$ksub seeds")
+    val centById = centsArr.toMap
+    val residuals = sample.map { v =>
+      val c = centById(nearestCell(v))
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+    val codebook = trainPqCodebook(residuals, m, ksub, subDim, iters)
+    // assignments: queries multi-probe, corpus stores in its nearest
+    // cell WITH the centroid kept for the residual encode
+    val qa = assignN(embeddings.filter(col("vec_id") < nQueries), cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("c_label").as("cell"))
+    val fname = GraftFunctions.registerPqEncode(spark, codebook, m, ksub, subDim)
+    val cands = assign(embeddings.filter(col("vec_id") >= nQueries), cents)
+      .join(broadcast(cents.select(col("c_label"), col("centroid"))), "c_label")
+      .select(col("vec_id").as("neighbor_id"), col("c_label").as("cell"),
+        posexplode(expr(
+          s"$fname(zip_with(embedding, centroid, (a, b) -> a - b))"))
+          .as(Seq("sub", "cid")))
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // ADC tables (driver-built, broadcast)
+    def subDot(a: Array[Float], base: Int, sub: Int): Double = {
+      var s = 0.0; var d = 0
+      while (d < subDim) { s += a(sub * subDim + d).toDouble * codebook(base + d); d += 1 }
+      s
+    }
+    val qAdc = (for {
+      (qid, qv) <- queries.toSeq
+      sub <- 0 until m; cid <- 0 until ksub
+    } yield (qid, sub, cid, subDot(qv, (sub * ksub + cid) * subDim, sub)))
+      .toDF("query_id", "sub", "cid", "pdot")
+    val cellAdc = (for {
+      (lbl, c) <- centsArr.toSeq
+      sub <- 0 until m; cid <- 0 until ksub
+    } yield {
+      val base = (sub * ksub + cid) * subDim
+      var rnorm = 0.0; var d = 0
+      while (d < subDim) { rnorm += codebook(base + d).toDouble * codebook(base + d); d += 1 }
+      (lbl, sub, cid, subDot(c, base, sub), rnorm)
+    }).toDF("cell", "sub", "cid", "cdot", "rnorm")
+    val qCell = (for {
+      (qid, qv) <- queries.toSeq
+      (lbl, c) <- centsArr.toSeq
+    } yield {
+      var qc = 0.0; var i = 0
+      while (i < qv.length) { qc += qv(i).toDouble * c(i); i += 1 }
+      val qnorm = math.sqrt(qv.map(x => x.toDouble * x).sum)
+      val cnorm2 = c.map(x => x.toDouble * x).sum
+      (qid, lbl, qc, qnorm, cnorm2)
+    }).toDF("query_id", "cell", "qcdot", "qnorm", "cnorm2")
+    val cellPairs = qa.join(cands.select(col("neighbor_id"), col("cell")).distinct(), "cell")
+      .select("query_id", "neighbor_id", "cell").distinct()
+    val wApprox = Window.partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id"))
+    val shortlist = cands
+      .join(cellPairs, Seq("neighbor_id", "cell"))
+      .join(broadcast(qAdc), Seq("query_id", "sub", "cid"))
+      .join(broadcast(cellAdc), Seq("cell", "sub", "cid"))
+      .groupBy("query_id", "neighbor_id", "cell")
+      .agg(sum(col("pdot")).as("spdot"), sum(col("cdot")).as("scdot"),
+        sum(col("rnorm")).as("srnorm"))
+      .join(broadcast(qCell), Seq("query_id", "cell"))
+      .withColumn("approx",
+        (col("qcdot") + col("spdot")) /
+          (col("qnorm") * sqrt(col("cnorm2") + lit(2.0) * col("scdot") + col("srnorm"))))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= rerank)
+      .select("query_id", "neighbor_id")
+    val out = exactRerank(embeddings, shortlist, queries, k)
+    GraftFunctions.dropFunction(spark, fname)
+    out
   }
 
   /** a07_knn_join — full kNN SELF-join: every vector in the corpus

@@ -160,6 +160,16 @@ class AnnSpec extends SparkSpecBase {
     assert(p.size == b.size, "ivf-pq must still return k results per query")
   }
 
+  test("residual-trained IVF-PQ (by_residual=true) keeps bounded recall vs brute") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val b = Ann.knnBrute(emb).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p = Ann.ivfPqKnnResidual(emb, cells = 5, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (p intersect b).size.toDouble / b.size
+    assert(recall >= 0.5, s"residual ivf-pq recall@3 $recall too low")
+    assert(p.size == b.size, "residual ivf-pq must return k results per query")
+  }
+
   test("kmeansAssign separates orthogonal clusters into distinct cells") {
     val out = Ann.kmeansAssign(vecs, k = 3, iters = 3).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
