@@ -328,6 +328,17 @@ object Oracles {
                 CAST(sum(streak_len) AS BIGINT) AS n_active_days
          FROM st GROUP BY user_id ORDER BY user_id""",
 
+    "q38_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         coh AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+         SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+                CAST(day - cohort_day AS INTEGER) AS day_offset,
+                count(DISTINCT days.user_id) AS n_users
+         FROM days JOIN coh ON days.user_id = coh.user_id
+         WHERE day - cohort_day <= 14
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
+
     "m05_payload_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, sha256(text) AS payload_sha,
          count(*) AS n_copies,

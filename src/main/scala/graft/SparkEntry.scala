@@ -66,6 +66,7 @@ object SparkEntry {
     "q36_correlated_subquery" -> ((s, d) => RelationalOps.correlatedSubquery(
       Tables.lineitem(s, d), Tables.part(s, d))),
     "q37_streaks" -> ((s, d) => TrackAnalytics.activityStreaks(Tables.events(s, d))),
+    "q38_retention" -> ((s, d) => TrackAnalytics.retention(Tables.events(s, d))),
     "m05_payload_dedup" -> ((s, d) => BinaryPipeline.payloadDedup(Tables.documents(s, d))),
     "q30_asof_join" -> ((s, d) => TrackAnalytics.asofJoin(Tables.events(s, d))),
     "q28_approx_distinct" -> ((s, d) => FlowAnalytics.approxDistinct(

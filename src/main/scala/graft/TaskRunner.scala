@@ -90,6 +90,8 @@ object TaskRunner {
       Tables.customer(s, d), Tables.orders(s, d), str(p, "priority", "1-URGENT"))),
     "q36_correlated_subquery" -> ((s, d, p) => RelationalOps.correlatedSubquery(
       Tables.lineitem(s, d), Tables.part(s, d), dbl(p, "ratio", 0.5))),
+    "q38_retention" -> ((s, d, p) => TrackAnalytics.retention(
+      eventsIn(s, d, p), i(p, "maxOffset", 14))),
     "q34_session_window" -> ((s, d, p) => TrackAnalytics.sessionWindow(
       eventsIn(s, d, p), str(p, "gap", "30 minutes"))),
     "t06_word_freq" -> ((s, d, p) => TextStats.wordFreq(Tables.documents(s, d), i(p, "topN", 20))),

@@ -220,4 +220,29 @@ object TrackAnalytics {
         sum("streak_len").as("n_active_days"))
       .orderBy("user_id")
   }
+
+  /** q38_retention — cohort retention: users cohorted by their first
+    * active day, each cohort's distinct active users counted at every
+    * later day offset (the classic retention triangle; the reference's
+    * first-seen/return-visit analyses generalize to exactly this).
+    * Two shuffles: the min-day cohort build (partial-agg'd on
+    * user_id) and the (cohort, offset) distinct-count — the
+    * cohort table joins back broadcast-or-shuffle by size. All-integer
+    * arithmetic, fully oracle-checkable. `maxOffset` bounds the
+    * triangle width (a year-long log would otherwise emit 365²/2
+    * rows per cohort pair — harmless but noisy). */
+  def retention(events: DataFrame, maxOffset: Int = 14): DataFrame = {
+    val days = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days
+      .join(cohorts, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      // ISO string per the SURVEY §5 protocol — never raw date/time types
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
 }
