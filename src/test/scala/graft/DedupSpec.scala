@@ -98,6 +98,17 @@ class DedupSpec extends SparkSpecBase {
     assert(!out.keySet.exists { case (a, b) => a.contains("crawlC") || b.contains("crawlC") })
   }
 
+  test("pair-free corpora: sourceOverlap and dedupClusters degrade to empty/identity") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon", "s1"),
+      (1L, "one two three four five six", "s2")
+    ).toDF("doc_id", "text", "source")
+    assert(Dedup.sourceOverlap(d, threshold = 0.8).collect().isEmpty)
+    val clusters = Dedup.dedupClusters(d.withColumn("n_chars", org.apache.spark.sql.functions.length($"text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(0L -> 0L, 1L -> 1L), "singletons must self-label")
+  }
+
   test("decontaminate flags the doc that leaks the benchmark, not the clean ones") {
     val bench = "the capital of france is paris and the capital of spain is madrid"
     val leak = "answer key the capital of france is paris and the capital of spain"

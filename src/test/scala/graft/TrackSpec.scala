@@ -71,4 +71,24 @@ class TrackSpec extends SparkSpecBase {
     val out = TrackAnalytics.collision(events, "click", "view").collect().map(_.getLong(0))
     assert(out.toSeq == Seq(1L, 2L))
   }
+
+  test("retention cohorts users by first day and counts distinct returns per offset") {
+    import java.sql.Timestamp
+    // midnight-aligned base (1699920000000 = 2023-11-14T00:00:00Z) so
+    // hour offsets stay inside their day
+    def ts(day: Int, h: Int) = new Timestamp(1699920000000L + day * 86400000L + h * 3600000L)
+    val ev = Seq(
+      (1L, 10L, ts(0, 1)), (2L, 10L, ts(0, 5)), // user 10: day0 twice (distinct once)
+      (3L, 10L, ts(1, 2)),                      // user 10 returns day1
+      (4L, 20L, ts(0, 3)),                      // user 20: day0 only
+      (5L, 30L, ts(1, 4)), (6L, 30L, ts(3, 4))  // user 30: cohort day1, returns day3
+    ).toDF("event_id", "user_id", "ts")
+    val out = TrackAnalytics.retention(ev).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val day0 = out.keys.map(_._1).min
+    val day1 = out.keys.map(_._1).filter(_ != day0).min
+    assert(out((day0, 0)) == 2L) // users 10, 20 start on day0
+    assert(out((day0, 1)) == 1L) // only user 10 returns next day
+    assert(out((day1, 0)) == 1L && out((day1, 2)) == 1L) // user 30's triangle
+  }
 }
