@@ -575,6 +575,34 @@ object Oracles {
          FROM e JOIN dfq USING (b)
          GROUP BY doc_id ORDER BY doc_id""",
 
+    // t17: span-string equality stands in for span-hash equality (the
+    // d09/t13 argument); first-occurrence rank and the kept-token
+    // rejoin are deterministic under (doc_id, spos) ordering
+    "t17_span_scrub" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         s AS (
+           SELECT doc_id,
+                  unnest(range(0, len(toks)//10)) AS spos,
+                  unnest([array_to_string(toks[i*10+1:i*10+10], ' ')
+                          for i in range(0, len(toks)//10)]) AS span
+           FROM t),
+         r AS (
+           SELECT doc_id, spos, span,
+                  row_number() OVER (PARTITION BY span ORDER BY doc_id, spos) AS rn
+           FROM s),
+         k AS (
+           SELECT doc_id,
+                  count(*) FILTER (WHERE rn > 1) AS n_dropped,
+                  string_agg(span, ' ' ORDER BY spos) FILTER (WHERE rn = 1) AS kept
+           FROM r GROUP BY doc_id)
+         SELECT t.doc_id,
+                CAST(len(toks)//10 AS BIGINT) AS n_spans,
+                CAST(coalesce(k.n_dropped, 0) AS BIGINT) AS n_dropped,
+                concat_ws(' ', k.kept,
+                          nullif(array_to_string(toks[(len(toks)//10)*10+1:], ' '), '')) AS clean_text
+         FROM t LEFT JOIN k USING (doc_id) ORDER BY doc_id""",
+
     "t01_token_stats" ->
       """SELECT doc_id,
          len(string_split_regex(trim(text), '\s+')) AS n_tokens,

@@ -176,7 +176,9 @@ object TaskRunner {
     "t11_span_dedup" -> ((s, d, p) => TextStats.spanDedup(
       Tables.documents(s, d), i(p, "spanTokens", 10))),
     "t13_ngram_novelty" -> ((s, d, p) => TextStats.ngramNovelty(
-      Tables.documents(s, d), i(p, "n", 2)))
+      Tables.documents(s, d), i(p, "n", 2))),
+    "t17_span_scrub" -> ((s, d, p) => TextStats.spanScrub(
+      Tables.documents(s, d), i(p, "spanTokens", 10)))
   )
 
   /** Run any inventory query under a param set; unknown params are

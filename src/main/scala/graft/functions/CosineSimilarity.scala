@@ -102,6 +102,14 @@ object GraftFunctions {
           val n = children(1).eval().asInstanceOf[Number].intValue()
           ShingleHashes(children.head, n, n)
         })
+    if (!reg.functionExists(FunctionIdentifier("graft_span_pos_hashes")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_span_pos_hashes"),
+        new ExpressionInfo(classOf[ShingleHashes].getName, "graft_span_pos_hashes"),
+        (children: Seq[Expression]) => {
+          val n = children(1).eval().asInstanceOf[Number].intValue()
+          ShingleHashes(children.head, n, n, dedup = false)
+        })
     if (!reg.functionExists(FunctionIdentifier("graft_minhash_bands")))
       reg.registerFunction(
         FunctionIdentifier("graft_minhash_bands"),
@@ -161,6 +169,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         (children: Seq[Expression]) => {
           val n = children(1).eval().asInstanceOf[Number].intValue()
           ShingleHashes(children.head, n, n)
+        }))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_span_pos_hashes"),
+        new ExpressionInfo(classOf[ShingleHashes].getName, "graft_span_pos_hashes"),
+        (children: Seq[Expression]) => {
+          val n = children(1).eval().asInstanceOf[Number].intValue()
+          ShingleHashes(children.head, n, n, dedup = false)
         }))
     ext.injectFunction(
       (FunctionIdentifier("graft_minhash_bands"),

@@ -19,19 +19,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * tokens of each shingle (same construction as the built-in
   * xxhash64(t1, t2, t3): each token's hash seeds the next), and
   * dedupes via sort — no boxing, no per-element plan eval.
+  *
+  * `dedup = false` (`graft_span_pos_hashes`) keeps the hashes in span
+  * POSITION order with repeats — the form the span-scrub operator
+  * (t17) needs, where array index i IS the span's position in the doc.
   */
-case class ShingleHashes(child: Expression, n: Int, stride: Int = 1) extends UnaryExpression {
+case class ShingleHashes(child: Expression, n: Int, stride: Int = 1,
+                         dedup: Boolean = true) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String =
-    if (stride == 1) "graft_shingle_hashes" else "graft_span_hashes"
+    if (!dedup) "graft_span_pos_hashes"
+    else if (stride == 1) "graft_shingle_hashes" else "graft_span_hashes"
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHashes.compute(input.asInstanceOf[ArrayData], n, stride)
+    ShingleHashes.compute(input.asInstanceOf[ArrayData], n, stride, dedup)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.ShingleHashes.compute($v, $n, $stride);")
+      s"${ev.value} = graft.functions.ShingleHashes.compute($v, $n, $stride, $dedup);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -40,7 +46,7 @@ case class ShingleHashes(child: Expression, n: Int, stride: Int = 1) extends Una
 object ShingleHashes {
   /** Shared by eval and codegen: one call per row keeps the enclosing
     * projection inside whole-stage codegen. */
-  def compute(toks: ArrayData, n: Int, stride: Int): ArrayData = {
+  def compute(toks: ArrayData, n: Int, stride: Int, dedup: Boolean = true): ArrayData = {
     if (toks.numElements() < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val cnt = (toks.numElements() - n) / stride + 1
     val out = new Array[Long](cnt)
@@ -56,6 +62,7 @@ object ShingleHashes {
       out(i) = h
       i += 1
     }
+    if (!dedup) return UnsafeArrayData.fromPrimitiveArray(out)
     java.util.Arrays.sort(out)
     var w = 1
     var r = 1

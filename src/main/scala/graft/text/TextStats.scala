@@ -312,4 +312,50 @@ object TextStats {
         stableRound(sum("df") / count(lit(1)), 4).as("mean_ngram_df"))
       .orderBy("doc_id")
   }
+
+  /** t17_span_scrub — the APPLY step of exact-substring dedup (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"):
+    * where t11 only REPORTS span-level duplication, this materializes
+    * the scrubbed corpus. Every non-overlapping `spanTokens`-token span
+    * is fingerprinted positionally (graft_span_pos_hashes — one
+    * compiled loop per doc); for each fingerprint the FIRST corpus
+    * occurrence (min (doc_id, span_pos)) is kept and every later
+    * occurrence is dropped, including repeats inside one doc; the
+    * trailing <spanTokens tail is always kept. clean_text is the doc's
+    * surviving tokens (lowercased / whitespace-normalized — the span
+    * unit) rejoined.
+    *
+    * Scale shape: the first-occurrence ranking shuffles only
+    * (doc_id, pos, 8-byte hash) triples on the hash; per-doc drop
+    * masks (arrays of int positions) join back to the corpus on
+    * doc_id, so document text crosses exactly one exchange — the one
+    * any rewrite-the-corpus op needs to co-locate mask and text. */
+  def spanScrub(documents: DataFrame, spanTokens: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val spans = graft.Scans.spreadIfNarrow(documents, col("doc_id"))
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_span_pos_hashes(toks, $spanTokens)")).as(Seq("spos", "h")))
+    // rn=1 is the span's first corpus occurrence; WindowGroupLimit
+    // prunes rn>? map-side only for limits, but the rank itself is one
+    // shuffle on the 8-byte hash
+    val wFirst = Window.partitionBy("h").orderBy("doc_id", "spos")
+    val drops = spans
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") > 1)
+      .groupBy("doc_id").agg(collect_set("spos").as("drop_pos"))
+    documents
+      .join(drops, Seq("doc_id"), "left")
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("n_spans", expr(s"size(toks) div $spanTokens"))
+      .select(
+        col("doc_id"), col("n_spans"),
+        coalesce(size(col("drop_pos")), lit(0)).cast("long").as("n_dropped"),
+        array_join(
+          filter(col("toks"), (t, j) =>
+            j >= col("n_spans") * spanTokens ||
+              !coalesce(array_contains(col("drop_pos"), floor(j / spanTokens).cast("int")), lit(false))),
+          " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

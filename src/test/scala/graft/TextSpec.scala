@@ -118,6 +118,22 @@ class TextSpec extends SparkSpecBase {
     assert(out(3L) == 1.0, s"unique-prose mean DF ${out(3L)}")
   }
 
+  test("spanScrub keeps each span's first corpus occurrence and rewrites clean_text") {
+    val spanA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val spanB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val d = Seq(
+      (0L, s"$spanA $spanB tail1 tail2"),  // first occurrence of A and B; tail kept
+      (1L, s"$spanA extra"),               // A is a repeat → dropped, tail kept
+      (2L, s"$spanB $spanB")               // first B is a repeat of doc0's; second a repeat of the first
+    ).toDF("doc_id", "text")
+    val out = TextStats.spanScrub(d, spanTokens = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 0L, s"$spanA $spanB tail1 tail2"),
+      (1L, 1L, 1L, "extra"),
+      (2L, 2L, 2L, "")))
+  }
+
   test("bpeTokens splits contractions, punctuation and numbers like a pre-tokenizer") {
     val d = Seq((0L, "I can't pay $12.50, she'll agree!"), (1L, "plain words only"))
       .toDF("doc_id", "text")

@@ -19,6 +19,11 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# dev knob mirroring Verify.scala's SPARK_GRAFT_ONLY subset dumps
+only = os.environ.get("SPARK_GRAFT_ONLY")
+if only:
+    keep = {k.strip() for k in only.split(",")}
+    oracle = {k: v for k, v in oracle.items() if k in keep}
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
     pdir = f"{outdir}/{name}"
