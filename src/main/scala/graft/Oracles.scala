@@ -339,6 +339,32 @@ object Oracles {
          GROUP BY 1, 2
          ORDER BY 1, 2""",
 
+    // q39: greedy-first funnel matching is a chain of per-user min-aggs
+    // — identical CTE chain here; timestamps compare at micros (DuckDB's
+    // parquet nanos are micro-truncated; epoch_ns(ts)//1000 = Spark's
+    // ts_ns div 1000)
+    "q39_window_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+         s1 AS (SELECT user_id, min(us) AS t1 FROM ev
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT ev.user_id, min(t1) AS t1, min(us) AS t2
+                FROM ev JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND us > t1 AND us <= t1 + 86400000000
+                GROUP BY ev.user_id),
+         s3 AS (SELECT ev.user_id, min(us) AS t3
+                FROM ev JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND us > t2 AND us <= t1 + 86400000000
+                GROUP BY ev.user_id),
+         u AS (SELECT DISTINCT user_id FROM ev),
+         l AS (SELECT u.user_id,
+                      CASE WHEN s3.user_id IS NOT NULL THEN 3
+                           WHEN s2.user_id IS NOT NULL THEN 2
+                           WHEN s1.user_id IS NOT NULL THEN 1
+                           ELSE 0 END AS level
+               FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                      LEFT JOIN s3 USING (user_id))
+         SELECT level, count(*) AS n_users FROM l GROUP BY level ORDER BY level""",
+
     "m05_payload_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, sha256(text) AS payload_sha,
          count(*) AS n_copies,

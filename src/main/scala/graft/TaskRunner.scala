@@ -178,7 +178,11 @@ object TaskRunner {
     "t13_ngram_novelty" -> ((s, d, p) => TextStats.ngramNovelty(
       Tables.documents(s, d), i(p, "n", 2))),
     "t17_span_scrub" -> ((s, d, p) => TextStats.spanScrub(
-      Tables.documents(s, d), i(p, "spanTokens", 10)))
+      Tables.documents(s, d), i(p, "spanTokens", 10))),
+    "q39_window_funnel" -> ((s, d, p) => TrackAnalytics.windowFunnel(
+      eventsIn(s, d, p),
+      str(p, "steps", "view,click,purchase").split(",").map(_.trim).toSeq,
+      l(p, "windowMicros", 86400000000L)))
   )
 
   /** Run any inventory query under a param set; unknown params are

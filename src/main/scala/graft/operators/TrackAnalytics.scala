@@ -245,4 +245,51 @@ object TrackAnalytics {
         col("day_offset"), col("n_users"))
       .orderBy("cohort_day", "day_offset")
   }
+
+  /** q39_window_funnel — multi-step funnel within a time window (the
+    * ClickHouse `windowFunnel` shape; the reference's one-step
+    * conversion q09 generalized to an ordered sequence): per user,
+    * greedy-first matching — anchor at the FIRST step-1 event, then
+    * each later step matches its first occurrence strictly after the
+    * previous step and no later than anchor + window; the report is
+    * users per deepest-level reached (0 = never entered).
+    *
+    * Greedy-first is the deterministic, relational-closed form:
+    * each step is one per-user min-aggregation joined to the previous
+    * step's result, so the whole funnel is a chain of small
+    * (user_id, ts) aggs co-partitioned on user_id — per-user state is
+    * O(1), no arrays, no per-user event sort, and every join key is
+    * the same, so AQE plans one shuffle lineage. Timestamps compare at
+    * MICROsecond precision (the q09 protocol — DuckDB's parquet nanos
+    * are micro-truncated). */
+  def windowFunnel(events: DataFrame,
+                   steps: Seq[String] = Seq("view", "click", "purchase"),
+                   windowMicros: Long = 86400000000L): DataFrame = {
+    require(steps.nonEmpty, "windowFunnel: steps must be non-empty")
+    val us = expr("ts_ns div 1000")
+    val anchor = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(us).as("t1"))
+    // survivor chain: chain(i) = users whose deepest prefix is ≥ i+1
+    // steps, carrying (t1 = window anchor, t_prev = last matched ts)
+    val chain = steps.drop(1).scanLeft(anchor.withColumn("t_prev", col("t1"))) {
+      (prev, step) =>
+        events.filter(col("event_type") === step)
+          .join(prev, "user_id")
+          .filter(us > col("t_prev") && us <= col("t1") + windowMicros)
+          .groupBy("user_id").agg(min("t1").as("t1"), min(us).as("t_prev"))
+    }
+    val users = events.select("user_id").distinct()
+    val flagged = chain.zipWithIndex.foldLeft(users) { case (acc, (surv, i)) =>
+      acc.join(surv.select(col("user_id"), lit(1).as(s"l${i + 1}")), Seq("user_id"), "left")
+    }
+    flagged
+      .withColumn("level",
+        // survival is monotone (l3 ⇒ l2 ⇒ l1); ascending fold leaves the
+        // deepest level's test outermost
+        steps.indices.foldLeft(lit(0)) { (acc, i) =>
+          when(col(s"l${i + 1}").isNotNull, lit(i + 1)).otherwise(acc)
+        })
+      .groupBy("level").agg(count(lit(1)).as("n_users"))
+      .orderBy("level")
+  }
 }

@@ -91,4 +91,25 @@ class TrackSpec extends SparkSpecBase {
     assert(out((day0, 1)) == 1L) // only user 10 returns next day
     assert(out((day1, 0)) == 1L && out((day1, 2)) == 1L) // user 30's triangle
   }
+
+  test("windowFunnel reports deepest greedy level per user within the window") {
+    val h = 3600000L // one hour in ms
+    val ev = Seq(
+      // user 1: view → click → purchase inside 24h → level 3
+      (0L, h * 1, 1L, "view"), (1L, h * 2, 1L, "click"), (2L, h * 3, 1L, "purchase"),
+      // user 2: click falls outside the 24h window after first view → level 1
+      (3L, h * 1, 2L, "view"), (4L, h * 26, 2L, "click"),
+      // user 3: click BEFORE the first view only → sequence broken → level 1
+      (5L, h * 2, 3L, "click"), (6L, h * 3, 3L, "view"),
+      // user 4: never views → level 0
+      (7L, h * 1, 4L, "purchase"),
+      // user 5: purchase arrives before the click → level 2, not 3
+      (8L, h * 1, 5L, "view"), (9L, h * 2, 5L, "purchase"), (10L, h * 3, 5L, "click")
+    ).toDF("event_id", "ts_ms", "user_id", "event_type")
+      .withColumn("ts_ns", col("ts_ms") * 1000000L)
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val out = TrackAnalytics.windowFunnel(ev).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(0 -> 1L, 1 -> 2L, 2 -> 1L, 3 -> 1L), s"got $out")
+  }
 }
