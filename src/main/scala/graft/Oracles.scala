@@ -601,6 +601,59 @@ object Oracles {
          FROM e JOIN dfq USING (b)
          GROUP BY doc_id ORDER BY doc_id""",
 
+    // t14: tf·N/df is a ratio of exact integers — the product stays
+    // far under 2^53, so the double division is bit-identical in both
+    // engines and the rank cut (score DESC, term) cannot flip
+    "t14_term_salience" ->
+      """WITH tf AS (
+           SELECT doc_id, t AS term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+                 FROM documents)
+           GROUP BY doc_id, t),
+         dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         s AS (SELECT doc_id, term, tf, df,
+                      CAST(tf * n_docs AS DOUBLE) / df AS sal
+               FROM tf JOIN dfc USING (term) CROSS JOIN n),
+         r AS (SELECT doc_id, term, tf, df, sal,
+                      CAST(row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY sal DESC, term) AS INTEGER) AS rnk
+               FROM s)
+         SELECT doc_id, term, tf, df,
+                floor(sal*10000 + 0.5)/10000 AS salience, rnk
+         FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+
+    // t15: the keep-rate is one fixed left-assoc double chain
+    // (total·share / n_sources / src_tokens) from exact integers, and
+    // the Bernoulli trial is the q14 LCG hash — both engine-exact
+    "t15_source_mix" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+           FROM documents),
+         ps AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_tokens
+                FROM toks GROUP BY source),
+         tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+                        count(*) AS n_sources FROM ps),
+         rates AS (SELECT source,
+                          least(1.0, CAST(total_tokens AS DOUBLE) * 0.5
+                                     / n_sources / src_tokens) AS rate
+                   FROM ps CROSS JOIN tot)
+         SELECT doc_id, source, n_toks
+         FROM toks JOIN rates USING (source)
+         WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) < rate * 4294967296.0
+         ORDER BY doc_id""",
+
+    // t16: the oracle states the SPEC (one global rank per shard); the
+    // Spark side computes it hierarchically — hash-match proves the
+    // prefix-sum formulation equals the global window
+    "t16_shard_assign" ->
+      """WITH b AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h
+                    FROM documents)
+         SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+                row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+         FROM b ORDER BY doc_id""",
+
     // t17: span-string equality stands in for span-hash equality (the
     // d09/t13 argument); first-occurrence rank and the kept-token
     // rejoin are deterministic under (doc_id, spos) ordering

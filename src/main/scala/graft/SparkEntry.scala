@@ -120,6 +120,9 @@ object SparkEntry {
     "t11_span_dedup" -> ((s, d) => TextStats.spanDedup(Tables.documents(s, d))),
     "t12_bpe_tokens" -> ((s, d) => TextStats.bpeTokens(Tables.documents(s, d))),
     "t13_ngram_novelty" -> ((s, d) => TextStats.ngramNovelty(Tables.documents(s, d))),
+    "t14_term_salience" -> ((s, d) => TextStats.termSalience(Tables.documents(s, d))),
+    "t15_source_mix" -> ((s, d) => TextStats.sourceMix(Tables.documents(s, d))),
+    "t16_shard_assign" -> ((s, d) => TextStats.shardAssign(Tables.documents(s, d))),
     "t17_span_scrub" -> ((s, d) => TextStats.spanScrub(Tables.documents(s, d))),
     "m01_binary_meta" -> ((s, d) => BinaryPipeline.binaryMeta(Tables.documents(s, d))),
     "m02_chunk_sample" -> ((s, d) => BinaryPipeline.chunkSample(Tables.documents(s, d)))

@@ -177,6 +177,12 @@ object TaskRunner {
       Tables.documents(s, d), i(p, "spanTokens", 10))),
     "t13_ngram_novelty" -> ((s, d, p) => TextStats.ngramNovelty(
       Tables.documents(s, d), i(p, "n", 2))),
+    "t14_term_salience" -> ((s, d, p) => TextStats.termSalience(
+      Tables.documents(s, d), i(p, "topK", 3))),
+    "t15_source_mix" -> ((s, d, p) => TextStats.sourceMix(
+      Tables.documents(s, d), dbl(p, "budgetShare", 0.5))),
+    "t16_shard_assign" -> ((s, d, p) => TextStats.shardAssign(
+      Tables.documents(s, d), i(p, "nShards", 8))),
     "t17_span_scrub" -> ((s, d, p) => TextStats.spanScrub(
       Tables.documents(s, d), i(p, "spanTokens", 10))),
     "q39_window_funnel" -> ((s, d, p) => TrackAnalytics.windowFunnel(

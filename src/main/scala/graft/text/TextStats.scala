@@ -313,6 +313,84 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** t14_term_salience — per-doc top-K characteristic terms by
+    * df-normalized salience: `tf · N / df` — TF-IDF's ranking with the
+    * log dropped so the score is a ratio of exact integers (an IEEE
+    * division both engines compute bit-identically; `ln` is libm-
+    * dependent and NOT oracle-safe, and a monotone transform doesn't
+    * change the top-K anyway). Shapes: one explode → two partial-agg
+    * groupBys ((doc,term) then term) → a term-keyed join → a per-doc
+    * top-K window. Only (doc_id, term, counts) tuples shuffle. */
+  def termSalience(documents: DataFrame, topK: Int = 3): DataFrame = {
+    val terms = graft.Scans.spreadIfNarrow(documents, col("doc_id"))
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    // rank on the UNROUNDED double; ties broken by term so the cut is
+    // deterministic in both engines
+    val w = Window.partitionBy("doc_id").orderBy(col("salience").desc, col("term"))
+    tf.join(dfc, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("salience", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        stableRound(col("salience"), 4).as("salience"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** t15_source_mix — domain-mixture sampling to a token budget: a
+    * training mix wants each source capped at an equal share of
+    * `budgetShare · total_tokens`. Two tiny aggregations derive each
+    * source's keep-rate (`min(1, budget/source_tokens)`); the corpus
+    * passes once through a broadcast rate join + the deterministic
+    * LCG-hash Bernoulli filter (q14's protocol — reproducible at any
+    * cluster size, no rand()). Undersized sources keep everything
+    * (rate 1); oversized ones downsample proportionally. */
+  def sourceMix(documents: DataFrame, budgetShare: Double = 0.5): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+    val perSrc = toks.groupBy("source").agg(sum("n_toks").as("src_tokens"))
+    val tot = perSrc.agg(sum("src_tokens").as("total_tokens"), count(lit(1)).as("n_sources"))
+    val rates = perSrc.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(1.0),
+        col("total_tokens").cast("double") * budgetShare / col("n_sources") / col("src_tokens")))
+      .select("source", "rate")
+    toks.join(broadcast(rates), "source")
+      .filter(((col("doc_id") * 2654435761L) % 4294967296L).cast("double")
+        < col("rate") * 4294967296.0)
+      .select("doc_id", "source", "n_toks")
+      .orderBy("doc_id")
+  }
+
+  /** t16_shard_assign — deterministic global shuffle + sharding for
+    * training output: every doc gets a shard (LCG hash mod nShards)
+    * and a stable position within its shard (ascending hash order =
+    * pseudo-random document order). The position is a hierarchical
+    * prefix sum, NOT one global row_number per shard: per-(shard,
+    * high-hash-bucket) counts roll into running bucket offsets (a
+    * window over ≤ nShards·256 rows), and each doc ranks only within
+    * its bucket — t10's formulation, no single-partition window at
+    * corpus scale. */
+  def shardAssign(documents: DataFrame, nShards: Int = 8): DataFrame = {
+    val base = documents
+      .select(col("doc_id"),
+        ((col("doc_id") * 2654435761L) % 4294967296L).as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("bucket", expr("h div 16777216").cast("int")) // 2^24 → ≤256 buckets
+    val counts = base.groupBy("shard", "bucket").agg(count(lit(1)).as("cnt"))
+    val wS = Window.partitionBy("shard").orderBy("bucket")
+    val offsets = counts
+      .withColumn("boff", sum("cnt").over(wS) - col("cnt"))
+      .select("shard", "bucket", "boff")
+    val wB = Window.partitionBy("shard", "bucket").orderBy("h", "doc_id")
+    base.join(broadcast(offsets), Seq("shard", "bucket"))
+      .withColumn("pos", col("boff") + row_number().over(wB))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+  }
+
   /** t17_span_scrub — the APPLY step of exact-substring dedup (Lee et
     * al., "Deduplicating Training Data Makes Language Models Better"):
     * where t11 only REPORTS span-level duplication, this materializes

@@ -118,6 +118,46 @@ class TextSpec extends SparkSpecBase {
     assert(out(3L) == 1.0, s"unique-prose mean DF ${out(3L)}")
   }
 
+  test("termSalience ranks df-normalized tf with deterministic tie-breaks") {
+    val d = Seq(
+      (0L, "apple apple banana"),
+      (1L, "banana cherry"),
+      (2L, "cherry cherry cherry date")
+    ).toDF("doc_id", "text")
+    val out = TextStats.termSalience(d, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5)))
+    assert(out.toSeq == Seq(
+      (0L, "apple", 2L, 1L, 6.0, 1), (0L, "banana", 1L, 2L, 1.5, 2),
+      (1L, "banana", 1L, 2L, 1.5, 1), (1L, "cherry", 1L, 2L, 1.5, 2), // tie → term order
+      (2L, "cherry", 3L, 2L, 4.5, 1), (2L, "date", 1L, 1L, 3.0, 2)), s"got ${out.toSeq}")
+  }
+
+  test("sourceMix keeps undersized sources whole and downsamples oversized ones to rate") {
+    val big = (10L to 19L).map(i => (i, "big", (1 to 10).map(j => s"w$j").mkString(" ")))
+    val d = (Seq((1L, "small", "two words")) ++ big).toDF("doc_id", "source", "text")
+    // totals: small 2 + big 100 = 102; per-source budget 102*0.5/2 = 25.5
+    // → rate(small)=1, rate(big)=0.255
+    val out = TextStats.sourceMix(d, budgetShare = 0.5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.exists(_._1 == 1L), "undersized source must keep everything")
+    val expectBig = (10L to 19L).filter(i =>
+      ((i * 2654435761L) % 4294967296L).toDouble < 0.255 * 4294967296.0).toSet
+    assert(out.filter(_._2 == "big").map(_._1).toSet == expectBig)
+    assert(out.forall { case (_, src, n) => n == (if (src == "small") 2L else 10L) })
+  }
+
+  test("shardAssign gives each shard a dense 1..n position in hash order") {
+    val d = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = TextStats.shardAssign(d, nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def h(i: Long) = (i * 2654435761L) % 4294967296L
+    assert(out.forall { case (id, shard, _) => shard == (h(id) % 8).toInt })
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val byHash = rows.sortBy(r => (h(r._1), r._1)).map(_._3)
+      assert(byHash.toSeq == (1L to rows.length).toSeq, "positions must be dense in hash order")
+    }
+  }
+
   test("spanScrub keeps each span's first corpus occurrence and rewrites clean_text") {
     val spanA = (1 to 10).map(i => s"a$i").mkString(" ")
     val spanB = (1 to 10).map(i => s"b$i").mkString(" ")
