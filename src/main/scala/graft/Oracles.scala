@@ -974,6 +974,22 @@ object Oracles {
          unicode(substr(text, 1, 1)) AS first_code
          FROM documents ORDER BY doc_id""",
 
+    // m06: chunk-string equality stands in for chunk-hash equality;
+    // char-indexed substr equals Spark's byte-indexed binary substring
+    // on this corpus (the m02 precedent)
+    "m06_chunk_dedup" ->
+      """WITH c AS (
+           SELECT DISTINCT doc_id, substr(text, i*64 + 1, 64) AS chunk
+           FROM (SELECT doc_id, text,
+                   unnest(range(0, CAST(floor((length(text)-1)/64) AS BIGINT) + 1)) AS i
+                 FROM documents)),
+         g AS (SELECT chunk FROM c GROUP BY chunk HAVING count(*) BETWEEN 2 AND 1000),
+         j AS (SELECT c.doc_id, c.chunk FROM c JOIN g USING (chunk))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         FROM j a JOIN j b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY doc_a, doc_b""",
+
     "m02_chunk_sample" ->
       """SELECT doc_id, chunk_idx,
          length(substr(text, chunk_idx*64 + 1, 64)) AS chunk_bytes,

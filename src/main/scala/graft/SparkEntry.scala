@@ -125,7 +125,8 @@ object SparkEntry {
     "t16_shard_assign" -> ((s, d) => TextStats.shardAssign(Tables.documents(s, d))),
     "t17_span_scrub" -> ((s, d) => TextStats.spanScrub(Tables.documents(s, d))),
     "m01_binary_meta" -> ((s, d) => BinaryPipeline.binaryMeta(Tables.documents(s, d))),
-    "m02_chunk_sample" -> ((s, d) => BinaryPipeline.chunkSample(Tables.documents(s, d)))
+    "m02_chunk_sample" -> ((s, d) => BinaryPipeline.chunkSample(Tables.documents(s, d))),
+    "m06_chunk_dedup" -> ((s, d) => BinaryPipeline.chunkDedup(Tables.documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

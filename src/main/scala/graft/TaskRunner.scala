@@ -185,6 +185,9 @@ object TaskRunner {
       Tables.documents(s, d), i(p, "nShards", 8))),
     "t17_span_scrub" -> ((s, d, p) => TextStats.spanScrub(
       Tables.documents(s, d), i(p, "spanTokens", 10))),
+    "m06_chunk_dedup" -> ((s, d, p) => graft.multimodal.BinaryPipeline.chunkDedup(
+      Tables.documents(s, d), i(p, "chunkBytes", 64),
+      i(p, "minShared", 2), l(p, "dfCap", 1000L))),
     "q39_window_funnel" -> ((s, d, p) => TrackAnalytics.windowFunnel(
       eventsIn(s, d, p),
       str(p, "steps", "view,click,purchase").split(",").map(_.trim).toSeq,

@@ -105,6 +105,39 @@ object BinaryPipeline {
       .select("keep_doc_id", "payload_sha", "n_copies", "bytes_saved")
       .orderBy("keep_doc_id")
 
+  /** m06_chunk_dedup — chunk-level NEAR-dup candidates between
+    * payloads: where m05 catches byte-identical blobs, this catches
+    * blobs sharing content blocks (truncated uploads, re-muxed
+    * containers, appended metadata) by fingerprinting every
+    * non-overlapping `chunkBytes` block and pairing payloads that
+    * share ≥ `minShared` distinct blocks — d09's shared-shingle logic
+    * lifted to binary. Only (doc_id, 8-byte chunk hash) pairs shuffle;
+    * `dfCap` drops degenerate hot blocks (zero runs, shared headers)
+    * before the pair join so a common block can't go quadratic —
+    * non-binding at test SF, mirrored in the oracle. */
+  def chunkDedup(documents: DataFrame, chunkBytes: Int = 64,
+                 minShared: Int = 2, dfCap: Long = 1000L): DataFrame = {
+    val keyed = documents
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"), explode(
+        transform(
+          sequence(lit(0), floor((length(col("payload")) - 1) / chunkBytes).cast("int")),
+          i => xxhash64(substring(col("payload"), i * chunkBytes + 1, lit(chunkBytes)))))
+        .as("h"))
+      .distinct()
+    val eligible = keyed.groupBy("h")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, dfCap))
+      .select("h")
+    val cand = keyed.join(eligible, "h")
+    cand.as("a").join(cand.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Feature schema a real media decoder would produce. */
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -23,6 +23,21 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows(1).getInt(2) == 300 - 4 * 64)
   }
 
+  test("chunkDedup pairs payloads sharing enough distinct blocks, dfCap drops hot blocks") {
+    val bX = "x" * 64; val bY = "y" * 64; val bZ = "z" * 64; val bW = "w" * 64
+    val d = Seq(
+      (0L, bX + bY),       // shares X,Y with doc 1 → pair
+      (1L, bX + bY + bZ),
+      (2L, bX + bW),       // shares only X → below minShared
+      (3L, "unique " * 20)
+    ).toDF("doc_id", "text")
+    val pairs = BinaryPipeline.chunkDedup(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((0L, 1L, 2L)), s"got ${pairs.toSeq}")
+    // dfCap = 1: the shared X/Y blocks are all hotter than the cap → no pairs
+    assert(BinaryPipeline.chunkDedup(d, dfCap = 1L).collect().isEmpty)
+  }
+
   test("modalityRoute dispatches payloads by leading byte class") {
     val d = Seq(
       (0L, """{"k": 1}"""),
