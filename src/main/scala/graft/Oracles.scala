@@ -129,6 +129,15 @@ object Oracles {
          GROUP BY CUBE(o_orderpriority, o_orderstatus)
          ORDER BY o_orderpriority, o_orderstatus""",
 
+    "q40_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+         coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+         count(*) AS order_cnt, round(sum(o_totalprice), 2) AS total_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                 (o_orderstatus), (o_orderpriority))
+         ORDER BY o_orderstatus, o_orderpriority""",
+
     "q32_moving_window" ->
       """SELECT o_custkey, o_orderkey,
          round(sum(o_totalprice) OVER (PARTITION BY o_custkey
@@ -851,6 +860,28 @@ object Oracles {
              [unicode(c) for c in string_split(text, '')]),
            (a, b) -> (a*31 + b) % 1000000007) AS fp
          FROM documents ORDER BY doc_id""",
+
+    // a10: a01's cosine formulation with a threshold instead of top-k;
+    // the raw-double compare is engine-exact (a03 already proves raw
+    // sim ORDERING matches, a stronger property than ≥ τ)
+    "a10_range_search" ->
+      """WITH v AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vd
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, vd,
+                  sqrt(list_reduce(list_prepend(0.0, [x*x for x in vd]),
+                       (a, b) -> a + b)) AS nrm
+           FROM v),
+         s AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_reduce(list_prepend(0.0,
+                      [q.vd[i]*c.vd[i] for i in range(1, 65)]),
+                    (x, y) -> x + y) / (q.nrm*c.nrm) AS sim
+           FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id >= 10)
+         SELECT query_id, neighbor_id,
+                floor(sim*10000 + 0.5)/10000 AS cos_sim
+         FROM s WHERE sim >= 0.3 ORDER BY query_id, neighbor_id""",
 
     "a01_knn_brute" ->
       """WITH v AS (

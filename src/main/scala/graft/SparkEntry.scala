@@ -68,6 +68,8 @@ object SparkEntry {
     "q37_streaks" -> ((s, d) => TrackAnalytics.activityStreaks(Tables.events(s, d))),
     "q38_retention" -> ((s, d) => TrackAnalytics.retention(Tables.events(s, d))),
     "q39_window_funnel" -> ((s, d) => TrackAnalytics.windowFunnel(Tables.events(s, d))),
+    "q40_grouping_sets" -> ((s, d) => RelationalOps.groupingSets(Tables.orders(s, d))),
+    "a10_range_search" -> ((s, d) => Ann.rangeSearch(Tables.embeddings(s, d))),
     "m05_payload_dedup" -> ((s, d) => BinaryPipeline.payloadDedup(Tables.documents(s, d))),
     "q30_asof_join" -> ((s, d) => TrackAnalytics.asofJoin(Tables.events(s, d))),
     "q28_approx_distinct" -> ((s, d) => FlowAnalytics.approxDistinct(

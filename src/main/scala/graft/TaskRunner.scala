@@ -185,6 +185,8 @@ object TaskRunner {
       Tables.documents(s, d), i(p, "nShards", 8))),
     "t17_span_scrub" -> ((s, d, p) => TextStats.spanScrub(
       Tables.documents(s, d), i(p, "spanTokens", 10))),
+    "a10_range_search" -> ((s, d, p) => Ann.rangeSearch(
+      Tables.embeddings(s, d), i(p, "nQueries", 10), dbl(p, "tau", 0.3))),
     "m06_chunk_dedup" -> ((s, d, p) => graft.multimodal.BinaryPipeline.chunkDedup(
       Tables.documents(s, d), i(p, "chunkBytes", 64),
       i(p, "minShared", 2), l(p, "dfCap", 1000L))),

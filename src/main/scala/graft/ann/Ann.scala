@@ -36,6 +36,29 @@ object Ann {
       .orderBy("query_id", "rn")
   }
 
+  /** a10_range_search — radius search (the FAISS `range_search` API):
+    * every corpus vector within cosine ≥ `tau` of each query vector,
+    * not a fixed top-k. For a bounded query set the scalable plan IS
+    * the broadcast scan: queries broadcast to every partition, one
+    * narrow codegen pass over the corpus, the threshold filter prunes
+    * before anything shuffles — the only exchange is the final
+    * order-by. The threshold compares the RAW cosine double (bit-
+    * identical across engines per the a01/a03 protocol), so the oracle
+    * is exact. */
+  def rangeSearch(embeddings: DataFrame, nQueries: Int = 10, tau: Double = 0.3): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = embeddings.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    broadcast(q).crossJoin(c)
+      .withColumn("sim", expr("graft_cosine(qe, ce)"))
+      .filter(col("sim") >= tau)
+      .select(col("query_id"), col("neighbor_id"),
+        stableRound(col("sim"), 4).as("cos_sim"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** a02_knn_lsh — random-hyperplane LSH ANN, multi-table
     * OR-construction: `tables` independent hash tables of `planesPerTable`
     * sign bits each; a candidate is any vector sharing a bucket with the

@@ -97,6 +97,25 @@ object RelationalOps {
          ORDER BY o_orderpriority, o_orderstatus"""
     }
 
+  /** q40_grouping_sets — ARBITRARY grouping sets (the general form
+    * q12's ROLLUP and q31's CUBE specialize): here the two single-
+    * dimension marginals plus the full cross — a report sheet's "by
+    * status, by priority, and by both" in ONE Expand + one shuffled
+    * aggregation instead of three unioned queries. NULL slots surface
+    * as 'ALL' (the q12 protocol); the set list is SQL-identical in
+    * both engines. */
+  def groupingSets(orders: DataFrame): DataFrame =
+    sqlOverViews("orders" -> orders) { v =>
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                count(*) AS order_cnt,
+                round(sum(o_totalprice), 2) AS total_price
+         FROM ${v("orders")}
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                 (o_orderstatus), (o_orderpriority))
+         ORDER BY o_orderstatus, o_orderpriority"""
+    }
+
   /** q32_moving_window — trailing 5-row sliding-frame aggregate per
     * customer (the smoothing pass of any monitoring series): recent
     * spend sum + row count (the consumer derives the mean; a raw

@@ -27,6 +27,16 @@ class AnnSpec extends SparkSpecBase {
     assert(out.forall(r => r.getDouble(2) > 0.85))
   }
 
+  test("rangeSearch returns exactly the corpus vectors above the cosine radius") {
+    // τ=0.5: for query 0 (x-axis) → vectors 2, 3; for query 1 (y-axis) → 4, 5
+    val out = Ann.rangeSearch(vecs, nQueries = 2, tau = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((0L, 2L), (0L, 3L), (1L, 4L), (1L, 5L)), s"got ${out.toSeq}")
+    assert(out.forall(_._3 >= 0.5))
+    // tightening the radius past the planted similarities empties it
+    assert(Ann.rangeSearch(vecs, nQueries = 2, tau = 0.999).collect().isEmpty)
+  }
+
   test("knnLsh candidates are a subset ranked identically, decent recall") {
     val brute = Ann.knnBrute(vecs, nQueries = 2, k = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
