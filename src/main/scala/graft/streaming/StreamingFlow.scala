@@ -180,4 +180,40 @@ object StreamingFlow {
           Iterator(SessionCount(uid, st.sessions))
       }
   }
+
+  case class FunnelEv(userId: Long, tsUs: Long, eventType: String)
+  case class FunnelState(t1: Long, tPrev: Long, level: Int)
+  case class FunnelLevel(userId: Long, level: Int)
+
+  /** s12_stream_window_funnel — stateful windowed-funnel tracking, the
+    * streaming twin of batch q39: per-user state carries (window
+    * anchor, last-matched ts, deepest level) — three fields, constant
+    * per user — and each micro-batch advances the same greedy-first
+    * match q39 computes relationally: level 0 anchors on the first
+    * `steps.head` event; level k advances on the first `steps(k)`
+    * event strictly after the last match and inside anchor+window.
+    * Update mode emits each user's current deepest level per batch;
+    * the spec asserts level-equality with batch q39 on an in-order
+    * stream. ProcessingTimeTimeout would evict expired users in
+    * production. */
+  def windowFunnelLevel(ds: Dataset[FunnelEv],
+                        steps: Seq[String] = Seq("view", "click", "purchase"),
+                        windowMicros: Long = 86400000000L): Dataset[FunnelLevel] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(Long.MinValue, Long.MinValue, 0))
+          evs.toSeq.sortBy(_.tsUs).foreach { e =>
+            if (st.level == 0) {
+              if (e.eventType == steps.head) st = FunnelState(e.tsUs, e.tsUs, 1)
+            } else if (st.level < steps.length && e.eventType == steps(st.level) &&
+                       e.tsUs > st.tPrev && e.tsUs <= st.t1 + windowMicros) {
+              st = FunnelState(st.t1, e.tsUs, st.level + 1)
+            }
+          }
+          state.update(st)
+          Iterator(FunnelLevel(uid, st.level))
+      }
+  }
 }

@@ -236,4 +236,38 @@ class StreamingSpec extends SparkSpecBase {
       assert(last(2L) == 1)
     } finally q.stop()
   }
+
+  test("s12 stateful window funnel matches batch q39 levels across micro-batches") {
+    import StreamingFlow.FunnelEv
+    implicit val sqlCtx = spark.sqlContext
+    val hUs = 3600000000L // one hour in micros
+    val input = MemoryStream[FunnelEv]
+    val q = StreamingFlow.windowFunnelLevel(input.toDS()).writeStream
+      .format("memory").queryName("funnel_out").outputMode("update").start()
+    try {
+      // batch 1: user 1 views+clicks; user 2 views; user 3 clicks only
+      input.addData(FunnelEv(1L, hUs, "view"), FunnelEv(1L, 2 * hUs, "click"),
+        FunnelEv(2L, hUs, "view"), FunnelEv(3L, hUs, "click"))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases (level 3); user 2's click falls OUTSIDE
+      // the 24h window (level stays 1); user 3 now views (level 1)
+      input.addData(FunnelEv(1L, 3 * hUs, "purchase"),
+        FunnelEv(2L, 26 * hUs, "click"), FunnelEv(3L, 2 * hUs, "view"))
+      q.processAllAvailable()
+      val last = spark.table("funnel_out").collect()
+        .map(r => r.getAs[Long]("userId") -> r.getAs[Int]("level"))
+        .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
+      assert(last == Map(1L -> 3, 2L -> 1, 3L -> 1), s"got $last")
+      // batch twin on the same flattened events
+      val ev = Seq(
+        (0L, 1L, hUs, "view"), (1L, 1L, 2 * hUs, "click"), (2L, 1L, 3 * hUs, "purchase"),
+        (3L, 2L, hUs, "view"), (4L, 2L, 26 * hUs, "click"),
+        (5L, 3L, hUs, "click"), (6L, 3L, 2 * hUs, "view")
+      ).toDF("event_id", "user_id", "ts_us", "event_type")
+        .withColumn("ts_ns", col("ts_us") * 1000L)
+      val batch = graft.operators.TrackAnalytics.windowFunnel(ev).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(batch == Map(1 -> 2L, 3 -> 1L), s"batch twin diverged: $batch")
+    } finally q.stop()
+  }
 }
