@@ -324,7 +324,9 @@ object TextStats {
   def termSalience(documents: DataFrame, topK: Int = 3): DataFrame = {
     val terms = graft.Scans.spreadIfNarrow(documents, col("doc_id"))
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // persisted: tf feeds BOTH the DF count and the probe side of the
+    // re-join (the t13 precedent) — one tokenize pass, not two
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).persist()
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
     // rank on the UNROUNDED double; ties broken by term so the cut is
@@ -351,7 +353,9 @@ object TextStats {
   def sourceMix(documents: DataFrame, budgetShare: Double = 0.5): DataFrame = {
     val toks = documents.select(col("doc_id"), col("source"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
-    val perSrc = toks.groupBy("source").agg(sum("n_toks").as("src_tokens"))
+    // persisted: perSrc feeds both the grand total and the rate table —
+    // without it the corpus token count runs twice
+    val perSrc = toks.groupBy("source").agg(sum("n_toks").as("src_tokens")).persist()
     val tot = perSrc.agg(sum("src_tokens").as("total_tokens"), count(lit(1)).as("n_sources"))
     val rates = perSrc.crossJoin(broadcast(tot))
       .withColumn("rate", least(lit(1.0),
