@@ -69,6 +69,7 @@ object SparkEntry {
     "q38_retention" -> ((s, d) => TrackAnalytics.retention(Tables.events(s, d))),
     "q39_window_funnel" -> ((s, d) => TrackAnalytics.windowFunnel(Tables.events(s, d))),
     "q40_grouping_sets" -> ((s, d) => RelationalOps.groupingSets(Tables.orders(s, d))),
+    "q41_graph_rank" -> ((s, d) => TrackAnalytics.graphRank(Tables.events(s, d))),
     "a10_range_search" -> ((s, d) => Ann.rangeSearch(Tables.embeddings(s, d))),
     "m05_payload_dedup" -> ((s, d) => BinaryPipeline.payloadDedup(Tables.documents(s, d))),
     "q30_asof_join" -> ((s, d) => TrackAnalytics.asofJoin(Tables.events(s, d))),

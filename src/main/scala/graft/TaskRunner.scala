@@ -185,6 +185,9 @@ object TaskRunner {
       Tables.documents(s, d), i(p, "nShards", 8))),
     "t17_span_scrub" -> ((s, d, p) => TextStats.spanScrub(
       Tables.documents(s, d), i(p, "spanTokens", 10))),
+    "q41_graph_rank" -> ((s, d, p) => TrackAnalytics.graphRank(
+      eventsIn(s, d, p), i(p, "iterations", 10), dbl(p, "damping", 0.85),
+      l(p, "maxLocalEdges", 4000000L))),
     "a10_range_search" -> ((s, d, p) => Ann.rangeSearch(
       Tables.embeddings(s, d), i(p, "nQueries", 10), dbl(p, "tau", 0.3))),
     "m06_chunk_dedup" -> ((s, d, p) => graft.multimodal.BinaryPipeline.chunkDedup(

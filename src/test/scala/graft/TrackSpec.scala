@@ -92,6 +92,34 @@ class TrackSpec extends SparkSpecBase {
     assert(out((day1, 0)) == 1L && out((day1, 2)) == 1L) // user 30's triangle
   }
 
+  test("graphRank matches an exact power-iteration twin with dangling-mass correction") {
+    // edges: 1→2, 2→3, 3→1, 3→4; node 4 dangles (no out-edges)
+    val ev = Seq(
+      (0L, 1L, 1L, 1), (1L, 1L, 2L, 2), (2L, 1L, 3L, 3), (3L, 1L, 4L, 1),
+      (4L, 2L, 1L, 3), (5L, 2L, 2L, 4)
+    ).map { case (eid, uid, t, k) => (eid, uid, t * 1000000000L, s"""{"k": $k}""") }
+      .toDF("event_id", "user_id", "ts_ns", "props")
+    val out = TrackAnalytics.graphRank(ev, iterations = 10).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // exact twin: same double ops, same iteration count
+    var r = Map(1 -> 0.25, 2 -> 0.25, 3 -> 0.25, 4 -> 0.25)
+    for (_ <- 1 to 10) {
+      val dang = r(4)
+      val contrib = Map(2 -> r(1), 3 -> r(2), 1 -> r(3) * 0.5, 4 -> r(3) * 0.5)
+      r = r.map { case (v, _) =>
+        v -> (0.15 / 4 + 0.85 * (contrib.getOrElse(v, 0.0) + dang / 4)) }
+    }
+    val expect = r.map { case (v, x) => v -> (math.floor(x * 1e6 + 0.5) / 1e6) }
+    assert(out == expect, s"got $out expected $expect")
+    assert(math.abs(out.values.sum - 1.0) < 1e-3, "ranks must sum to ~1")
+    // distributed branch (forced with maxLocalEdges = 0) agrees with the
+    // local loop up to float-summation order
+    val dist = TrackAnalytics.graphRank(ev, iterations = 10, maxLocalEdges = 0L).collect()
+      .map(r2 => r2.getInt(0) -> r2.getDouble(1)).toMap
+    assert(dist.keySet == out.keySet)
+    assert(dist.forall { case (v, x) => math.abs(x - out(v)) <= 2e-6 }, s"dist $dist vs $out")
+  }
+
   test("windowFunnel reports deepest greedy level per user within the window") {
     val h = 3600000L // one hour in ms
     val ev = Seq(
