@@ -610,6 +610,34 @@ object Oracles {
          FROM e JOIN dfq USING (b)
          GROUP BY doc_id ORDER BY doc_id""",
 
+    // t18: composes the PROVEN t02 quality and t07 repetition
+    // formulas; thresholds compare the rounded signals so the CASE
+    // arms cannot flip between engines
+    "t18_quality_filter" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                  floor((least(1.0, len(string_split_regex(trim(text), '\s+'))/100.0)*0.4
+                        + (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))*1.0/length(text))*0.4
+                        + (1.0 - length(regexp_replace(text, '[^ ]', '', 'g'))*1.0/length(text))*0.2)*10000 + 0.5)/10000 AS quality,
+                  CASE WHEN len(toks) >= 2 THEN
+                    floor((1.0 - len(list_distinct([array_to_string(toks[i:i+1], ' ')
+                                     for i in range(1, len(toks))]))*1.0/(len(toks)-1))*10000 + 0.5)/10000
+                  ELSE 0.0 END AS rep_ratio
+           FROM (SELECT doc_id, text,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+                 FROM documents WHERE length(text) > 0)),
+         r AS (
+           SELECT *, CASE WHEN n_tokens < 20 THEN 'too_short'
+                          WHEN n_tokens > 2048 THEN 'too_long'
+                          WHEN quality < 0.6 THEN 'low_quality'
+                          WHEN rep_ratio > 0.1 THEN 'repetitive'
+                          ELSE 'pass' END AS reason
+           FROM b)
+         SELECT doc_id, n_tokens, quality, rep_ratio,
+                (reason = 'pass') AS keep, reason
+         FROM r ORDER BY doc_id""",
+
     // t14: tf·N/df is a ratio of exact integers — the product stays
     // far under 2^53, so the double division is bit-identical in both
     // engines and the rank cut (score DESC, term) cannot flip

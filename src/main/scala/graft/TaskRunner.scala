@@ -185,6 +185,9 @@ object TaskRunner {
       Tables.documents(s, d), i(p, "nShards", 8))),
     "t17_span_scrub" -> ((s, d, p) => TextStats.spanScrub(
       Tables.documents(s, d), i(p, "spanTokens", 10))),
+    "t18_quality_filter" -> ((s, d, p) => TextStats.qualityFilter(
+      Tables.documents(s, d), i(p, "minTokens", 20), i(p, "maxTokens", 2048),
+      dbl(p, "minQuality", 0.6), dbl(p, "maxRepetition", 0.1))),
     "q41_graph_rank" -> ((s, d, p) => TrackAnalytics.graphRank(
       eventsIn(s, d, p), i(p, "iterations", 10), dbl(p, "damping", 0.85),
       l(p, "maxLocalEdges", 4000000L))),

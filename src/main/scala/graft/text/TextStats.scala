@@ -313,6 +313,39 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** t18_quality_filter — the DECISION step of the curation pipeline:
+    * the oracle-proven signals (whitespace token count, the shared t02
+    * qualityExpr, t07's duplicate-bigram ratio) composed into a
+    * keep/drop verdict, with the FIRST failing rule in a fixed order
+    * as the reason — the Gopher/C4 filter bank as one narrow pass
+    * with an auditable per-doc reason column (what a curation run
+    * reports, not just what it keeps). Thresholds compare the ROUNDED
+    * signals, so a boundary doc routes identically in Spark and the
+    * oracle (the s10 protocol). */
+  def qualityFilter(documents: DataFrame, minTokens: Int = 20, maxTokens: Int = 2048,
+                    minQuality: Double = 0.6, maxRepetition: Double = 0.1): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    Scans.spreadIfNarrow(documents, col("doc_id"))
+      .filter(nchars > 0)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("n_tokens", ntok)
+      .withColumn("quality", qualityExpr)
+      .withColumn("rep_ratio",
+        when(size(col("toks")) >= 2,
+          stableRound(lit(1.0) -
+            size(expr("graft_shingle_hashes(toks, 2)")) / (size(col("toks")) - 1), 4))
+          .otherwise(lit(0.0)))
+      .withColumn("reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_tokens") > maxTokens, "too_long")
+          .when(col("quality") < minQuality, "low_quality")
+          .when(col("rep_ratio") > maxRepetition, "repetitive")
+          .otherwise("pass"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("rep_ratio"),
+        (col("reason") === "pass").as("keep"), col("reason"))
+      .orderBy("doc_id")
+  }
+
   /** t14_term_salience — per-doc top-K characteristic terms by
     * df-normalized salience: `tf · N / df` — TF-IDF's ranking with the
     * log dropped so the score is a ratio of exact integers (an IEEE

@@ -118,6 +118,21 @@ class TextSpec extends SparkSpecBase {
     assert(out(3L) == 1.0, s"unique-prose mean DF ${out(3L)}")
   }
 
+  test("qualityFilter routes docs by the first failing rule in fixed order") {
+    val good = (1 to 100).map(i => s"word$i").mkString(" ")        // long, alpha-heavy, distinct
+    val spam = (1 to 15).map(_ => "buy now").mkString(" ")         // repetitive but also 30 tokens
+    val digits = (1 to 30).map(i => s"$i$i$i").mkString(" ")       // no alpha → low quality
+    val d = Seq(
+      (0L, good), (1L, "too short"), (2L, spam), (3L, digits)
+    ).toDF("doc_id", "text")
+    val out = TextStats.qualityFilter(d).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(4), r.getString(5))).toMap
+    assert(out(0L) == ((true, "pass")), s"got ${out(0L)}")
+    assert(out(1L) == ((false, "too_short")))
+    assert(out(2L)._2 == "repetitive" || out(2L)._2 == "low_quality", s"got ${out(2L)}")
+    assert(!out(3L)._1 && out(3L)._2 == "low_quality")
+  }
+
   test("termSalience ranks df-normalized tf with deterministic tie-breaks") {
     val d = Seq(
       (0L, "apple apple banana"),
