@@ -401,6 +401,28 @@ object Oracles {
        FROM p WHERE shared*1.0/(na+nb-shared) >= 0.8
        ORDER BY doc_a, doc_b"""
 
+  /** d11: the exact cross-side Jaccard (batch = src0 docs, corpus =
+    * the rest) — the asymmetric-LSH path must reproduce it exactly,
+    * the d02=d03 equality argument applied to the incremental shape. */
+  private val dedupAgainstSql =
+    """WITH t AS (
+         SELECT doc_id, source,
+                list_distinct([array_to_string(toks[i:i+2], ' ')
+                               for i in range(1, len(toks)-1)]) AS sh
+         FROM (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS toks
+               FROM documents)
+         WHERE len(toks) >= 3),
+       e AS (SELECT doc_id, source, len(sh) AS nsh, unnest(sh) AS shingle FROM t),
+       p AS (SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+                    a.nsh AS na, b.nsh AS nb, count(*) AS shared
+             FROM e a JOIN e b ON a.shingle = b.shingle
+                                AND a.source = 'src0' AND b.source <> 'src0'
+             GROUP BY 1, 2, 3, 4)
+       SELECT new_doc, corpus_doc,
+              floor((shared*1.0/(na+nb-shared))*10000 + 0.5)/10000 AS jaccard
+       FROM p WHERE shared*1.0/(na+nb-shared) >= 0.8
+       ORDER BY new_doc, corpus_doc"""
+
   /** d05 and d06 share one oracle: LSH-bucketed candidates + exact
     * cosine verify must equal the brute-force pairs at the same
     * threshold (the d02/d03 pattern for embeddings). */
@@ -499,6 +521,7 @@ object Oracles {
 
     "d02_ngram_jaccard" -> ngramJaccardSql,
     "d03_minhash_lsh" -> ngramJaccardSql,
+    "d11_dedup_against" -> dedupAgainstSql,
     "d10_source_overlap" -> sourceOverlapSql,
 
     "d05_embed_dedup" -> embedDedupSql,

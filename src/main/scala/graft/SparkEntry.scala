@@ -101,6 +101,12 @@ object SparkEntry {
     "d09_decontaminate" -> ((s, d) => Dedup.decontaminate(Tables.documents(s, d))),
     "d10_source_overlap" -> ((s, d) => Dedup.sourceOverlap(
       Tables.documents(s, d), dfCap = Some(1000L))),
+    // incremental shape: src0 plays the new batch, the rest the corpus
+    "d11_dedup_against" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupAgainst(docs.filter(docs("source") === "src0"),
+        docs.filter(docs("source") =!= "src0"), dfCap = Some(1000L))
+    }),
     "a07_knn_join" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Ann.knnJoin(e, centroids = Some(Ann.labelCentroids(e)))

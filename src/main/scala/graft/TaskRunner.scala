@@ -177,6 +177,13 @@ object TaskRunner {
       Tables.documents(s, d), i(p, "spanTokens", 10))),
     "t13_ngram_novelty" -> ((s, d, p) => TextStats.ngramNovelty(
       Tables.documents(s, d), i(p, "n", 2))),
+    "d11_dedup_against" -> ((s, d, p) => {
+      val docs = Tables.documents(s, d)
+      val src = str(p, "batchSource", "src0")
+      Dedup.dedupAgainst(docs.filter(docs("source") === src),
+        docs.filter(docs("source") =!= src), dbl(p, "threshold", 0.8),
+        i(p, "numHashes", 64), i(p, "bands", 16), capL(p, "dfCap", 1000L))
+    }),
     "t14_term_salience" -> ((s, d, p) => TextStats.termSalience(
       Tables.documents(s, d), i(p, "topK", 3))),
     "t15_source_mix" -> ((s, d, p) => TextStats.sourceMix(

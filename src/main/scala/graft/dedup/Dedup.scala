@@ -174,6 +174,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), stableRound(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** d11_dedup_against — INCREMENTAL near-dup: verified pairs between
+    * a new batch and the existing corpus only — the ingestion shape (a
+    * nightly crawl lands against a petabyte corpus whose corpus×corpus
+    * dedup is already done, so the join must touch only batch×corpus
+    * collisions, never re-pair the corpus with itself). Same compiled
+    * signature build and exact-Jaccard verify as d03, but the band
+    * join is ASYMMETRIC: batch signatures on one side, corpus
+    * signatures on the other — corpus self-pairs structurally cannot
+    * form, and the per-band work is |batch|-proportional. Shingle
+    * universe (and dfCap) are computed over batch ∪ corpus so Jaccard
+    * means the same thing on both sides. */
+  def dedupAgainst(newDocs: DataFrame, corpus: DataFrame, threshold: Double = 0.8,
+                   numHashes: Int = 64, bands: Int = 16,
+                   dfCap: Option[Long] = None): DataFrame = {
+    val union = newDocs.select("doc_id", "text")
+      .unionByName(corpus.select("doc_id", "text"))
+    val shingled = cappedShingleSets(union, dfCap).persist()
+    // batch ids are small by definition → broadcast membership split
+    val newIds = broadcast(newDocs.select(col("doc_id")))
+    val sig = shingled
+      .select(col("doc_id"), size(col("sh")).as("nsh"),
+        posexplode(expr(s"graft_minhash_bands(sh, $numHashes, $bands)"))
+          .as(Seq("bi", "bh")))
+    val sigNew = sig.join(newIds, Seq("doc_id"), "left_semi")
+    val sigCorp = sig.join(newIds, Seq("doc_id"), "left_anti")
+    val sizeOk = col("x.nsh") * threshold <= col("y.nsh") + 0.5 &&
+      col("y.nsh") * threshold <= col("x.nsh") + 0.5
+    val cand = sigNew.as("x")
+      .join(sigCorp.as("y").hint("shuffle_hash"),
+        col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh") && sizeOk)
+      .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("corpus_doc"))
+      .distinct()
+    cand
+      .join(shingled.select(col("doc_id").as("new_doc"), col("sh").as("sh_a")), "new_doc")
+      .join(shingled.select(col("doc_id").as("corpus_doc"), col("sh").as("sh_b")), "corpus_doc")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("shared") / (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_doc"), col("corpus_doc"), stableRound(col("jaccard"), 4).as("jaccard"))
+      .orderBy("new_doc", "corpus_doc")
+  }
+
   /** d07_dedup_clusters — the dedup DECISION step: connected
     * components over the near-dup pair graph (pairs from the d03 LSH
     * path), each doc labeled with its component's minimum doc_id as

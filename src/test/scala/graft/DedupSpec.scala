@@ -36,6 +36,21 @@ class DedupSpec extends SparkSpecBase {
     assert(lsh == exact)
   }
 
+  test("dedupAgainst pairs the batch against the corpus only, never the corpus with itself") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    // batch doc 0 matches corpus doc 10; corpus docs 11/12 are near-dups
+    // of EACH OTHER but must not pair (corpus×corpus is already done)
+    val batch = docs(0L -> base, 1L -> "totally unrelated fresh arrival content words here")
+    val corpus = docs(10L -> near, 11L -> (near + " extra"), 12L -> (near + " bonus"))
+    val out = Dedup.dedupAgainst(batch, corpus, threshold = 0.5,
+        numHashes = 128, bands = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.forall(_._1 <= 1L), "left side must be batch docs")
+    assert(out.map(_._1).toSet == Set(0L), s"got ${out.toSeq}")
+    assert(out.map(_._2).toSet == Set(10L, 11L, 12L), s"got ${out.toSeq}")
+  }
+
   test("simHash: identical docs at hamming 0, disjoint docs filtered out") {
     val d = docs(
       0L -> "alpha beta gamma delta epsilon zeta eta theta",
