@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Plan-shape regression guards for the scale-critical properties
+  * PLANS.md claims: column pruning, filter pushdown, shuffle counts.
+  * Read off `queryExecution.sparkPlan` (the compiled pre-AQE physical
+  * plan — deterministic at planning time, no job runs). A refactor
+  * that silently widens a scan or adds a shuffle fails here, not in a
+  * 100 TB deployment. */
+class PlanSpec extends SparkSpecBase {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+  /** File scans of a plan INCLUDING those inside persisted subtrees
+    * (operators persist shared relations, which hides their scans
+    * behind InMemoryRelation). */
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collect { case f: FileSourceScanExec => Seq(f)
+                case a: AdaptiveSparkPlanExec => scans(a.initialPlan)
+                case i: InMemoryTableScanExec => scans(i.relation.cachedPlan) }.flatten
+
+  test("t16_shard_assign scans read ONLY doc_id (full column pruning)") {
+    val ss = scans(plan("t16_shard_assign"))
+    assert(ss.nonEmpty)
+    assert(ss.forall(_.requiredSchema.fieldNames.sameElements(Array("doc_id"))),
+      ss.map(_.requiredSchema.fieldNames.mkString(",")).mkString("; "))
+  }
+
+  test("a10_range_search: one broadcast scan pass, no shuffle except the output sort") {
+    val p = plan("a10_range_search")
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1, s"expected only the order-by exchange, got ${shuffles.size}")
+    assert(scans(p).size == 2, "queries + corpus scans")
+  }
+
+  test("q39_window_funnel pushes each step's event_type filter into its scan") {
+    val pushed = scans(plan("q39_window_funnel"))
+      .flatMap(_.metadata.get("PushedFilters"))
+      .count(_.contains("EqualTo(event_type"))
+    assert(pushed >= 3, s"only $pushed scans carry a pushed step filter")
+  }
+
+  test("t17_span_scrub: document text is read by exactly two scans (spans + rewrite)") {
+    val textScans = scans(plan("t17_span_scrub"))
+      .count(_.requiredSchema.fieldNames.contains("text"))
+    assert(textScans == 2, s"got $textScans text scans")
+  }
+
+  test("near-dup joins never degenerate to cartesian/nested-loop") {
+    for (name <- Seq("d03_minhash_lsh", "d11_dedup_against", "m06_chunk_dedup")) {
+      val p = plan(name)
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty, s"$name: cartesian")
+      assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty, s"$name: bnlj")
+    }
+  }
+}
