@@ -188,17 +188,27 @@ object Dedup {
   def dedupAgainst(newDocs: DataFrame, corpus: DataFrame, threshold: Double = 0.8,
                    numHashes: Int = 64, bands: Int = 16,
                    dfCap: Option[Long] = None): DataFrame = {
-    val union = newDocs.select("doc_id", "text")
-      .unionByName(corpus.select("doc_id", "text"))
-    val shingled = cappedShingleSets(union, dfCap).persist()
-    // batch ids are small by definition → broadcast membership split
-    val newIds = broadcast(newDocs.select(col("doc_id")))
+    // side TAG rides the shingle pipeline — membership never needs an
+    // id-set join, so the split is free at any batch size
+    val union = newDocs.select("doc_id", "text").withColumn("is_new", lit(true))
+      .unionByName(corpus.select("doc_id", "text").withColumn("is_new", lit(false)))
+    val sets = withShingleHashes(union).select(col("doc_id"), col("is_new"), col("sh"))
+    val shingled = (dfCap match {
+      case None => sets
+      case Some(p) =>
+        // the cappedShingleSets logic with the tag carried through
+        val e = sets.select(col("doc_id"), col("is_new"), explode(col("sh")).as("sh_h"))
+        val hot = e.groupBy("sh_h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > p).select("sh_h")
+        e.join(broadcast(hot), Seq("sh_h"), "left_anti")
+          .groupBy("doc_id", "is_new").agg(collect_list(col("sh_h")).as("sh"))
+    }).persist()
     val sig = shingled
-      .select(col("doc_id"), size(col("sh")).as("nsh"),
+      .select(col("doc_id"), col("is_new"), size(col("sh")).as("nsh"),
         posexplode(expr(s"graft_minhash_bands(sh, $numHashes, $bands)"))
           .as(Seq("bi", "bh")))
-    val sigNew = sig.join(newIds, Seq("doc_id"), "left_semi")
-    val sigCorp = sig.join(newIds, Seq("doc_id"), "left_anti")
+    val sigNew = sig.filter(col("is_new"))
+    val sigCorp = sig.filter(!col("is_new"))
     val sizeOk = col("x.nsh") * threshold <= col("y.nsh") + 0.5 &&
       col("y.nsh") * threshold <= col("x.nsh") + 0.5
     val cand = sigNew.as("x")
