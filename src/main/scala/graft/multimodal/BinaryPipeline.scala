@@ -37,6 +37,9 @@ object BinaryPipeline {
   def chunkSample(documents: DataFrame, chunkBytes: Int = 64, stride: Int = 4): DataFrame =
     documents
       .withColumn("payload", col("text").cast("binary"))
+      // empty payloads have no chunks; without the guard
+      // sequence(0, -1) DESCENDS and emits phantom chunk indices
+      .filter(length(col("payload")) > 0)
       .withColumn("chunk", explode(filter(
         transform(
           sequence(lit(0), floor((length(col("payload")) - 1) / chunkBytes).cast("int")),
@@ -119,6 +122,7 @@ object BinaryPipeline {
                  minShared: Int = 2, dfCap: Long = 1000L): DataFrame = {
     val keyed = documents
       .withColumn("payload", col("text").cast("binary"))
+      .filter(length(col("payload")) > 0) // see chunkSample: sequence(0,-1) descends
       .select(col("doc_id"), explode(
         transform(
           sequence(lit(0), floor((length(col("payload")) - 1) / chunkBytes).cast("int")),

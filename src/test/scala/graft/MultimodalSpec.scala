@@ -23,6 +23,12 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows(1).getInt(2) == 300 - 4 * 64)
   }
 
+  test("empty payloads produce no chunks (sequence(0,-1) would descend)") {
+    val d = Seq((0L, ""), (1L, "x" * 64)).toDF("doc_id", "text")
+    assert(BinaryPipeline.chunkSample(d).collect().forall(_.getLong(0) == 1L))
+    assert(BinaryPipeline.chunkDedup(d).collect().isEmpty)
+  }
+
   test("chunkDedup pairs payloads sharing enough distinct blocks, dfCap drops hot blocks") {
     val bX = "x" * 64; val bY = "y" * 64; val bZ = "z" * 64; val bW = "w" * 64
     val d = Seq(
