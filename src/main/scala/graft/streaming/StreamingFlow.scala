@@ -120,6 +120,28 @@ object StreamingFlow {
       .withColumn("quality", graft.text.TextStats.qualityExpr)
       .withColumn("route", when(col("quality") >= minQuality, "pass").otherwise("reject"))
 
+  /** Per-source keep-rates for [[streamSourceMix]], derived once from
+    * a static corpus snapshot with batch t15's exact formula — the
+    * mixture-control pattern: rates re-derive per planning cycle
+    * (hourly/daily), the stream applies them statelessly in between. */
+  def sourceRates(documents: DataFrame, budgetShare: Double = 0.5): DataFrame =
+    graft.text.TextStats.sourceRatesOf(documents, budgetShare)
+
+  /** s13_stream_source_mix — ingest-time domain-mixture sampling, the
+    * streaming twin of batch t15: arriving docs join the broadcast
+    * per-source rate table (static side) and pass the deterministic
+    * LCG Bernoulli filter. Stateless per-row decision — no watermark,
+    * no state store, and the SAME doc keeps or drops identically in
+    * batch and stream because both sides are pure functions of
+    * (doc_id, rate). The spec asserts route-equality with batch t15
+    * on the same corpus. */
+  def streamSourceMix(stream: DataFrame, rates: DataFrame): DataFrame =
+    stream
+      .join(broadcast(rates), "source")
+      .withColumn("keep",
+        ((col("doc_id") * 2654435761L) % 4294967296L).cast("double")
+          < col("rate") * 4294967296.0)
+
   /** The benchmark shingle union for [[streamDecontaminate]], derived
     * once from a static documents table (the d09 eval side), sorted
     * for a deterministic plan literal. Benchmarks are small by

@@ -383,18 +383,26 @@ object TextStats {
     * LCG-hash Bernoulli filter (q14's protocol — reproducible at any
     * cluster size, no rand()). Undersized sources keep everything
     * (rate 1); oversized ones downsample proportionally. */
-  def sourceMix(documents: DataFrame, budgetShare: Double = 0.5): DataFrame = {
-    val toks = documents.select(col("doc_id"), col("source"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+  /** The t15 per-source keep-rate table — the SINGLE definition shared
+    * by the batch sampler and the streaming mixture gate (s13), so a
+    * doc routes identically in both (the qualityExpr precedent). */
+  private[graft] def sourceRatesOf(documents: DataFrame, budgetShare: Double): DataFrame = {
     // persisted: perSrc feeds both the grand total and the rate table —
     // without it the corpus token count runs twice
-    val perSrc = toks.groupBy("source").agg(sum("n_toks").as("src_tokens")).persist()
+    val perSrc = documents
+      .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+      .groupBy("source").agg(sum("n_toks").as("src_tokens")).persist()
     val tot = perSrc.agg(sum("src_tokens").as("total_tokens"), count(lit(1)).as("n_sources"))
-    val rates = perSrc.crossJoin(broadcast(tot))
+    perSrc.crossJoin(broadcast(tot))
       .withColumn("rate", least(lit(1.0),
         col("total_tokens").cast("double") * budgetShare / col("n_sources") / col("src_tokens")))
       .select("source", "rate")
-    toks.join(broadcast(rates), "source")
+  }
+
+  def sourceMix(documents: DataFrame, budgetShare: Double = 0.5): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+    toks.join(broadcast(sourceRatesOf(documents, budgetShare)), "source")
       .filter(((col("doc_id") * 2654435761L) % 4294967296L).cast("double")
         < col("rate") * 4294967296.0)
       .select("doc_id", "source", "n_toks")
@@ -451,9 +459,8 @@ object TextStats {
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
       .select(col("doc_id"),
         posexplode(expr(s"graft_span_pos_hashes(toks, $spanTokens)")).as(Seq("spos", "h")))
-    // rn=1 is the span's first corpus occurrence; WindowGroupLimit
-    // prunes rn>? map-side only for limits, but the rank itself is one
-    // shuffle on the 8-byte hash
+    // rn=1 is the span's first corpus occurrence; the rank costs one
+    // shuffle of (doc_id, pos, hash) triples keyed on the 8-byte hash
     val wFirst = Window.partitionBy("h").orderBy("doc_id", "spos")
     val drops = spans
       .withColumn("rn", row_number().over(wFirst))

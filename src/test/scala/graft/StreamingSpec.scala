@@ -237,6 +237,27 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s13 streaming mixture gate routes docs identically to batch t15") {
+    implicit val sqlCtx = spark.sqlContext
+    val big = (10L to 19L).map(i => (i, "big", (1 to 10).map(j => s"w$j").mkString(" ")))
+    val corpus = (Seq((1L, "small", "two words")) ++ big).toDF("doc_id", "source", "text")
+    val rates = StreamingFlow.sourceRates(corpus) // static snapshot side
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingFlow.streamSourceMix(
+        input.toDS().toDF("doc_id", "source", "text"), rates)
+      .writeStream.format("memory").queryName("mix_out").outputMode("append").start()
+    try {
+      input.addData((1L, "small", "two words"))
+      input.addData(big.toSeq: _*)
+      q.processAllAvailable()
+      val streamKept = spark.table("mix_out").collect()
+        .filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+      val batchKept = graft.text.TextStats.sourceMix(corpus).collect()
+        .map(_.getLong(0)).toSet
+      assert(streamKept == batchKept, s"stream $streamKept vs batch $batchKept")
+    } finally q.stop()
+  }
+
   test("s12 stateful window funnel matches batch q39 levels across micro-batches") {
     import StreamingFlow.FunnelEv
     implicit val sqlCtx = spark.sqlContext
