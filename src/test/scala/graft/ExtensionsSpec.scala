@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exercises the `SparkSessionExtensions` deployment path: a session
+  * built with `.withExtensions(new GraftExtensions)` (the
+  * `spark.sql.extensions` config route) must expose every graft
+  * native function to PURE SQL — no GraftFunctions.register call —
+  * which is how a spark-submit user with only the jar on the
+  * classpath runs the operators. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions exposes every native function to a SQL-only session") {
+    // getOrCreate reuses an active session and IGNORES extensions, so
+    // clear, build fresh (same SparkContext), and restore afterwards
+    val old = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        """SELECT
+             graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                          array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
+             size(graft_shingle_hashes(array('a','b','c'), 2)) AS sh,
+             size(graft_span_pos_hashes(array('a','b','c','d'), 2)) AS sp,
+             size(graft_minhash_bands(graft_shingle_hashes(array('a','b','c'), 2), 8, 4)) AS mb,
+             graft_simhash(array('x','y')) AS simh,
+             size(graft_hyperplane_buckets(array_repeat(CAST(0.5 AS FLOAT), 64), 42L, 2, 4, 64)) AS hb
+        """).head()
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+      assert(r.getInt(1) == 2, "two overlapping 2-shingles of 3 tokens")
+      assert(r.getInt(2) == 2, "two positional spans of 4 tokens at stride 2")
+      assert(r.getInt(3) == 4, "one hash per band")
+      assert(r.getLong(4) != 0L)
+      assert(r.getInt(5) == 2, "one bucket per table")
+    } finally {
+      s2.catalog.clearCache()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      old.foreach(SparkSession.setDefaultSession)
+      old.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
