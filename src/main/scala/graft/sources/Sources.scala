@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink surface (SURVEY.md §2): the reference reads MySQL/Hive
@@ -79,6 +80,31 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
                        mode: String = "overwrite"): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** sink_upsert — key-based upsert into a partitioned parquet
+    * dataset (MERGE without a table format): the incremental-corpus
+    * maintenance op — a new batch lands, rows with matching keys
+    * replace their old versions, everything else appends. Dynamic
+    * partition overwrite rewrites ONLY the partitions the batch
+    * touches: untouched partitions' files are never read or written,
+    * so the cost scales with the batch, not the corpus. The merged
+    * result is eagerly localCheckpoint'ed before the write — Spark
+    * (correctly) refuses to overwrite a path it is still reading;
+    * the checkpoint breaks the file dependency the way a table
+    * format's snapshot isolation would. */
+  def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
+                        partitionCol: String, keyCol: String): Unit = {
+    val existing = spark.read.parquet(path)
+    val touched = updates.select(partitionCol).distinct()
+    val merged = existing
+      .join(touched, Seq(partitionCol), "left_semi")   // only touched partitions rewrite
+      .join(updates.select(keyCol), Seq(keyCol), "left_anti") // drop replaced keys
+      .unionByName(updates.select(existing.columns.map(col): _*))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path)
+  }
 
   /** Bucketed managed-table sink: co-locates rows by join key so
     * bucket-aware joins/aggregations skip the shuffle entirely. */

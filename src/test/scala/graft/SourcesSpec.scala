@@ -29,6 +29,24 @@ class SourcesSpec extends SparkSpecBase {
     assert(back.count() == 3)
   }
 
+  test("upsertPartitioned replaces keys and rewrites only touched partitions") {
+    val dir = Files.createTempDirectory("graft_upsert").toString
+    val base = Seq((1L, "old1", "p1"), (2L, "old2", "p1"), (3L, "keep3", "p2"))
+      .toDF("id", "name", "grp")
+    Sources.writePartitioned(base, dir, Seq("grp"))
+    val p2 = new java.io.File(s"$dir/grp=p2")
+    val before = p2.listFiles.filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val updates = Seq((2L, "new2", "p1"), (4L, "new4", "p1")).toDF("id", "name", "grp")
+    Sources.upsertPartitioned(spark, dir, updates, "grp", "id")
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("name")).toMap
+    assert(out == Map(1L -> "old1", 2L -> "new2", 3L -> "keep3", 4L -> "new4"), s"got $out")
+    val after = p2.listFiles.filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    assert(after == before, "untouched partition must not be rewritten")
+  }
+
   test("partitioned parquet write produces partition dirs and prunes") {
     val dir = Files.createTempDirectory("graft_part").toString
     Sources.writePartitioned(sample, dir, Seq("grp"))
