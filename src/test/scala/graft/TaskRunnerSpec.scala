@@ -52,6 +52,27 @@ class TaskRunnerSpec extends SparkSpecBase {
     assert(kmeans.nonEmpty)
   }
 
+  test("round-9 runner params take effect: tau, window, spanTokens, batchSource") {
+    // a10: tightening the radius can only shrink the result
+    val wide = TaskRunner.run(spark, d, "a10_range_search").count()
+    val tight = TaskRunner.run(spark, d, "a10_range_search", Map("tau" -> "0.99")).count()
+    assert(tight < wide, s"tau=0.99 ($tight) must prune vs default ($wide)")
+    // q39: a 1-microsecond window strands everyone at level <= 1
+    val levels = TaskRunner.run(spark, d, "q39_window_funnel",
+      Map("windowMicros" -> "1")).collect().map(_.getInt(0))
+    assert(levels.forall(_ <= 1), s"got levels ${levels.toSeq}")
+    // t17: smaller spans → more spans per doc
+    def totalSpans(p: Map[String, String]) = TaskRunner.run(spark, d, "t17_span_scrub", p)
+      .collect().map(_.getLong(1)).sum
+    assert(totalSpans(Map("spanTokens" -> "5")) > totalSpans(Map.empty))
+    // d11: swapping the batch source changes the left side of the pairs
+    val left = TaskRunner.run(spark, d, "d11_dedup_against",
+      Map("batchSource" -> "src1", "threshold" -> "0.5")).collect().map(_.getLong(0)).toSet
+    val srcOf = Tables.documents(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    assert(left.forall(srcOf(_) == "src1"), "batch side must come from batchSource")
+  }
+
   test("every param-aware runner binds an existing inventory query") {
     val orphans = TaskRunner.runners.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"runners with no inventory query: $orphans")
