@@ -714,6 +714,25 @@ object Oracles {
                 row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
          FROM b ORDER BY doc_id""",
 
+    // t19: the oracle states the pair semantics as a position-range
+    // self-join; Spark computes the same pairs via lead columns.
+    // least/greatest on ASCII tokens compare identically; the
+    // (count, word_a, word_b) total order makes LIMIT deterministic
+    "t19_cooccurrence" ->
+      """WITH e AS (
+           SELECT doc_id,
+                  unnest(range(1, len(toks)+1)) AS pos,
+                  unnest(toks) AS tok
+           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+                 FROM documents)),
+         p AS (
+           SELECT least(a.tok, b.tok) AS word_a, greatest(a.tok, b.tok) AS word_b
+           FROM e a JOIN e b
+             ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos+1 AND a.pos+3)
+         SELECT word_a, word_b, count(*) AS n_cooc
+         FROM p GROUP BY 1, 2
+         ORDER BY n_cooc DESC, word_a, word_b LIMIT 20""",
+
     // t17: span-string equality stands in for span-hash equality (the
     // d09/t13 argument); first-occurrence rank and the kept-token
     // rejoin are deterministic under (doc_id, spos) ordering

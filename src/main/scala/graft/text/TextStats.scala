@@ -436,6 +436,33 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** t19_cooccurrence — corpus-wide windowed word co-occurrence: every
+    * unordered token pair within `window` positions, counted and
+    * ranked — the statistics pass PMI embeddings / collocation mining
+    * start from. One window pass computes all `window` lead columns
+    * (single shuffle on doc_id), an array explode stacks them — no
+    * per-offset re-scan — and the (word_a, word_b) count is a partial
+    * agg (hot pairs collapse map-side before the shuffle). The top-N
+    * plans as TakeOrderedAndProject: per-partition heaps, no global
+    * sort. Total order (count desc, word_a, word_b) makes the cut
+    * deterministic in both engines. */
+  def cooccurrence(documents: DataFrame, window: Int = 3, topN: Int = 20): DataFrame = {
+    val toks = graft.Scans.spreadIfNarrow(documents, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    toks
+      .select(col("tok") +: (1 to window).map(o => lead("tok", o).over(w).as(s"l$o")): _*)
+      .select(col("tok"),
+        explode(array((1 to window).map(o => col(s"l$o")): _*)).as("nbr"))
+      .filter(col("nbr").isNotNull)
+      .select(least(col("tok"), col("nbr")).as("word_a"),
+        greatest(col("tok"), col("nbr")).as("word_b"))
+      .groupBy("word_a", "word_b").agg(count(lit(1)).as("n_cooc"))
+      .orderBy(col("n_cooc").desc, col("word_a"), col("word_b"))
+      .limit(topN)
+  }
+
   /** t17_span_scrub — the APPLY step of exact-substring dedup (Lee et
     * al., "Deduplicating Training Data Makes Language Models Better"):
     * where t11 only REPORTS span-level duplication, this materializes

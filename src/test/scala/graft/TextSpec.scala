@@ -118,6 +118,16 @@ class TextSpec extends SparkSpecBase {
     assert(out(3L) == 1.0, s"unique-prose mean DF ${out(3L)}")
   }
 
+  test("cooccurrence counts unordered pairs within the window only") {
+    val d = Seq((0L, "a b c d"), (1L, "a b")).toDF("doc_id", "text")
+    val out = TextStats.cooccurrence(d, window = 2, topN = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // doc0 window-2 pairs: ab ac bc bd cd; doc1 adds ab → ab counts 2;
+    // (a,d) is 3 apart → excluded
+    assert(out == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L,
+      ("b", "d") -> 1L, ("c", "d") -> 1L), s"got $out")
+  }
+
   test("qualityFilter routes docs by the first failing rule in fixed order") {
     val good = (1 to 100).map(i => s"word$i").mkString(" ")        // long, alpha-heavy, distinct
     val spam = (1 to 15).map(_ => "buy now").mkString(" ")         // repetitive but also 30 tokens
