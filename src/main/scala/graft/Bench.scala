@@ -46,6 +46,9 @@ object Bench {
             // surface it so the timing line can't hide a broken operator
             errors(name) = e.toString.replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(120)
           }
+          // per-rep release: each rep pays the full pipeline (honest
+          // timing) and no intermediate cache outlives its query
+          finally Caches.release()
           (System.nanoTime() - t0) / 1e9
         }
         name -> times.min

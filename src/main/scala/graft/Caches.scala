@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Intermediate-cache registry — the cache-hygiene contract for
+  * operators that persist a reused intermediate (the exploded n-gram
+  * relation of t13/t14, the rate table of t15, q39's survivor chain,
+  * d11's tagged shingle sets, m06's chunk relation, d03/d07/d10's
+  * shingle sets).
+  *
+  * Operators return LAZY plans, so they cannot unpersist before the
+  * caller's action (the cache would do nothing); and persisting the
+  * same logical plan twice — an operator invoked twice in one session —
+  * trips the CacheManager's "already cached" warning and layers a
+  * second entry. [[tracked]] solves both: it persists only when the
+  * plan isn't already cached, and records the frame so [[release]] can
+  * drop every graft-held intermediate once the caller has materialized
+  * its result. Verify releases per query, Bench per rep, the spec base
+  * per suite; a long-lived session calls release() (or
+  * spark.catalog.clearCache()) at its own cadence. The d07-style
+  * operators that persist, materialize and unpersist INSIDE one call
+  * keep doing that — this registry is only for caches that must
+  * outlive the operator's return.
+  */
+object Caches {
+  private val held = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist `df` (if not already cached) and track it for [[release]].
+    * Returns `df` for chaining. */
+  private[graft] def tracked(df: DataFrame): DataFrame = {
+    // storageLevel consults the session CacheManager: an equal plan
+    // cached earlier (same operator re-invoked) reports its level and
+    // is NOT re-persisted — no duplicate entry, no warning
+    if (df.storageLevel == StorageLevel.NONE) {
+      df.persist()
+      held.add(df)
+    }
+    df
+  }
+
+  /** Unpersist every tracked intermediate. Call after the action that
+    * materializes an operator's result; the result itself (already
+    * computed) is unaffected, only a re-execution would recompute. */
+  def release(): Unit = {
+    var df = held.poll()
+    while (df != null) {
+      df.unpersist()
+      df = held.poll()
+    }
+  }
+}

@@ -28,6 +28,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: $e")
         e.getStackTrace.take(3).foreach(f => System.err.println(s"[verify]   at $f"))
       }
+      finally Caches.release() // drop operator-held intermediate caches
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -139,11 +139,11 @@ object Dedup {
   private[graft] def minHashPairs(documents: DataFrame, threshold: Double = 0.8,
                                   numHashes: Int = 64, bands: Int = 16,
                                   dfCap: Option[Long] = None): DataFrame = {
-    // session-scoped cache: the shingle sets feed both the signature
-    // build and the verify join. Operators return lazy plans, so
-    // there is no point to unpersist before evaluation; one-shot
-    // callers can spark.catalog.clearCache() after the action.
-    val shingled = cappedShingleSets(documents, dfCap).persist()
+    // tracked cache: the shingle sets feed both the signature build
+    // and the verify join. Operators return lazy plans, so the cache
+    // must outlive this call; Caches.release() (Verify/Bench/spec
+    // cadence) drops it once the caller's action has run.
+    val shingled = graft.Caches.tracked(cappedShingleSets(documents, dfCap))
     // signature build: one narrow graft_minhash_bands call per doc —
     // all permutation minima and band hashes in a single compiled
     // loop. No explode, no shuffle, no per-agg-column Janino compile
@@ -193,7 +193,7 @@ object Dedup {
     val union = newDocs.select("doc_id", "text").withColumn("is_new", lit(true))
       .unionByName(corpus.select("doc_id", "text").withColumn("is_new", lit(false)))
     val sets = withShingleHashes(union).select(col("doc_id"), col("is_new"), col("sh"))
-    val shingled = (dfCap match {
+    val shingled = graft.Caches.tracked(dfCap match {
       case None => sets
       case Some(p) =>
         // the cappedShingleSets logic with the tag carried through
@@ -202,7 +202,7 @@ object Dedup {
           .filter(col("df") > p).select("sh_h")
         e.join(broadcast(hot), Seq("sh_h"), "left_anti")
           .groupBy("doc_id", "is_new").agg(collect_list(col("sh_h")).as("sh"))
-    }).persist()
+    })
     val sig = shingled
       .select(col("doc_id"), col("is_new"), size(col("sh")).as("nsh"),
         posexplode(expr(s"graft_minhash_bands(sh, $numHashes, $bands)"))

@@ -129,11 +129,12 @@ object BinaryPipeline {
           i => xxhash64(substring(col("payload"), i * chunkBytes + 1, lit(chunkBytes)))))
         .as("h"))
       .distinct()
-      // persisted: the (doc_id, hash) relation is read three times
-      // (df count + both pair-join sides) — without it the chunk
-      // explode runs three times, and accurate stats let the planner
-      // pick a shuffle join over a mis-estimated broadcast at scale
-      .persist()
+    // persisted (tracked): the (doc_id, hash) relation is read three
+    // times (df count + both pair-join sides) — without it the chunk
+    // explode runs three times, and accurate stats let the planner
+    // pick a shuffle join over a mis-estimated broadcast at scale;
+    // released by the caller's Caches.release()
+    graft.Caches.tracked(keyed)
     val eligible = keyed.groupBy("h")
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, dfCap))

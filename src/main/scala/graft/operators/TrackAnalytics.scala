@@ -367,16 +367,17 @@ object TrackAnalytics {
       .groupBy("user_id").agg(min(us).as("t1"))
     // survivor chain: chain(i) = users whose deepest prefix is ≥ i+1
     // steps, carrying (t1 = window anchor, t_prev = last matched ts)
-    // each stage is persisted: it feeds BOTH the next stage's join and
-    // its own level flag below — per-user aggregates, far smaller than
-    // the event log they summarize
-    val chain = steps.drop(1).scanLeft(anchor.withColumn("t_prev", col("t1")).persist()) {
+    // each stage is persisted (tracked): it feeds BOTH the next stage's
+    // join and its own level flag below — per-user aggregates, far
+    // smaller than the event log they summarize; the caller's
+    // Caches.release() drops the chain after materialization
+    val chain = steps.drop(1).scanLeft(
+      graft.Caches.tracked(anchor.withColumn("t_prev", col("t1")))) {
       (prev, step) =>
-        events.filter(col("event_type") === step)
+        graft.Caches.tracked(events.filter(col("event_type") === step)
           .join(prev, "user_id")
           .filter(us > col("t_prev") && us <= col("t1") + windowMicros)
-          .groupBy("user_id").agg(min("t1").as("t1"), min(us).as("t_prev"))
-          .persist()
+          .groupBy("user_id").agg(min("t1").as("t1"), min(us).as("t_prev")))
     }
     val users = events.select("user_id").distinct()
     val flagged = chain.zipWithIndex.foldLeft(users) { case (acc, (surv, i)) =>

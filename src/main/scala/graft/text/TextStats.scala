@@ -301,10 +301,10 @@ object TextStats {
   def ngramNovelty(documents: DataFrame, n: Int = 2): DataFrame = {
     // shared tokenize-and-shingle pipeline (one definition to evolve);
     // persisted because the exploded relation feeds BOTH the DF count
-    // and the probe side of the re-join — the minHashPairs precedent
-    val e = graft.dedup.Dedup.withShingleHashes(documents, n)
-      .select(col("doc_id"), explode(col("sh")).as("ng_h"))
-      .persist()
+    // and the probe side of the re-join — tracked so the caller's
+    // Caches.release() drops it once the result is materialized
+    val e = graft.Caches.tracked(graft.dedup.Dedup.withShingleHashes(documents, n)
+      .select(col("doc_id"), explode(col("sh")).as("ng_h")))
     val df = e.groupBy("ng_h").agg(count(lit(1)).as("df"))
     e.join(df, "ng_h")
       .groupBy("doc_id")
@@ -357,9 +357,11 @@ object TextStats {
   def termSalience(documents: DataFrame, topK: Int = 3): DataFrame = {
     val terms = graft.Scans.spreadIfNarrow(documents, col("doc_id"))
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-    // persisted: tf feeds BOTH the DF count and the probe side of the
-    // re-join (the t13 precedent) — one tokenize pass, not two
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).persist()
+    // persisted (tracked): tf feeds BOTH the DF count and the probe
+    // side of the re-join (the t13 precedent) — one tokenize pass, not
+    // two; released by the caller's Caches.release()
+    val tf = graft.Caches.tracked(
+      terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
     // rank on the UNROUNDED double; ties broken by term so the cut is
@@ -387,11 +389,11 @@ object TextStats {
     * by the batch sampler and the streaming mixture gate (s13), so a
     * doc routes identically in both (the qualityExpr precedent). */
   private[graft] def sourceRatesOf(documents: DataFrame, budgetShare: Double): DataFrame = {
-    // persisted: perSrc feeds both the grand total and the rate table —
-    // without it the corpus token count runs twice
-    val perSrc = documents
+    // persisted (tracked): perSrc feeds both the grand total and the
+    // rate table — without it the corpus token count runs twice
+    val perSrc = graft.Caches.tracked(documents
       .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
-      .groupBy("source").agg(sum("n_toks").as("src_tokens")).persist()
+      .groupBy("source").agg(sum("n_toks").as("src_tokens")))
     val tot = perSrc.agg(sum("src_tokens").as("total_tokens"), count(lit(1)).as("n_sources"))
     perSrc.crossJoin(broadcast(tot))
       .withColumn("rate", least(lit(1.0),

@@ -8,7 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpecBase.session
 
-  override def afterAll(): Unit = { /* shared session: keep alive */ }
+  override def afterAll(): Unit = {
+    // shared session stays alive across suites; drop any intermediate
+    // caches graft operators tracked during this suite (cache hygiene —
+    // and re-invocations in later suites re-persist without the
+    // CacheManager "already cached" warning)
+    Caches.release()
+  }
 }
 
 object SparkSpecBase {
