@@ -761,6 +761,37 @@ object Oracles {
                           nullif(array_to_string(toks[(len(toks)//10)*10+1:], ' '), '')) AS clean_text
          FROM t LEFT JOIN k USING (doc_id) ORDER BY doc_id""",
 
+    "t20_rolling_scrub" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         s AS (
+           SELECT doc_id,
+                  unnest(range(0, greatest(len(toks)-9, 0))) AS spos,
+                  unnest([array_to_string(toks[i+1:i+10], ' ')
+                          for i in range(0, greatest(len(toks)-9, 0))]) AS span
+           FROM t),
+         r AS (
+           SELECT doc_id, spos,
+                  row_number() OVER (PARTITION BY span ORDER BY doc_id, spos) AS rn
+           FROM s),
+         cov AS (
+           SELECT DISTINCT doc_id, unnest(range(spos, spos+10)) AS pos
+           FROM r WHERE rn > 1),
+         nd AS (SELECT doc_id, count(*) AS n_dropped FROM cov GROUP BY doc_id),
+         tok AS (
+           SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok FROM t),
+         cl AS (
+           SELECT tok.doc_id, string_agg(tok.tok, ' ' ORDER BY tok.pos) AS clean_text
+           FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos
+           WHERE cov.pos IS NULL
+           GROUP BY tok.doc_id)
+         SELECT t.doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(coalesce(nd.n_dropped, 0) AS BIGINT) AS n_dropped_tokens,
+                coalesce(cl.clean_text, '') AS clean_text
+         FROM t LEFT JOIN nd USING (doc_id) LEFT JOIN cl USING (doc_id)
+         ORDER BY t.doc_id""",
+
     "t01_token_stats" ->
       """SELECT doc_id,
          len(string_split_regex(trim(text), '\s+')) AS n_tokens,

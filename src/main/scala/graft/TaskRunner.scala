@@ -192,6 +192,8 @@ object TaskRunner {
       Tables.documents(s, d), i(p, "nShards", 8))),
     "t17_span_scrub" -> ((s, d, p) => TextStats.spanScrub(
       Tables.documents(s, d), i(p, "spanTokens", 10))),
+    "t20_rolling_scrub" -> ((s, d, p) => TextStats.rollingScrub(
+      Tables.documents(s, d), i(p, "spanTokens", 10))),
     "t19_cooccurrence" -> ((s, d, p) => TextStats.cooccurrence(
       Tables.documents(s, d), i(p, "window", 3), i(p, "topN", 20))),
     "t18_quality_filter" -> ((s, d, p) => TextStats.qualityFilter(

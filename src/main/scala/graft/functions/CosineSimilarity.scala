@@ -110,6 +110,14 @@ object GraftFunctions {
           val n = children(1).eval().asInstanceOf[Number].intValue()
           ShingleHashes(children.head, n, n, dedup = false)
         })
+    if (!reg.functionExists(FunctionIdentifier("graft_rolling_span_hashes")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_rolling_span_hashes"),
+        new ExpressionInfo(classOf[ShingleHashes].getName, "graft_rolling_span_hashes"),
+        (children: Seq[Expression]) => {
+          val n = children(1).eval().asInstanceOf[Number].intValue()
+          ShingleHashes(children.head, n, 1, dedup = false)
+        })
     if (!reg.functionExists(FunctionIdentifier("graft_minhash_bands")))
       reg.registerFunction(
         FunctionIdentifier("graft_minhash_bands"),
@@ -176,6 +184,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         (children: Seq[Expression]) => {
           val n = children(1).eval().asInstanceOf[Number].intValue()
           ShingleHashes(children.head, n, n, dedup = false)
+        }))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_rolling_span_hashes"),
+        new ExpressionInfo(classOf[ShingleHashes].getName, "graft_rolling_span_hashes"),
+        (children: Seq[Expression]) => {
+          val n = children(1).eval().asInstanceOf[Number].intValue()
+          ShingleHashes(children.head, n, 1, dedup = false)
         }))
     ext.injectFunction(
       (FunctionIdentifier("graft_minhash_bands"),

@@ -23,13 +23,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * `dedup = false` (`graft_span_pos_hashes`) keeps the hashes in span
   * POSITION order with repeats — the form the span-scrub operator
   * (t17) needs, where array index i IS the span's position in the doc.
+  * `dedup = false, stride = 1` (`graft_rolling_span_hashes`) is the
+  * shift-invariant variant: EVERY overlapping n-token window, in
+  * position order — array index i is the window's token offset (t20).
   */
 case class ShingleHashes(child: Expression, n: Int, stride: Int = 1,
                          dedup: Boolean = true) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String =
-    if (!dedup) "graft_span_pos_hashes"
+    if (!dedup && stride == 1) "graft_rolling_span_hashes"
+    else if (!dedup) "graft_span_pos_hashes"
     else if (stride == 1) "graft_shingle_hashes" else "graft_span_hashes"
 
   override def nullSafeEval(input: Any): Any =

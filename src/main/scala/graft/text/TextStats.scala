@@ -482,6 +482,60 @@ object TextStats {
     * masks (arrays of int positions) join back to the corpus on
     * doc_id, so document text crosses exactly one exchange — the one
     * any rewrite-the-corpus op needs to co-locate mask and text. */
+  /** t20_rolling_scrub — SHIFT-INVARIANT exact-substring dedup (the
+    * t17 apply step without its span-grid blind spot): t17 fingerprints
+    * a fixed non-overlapping grid, so a duplicated passage offset by
+    * even one token from a grid boundary is invisible — and real
+    * boilerplate almost never lands grid-aligned. Here EVERY
+    * overlapping `spanTokens`-token window is fingerprinted
+    * (graft_rolling_span_hashes — one compiled pass, stride 1); for
+    * each fingerprint the first corpus occurrence (min (doc_id, pos))
+    * is kept, and the DROP MASK is the interval union of every later
+    * occurrence's [pos, pos+spanTokens-1] token range — overlapping
+    * duplicate windows merge into one scrubbed region (the greedy-merge
+    * form of Lee et al.'s suffix-array dedup that stays relational).
+    * A duplicated passage of length L ≥ spanTokens is caught at ANY
+    * offset, because all of its L-spanTokens+1 interior windows match.
+    *
+    * Scale shape: rolling windows emit ~n_tokens hashes per doc —
+    * spanTokens× more span rows than t17's grid — but each is only a
+    * (doc_id, int, 8-byte hash) triple; the first-occurrence rank
+    * shuffles those triples on the hash, the per-doc mask (int
+    * positions) joins back on doc_id, and document text still crosses
+    * exactly ONE exchange (the mask join). That linear-in-tokens
+    * factor is the honest price of shift invariance; the suffix-array
+    * alternative is super-linear to distribute at all. */
+  def rollingScrub(documents: DataFrame, spanTokens: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val spans = graft.Scans.spreadIfNarrow(documents, col("doc_id"))
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_rolling_span_hashes(toks, $spanTokens)"))
+          .as(Seq("spos", "h")))
+    // rn=1 is the window's first corpus occurrence (doc_id, pos order —
+    // the t17 protocol); later occurrences contribute their token range
+    // to the doc's drop mask, deduplicated/merged by the set union
+    val wFirst = Window.partitionBy("h").orderBy("doc_id", "spos")
+    val drops = spans
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") > 1)
+      .groupBy("doc_id")
+      .agg(array_sort(array_distinct(flatten(collect_list(
+        sequence(col("spos"), col("spos") + lit(spanTokens - 1)))))).as("drop_pos"))
+    documents
+      .join(drops, Seq("doc_id"), "left")
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("drop_pos")), lit(0)).cast("long").as("n_dropped_tokens"),
+        array_join(
+          filter(col("toks"), (_, j) =>
+            !coalesce(array_contains(col("drop_pos"), j), lit(false))),
+          " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   def spanScrub(documents: DataFrame, spanTokens: Int = 10): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     val spans = graft.Scans.spreadIfNarrow(documents, col("doc_id"))

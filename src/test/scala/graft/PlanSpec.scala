@@ -52,6 +52,12 @@ class PlanSpec extends SparkSpecBase {
     assert(textScans == 2, s"got $textScans text scans")
   }
 
+  test("t20_rolling_scrub: document text is read by exactly two scans (windows + rewrite)") {
+    val textScans = scans(plan("t20_rolling_scrub"))
+      .count(_.requiredSchema.fieldNames.contains("text"))
+    assert(textScans == 2, s"got $textScans text scans")
+  }
+
   test("near-dup joins never degenerate to cartesian/nested-loop") {
     for (name <- Seq("d03_minhash_lsh", "d11_dedup_against", "m06_chunk_dedup")) {
       val p = plan(name)

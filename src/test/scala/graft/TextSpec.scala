@@ -199,6 +199,41 @@ class TextSpec extends SparkSpecBase {
       (2L, 2L, 2L, "")))
   }
 
+  test("rollingScrub catches the grid-offset duplicate t17 provably misses") {
+    // a 12-token passage duplicated at token offset 1 — one token off
+    // the fixed 10-token span grid, so t17's grid fingerprints never
+    // line up (docB's grid span starts at "x"), while every interior
+    // rolling window of the passage matches
+    val passage = (1 to 12).map(i => s"p$i").mkString(" ")
+    val d = Seq(
+      (0L, passage),           // first corpus occurrence: kept whole
+      (1L, s"x $passage")      // duplicate shifted 1 off the grid
+    ).toDF("doc_id", "text")
+    // t17 baseline: the fixed grid sees no duplicate at all
+    val grid = TextStats.spanScrub(d, spanTokens = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(grid(1L) == 0L, s"t17 should miss the shifted duplicate, got ${grid(1L)} drops")
+    // t20: docB's windows at offsets 1..3 match docA's 0..2 → the
+    // interval union covers tokens 1..12, leaving only the "x"
+    val out = TextStats.rollingScrub(d, spanTokens = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (0L, 12L, 0L, passage),
+      (1L, 13L, 12L, "x")), s"got ${out.toSeq}")
+  }
+
+  test("rollingScrub merges overlapping duplicate windows and keeps in-doc firsts") {
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (0L, s"$span middle1 middle2 $span"), // repeat INSIDE one doc: second dropped
+      (1L, "all fresh tokens nothing here repeats in any way at all")
+    ).toDF("doc_id", "text")
+    val byId = TextStats.rollingScrub(d, spanTokens = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(byId(0L) == ((10L, s"$span middle1 middle2")), s"got ${byId(0L)}")
+    assert(byId(1L)._1 == 0L)
+  }
+
   test("bpeTokens splits contractions, punctuation and numbers like a pre-tokenizer") {
     val d = Seq((0L, "I can't pay $12.50, she'll agree!"), (1L, "plain words only"))
       .toDF("doc_id", "text")
