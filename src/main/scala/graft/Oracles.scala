@@ -374,6 +374,33 @@ object Oracles {
                       LEFT JOIN s3 USING (user_id))
          SELECT level, count(*) AS n_users FROM l GROUP BY level ORDER BY level""",
 
+    "q42_funnel_steps" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+         s1 AS (SELECT user_id, min(us) AS t1 FROM ev
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT ev.user_id, min(t1) AS t1, min(us) AS t2
+                FROM ev JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND us > t1 AND us <= t1 + 43200000000
+                GROUP BY ev.user_id),
+         s3 AS (SELECT ev.user_id, min(t1) AS t1, min(us) AS t3
+                FROM ev JOIN s2 USING (user_id)
+                WHERE event_type = 'signup' AND us > t2 AND us <= t1 + 43200000000
+                GROUP BY ev.user_id),
+         s4 AS (SELECT ev.user_id, min(us) AS t4
+                FROM ev JOIN s3 USING (user_id)
+                WHERE event_type = 'purchase' AND us > t3 AND us <= t1 + 43200000000
+                GROUP BY ev.user_id),
+         u AS (SELECT DISTINCT user_id FROM ev),
+         l AS (SELECT u.user_id,
+                      CASE WHEN s4.user_id IS NOT NULL THEN 4
+                           WHEN s3.user_id IS NOT NULL THEN 3
+                           WHEN s2.user_id IS NOT NULL THEN 2
+                           WHEN s1.user_id IS NOT NULL THEN 1
+                           ELSE 0 END AS level
+               FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                      LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id))
+         SELECT level, count(*) AS n_users FROM l GROUP BY level ORDER BY level""",
+
     "m05_payload_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, sha256(text) AS payload_sha,
          count(*) AS n_copies,

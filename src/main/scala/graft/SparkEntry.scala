@@ -68,6 +68,11 @@ object SparkEntry {
     "q37_streaks" -> ((s, d) => TrackAnalytics.activityStreaks(Tables.events(s, d))),
     "q38_retention" -> ((s, d) => TrackAnalytics.retention(Tables.events(s, d))),
     "q39_window_funnel" -> ((s, d) => TrackAnalytics.windowFunnel(Tables.events(s, d))),
+    // the funnel GENERALITY witness: same operator, 4 steps + a
+    // tighter 12h window, pinned by its own oracle row — proves the
+    // step chain is parametric, not a hardcoded 3-step shape
+    "q42_funnel_steps" -> ((s, d) => TrackAnalytics.windowFunnel(Tables.events(s, d),
+      Seq("view", "click", "signup", "purchase"), 43200000000L)),
     "q40_grouping_sets" -> ((s, d) => RelationalOps.groupingSets(Tables.orders(s, d))),
     "q41_graph_rank" -> ((s, d) => TrackAnalytics.graphRank(Tables.events(s, d))),
     "a10_range_search" -> ((s, d) => Ann.rangeSearch(Tables.embeddings(s, d))),

@@ -210,7 +210,13 @@ object TaskRunner {
     "q39_window_funnel" -> ((s, d, p) => TrackAnalytics.windowFunnel(
       eventsIn(s, d, p),
       str(p, "steps", "view,click,purchase").split(",").map(_.trim).toSeq,
-      l(p, "windowMicros", 86400000000L)))
+      l(p, "windowMicros", 86400000000L))),
+    // same operator as q39 under a different task binding — the
+    // 4-step/12h parameterization pinned by its own oracle row
+    "q42_funnel_steps" -> ((s, d, p) => TrackAnalytics.windowFunnel(
+      eventsIn(s, d, p),
+      str(p, "steps", "view,click,signup,purchase").split(",").map(_.trim).toSeq,
+      l(p, "windowMicros", 43200000000L)))
   )
 
   /** Run any inventory query under a param set; unknown params are
