@@ -116,6 +116,13 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Ann.knnJoin(e, centroids = Some(Ann.labelCentroids(e)))
     }),
+    "a11_recall_eval" -> ((s, d) => Ann.recallEval(Tables.embeddings(s, d))),
+    // incremental shape: every 5th vector plays the new batch, the
+    // rest the already-indexed corpus (the d11 convention)
+    "a12_ivf_append" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.ivfAppend(e.filter(e("vec_id") % 5 =!= 0), e.filter(e("vec_id") % 5 === 0))
+    }),
     "a08_pq_knn" -> ((s, d) => Ann.pqKnn(Tables.embeddings(s, d))),
     "a09_ivf_pq" -> ((s, d) => Ann.ivfPqKnn(Tables.embeddings(s, d))),
     "t01_token_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),

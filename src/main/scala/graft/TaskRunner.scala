@@ -160,6 +160,15 @@ object TaskRunner {
         i(p, "m", 8), i(p, "ksub", 16), i(p, "iters", 5),
         i(p, "trainSample", 2048), i(p, "rerank", 50), i(p, "dim", 64))
     }),
+    "a11_recall_eval" -> ((s, d, p) => Ann.recallEval(
+      Tables.embeddings(s, d), str(p, "variant", "lsh"),
+      i(p, "nQueries", 10), i(p, "k", 3))),
+    "a12_ivf_append" -> ((s, d, p) => {
+      val e = Tables.embeddings(s, d)
+      val m = i(p, "batchMod", 5)
+      Ann.ivfAppend(e.filter(e("vec_id") % m =!= 0), e.filter(e("vec_id") % m === 0),
+        cells = i(p, "cells", 0), balanceFactor = dbl(p, "balanceFactor", 2.0))
+    }),
     "d08_dedup_apply" -> ((s, d, p) => Dedup.dedupApply(
       Tables.documents(s, d), dbl(p, "threshold", 0.8),
       capL(p, "dfCap", 1000L))),

@@ -621,6 +621,47 @@ object Ann {
     out
   }
 
+  /** a11_recall_eval — ANN index QUALITY REPORT as a first-class
+    * operator: recall@k of an approximate index variant against the
+    * a01 exact twin, per query and aggregated. The number every index
+    * deployment tunes against (FAISS's eval loop) — runnable on the
+    * deployment's OWN corpus and query sample, not just the test
+    * fixture's. `variant` picks the shipped index (lsh/ivf/pq/ivfpq
+    * with their inventory defaults); `approx` overrides it with any
+    * (query_id, neighbor_id) result table — the seam the spec uses to
+    * plant a known recall, and a deployment uses to score a custom
+    * parameterization.
+    *
+    * Scale posture: both sides are top-k result tables (nQueries·k
+    * rows — index output, not corpus data), so the intersection join
+    * and the mean are driver-trivial; the cost is running the two
+    * searches, each with its own documented scale shape. Rows-only op:
+    * recall of a sampled-training index is not ANSI-SQL-expressible;
+    * the measurement itself is spec-pinned with a planted recall. */
+  def recallEval(embeddings: DataFrame, variant: String = "lsh",
+                 nQueries: Int = 10, k: Int = 3,
+                 approx: Option[DataFrame] = None): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val exact = knnBrute(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approxPairs = approx.getOrElse(variant match {
+      case "lsh"   => knnLsh(embeddings, nQueries, k)
+      case "ivf"   => ivfKnn(embeddings, nQueries, k)
+      case "pq"    => pqKnn(embeddings, nQueries, k)
+      case "ivfpq" => ivfPqKnn(embeddings, nQueries, k)
+      case other => throw new IllegalArgumentException(
+        s"recallEval: unknown variant '$other' (lsh|ivf|pq|ivfpq)")
+    }).select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approxPairs, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    val perQuery = exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_at_k", stableRound(col("n_hits") / lit(k.toDouble), 4))
+    val mean = perQuery.agg(stableRound(avg("recall_at_k"), 4).as("mean_recall"))
+    perQuery.crossJoin(broadcast(mean)).orderBy("query_id")
+  }
+
   /** a07_knn_join — full kNN SELF-join: every vector in the corpus
     * gets its top-k neighbours among all the others, via the same IVF
     * index as a04 (storage assignment = nearest cell, query side
@@ -651,5 +692,57 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         stableRound(col("sim"), 4).as("cos_sim"), col("rn"))
       .orderBy("query_id", "rn")
+  }
+
+  /** Combined assignment table behind [[ivfAppend]]: every existing
+    * and batch vector's cell under the EXISTING quantizer, tagged by
+    * side — the posting-list update an incremental ingest materializes
+    * (the retrieval ops consume it implicitly by passing the same
+    * centroid table). */
+  private[ann] def ivfAppendAssign(existing: DataFrame, batch: DataFrame,
+                                   cents: DataFrame): DataFrame =
+    assign(existing.select(col("vec_id"), col("embedding")), cents)
+      .select(col("vec_id"), col("c_label").as("cell"), lit(false).as("is_new"))
+      .unionByName(
+        assign(batch.select(col("vec_id"), col("embedding")), cents)
+          .select(col("vec_id"), col("c_label").as("cell"), lit(true).as("is_new")))
+
+  /** a12_ivf_append — INCREMENTAL ANN maintenance, the a-side twin of
+    * d11's incremental dedup: a new embedding batch is assigned to the
+    * EXISTING centroid table (no retrain — one broadcast-assign pass
+    * over the batch), and the report is per-cell growth with a
+    * `needs_split` flag for cells past `balanceFactor` × the mean
+    * post-append occupancy — the signal that schedules a re-split /
+    * re-train before skewed posting lists degrade query latency. This
+    * is how a nightly crawl lands against a trained billion-vector
+    * index: quantizers retrain on operator cadence, not per batch.
+    *
+    * Scale posture: the batch-side work is |batch|-proportional (the
+    * d11 property); the existing-side occupancy is one partial-agg
+    * count over (vec_id, cell) assignments — in a real deployment that
+    * table is the stored index metadata, read not recomputed (here it
+    * is derived because nothing persists between test runs; the
+    * derivation is itself one broadcast-assign scan). Retrieval
+    * equivalence — appended vectors found by a04/a07 through the same
+    * centroid table at full-rebuild recall — is spec-asserted.
+    * Rows-only op: sample-trained k-means cells are not
+    * ANSI-SQL-expressible. */
+  def ivfAppend(existing: DataFrame, batch: DataFrame,
+                centroids: Option[DataFrame] = None, cells: Int = 0,
+                balanceFactor: Double = 2.0): DataFrame = {
+    GraftFunctions.register(existing.sparkSession)
+    val cents = resolveCentroids(existing, centroids, cells)
+    val assigned = ivfAppendAssign(existing, batch, cents)
+    val stats = assigned
+      .groupBy("cell")
+      .agg(count(when(!col("is_new"), 1)).as("n_existing"),
+        count(when(col("is_new"), 1)).as("n_new"))
+      .withColumn("n_total", col("n_existing") + col("n_new"))
+    val mean = stats.agg(avg("n_total").as("mean_total"))
+    stats.crossJoin(broadcast(mean))
+      .select(col("cell"), col("n_existing"), col("n_new"), col("n_total"),
+        stableRound(col("n_total") / col("mean_total"), 4).as("load_ratio"),
+        (col("n_total") > col("mean_total") * balanceFactor).as("needs_split"))
+      .orderBy("cell")
   }
 }

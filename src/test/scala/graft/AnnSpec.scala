@@ -180,6 +180,69 @@ class AnnSpec extends SparkSpecBase {
     assert(p.size == b.size, "residual ivf-pq must return k results per query")
   }
 
+  test("recallEval reports a planted recall exactly and scores the shipped variants") {
+    import org.apache.spark.sql.functions.{col, when}
+    // planted: exact top-2 with query 0's second neighbour swapped for
+    // a wrong id → recall(q0)=1/2, recall(q1)=1, mean=0.75
+    val exact = Ann.knnBrute(vecs, nQueries = 2, k = 2)
+      .select(col("query_id"), col("neighbor_id"))
+    val planted = exact.withColumn("neighbor_id",
+      when(col("query_id") === 0L && col("neighbor_id") === 3L, 99L)
+        .otherwise(col("neighbor_id")))
+    val out = Ann.recallEval(vecs, nQueries = 2, k = 2, approx = Some(planted))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(0L) == ((1L, 0.5, 0.75)), s"got ${out(0L)}")
+    assert(out(1L) == ((2L, 1.0, 0.75)), s"got ${out(1L)}")
+    // integration: the lsh variant on real embeddings yields a full
+    // per-query report with recalls in [0,1]
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rep = Ann.recallEval(emb, variant = "lsh").collect()
+    assert(rep.length == 10)
+    assert(rep.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+
+  test("ivfAppend: appended batch is retrieved at full-rebuild recall, growth flagged") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val existing = emb.filter(col("vec_id") % 5 =!= 0)
+    // retrieval equivalence: searching the combined corpus through the
+    // EXISTING-trained quantizer (the append path) keeps the same
+    // recall vs brute as a full retrain on the combined corpus
+    val brute = Ann.knnBrute(emb).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cells ~ the corpus's natural cluster count, nprobe=3: the a09
+    // spec's parameterization, where IVF recall is meaningful at this SF
+    def recall(cents: Option[org.apache.spark.sql.DataFrame]): Double = {
+      val got = Ann.ivfKnn(emb, nprobe = 3, centroids = cents, cells = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got intersect brute).size.toDouble / brute.size
+    }
+    val appendRecall = recall(Some(Ann.kmeansCentroids(existing, k = 5)))
+    val rebuildRecall = recall(None) // retrains 5 cells on the combined corpus
+    assert(appendRecall >= rebuildRecall - 0.1,
+      s"append-path recall $appendRecall vs rebuild $rebuildRecall")
+    assert(appendRecall >= 0.5, s"append-path recall $appendRecall too low")
+    // growth report: hand-planted skew — existing spread over clusters,
+    // batch all landing in ONE cell → that cell flags needs_split
+    val existing2 = vecs.drop("label")
+    val batch2 = Seq(
+      (10L, Array(0.95f, 0.05f, 0.0f, 0.0f)),
+      (11L, Array(0.9f, 0.0f, 0.05f, 0.0f)),
+      (12L, Array(0.85f, 0.1f, 0.0f, 0.05f)),
+      (13L, Array(0.92f, 0.0f, 0.0f, 0.08f))
+    ).toDF("vec_id", "embedding")
+    val stats = Ann.ivfAppend(existing2, batch2,
+      centroids = Some(Ann.kmeansCentroids(existing2, k = 3)), balanceFactor = 1.5)
+      .collect().map(r =>
+        r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(5))).toMap
+    assert(stats.values.map(_._1).sum == 8L, "existing occupancy must cover the corpus")
+    assert(stats.values.map(_._2).sum == 4L, "every batch vector must land in a cell")
+    val hot = stats.values.filter(_._2 == 4L)
+    assert(hot.size == 1, s"batch must land in one cell, got $stats")
+    assert(hot.head._4, "the hot cell must flag needs_split")
+    assert(stats.values.count(_._4) == 1, "only the hot cell flags")
+  }
+
   test("kmeansAssign separates orthogonal clusters into distinct cells") {
     val out = Ann.kmeansAssign(vecs, k = 3, iters = 3).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
