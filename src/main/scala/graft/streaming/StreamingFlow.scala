@@ -187,19 +187,47 @@ object StreamingFlow {
   /** s03_stream_session — stateful gap-based sessionization via
     * flatMapGroupsWithState: per-user state carries (last event time,
     * session count) across micro-batches. Batch twin: q11_sessionize.
-    * ProcessingTimeTimeout would evict idle users in production. */
-  def sessionCount(ds: Dataset[Ev], gapMs: Long = 1800000L): Dataset[SessionCount] = {
+    *
+    * State is BOUNDED by EventTimeTimeout: once the watermark passes
+    * an idle user's last event + gap, the session can never be
+    * extended (later events inside the watermark would open a NEW
+    * session anyway; events beyond it are dropped as late), so the
+    * state is dead weight and is evicted. A user who returns after
+    * eviction re-anchors fresh — the per-user cumulative count
+    * restarts, the price of not holding an unbounded user universe in
+    * the state store. `watermarkDelay` is the lateness bound; the
+    * event-time column derives from tsMs inside, so the caller's
+    * typed stream is unchanged. */
+  def sessionCount(ds: Dataset[Ev], gapMs: Long = 1800000L,
+                   watermarkDelay: String = "1 hour"): Dataset[SessionCount] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+    ds.toDF()
+      .withColumn("ets", timestamp_millis(col("tsMs")))
+      .withWatermark("ets", watermarkDelay)
+      .as[Ev]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0))
-          evs.toSeq.sortBy(e => e.tsMs).foreach { e =>
-            val newSession = st.lastMs == Long.MinValue || e.tsMs - st.lastMs > gapMs
-            st = SessionState(e.tsMs, if (newSession) st.sessions + 1 else st.sessions)
+          if (state.hasTimedOut) {
+            // watermark passed lastMs + gap: no in-watermark event can
+            // extend this session — drop the state, emit nothing (the
+            // final count was already emitted when it last changed)
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0))
+            evs.toSeq.sortBy(e => e.tsMs).foreach { e =>
+              val newSession = st.lastMs == Long.MinValue || e.tsMs - st.lastMs > gapMs
+              st = SessionState(e.tsMs, if (newSession) st.sessions + 1 else st.sessions)
+            }
+            state.update(st)
+            // timeout must sit beyond the current watermark (Spark
+            // rejects a timestamp at/behind it — possible when this
+            // batch's events are themselves near the watermark)
+            state.setTimeoutTimestamp(
+              math.max(st.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            Iterator(SessionCount(uid, st.sessions))
           }
-          state.update(st)
-          Iterator(SessionCount(uid, st.sessions))
       }
   }
 
@@ -214,28 +242,53 @@ object StreamingFlow {
     * match q39 computes relationally: level 0 anchors on the first
     * `steps.head` event; level k advances on the first `steps(k)`
     * event strictly after the last match and inside anchor+window.
-    * Update mode emits each user's current deepest level per batch;
-    * the spec asserts level-equality with batch q39 on an in-order
-    * stream. ProcessingTimeTimeout would evict expired users in
-    * production. */
+    * Update mode emits each user's current deepest level per batch.
+    *
+    * The user SET is bounded two ways: users who never anchor (no
+    * step-1 event yet) store NO state at all — their level-0 report
+    * is stateless — and anchored users are evicted by EventTimeTimeout
+    * once the watermark passes anchor + window, after which no
+    * in-watermark event could advance the funnel anyway. A step-1
+    * event arriving after eviction re-anchors a FRESH funnel (a new
+    * conversion attempt) rather than resuming the dead one — the
+    * semantics a re-engaging user should get. */
   def windowFunnelLevel(ds: Dataset[FunnelEv],
                         steps: Seq[String] = Seq("view", "click", "purchase"),
-                        windowMicros: Long = 86400000000L): Dataset[FunnelLevel] = {
+                        windowMicros: Long = 86400000000L,
+                        watermarkDelay: String = "1 hour"): Dataset[FunnelLevel] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+    ds.toDF()
+      .withColumn("ets", timestamp_micros(col("tsUs")))
+      .withWatermark("ets", watermarkDelay)
+      .as[FunnelEv]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, evs: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(Long.MinValue, Long.MinValue, 0))
-          evs.toSeq.sortBy(_.tsUs).foreach { e =>
-            if (st.level == 0) {
-              if (e.eventType == steps.head) st = FunnelState(e.tsUs, e.tsUs, 1)
-            } else if (st.level < steps.length && e.eventType == steps(st.level) &&
-                       e.tsUs > st.tPrev && e.tsUs <= st.t1 + windowMicros) {
-              st = FunnelState(st.t1, e.tsUs, st.level + 1)
+          if (state.hasTimedOut) {
+            // watermark passed anchor + window: the funnel can never
+            // advance — drop the state; the deepest level reached was
+            // already emitted when it last changed
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(Long.MinValue, Long.MinValue, 0))
+            evs.toSeq.sortBy(_.tsUs).foreach { e =>
+              if (st.level == 0) {
+                if (e.eventType == steps.head) st = FunnelState(e.tsUs, e.tsUs, 1)
+              } else if (st.level < steps.length && e.eventType == steps(st.level) &&
+                         e.tsUs > st.tPrev && e.tsUs <= st.t1 + windowMicros) {
+                st = FunnelState(st.t1, e.tsUs, st.level + 1)
+              }
             }
+            if (st.level > 0) {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max((st.t1 + windowMicros) / 1000L, state.getCurrentWatermarkMs() + 1))
+            }
+            // level 0 emits without storing state: a never-anchored
+            // user costs the state store nothing
+            Iterator(FunnelLevel(uid, st.level))
           }
-          state.update(st)
-          Iterator(FunnelLevel(uid, st.level))
       }
   }
 }

@@ -220,20 +220,84 @@ class StreamingSpec extends SparkSpecBase {
 
   test("s03 stateful sessionization carries state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
+    // away from epoch 0: initial-watermark collision drops t=0 rows
+    val base = 1700000000000L
     val input = MemoryStream[Ev]
     val q = StreamingFlow.sessionCount(input.toDS()).writeStream
       .format("memory").queryName("sess_out").outputMode("update").start()
     try {
-      input.addData(Ev(1L, 0L), Ev(1L, 60000L))
+      input.addData(Ev(1L, base), Ev(1L, base + 60000L))
       q.processAllAvailable()
       // 2h later in a second micro-batch: new session for user 1
-      input.addData(Ev(1L, 7200000L), Ev(2L, 0L))
+      input.addData(Ev(1L, base + 7200000L), Ev(2L, base))
       q.processAllAvailable()
       val last = spark.table("sess_out").collect()
         .map(r => r.getAs[Long]("userId") -> r.getAs[Int]("sessions"))
         .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
       assert(last(1L) == 2)
       assert(last(2L) == 1)
+    } finally q.stop()
+  }
+
+  test("s03 evicts idle session state on event-time timeout; a late return re-anchors") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val h = 3600000L
+    val input = MemoryStream[Ev]
+    val q = StreamingFlow.sessionCount(input.toDS(),
+        gapMs = 1800000L, watermarkDelay = "10 minutes").writeStream
+      .format("memory").queryName("sess_evict_out").outputMode("update").start()
+    try {
+      input.addData(Ev(1L, base), Ev(1L, base + 60000L)) // user 1: one session
+      q.processAllAvailable()
+      // other-user traffic advances the watermark far past user 1's
+      // last event + gap; the NEXT batch processes the timeout
+      input.addData(Ev(9L, base + 3 * h))
+      q.processAllAvailable()
+      input.addData(Ev(9L, base + 3 * h + 60000L)) // user 1 times out here
+      q.processAllAvailable()
+      // user 1 returns: with the dead state resumed this would be
+      // session #2 — a fresh re-anchor reports session #1
+      input.addData(Ev(1L, base + 4 * h))
+      q.processAllAvailable()
+      val u1 = spark.table("sess_evict_out").collect()
+        .filter(_.getAs[Long]("userId") == 1L).map(_.getAs[Int]("sessions"))
+      assert(u1.nonEmpty && u1.max == 1,
+        s"expected only fresh session counts after eviction, got ${u1.toSeq}")
+    } finally q.stop()
+  }
+
+  test("s12 evicts expired funnel state; a post-window step-1 event re-anchors fresh") {
+    import StreamingFlow.FunnelEv
+    implicit val sqlCtx = spark.sqlContext
+    val baseUs = 1700000000000000L
+    val hUs = 3600000000L
+    val input = MemoryStream[FunnelEv]
+    // 1h funnel window, 10min lateness bound
+    val q = StreamingFlow.windowFunnelLevel(input.toDS(),
+        windowMicros = hUs, watermarkDelay = "10 minutes").writeStream
+      .format("memory").queryName("funnel_evict_out").outputMode("update").start()
+    try {
+      // user 1 anchors and reaches level 2 inside the window
+      input.addData(FunnelEv(1L, baseUs, "view"),
+        FunnelEv(1L, baseUs + hUs / 6, "click"))
+      q.processAllAvailable()
+      input.addData(FunnelEv(9L, baseUs + 3 * hUs, "view")) // watermark advances
+      q.processAllAvailable()
+      input.addData(FunnelEv(9L, baseUs + 3 * hUs + 60000000L, "view")) // user 1 times out
+      q.processAllAvailable()
+      // user 1 re-engages with a view long after anchor+window: a
+      // FRESH funnel at level 1 — resumed dead state would stay at 2
+      // and never emit a 1
+      input.addData(FunnelEv(1L, baseUs + 4 * hUs, "view"))
+      q.processAllAvailable()
+      val u1 = spark.table("funnel_evict_out").collect()
+        .filter(_.getAs[Long]("userId") == 1L).map(_.getAs[Int]("level"))
+      assert(u1.contains(2), s"pre-eviction level-2 emission missing: ${u1.toSeq}")
+      // level 1 can ONLY come from the re-anchor: batch 1 processed
+      // view+click together and emitted the final level 2 once
+      assert(u1.contains(1),
+        s"expected a fresh level-1 emission after eviction, got ${u1.toSeq}")
     } finally q.stop()
   }
 
