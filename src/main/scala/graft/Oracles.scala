@@ -819,6 +819,34 @@ object Oracles {
          FROM t LEFT JOIN nd USING (doc_id) LEFT JOIN cl USING (doc_id)
          ORDER BY t.doc_id""",
 
+    "t21_source_drift" ->
+      """WITH tok AS (
+           SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+           FROM documents),
+         cnt AS (SELECT source, tok, count(*) AS c FROM tok WHERE tok <> ''
+                 GROUP BY source, tok),
+         tot AS (SELECT tok, sum(c) AS c_all FROM cnt GROUP BY tok),
+         topk AS (SELECT tok, c_all FROM tot ORDER BY c_all DESC, tok LIMIT 50),
+         st AS (SELECT source, sum(c) AS t_s FROM cnt GROUP BY source),
+         g AS (SELECT sum(c) AS t FROM cnt),
+         pairs AS (
+           SELECT st.source, st.t_s, k.tok, k.c_all, g.t,
+                  coalesce(cnt.c, 0) * g.t - k.c_all * st.t_s AS signed
+           FROM st CROSS JOIN topk k CROSS JOIN g
+           LEFT JOIN cnt ON cnt.source = st.source AND cnt.tok = k.tok),
+         r AS (
+           SELECT source, t_s, t, tok, signed,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY signed DESC, tok) AS rn
+           FROM pairs)
+         SELECT source,
+                max(t_s) AS src_tokens,
+                floor((CAST(sum(abs(signed)) AS DOUBLE)
+                       / (CAST(max(t_s) AS DOUBLE) * CAST(max(t) AS DOUBLE)))
+                      * 10000 + 0.5) / 10000 AS drift_l1,
+                max(CASE WHEN rn = 1 THEN tok END) AS top_over_token
+         FROM r GROUP BY source ORDER BY source""",
+
     "t01_token_stats" ->
       """SELECT doc_id,
          len(string_split_regex(trim(text), '\s+')) AS n_tokens,

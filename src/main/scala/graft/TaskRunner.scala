@@ -203,6 +203,8 @@ object TaskRunner {
       Tables.documents(s, d), i(p, "spanTokens", 10))),
     "t20_rolling_scrub" -> ((s, d, p) => TextStats.rollingScrub(
       Tables.documents(s, d), i(p, "spanTokens", 10))),
+    "t21_source_drift" -> ((s, d, p) => TextStats.sourceDrift(
+      Tables.documents(s, d), i(p, "topK", 50))),
     "t19_cooccurrence" -> ((s, d, p) => TextStats.cooccurrence(
       Tables.documents(s, d), i(p, "window", 3), i(p, "topN", 20))),
     "t18_quality_filter" -> ((s, d, p) => TextStats.qualityFilter(

@@ -465,6 +465,57 @@ object TextStats {
       .limit(topN)
   }
 
+  /** t21_source_drift — per-source token-distribution drift vs the
+    * corpus-wide distribution: the monitoring pass that tells a
+    * training-mix owner a source's content has shifted (crawl rot, a
+    * site redesign, an injected spam campaign) before it poisons the
+    * mix. Over the corpus's global top-`topK` tokens, each source gets
+    * the L1 distance between its token frequencies and the corpus's,
+    * plus its most over-represented token (the "what changed" pointer).
+    *
+    * Determinism protocol: a float sum of per-token |p_s - p| terms is
+    * aggregation-order-dependent, so the distance is computed on exact
+    * INTEGER cross-products instead — |c_s·T - c·T_s| summed as longs
+    * (exact in both engines), divided once by T_s·T at the end (a
+    * single IEEE op on exact-long-derived doubles). The argmax token
+    * uses the same integer ordering with a token tiebreak. Long-range
+    * bound: c_s·T needs corpus tokens × source tokens < 2^63 — fine to
+    * ~3e9 total tokens; past that, scale counts to per-million before
+    * the products (the report is a ratio, unchanged).
+    *
+    * Scale shape: one explode → per-(source, token) partial-agg count;
+    * everything after operates on that aggregate (vocab-sized, not
+    * corpus-sized); the top-K table and one-row total broadcast. */
+  def sourceDrift(documents: DataFrame, topK: Int = 50): DataFrame = {
+    val tok = Scans.spreadIfNarrow(documents, col("doc_id"))
+      .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    // tracked: the (source, token) counts feed the global top-K, the
+    // per-source totals, the grand total AND the probe join
+    val cnt = graft.Caches.tracked(
+      tok.groupBy("source", "tok").agg(count(lit(1)).as("c")))
+    val tot = cnt.groupBy("tok").agg(sum("c").as("c_all"))
+    val topk = tot.orderBy(col("c_all").desc, col("tok")).limit(topK)
+    val st = cnt.groupBy("source").agg(sum("c").as("t_s"))
+    val g = cnt.agg(sum("c").as("t"))
+    val pairs = st.crossJoin(broadcast(topk))
+      .join(cnt, Seq("source", "tok"), "left")
+      .crossJoin(broadcast(g))
+      .withColumn("signed",
+        coalesce(col("c"), lit(0L)) * col("t") - col("c_all") * col("t_s"))
+    val w = Window.partitionBy("source").orderBy(col("signed").desc, col("tok"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(
+        max(col("t_s")).as("src_tokens"),
+        stableRound(sum(abs(col("signed"))).cast("double") /
+          (max(col("t_s")).cast("double") * max(col("t")).cast("double")), 4)
+          .as("drift_l1"),
+        max(when(col("rn") === 1, col("tok"))).as("top_over_token"))
+      .orderBy("source")
+  }
+
   /** t17_span_scrub — the APPLY step of exact-substring dedup (Lee et
     * al., "Deduplicating Training Data Makes Language Models Better"):
     * where t11 only REPORTS span-level duplication, this materializes

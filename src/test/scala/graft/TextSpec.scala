@@ -234,6 +234,24 @@ class TextSpec extends SparkSpecBase {
     assert(byId(1L)._1 == 0L)
   }
 
+  test("sourceDrift scores skew on exact integer cross-products, zero for a lone source") {
+    // corpus: x:2 y:3 spam:3, T=8; t_a = t_b = 4
+    // a: x→2·8−2·4=8, y→2·8−3·4=4, spam→0−3·4=−12 ⇒ Σ|·|=24, 24/32=0.75, top=x
+    // b: x→−8, y→−4, spam→3·8−3·4=12 ⇒ 0.75, top=spam
+    val d = Seq(
+      (0L, "a", "x y x y"),
+      (1L, "b", "spam spam spam y")
+    ).toDF("doc_id", "source", "text")
+    val out = TextStats.sourceDrift(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getString(3))).toMap
+    assert(out("a") == ((4L, 0.75, "x")), s"got ${out("a")}")
+    assert(out("b") == ((4L, 0.75, "spam")), s"got ${out("b")}")
+    // a single-source corpus IS the corpus distribution: drift 0
+    val lone = TextStats.sourceDrift(
+      Seq((0L, "only", "p q r p")).toDF("doc_id", "source", "text")).collect()
+    assert(lone.length == 1 && lone(0).getDouble(2) == 0.0)
+  }
+
   test("bpeTokens splits contractions, punctuation and numbers like a pre-tokenizer") {
     val d = Seq((0L, "I can't pay $12.50, she'll agree!"), (1L, "plain words only"))
       .toDF("doc_id", "text")
