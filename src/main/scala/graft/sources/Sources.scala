@@ -114,6 +114,49 @@ object Sources {
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
 
+  /** sink_sorted — range-clustered parquet layout: rows are range-
+    * partitioned on `sortCol` (one contiguous key range per output
+    * file) and sorted inside each file. This is the DATA-SKIPPING
+    * layout: parquet row-group min/max statistics become tight and
+    * file key-ranges disjoint, so a selective predicate on `sortCol`
+    * touches one file's worth of row groups instead of sampling every
+    * file — at 100 TB this is the difference between a full scan and
+    * reading a slice (the single-column form of Z-ordering; directory
+    * partitioning handles the coarse key, this handles the fine one).
+    * repartitionByRange samples the column to build balanced range
+    * bounds — one extra pass over the frame, the honest cost of a
+    * clustered layout. */
+  def writeSorted(df: DataFrame, path: String, sortCol: String,
+                  numFiles: Int, mode: String = "overwrite"): Unit =
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(mode).parquet(path)
+
+  /** sink_compact — small-files compaction: rewrite a parquet
+    * directory into ceil(bytes / targetFileBytes) files. Streaming
+    * sinks, per-batch upserts and over-parallel writes accumulate
+    * thousands of small files; at 100 TB the resulting
+    * footer-read/task-schedule overhead dominates reads (the classic
+    * small-files problem), and the fix is this periodic rewrite.
+    * Sizing comes from the filesystem listing (no data scan);
+    * `coalesce` avoids a shuffle when shrinking the file count — the
+    * common case; pass repartition=true to rebalance skewed inputs at
+    * the cost of one exchange. Returns the target file count. The
+    * rewrite stages through localCheckpoint (the sink_upsert recipe:
+    * Spark refuses to overwrite a path it still reads from). */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024,
+                     repartition: Boolean = false): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    val sized = if (repartition) df.repartition(n) else df.coalesce(n)
+    sized.localCheckpoint(true).write.mode("overwrite").parquet(path)
+    n
+  }
+
   /** Streaming file source (the Spark-native stand-in for the
     * reference's Kafka topic): new files in `dir` become micro-batches. */
   def readStreamJson(spark: SparkSession, dir: String, schema: StructType): DataFrame =

@@ -92,6 +92,52 @@ class SourcesSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("writeSorted produces range-disjoint, internally sorted files (data-skipping layout)") {
+    val dir = Files.createTempDirectory("graft_sorted").toString
+    // ids arrive scrambled across partitions — the layout must impose order
+    val d = (0L until 400L).map(i => ((i * 2654435761L) % 400L, s"v$i"))
+      .toDF("id", "v").repartition(8)
+    Sources.writeSorted(d, dir, "id", numFiles = 4)
+    val files = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length == 4, s"expected 4 files, got ${files.length}")
+    val ranges = files.map { f =>
+      val ids = spark.read.parquet(f).collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), s"file $f not sorted within itself")
+      (ids.min, ids.max)
+    }
+    // key ranges must be pairwise disjoint: that is what lets min/max
+    // stats skip whole files for a selective predicate
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, s"overlapping ranges: ${ranges.toSeq}")
+      case _ =>
+    }
+    // and the layout loses nothing
+    assert(spark.read.parquet(dir).count() == d.count())
+  }
+
+  test("compactParquet rewrites a many-small-files directory to the sized file count") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val d = (0L until 1000L).map(i => (i, s"name$i")).toDF("id", "name")
+    d.repartition(20).write.mode("overwrite").parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles.length == 20)
+    // target far above the data size → everything fits one file
+    val n = Sources.compactParquet(spark, dir, targetFileBytes = 1L << 30)
+    assert(n == 1 && parquetFiles.length == 1,
+      s"expected 1 file after compaction, got ${parquetFiles.length}")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    assert(back.collect().map(_.getLong(0)).sorted.sameElements(0L until 1000L))
+    // a small target splits the rewrite into multiple files again
+    val n2 = Sources.compactParquet(spark, dir, targetFileBytes = 4096L,
+      repartition = true)
+    assert(n2 > 1 && parquetFiles.length == n2,
+      s"expected $n2 files, got ${parquetFiles.length}")
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
   test("streaming jdbc sink: batch-id idempotence commits each batch exactly once") {
     val dbDir = Files.createTempDirectory("graft_derby_stream").toString
     val url = s"jdbc:derby:$dbDir/streamdb;create=true"
