@@ -1063,6 +1063,41 @@ object Oracles {
                 floor(sim*10000 + 0.5)/10000 AS cos_sim, rn
          FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
 
+    "a13_knn_classify" ->
+      """WITH v AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vd
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, vd,
+                  sqrt(list_reduce(list_prepend(0.0, [x*x for x in vd]),
+                       (a, b) -> a + b)) AS nrm
+           FROM v),
+         s AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_reduce(list_prepend(0.0,
+                      [q.vd[i]*c.vd[i] for i in range(1, 65)]),
+                    (x, y) -> x + y) / (q.nrm*c.nrm) AS sim
+           FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id >= 10),
+         r AS (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rn
+           FROM s),
+         vt AS (
+           SELECT r.query_id, e.label AS n_label, count(*) AS votes
+           FROM r JOIN embeddings e ON e.vec_id = r.neighbor_id
+           WHERE r.rn <= 5
+           GROUP BY r.query_id, e.label),
+         p AS (
+           SELECT query_id, n_label, votes,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY votes DESC, n_label) AS prn
+           FROM vt)
+         SELECT p.query_id, p.n_label AS pred_label, p.votes,
+                e.label AS true_label, (p.n_label = e.label) AS is_match
+         FROM p JOIN embeddings e ON e.vec_id = p.query_id
+         WHERE p.prn = 1 ORDER BY p.query_id""",
+
     "a02_knn_lsh" -> a02Sql,
 
     // IVF search is deterministic SQL given the a03-proven centroid

@@ -163,6 +163,8 @@ object TaskRunner {
     "a11_recall_eval" -> ((s, d, p) => Ann.recallEval(
       Tables.embeddings(s, d), str(p, "variant", "lsh"),
       i(p, "nQueries", 10), i(p, "k", 3))),
+    "a13_knn_classify" -> ((s, d, p) => Ann.knnClassify(
+      Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 5))),
     "a12_ivf_append" -> ((s, d, p) => {
       val e = Tables.embeddings(s, d)
       val m = i(p, "batchMod", 5)

@@ -662,6 +662,36 @@ object Ann {
     perQuery.crossJoin(broadcast(mean)).orderBy("query_id")
   }
 
+  /** a13_knn_classify — kNN label propagation (weak labeling): each
+    * query vector takes the majority label of its top-k neighbours —
+    * how a curation pipeline extends a small trusted taxonomy to an
+    * unlabeled corpus (auto-labeling, domain routing, eval-set
+    * expansion). Deterministic vote: count desc, then smallest label;
+    * odd `k` minimizes ties. Defaults to the a01 exact search (the
+    * oracle twin); pass `neighbors` — any (query_id, neighbor_id)
+    * table, e.g. a04/a07's IVF output — to classify through an index
+    * at corpus scale, where the vote join stays (nQueries·k)-sized
+    * regardless of the search path. */
+  def knnClassify(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+                  neighbors: Option[DataFrame] = None): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val nbrs = neighbors.getOrElse(knnBrute(embeddings, nQueries, k))
+      .select(col("query_id"), col("neighbor_id"))
+    val votes = nbrs
+      .join(embeddings.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
+        "neighbor_id")
+      .groupBy("query_id", "n_label").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id").orderBy(col("votes").desc, col("n_label"))
+    votes
+      .withColumn("prn", row_number().over(w))
+      .filter(col("prn") === 1)
+      .join(embeddings.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+        "query_id")
+      .select(col("query_id"), col("n_label").as("pred_label"), col("votes"),
+        col("true_label"), (col("n_label") === col("true_label")).as("is_match"))
+      .orderBy("query_id")
+  }
+
   /** a07_knn_join — full kNN SELF-join: every vector in the corpus
     * gets its top-k neighbours among all the others, via the same IVF
     * index as a04 (storage assignment = nearest cell, query side

@@ -243,6 +243,21 @@ class AnnSpec extends SparkSpecBase {
     assert(stats.values.count(_._4) == 1, "only the hot cell flags")
   }
 
+  test("knnClassify votes the planted cluster's label with deterministic ties") {
+    // queries 0 (x-axis, label 0) and 1 (y-axis, label 1): with k=2
+    // their neighbours are exactly their own cluster → unanimous vote
+    val out = Ann.knnClassify(vecs, nQueries = 2, k = 2).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(0L) == ((0, 2L, true)), s"got ${out(0L)}")
+    assert(out(1L) == ((1, 2L, true)), s"got ${out(1L)}")
+    // injected neighbor table with a 1-1 label tie → smallest label wins
+    import org.apache.spark.sql.functions.col
+    val tied = Seq((0L, 2L), (0L, 4L)).toDF("query_id", "neighbor_id")
+    val t = Ann.knnClassify(vecs, nQueries = 1, k = 2, neighbors = Some(tied))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(t(0L) == 0, s"tie must break to the smallest label, got ${t(0L)}")
+  }
+
   test("kmeansAssign separates orthogonal clusters into distinct cells") {
     val out = Ann.kmeansAssign(vecs, k = 3, iters = 3).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap

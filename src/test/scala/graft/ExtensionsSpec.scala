@@ -28,6 +28,7 @@ class ExtensionsSpec extends AnyFunSuite {
                           array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
              size(graft_shingle_hashes(array('a','b','c'), 2)) AS sh,
              size(graft_span_pos_hashes(array('a','b','c','d'), 2)) AS sp,
+             size(graft_rolling_span_hashes(array('a','b','c','d'), 2)) AS rs,
              size(graft_minhash_bands(graft_shingle_hashes(array('a','b','c'), 2), 8, 4)) AS mb,
              graft_simhash(array('x','y')) AS simh,
              size(graft_hyperplane_buckets(array_repeat(CAST(0.5 AS FLOAT), 64), 42L, 2, 4, 64)) AS hb
@@ -35,9 +36,10 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
       assert(r.getInt(1) == 2, "two overlapping 2-shingles of 3 tokens")
       assert(r.getInt(2) == 2, "two positional spans of 4 tokens at stride 2")
-      assert(r.getInt(3) == 4, "one hash per band")
-      assert(r.getLong(4) != 0L)
-      assert(r.getInt(5) == 2, "one bucket per table")
+      assert(r.getInt(3) == 3, "three rolling 2-windows of 4 tokens at stride 1")
+      assert(r.getInt(4) == 4, "one hash per band")
+      assert(r.getLong(5) != 0L)
+      assert(r.getInt(6) == 2, "one bucket per table")
     } finally {
       s2.catalog.clearCache()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()

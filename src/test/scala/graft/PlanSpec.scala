@@ -58,6 +58,19 @@ class PlanSpec extends SparkSpecBase {
     assert(textScans == 2, s"got $textScans text scans")
   }
 
+  test("t21_source_drift: text is read only inside the single cached (source,token) aggregate") {
+    val p = plan("t21_source_drift")
+    // no consumer reads the file directly — all four references go
+    // through the tracked cache, so text is scanned once per run
+    val direct = p.collect { case f: FileSourceScanExec => f }
+      .count(_.requiredSchema.fieldNames.contains("text"))
+    assert(direct == 0, s"$direct text scans bypass the cached aggregate")
+    val cachedSubtrees = p.collect { case i: InMemoryTableScanExec => i.relation.cachedPlan }
+      .distinct
+    assert(cachedSubtrees.size == 1, s"expected one shared cache, got ${cachedSubtrees.size}")
+    assert(scans(cachedSubtrees.head).count(_.requiredSchema.fieldNames.contains("text")) == 1)
+  }
+
   test("near-dup joins never degenerate to cartesian/nested-loop") {
     for (name <- Seq("d03_minhash_lsh", "d11_dedup_against", "m06_chunk_dedup")) {
       val p = plan(name)
