@@ -549,6 +549,42 @@ object Oracles {
     "d02_ngram_jaccard" -> ngramJaccardSql,
     "d03_minhash_lsh" -> ngramJaccardSql,
     "d11_dedup_against" -> dedupAgainstSql,
+
+    // d12: the same exact cross-side Jaccard as d11 plus a batch-
+    // internal leg; shingle STRINGS stand in for Spark's 64-bit hashes
+    // (the d11 convention). Sub-3-token batch docs carry no shingles,
+    // cannot pair, and are admitted — both engines agree.
+    "d12_ingest_admit" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  list_distinct([array_to_string(toks[i:i+2], ' ')
+                                 for i in range(1, len(toks)-1)]) AS sh
+           FROM (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3),
+         e AS (SELECT doc_id, source, len(sh) AS nsh, unnest(sh) AS shingle FROM t),
+         cp AS (SELECT a.doc_id AS d, b.doc_id AS cdoc, a.nsh AS na, b.nsh AS nb,
+                       count(*) AS shared
+                FROM e a JOIN e b ON a.shingle = b.shingle
+                                   AND a.source = 'src0' AND b.source <> 'src0'
+                GROUP BY 1, 2, 3, 4),
+         cdup AS (SELECT DISTINCT d AS doc_id FROM cp
+                  WHERE shared*1.0/(na+nb-shared) >= 0.8),
+         bp AS (SELECT b.doc_id AS d, a.nsh AS na, b.nsh AS nb, count(*) AS shared
+                FROM e a JOIN e b ON a.shingle = b.shingle
+                                   AND a.source = 'src0' AND b.source = 'src0'
+                                   AND a.doc_id < b.doc_id
+                GROUP BY b.doc_id, a.doc_id, a.nsh, b.nsh),
+         bdup AS (SELECT DISTINCT d AS doc_id FROM bp
+                  WHERE shared*1.0/(na+nb-shared) >= 0.8),
+         batch AS (SELECT doc_id FROM documents WHERE source = 'src0')
+         SELECT batch.doc_id,
+                (cdup.doc_id IS NULL AND bdup.doc_id IS NULL) AS admitted,
+                CASE WHEN cdup.doc_id IS NOT NULL THEN 'corpus_dup'
+                     WHEN bdup.doc_id IS NOT NULL THEN 'batch_dup'
+                     ELSE 'admitted' END AS reason
+         FROM batch LEFT JOIN cdup USING (doc_id) LEFT JOIN bdup USING (doc_id)
+         ORDER BY batch.doc_id""",
     "d10_source_overlap" -> sourceOverlapSql,
 
     "d05_embed_dedup" -> embedDedupSql,

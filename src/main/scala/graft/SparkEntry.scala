@@ -112,6 +112,11 @@ object SparkEntry {
       Dedup.dedupAgainst(docs.filter(docs("source") === "src0"),
         docs.filter(docs("source") =!= "src0"), dfCap = Some(1000L))
     }),
+    "d12_ingest_admit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.ingestAdmit(docs.filter(docs("source") === "src0"),
+        docs.filter(docs("source") =!= "src0"), dfCap = Some(1000L))
+    }),
     "a07_knn_join" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Ann.knnJoin(e, centroids = Some(Ann.labelCentroids(e)))

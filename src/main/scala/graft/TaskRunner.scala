@@ -195,6 +195,13 @@ object TaskRunner {
         docs.filter(docs("source") =!= src), dbl(p, "threshold", 0.8),
         i(p, "numHashes", 64), i(p, "bands", 16), capL(p, "dfCap", 1000L))
     }),
+    "d12_ingest_admit" -> ((s, d, p) => {
+      val docs = Tables.documents(s, d)
+      val src = str(p, "batchSource", "src0")
+      Dedup.ingestAdmit(docs.filter(docs("source") === src),
+        docs.filter(docs("source") =!= src), dbl(p, "threshold", 0.8),
+        i(p, "numHashes", 64), i(p, "bands", 16), capL(p, "dfCap", 1000L))
+    }),
     "t14_term_salience" -> ((s, d, p) => TextStats.termSalience(
       Tables.documents(s, d), i(p, "topK", 3))),
     "t15_source_mix" -> ((s, d, p) => TextStats.sourceMix(

@@ -227,6 +227,43 @@ object Dedup {
       .orderBy("new_doc", "corpus_doc")
   }
 
+  /** d12_ingest_admit — the ADMISSION step that closes d11's
+    * incremental loop (report → decide, the d07→d08 pattern for
+    * ingestion): every batch document gets an auditable verdict —
+    * `corpus_dup` (near-dups an already-indexed corpus doc, via the
+    * d11 asymmetric band join), `batch_dup` (near-dups an EARLIER-id
+    * doc in the same batch — first occurrence kept, the greedy rule),
+    * or `admitted`. A nightly crawl runs exactly this before anything
+    * lands: the corpus check is |batch|-proportional (d11's property),
+    * the batch-internal check is batch×batch only, and the output is
+    * the per-doc reason column a curation run reports (t18's
+    * protocol). Note a batch doc can shadow a later near-identical
+    * batch doc even when it is itself a corpus_dup — its content is
+    * already represented either way. Under a binding dfCap the two
+    * legs compute Jaccard over slightly different shingle universes
+    * (union-wide vs batch-wide df); at the default non-binding cap
+    * they agree exactly, which is what the oracle checks. */
+  def ingestAdmit(newDocs: DataFrame, corpus: DataFrame, threshold: Double = 0.8,
+                  numHashes: Int = 64, bands: Int = 16,
+                  dfCap: Option[Long] = None): DataFrame = {
+    val corpusDup = dedupAgainst(newDocs, corpus, threshold, numHashes, bands, dfCap)
+      .select(col("new_doc").as("doc_id")).distinct()
+      .withColumn("cd", lit(true))
+    // doc_a < doc_b in the pair output: the later id is the duplicate
+    val batchDup = minHashPairs(newDocs, threshold, numHashes, bands, dfCap)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("bd", lit(true))
+    newDocs.select("doc_id")
+      .join(corpusDup, Seq("doc_id"), "left")
+      .join(batchDup, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("cd"), "corpus_dup")
+          .when(col("bd"), "batch_dup")
+          .otherwise("admitted"))
+      .select(col("doc_id"), (col("reason") === "admitted").as("admitted"), col("reason"))
+      .orderBy("doc_id")
+  }
+
   /** d07_dedup_clusters — the dedup DECISION step: connected
     * components over the near-dup pair graph (pairs from the d03 LSH
     * path), each doc labeled with its component's minimum doc_id as

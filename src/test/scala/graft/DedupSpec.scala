@@ -51,6 +51,25 @@ class DedupSpec extends SparkSpecBase {
     assert(out.map(_._2).toSet == Set(10L, 11L, 12L), s"got ${out.toSeq}")
   }
 
+  test("ingestAdmit routes corpus-dups, batch-internal dups and clean docs with reasons") {
+    val seen = "the quick brown fox jumps over the lazy dog again and again today"
+    val fresh = "completely new material about sailing boats across a calm winter sea"
+    val corpus = docs(100L -> seen, 101L -> "unrelated corpus filler text goes here now")
+    val batch = docs(
+      1L -> seen,   // near-dups corpus doc 100 → corpus_dup
+      2L -> fresh,  // first occurrence → admitted
+      3L -> fresh,  // repeats batch doc 2 → batch_dup
+      4L -> "another genuinely distinct document with entirely different words",
+      5L -> "hi")   // <3 tokens: no shingles, cannot pair → admitted
+    val out = Dedup.ingestAdmit(batch, corpus).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(out(1L) == ((false, "corpus_dup")), s"got ${out(1L)}")
+    assert(out(2L) == ((true, "admitted")), s"got ${out(2L)}")
+    assert(out(3L) == ((false, "batch_dup")), s"got ${out(3L)}")
+    assert(out(4L) == ((true, "admitted")))
+    assert(out(5L) == ((true, "admitted")))
+  }
+
   test("simHash: identical docs at hamming 0, disjoint docs filtered out") {
     val d = docs(
       0L -> "alpha beta gamma delta epsilon zeta eta theta",
