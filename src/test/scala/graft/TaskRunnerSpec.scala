@@ -73,6 +73,32 @@ class TaskRunnerSpec extends SparkSpecBase {
     assert(left.forall(srcOf(_) == "src1"), "batch side must come from batchSource")
   }
 
+  test("round-10 runner params take effect: variant, batchMod, k, topK, threshold") {
+    // a11: the variant param swaps the index under evaluation
+    val ivf = TaskRunner.run(spark, d, "a11_recall_eval",
+      Map("variant" -> "ivf", "k" -> "2")).collect()
+    assert(ivf.length == 10 && ivf.forall(r =>
+      r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    // a12: batchMod resizes the batch side exactly
+    val nNew = TaskRunner.run(spark, d, "a12_ivf_append", Map("batchMod" -> "2"))
+      .collect().map(_.getLong(2)).sum
+    val expect = Tables.embeddings(spark, d).filter("vec_id % 2 = 0").count()
+    assert(nNew == expect, s"batch side $nNew vs $expect")
+    // a13: the vote count is bounded by k
+    val votes = TaskRunner.run(spark, d, "a13_knn_classify", Map("k" -> "3"))
+      .collect().map(_.getLong(2))
+    assert(votes.forall(v => v >= 1 && v <= 3), s"got ${votes.toSeq}")
+    // t21: L1 drift over a token subset is monotone in topK (every
+    // term is non-negative; tolerance covers the per-source rounding)
+    def driftSum(k: Int) = TaskRunner.run(spark, d, "t21_source_drift",
+      Map("topK" -> k.toString)).collect().map(_.getDouble(2)).sum
+    assert(driftSum(2) <= driftSum(50) + 1e-3)
+    // d12: raising the threshold can only admit more batch docs
+    def admitted(t: String) = TaskRunner.run(spark, d, "d12_ingest_admit",
+      Map("threshold" -> t)).collect().count(_.getBoolean(1))
+    assert(admitted("0.5") <= admitted("0.95"))
+  }
+
   test("every param-aware runner binds an existing inventory query") {
     val orphans = TaskRunner.runners.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"runners with no inventory query: $orphans")
