@@ -39,6 +39,15 @@ object Caches {
     df
   }
 
+  /** Track a frame the operator persisted ITSELF (e.g. the surviving
+    * state of an iterative loop) so [[release]] covers it too. The
+    * frame must be the persisted plan, not a projection over it —
+    * unpersist() on a derived plan does not uncache the parent. */
+  private[graft] def adopt(df: DataFrame): DataFrame = {
+    held.add(df)
+    df
+  }
+
   /** Unpersist every tracked intermediate. Call after the action that
     * materializes an operator's result; the result itself (already
     * computed) is unaffected, only a re-execution would recompute. */

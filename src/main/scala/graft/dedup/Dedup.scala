@@ -300,10 +300,10 @@ object Dedup {
       else distributedMinLabel(pairs, maxIters)
     pairs.unpersist()
     // cache hygiene: the local path returns a LocalRelation (driver
-    // memory, nothing cached); only the distributed path leaves its
-    // final label table persisted — unpersisting it here would force
-    // the caller to replay every min-label round (clearCache() is the
-    // one-shot escape for long-lived sessions)
+    // memory, nothing cached); the distributed path's final label
+    // table stays persisted until the caller's Caches.release() —
+    // unpersisting it HERE would force a replay of every min-label
+    // round when the returned plan materializes
     documents.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
@@ -368,15 +368,25 @@ object Dedup {
 
   /** Distributed min-label propagation; labels persist per round and
     * the scalar changed-count both drives convergence and
-    * materializes each round's cache. */
+    * materializes each round's cache.
+    *
+    * Cache discipline: unpersist must target the PERSISTED plan, not
+    * a projection over it — `next.drop("chg").unpersist()` silently
+    * uncaches nothing (measured: the parent stays at disk+memory), so
+    * the round-N label tables would pile up for the whole session.
+    * `persisted` tracks the actual cached frame per round; the final
+    * round's table must outlive this call (the returned plan reads
+    * it), so it is adopted into the Caches registry and released by
+    * the caller's Caches.release(). */
   private def distributedMinLabel(pairs: DataFrame, maxIters: Int): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
     // iterate ONLY over docs that appear in some pair: the label state
     // per round is pair-graph-sized, not corpus-sized
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+    var persisted = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).persist()
+    var labels = persisted
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -391,11 +401,13 @@ object Dedup {
           (col("n_min") < col("cluster_id")).as("chg"))
         .persist()
       changed = next.filter(col("chg")).count()
-      labels.unpersist()
+      persisted.unpersist()
+      persisted = next
       labels = next.drop("chg")
       iter += 1
     }
     edges.unpersist()
+    graft.Caches.adopt(persisted)
     labels
   }
 
