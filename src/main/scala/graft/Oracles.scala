@@ -374,6 +374,20 @@ object Oracles {
                       LEFT JOIN s3 USING (user_id))
          SELECT level, count(*) AS n_users FROM l GROUP BY level ORDER BY level""",
 
+    "q43_period_delta" ->
+      """WITH d AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         l AS (
+           SELECT event_type, day, n_events,
+                  lag(n_events) OVER (PARTITION BY event_type ORDER BY day) AS prev_events
+           FROM d)
+         SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events, prev_events,
+                n_events - prev_events AS delta,
+                floor(((n_events - prev_events) * 1.0 / prev_events) * 10000 + 0.5) / 10000
+                  AS pct_change
+         FROM l ORDER BY event_type, day""",
+
     "q42_funnel_steps" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
          s1 AS (SELECT user_id, min(us) AS t1 FROM ev

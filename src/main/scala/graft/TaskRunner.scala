@@ -236,7 +236,8 @@ object TaskRunner {
     "q42_funnel_steps" -> ((s, d, p) => TrackAnalytics.windowFunnel(
       eventsIn(s, d, p),
       str(p, "steps", "view,click,signup,purchase").split(",").map(_.trim).toSeq,
-      l(p, "windowMicros", 43200000000L)))
+      l(p, "windowMicros", 43200000000L))),
+    "q43_period_delta" -> ((s, d, p) => TrackAnalytics.periodDelta(eventsIn(s, d, p)))
   )
 
   /** Run any inventory query under a param set; unknown params are

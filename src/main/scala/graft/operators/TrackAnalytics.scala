@@ -199,6 +199,38 @@ object TrackAnalytics {
         col("n_events"), col("sum_value"))
       .orderBy("event_type", "hour_ms")
 
+  /** q43_period_delta — period-over-period change report: daily event
+    * volume per type with the previous PRESENT day's count, absolute
+    * delta and relative change (the day-over-day / week-over-week
+    * trend table every monitoring dashboard runs; the reference's
+    * per-monitor daily reports generalize to exactly this). One
+    * partial-agg groupBy to (type, day) — tiny — then a lag window
+    * over the per-type day series, which is day-count-sized, never
+    * event-sized, so the window costs nothing at any corpus scale.
+    * pct_change is an exact int/int IEEE division rounded with
+    * stableRound; days are surfaced as ISO strings (SURVEY §5). Note
+    * lag is over PRESENT days: a day with zero events collapses into
+    * the next day's baseline rather than producing a zero row —
+    * dashboards that need explicit zero days join a calendar dim
+    * first. */
+  def periodDelta(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("prev_events", lag("n_events", 1).over(w))
+      .select(
+        col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"),
+        col("prev_events"),
+        (col("n_events") - col("prev_events")).as("delta"),
+        graft.Num.stableRound(
+          (col("n_events") - col("prev_events")) / col("prev_events"), 4)
+          .as("pct_change"))
+      .orderBy("event_type", "day")
+  }
+
   /** q37_streaks — consecutive-day activity streaks per entity
     * (the gaps-and-islands pattern): a user's distinct active days
     * collapse into islands of consecutive dates via the classic
