@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-style pins for the native compiled loops and the
+  * exactness-critical pair-pruning math — seeded random inputs (and
+  * one exhaustive sweep), so failures reproduce deterministically.
+  * These guard the claims the oracle protocol RESTS on: the shingle
+  * loop really is chained XXH64, minhash/simhash really are
+  * order-invariant over their input sets, and the d02/d03 size
+  * prefilter can never prune a qualifying pair. */
+class FunctionsPropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private def randTok(): String =
+    Iterator.continually(rnd.alphanumeric.head).take(1 + rnd.nextInt(6)).mkString
+  private def randToks(n: Int): Seq[String] = Seq.fill(n)(randTok())
+
+  test("shingle/span/rolling hash loop matches an independent chained-XXH64 on random inputs") {
+    for (_ <- 1 to 300) {
+      val toks = randToks(rnd.nextInt(30))
+      val n = 1 + rnd.nextInt(5)
+      val stride = if (rnd.nextBoolean()) 1 else n
+      val dedup = rnd.nextBoolean()
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t): Any).toArray)
+      val got = graft.functions.ShingleHashes.compute(arr, n, stride, dedup)
+        .toLongArray().toSeq
+      val raw =
+        if (toks.length < n) Seq.empty[Long]
+        else (0 to (toks.length - n) / stride).map { i =>
+          var h = 42L
+          for (j <- 0 until n) {
+            val b = toks(i * stride + j).getBytes("UTF-8")
+            h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, h)
+          }
+          h
+        }
+      val expect = if (dedup) raw.distinct.sorted else raw
+      assert(got == expect,
+        s"toks=$toks n=$n stride=$stride dedup=$dedup: $got != $expect")
+    }
+  }
+
+  test("the d02/d03 jaccard size prefilter never prunes a qualifying pair (exhaustive)") {
+    // claim: j = shared/(na+nb-shared) >= t  ⇒  na·t <= nb+0.5 ∧ nb·t <= na+0.5
+    // — the condition the pair joins prune on BEFORE counting shared
+    // shingles; a counterexample would make d02/d03 silently lossy
+    for (t <- Seq(0.5, 0.7, 0.8, 0.9); na <- 1 to 60; nb <- 1 to 60) {
+      val maxShared = math.min(na, nb)
+      val j = maxShared.toDouble / (na + nb - maxShared) // max possible jaccard
+      if (j >= t)
+        assert(na * t <= nb + 0.5 && nb * t <= na + 0.5,
+          s"prefilter would prune a pair with max-jaccard $j >= $t: na=$na nb=$nb")
+    }
+  }
+
+  test("minhash bands and simhash are order-invariant over their input sets") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = (1 to 60).map { _ =>
+      val hashes = Seq.fill(3 + rnd.nextInt(40))(rnd.nextLong())
+      val toks = randToks(3 + rnd.nextInt(20)).distinct
+      (hashes, rnd.shuffle(hashes), toks, rnd.shuffle(toks))
+    }
+    val out = rows.toDF("ha", "hb", "ta", "tb").selectExpr(
+      "graft_minhash_bands(ha, 16, 4) = graft_minhash_bands(hb, 16, 4) AS mh_eq",
+      "graft_simhash(ta) = graft_simhash(tb) AS sh_eq").collect()
+    assert(out.forall(_.getBoolean(0)), "minhash bands changed under input reordering")
+    assert(out.forall(_.getBoolean(1)), "simhash changed under input reordering")
+  }
+
+  test("hyperplane buckets are deterministic and bounded to 2^bits") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = (1 to 40).map(_ => Tuple1(Seq.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    val out = rows.toDF("v").selectExpr(
+      "graft_hyperplane_buckets(v, 42L, 4, 3, 8) AS b1",
+      "graft_hyperplane_buckets(v, 42L, 4, 3, 8) AS b2").collect()
+    out.foreach { r =>
+      val b1 = r.getSeq[Int](0)
+      assert(b1 == r.getSeq[Int](1), "same call, same seed must be identical")
+      assert(b1.length == 4, "one bucket per table")
+      assert(b1.forall(b => b >= 0 && b < 8), s"bucket outside [0, 2^3): $b1")
+    }
+  }
+}
