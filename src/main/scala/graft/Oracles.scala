@@ -388,6 +388,39 @@ object Oracles {
                   AS pct_change
          FROM l ORDER BY event_type, day""",
 
+    // the global running sum IS the oracle's formulation; the Spark
+    // side computes the same sweep hierarchically (within-day window +
+    // day-level offsets). Both engines' default window frame is the
+    // peer-inclusive RANGE ... CURRENT ROW, and starts sort before
+    // ends at equal timestamps (delta DESC), so the peak is
+    // permutation-independent.
+    "q44_peak_concurrency" ->
+      """WITH l AS (
+           SELECT user_id, event_id, epoch_ms(ts) AS cur_ms, epoch_us(ts) AS cur_us,
+                  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+           FROM events),
+         s AS (
+           SELECT user_id, cur_us,
+                  sum(CASE WHEN prev_ms IS NULL OR cur_ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY cur_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM l),
+         iv AS (
+           SELECT user_id, session_id, min(cur_us) AS start_us, max(cur_us) AS end_us
+           FROM s GROUP BY user_id, session_id),
+         b AS (
+           SELECT start_us AS t_us, 1 AS delta FROM iv
+           UNION ALL
+           SELECT end_us AS t_us, -1 AS delta FROM iv),
+         r AS (
+           SELECT t_us, delta,
+                  sum(delta) OVER (ORDER BY t_us, delta DESC) AS open_now
+           FROM b)
+         SELECT strftime(CAST(make_timestamp(t_us) AS DATE), '%Y-%m-%d') AS day,
+                CAST(max(open_now) AS BIGINT) AS peak_concurrent,
+                CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS sessions_started
+         FROM r GROUP BY 1 ORDER BY day""",
+
     "q42_funnel_steps" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
          s1 AS (SELECT user_id, min(us) AS t1 FROM ev

@@ -425,4 +425,66 @@ object TrackAnalytics {
       .groupBy("level").agg(count(lit(1)).as("n_users"))
       .orderBy("level")
   }
+
+  /** q44_peak_concurrency — daily PEAK CONCURRENT SESSIONS: how many
+    * gap-sessionized user sessions (q11's 30-minute-gap intervals) are
+    * open at once, reported as the per-day maximum — the capacity /
+    * load-planning number (peak simultaneous cars inside the monitored
+    * area, peak concurrent users on a site). The interval-overlap
+    * maximum is computed with the classic +1/−1 boundary sweep: each
+    * session contributes a +1 at its start and a −1 at its end, and
+    * the peak is the max of the running sum over time-ordered
+    * boundaries. At equal timestamps starts count before ends
+    * (inclusive intervals: a session ending at t and one starting at t
+    * ARE concurrent) — the peer-inclusive default RANGE frame plus the
+    * (t, delta DESC) sort key makes that deterministic in both engines.
+    *
+    * Scale posture: the sweep never runs as one global window over the
+    * event log. Sessions reduce events to one row per session (one
+    * user_id shuffle, the q11 plan); boundaries are 2·|sessions| rows;
+    * and the running sum is HIERARCHICAL — a within-day window
+    * partitioned on the day key plus a day-level offset computed on
+    * the days-sized aggregate (the t10/t16 prefix-sum pattern), so no
+    * stage ever single-partitions more than one day of boundaries.
+    * A session spanning midnight contributes its −1 to the later day's
+    * sweep and stays counted in the offset of every day in between —
+    * exactly the global-sum semantics, split by day. */
+  def peakConcurrency(events: DataFrame, gapMs: Long = 1800000L): DataFrame = {
+    // micro-precision tie order — see funnelStep
+    val wSess = Window.partitionBy("user_id").orderBy(expr("ts_ns div 1000"), col("event_id"))
+    val frame = wSess.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = events
+      .withColumn("cur_ms", expr("ts_ns div 1000000"))
+      .withColumn("prev_ms", lag(expr("ts_ns div 1000000"), 1).over(wSess))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull || col("cur_ms") - col("prev_ms") > gapMs, 1).otherwise(0))
+      .withColumn("session_id", sum("new_s").over(frame))
+      .groupBy("user_id", "session_id")
+      .agg(min(expr("ts_ns div 1000")).as("start_us"),
+        max(expr("ts_ns div 1000")).as("end_us"))
+    val boundaries = graft.Caches.tracked(
+      sessions.select(col("start_us").as("t_us"), lit(1).as("delta"))
+        .unionAll(sessions.select(col("end_us").as("t_us"), lit(-1).as("delta")))
+        .withColumn("day", to_date(timestamp_micros(col("t_us")))))
+    // stage 1: peer-inclusive running sum WITHIN each day (default
+    // RANGE frame: all rows tied on (t_us, delta) aggregate together,
+    // so the max is permutation-independent)
+    val wDay = Window.partitionBy("day").orderBy(col("t_us"), col("delta").desc)
+    val withinDay = boundaries.withColumn("run_in_day", sum("delta").over(wDay))
+    // stage 2: day-level offsets on the days-sized aggregate — the
+    // only unpartitioned window runs over one row per calendar day
+    val wDays = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = boundaries.groupBy("day")
+      .agg(sum("delta").as("day_delta"))
+      .withColumn("carried_in", sum("day_delta").over(wDays) - col("day_delta"))
+      .select(col("day"), col("carried_in"))
+    withinDay
+      .join(broadcast(offsets), "day")
+      .groupBy("day")
+      .agg(max(col("run_in_day") + col("carried_in")).as("peak_concurrent"),
+        sum(when(col("delta") === 1, 1L).otherwise(0L)).as("sessions_started"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("peak_concurrent"), col("sessions_started"))
+      .orderBy("day")
+  }
 }
