@@ -131,6 +131,11 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Ann.ivfAppend(e.filter(e("vec_id") % 5 =!= 0), e.filter(e("vec_id") % 5 === 0))
     }),
+    // closes a12's loop: balanceFactor 1.2 so the natural occupancy
+    // skew of the sqrt(n) k-means build exercises the split path at
+    // test SFs (2.0 is the production default, matching a12's flag)
+    "a14_cell_split" -> ((s, d) => Ann.cellSplit(Tables.embeddings(s, d),
+      balanceFactor = 1.2)),
     "a08_pq_knn" -> ((s, d) => Ann.pqKnn(Tables.embeddings(s, d))),
     "a09_ivf_pq" -> ((s, d) => Ann.ivfPqKnn(Tables.embeddings(s, d))),
     "t01_token_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),

@@ -173,6 +173,9 @@ object TaskRunner {
       Ann.ivfAppend(e.filter(e("vec_id") % m =!= 0), e.filter(e("vec_id") % m === 0),
         cells = i(p, "cells", 0), balanceFactor = dbl(p, "balanceFactor", 2.0))
     }),
+    "a14_cell_split" -> ((s, d, p) => Ann.cellSplit(
+      Tables.embeddings(s, d), cells = i(p, "cells", 0),
+      balanceFactor = dbl(p, "balanceFactor", 1.2), iters = i(p, "iters", 3))),
     "d08_dedup_apply" -> ((s, d, p) => Dedup.dedupApply(
       Tables.documents(s, d), dbl(p, "threshold", 0.8),
       capL(p, "dfCap", 1000L))),

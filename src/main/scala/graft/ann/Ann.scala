@@ -775,4 +775,112 @@ object Ann {
         (col("n_total") > col("mean_total") * balanceFactor).as("needs_split"))
       .orderBy("cell")
   }
+
+  /** a14_cell_split — the RE-SPLIT step that closes [[ivfAppend]]'s
+    * loop (what d12 is to d11): cells past `balanceFactor` × the mean
+    * occupancy — the ones a12 flags `needs_split` — are each split
+    * in two by a 2-means over their own members, and the result is a
+    * VALID UPDATED QUANTIZER: an output centroid table any retrieval
+    * op (a04/a07) consumes directly, hot posting lists halved, every
+    * other cell's centroid (and therefore every other posting list)
+    * untouched. This is the maintenance op that keeps query latency
+    * flat as an incrementally-ingested index drifts away from its
+    * original training distribution — re-split on operator cadence
+    * instead of retraining the whole quantizer.
+    *
+    * Determinism & seeding: per flagged cell, seed 1 is the member
+    * with the smallest vec_id, seed 2 the member least similar to it
+    * (cosine, vec_id tiebreak) — the farthest-pair heuristic that
+    * makes one Lloyd round already separate merged clusters. Sub-label
+    * 1 keeps the parent's c_label; sub-label 2 gets max(c_label)+rank,
+    * so labels stay unique without renumbering untouched cells. A
+    * flagged cell whose members collapse onto one sub-centroid (e.g.
+    * all-identical vectors) falls back to unsplit rather than emitting
+    * an empty cell.
+    *
+    * Scale posture: the flagged set is bounded by the quantizer size
+    * (k cells), never the corpus — only (cell, sub, centroid) tables
+    * of ≤ 2·|flagged| rows ever reach the driver (the same contract as
+    * the k × dim centroid table itself). Each Lloyd round over the
+    * flagged members is one broadcast join + one narrow per-(cell,
+    * sub, pos) mean with full partial aggregation; unflagged cells'
+    * members are filtered out before any iteration touches them, so
+    * the per-round cost is Σ|flagged cell|, the d11 batch-proportional
+    * property. Rows-only op: k-means cells are not ANSI-SQL-
+    * expressible; the split/recall properties are spec-asserted. */
+  def cellSplit(embeddings: DataFrame, centroids: Option[DataFrame] = None,
+                cells: Int = 0, balanceFactor: Double = 2.0,
+                iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cents = graft.Caches.tracked(resolveCentroids(embeddings, centroids, cells))
+    val assigned = graft.Caches.tracked(
+      assign(embeddings.select(col("vec_id"), col("embedding")), cents)
+        .select(col("vec_id"), col("embedding"), col("c_label").as("cell")))
+    val stats = assigned.groupBy("cell").agg(count(lit(1)).as("n_members"))
+    val meanLoad = stats.agg(avg("n_members")).first().getDouble(0)
+    val flagged: Array[Int] = stats
+      .filter(col("n_members") > meanLoad * balanceFactor && col("n_members") >= 2)
+      .select("cell").collect().map(_.getInt(0)).sorted
+    val unsplitOf = (keep: DataFrame) => keep
+      .join(stats, keep("c_label") === stats("cell"), "left")
+      .select(keep("c_label"), keep("c_label").as("parent_cell"),
+        lit(false).as("was_split"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"), col("centroid"))
+    if (flagged.isEmpty) unsplitOf(cents).orderBy("c_label")
+    else {
+      val members = graft.Caches.tracked(assigned.filter(col("cell").isin(flagged.map(Integer.valueOf): _*)))
+      // farthest-pair seeds per flagged cell
+      val wCell = Window.partitionBy("cell").orderBy("vec_id")
+      val seed1 = members.withColumn("rn", row_number().over(wCell))
+        .filter(col("rn") === 1).select(col("cell"), col("embedding").as("s1e"))
+      val wFar = Window.partitionBy("cell").orderBy(col("s1sim").asc, col("vec_id"))
+      val seed2 = members.join(broadcast(seed1), "cell")
+        .withColumn("s1sim", expr("graft_cosine(embedding, s1e)"))
+        .withColumn("rn", row_number().over(wFar))
+        .filter(col("rn") === 1).select(col("cell"), col("embedding").as("s2e"))
+      // distributed-update 2-means, all flagged cells in one joint pass
+      // per round; the 2·|flagged|-row sub-centroid table is collected
+      // and re-broadcast per iteration so lineage stays flat (the
+      // kmeansCentroidsDistributed pattern)
+      def collected(df: DataFrame): DataFrame =
+        df.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+          .toSeq.toDF("cell", "sub", "scent")
+      val wBest = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("sub"))
+      def assignSubs(subs: DataFrame): DataFrame = members
+        .join(broadcast(subs), "cell")
+        .withColumn("sim", expr("graft_cosine(embedding, scent)"))
+        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      var subs = collected(
+        seed1.select(col("cell"), lit(1).as("sub"), col("s1e").as("scent"))
+          .unionByName(seed2.select(col("cell"), lit(2).as("sub"), col("s2e").as("scent"))))
+      for (_ <- 1 to iters) {
+        subs = collected(assignSubs(subs)
+          .select(col("cell"), col("sub"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("cell", "sub", "pos").agg(avg("x").as("cx"))
+          .groupBy("cell", "sub")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+            s => s.getField("cx").cast("float")).as("scent")))
+      }
+      val finalCounts: Map[(Int, Int), Long] = assignSubs(subs)
+        .groupBy("cell", "sub").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val subCent: Map[(Int, Int), Array[Float]] = subs.collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray).toMap
+      // a split is real only if BOTH subs kept members under the final
+      // assignment; collapsed cells stay as they were
+      val splitParents = flagged.filter(c =>
+        finalCounts.getOrElse((c, 1), 0L) > 0 && finalCounts.getOrElse((c, 2), 0L) > 0)
+      val maxLabel = cents.agg(max("c_label")).first().getInt(0)
+      val splitRows = splitParents.zipWithIndex.flatMap { case (c, i) =>
+        Seq((c, c, true, finalCounts((c, 1)), subCent((c, 1))),
+          (maxLabel + i + 1, c, true, finalCounts((c, 2)), subCent((c, 2))))
+      }.toSeq.toDF("c_label", "parent_cell", "was_split", "n_members", "centroid")
+      val keep = cents.filter(!col("c_label").isin(splitParents.map(Integer.valueOf): _*))
+      unsplitOf(keep)
+        .unionByName(splitRows.select("c_label", "parent_cell", "was_split", "n_members", "centroid"))
+        .orderBy("c_label")
+    }
+  }
 }

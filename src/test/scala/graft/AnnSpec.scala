@@ -243,6 +243,51 @@ class AnnSpec extends SparkSpecBase {
     assert(stats.values.count(_._4) == 1, "only the hot cell flags")
   }
 
+  test("cellSplit separates merged planted clusters and leaves cold cells untouched") {
+    // corpus: 2 x-axis vectors + 5 y-axis + 5 z-axis
+    val rows =
+      (0 until 2).map(j => ((10 + j).toLong, Array(1.0f, 0.02f * j, 0.0f, 0.0f))) ++
+        (0 until 5).map(j => ((20 + j).toLong, Array(0.0f, 1.0f, 0.02f * j, 0.0f))) ++
+        (0 until 5).map(j => ((30 + j).toLong, Array(0.0f, 0.02f * j, 1.0f, 0.0f)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    // a 2-cell quantizer whose second cell covers BOTH the y and z
+    // clusters — the merged-cluster drift a14 exists to repair
+    val cents = Seq(
+      (1, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2, Array(0.0f, 0.7f, 0.7f, 0.0f))).toDF("c_label", "centroid")
+    val splitDf = Ann.cellSplit(corpus, centroids = Some(cents), balanceFactor = 1.5)
+    val out = splitDf.collect()
+      .map(r => r.getInt(0) -> ((r.getInt(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1, 2, 3), s"got ${out.keySet}")
+    assert(out(1) == ((1, false, 2L)), "cold cell 1 must be untouched")
+    assert(out(2) == ((2, true, 5L)), s"sub 1 keeps the parent label, got ${out(2)}")
+    assert(out(3) == ((2, true, 5L)), s"sub 2 gets max+1, got ${out(3)}")
+    // the output IS a valid quantizer: with each planted cluster now
+    // owning a cell, cell-local nprobe=1 search through it is exact
+    val oneCell = Seq((1, Array(1.0f, 1.0f, 1.0f, 0.0f))).toDF("c_label", "centroid")
+    val exact = Ann.knnJoin(corpus, k = 1, nprobe = 1, centroids = Some(oneCell))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaSplit = Ann.knnJoin(corpus, k = 1, nprobe = 1,
+      centroids = Some(splitDf.select("c_label", "centroid")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSplit == exact, s"split-table search $viaSplit != exact $exact")
+  }
+
+  test("cellSplit falls back unsplit when a flagged cell's members collapse") {
+    // 6 IDENTICAL vectors overload cell 2 (mean 3.5, factor 1.5 → 5.25)
+    // but give 2-means nothing to separate — the cell must stay whole
+    val corpus = ((0 until 6).map(j => (j.toLong, Array(0.0f, 1.0f, 0.0f, 0.0f))) ++
+      Seq((10L, Array(1.0f, 0.0f, 0.0f, 0.0f)))).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (1, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("c_label", "centroid")
+    val out = Ann.cellSplit(corpus, centroids = Some(cents), balanceFactor = 1.5)
+      .collect().map(r => r.getInt(0) -> ((r.getBoolean(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1, 2), s"got ${out.keySet}")
+    assert(out(1) == ((false, 1L)))
+    assert(out(2) == ((false, 6L)), s"collapsed cell must stay unsplit, got ${out(2)}")
+  }
+
   test("knnClassify votes the planted cluster's label with deterministic ties") {
     // queries 0 (x-axis, label 0) and 1 (y-axis, label 1): with k=2
     // their neighbours are exactly their own cluster → unanimous vote
