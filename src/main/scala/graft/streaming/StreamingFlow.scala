@@ -180,6 +180,63 @@ object StreamingFlow {
       .drop("toks", "sh")
   }
 
+  /** s14_stream_ingest_admit — streaming ingestion admission, the
+    * streaming twin of batch d12 with the loop MADE REAL: every
+    * micro-batch runs the SAME `Dedup.ingestAdmit` derivation against
+    * the current corpus snapshot (corpus_dup / batch_dup / admitted,
+    * identical thresholds, identical Jaccard), writes the per-doc
+    * verdicts, and appends the admitted docs to the corpus — so the
+    * NEXT trigger's corpus check already sees everything this trigger
+    * let in. That compounding is the property a nightly-crawl
+    * admission pipeline needs: a doc admitted at 09:00 shadows its
+    * near-copy arriving at 09:05.
+    *
+    * This is deliberately foreachBatch + the batch operator, not a
+    * re-derivation in streaming operators: admission is a
+    * batch-vs-corpus decision (d11's asymmetric band join), and the
+    * micro-batch IS the batch — one definition to evolve (the
+    * s10/s11/s13 design contract), stream-static joins and stateful
+    * aggregation would only re-implement it worse. Both writes are
+    * keyed by batch_id with dynamic partition overwrite, so a batch
+    * replayed after a failure rewrites ONLY its own partitions — the
+    * jdbcBatchWriter idempotence recipe for file stores. The corpus
+    * dir is therefore partitioned by batch_id (ingestion provenance
+    * for free); seed it with any sentinel batch_id (e.g. -1). */
+  def streamIngestAdmit(stream: DataFrame, corpusPath: String, verdictPath: String,
+                        checkpoint: String, threshold: Double = 0.8,
+                        dfCap: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(ingestAdmitBatch(corpusPath, verdictPath, threshold, dfCap))
+      .start()
+
+  /** The per-trigger admission step behind [[streamIngestAdmit]].
+    * Verdicts are eagerly localCheckpoint'ed before any write: the
+    * plan reads corpusPath and the admitted docs are then written INTO
+    * corpusPath — the checkpoint breaks the read-write cycle (the
+    * sink_upsert pattern) and lets the tracked shingle caches release
+    * per trigger instead of accumulating across an unbounded stream. */
+  private[graft] def ingestAdmitBatch(corpusPath: String, verdictPath: String,
+                                      threshold: Double, dfCap: Option[Long]
+                                     ): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val docs = batch.select("doc_id", "text").localCheckpoint(true)
+      val corpus = spark.read.parquet(corpusPath).select("doc_id", "text")
+      val verdicts = graft.dedup.Dedup
+        .ingestAdmit(docs, corpus, threshold, dfCap = dfCap)
+        .localCheckpoint(true)
+      graft.Caches.release()
+      verdicts.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(verdictPath)
+      docs.join(verdicts.filter(col("admitted")).select("doc_id"), "doc_id")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(corpusPath)
+    }
+
   case class Ev(userId: Long, tsMs: Long)
   case class SessionState(lastMs: Long, sessions: Int)
   case class SessionCount(userId: Long, sessions: Int)

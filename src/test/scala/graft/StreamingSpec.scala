@@ -193,6 +193,48 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s14 streaming ingest admission matches batch d12 per trigger and compounds the corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("s14").toString
+    val corpusPath = s"$dir/corpus"; val verdictPath = s"$dir/verdicts"
+    val docA = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    val docB = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val docC = "papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu mike"
+    // seed the corpus with the sentinel batch_id partition
+    Seq((100L, docA)).toDF("doc_id", "text")
+      .withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id").parquet(corpusPath)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingFlow.streamIngestAdmit(
+      input.toDF().toDF("doc_id", "text"), corpusPath, verdictPath, s"$dir/ckpt")
+    try {
+      // trigger 1: 1 near-dups the corpus; 2+3 near-dup each other; 4 fresh
+      input.addData((1L, docA), (2L, docB), (3L, docB), (4L, docC))
+      q.processAllAvailable()
+      val v1 = spark.read.parquet(verdictPath).filter(col("batch_id") === 0)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(v1 == Map(1L -> "corpus_dup", 2L -> "admitted",
+        3L -> "batch_dup", 4L -> "admitted"), s"got $v1")
+      // the stream verdicts ARE the batch d12 verdicts on the same snapshot
+      val b1 = graft.dedup.Dedup.ingestAdmit(
+          Seq((1L, docA), (2L, docB), (3L, docB), (4L, docC)).toDF("doc_id", "text"),
+          Seq((100L, docA)).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(v1 == b1, s"stream $v1 vs batch $b1")
+      // trigger 2: a copy of docB — admitted only one trigger ago — must
+      // now be a corpus_dup: the admission loop compounds
+      input.addData((5L, docB), (6L, docA))
+      q.processAllAvailable()
+      val v2 = spark.read.parquet(verdictPath).filter(col("batch_id") === 1)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(v2 == Map(5L -> "corpus_dup", 6L -> "corpus_dup"), s"got $v2")
+      // the corpus dir now holds the seed + exactly trigger 1's admissions
+      val corpusIds = spark.read.parquet(corpusPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(corpusIds == Set(100L, 2L, 4L), s"got $corpusIds")
+    } finally q.stop()
+  }
+
   test("s10 quality gate routes docs and scores identically to batch t02") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
