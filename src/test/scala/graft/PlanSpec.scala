@@ -71,6 +71,25 @@ class PlanSpec extends SparkSpecBase {
     assert(scans(cachedSubtrees.head).count(_.requiredSchema.fieldNames.contains("text")) == 1)
   }
 
+  test("q44_peak_concurrency: 3-column scan; only the day-grain offset window is global") {
+    val p = plan("q44_peak_concurrency")
+    val ss = scans(p)
+    assert(ss.nonEmpty)
+    assert(ss.forall(_.requiredSchema.fieldNames.toSet == Set("ts", "event_id", "user_id")),
+      ss.map(_.requiredSchema.fieldNames.mkString(",")).mkString("; "))
+    // the hierarchical sweep's contract: the within-day running sum and
+    // the sessionization windows are all partitioned; the single
+    // unpartitioned window runs over the one-row-per-day aggregate
+    def windows(sp: SparkPlan): Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      sp.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+        case a: AdaptiveSparkPlanExec => windows(a.initialPlan)
+        case i: InMemoryTableScanExec => windows(i.relation.cachedPlan)
+      }.flatten
+    val unpart = windows(p).filter(_.partitionSpec.isEmpty)
+    assert(unpart.size == 1, s"expected exactly the day-offset global window, got ${unpart.size}")
+  }
+
   test("near-dup joins never degenerate to cartesian/nested-loop") {
     for (name <- Seq("d03_minhash_lsh", "d11_dedup_against", "d12_ingest_admit",
                      "m06_chunk_dedup")) {
