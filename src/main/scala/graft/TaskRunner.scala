@@ -219,6 +219,8 @@ object TaskRunner {
       Tables.documents(s, d), i(p, "spanTokens", 10))),
     "t21_source_drift" -> ((s, d, p) => TextStats.sourceDrift(
       Tables.documents(s, d), i(p, "topK", 50))),
+    "t22_hash_embed" -> ((s, d, p) => TextStats.hashEmbed(
+      Tables.documents(s, d), i(p, "dim", 64), l(p, "seed", 42L))),
     "t19_cooccurrence" -> ((s, d, p) => TextStats.cooccurrence(
       Tables.documents(s, d), i(p, "window", 3), i(p, "topN", 20))),
     "t18_quality_filter" -> ((s, d, p) => TextStats.qualityFilter(

@@ -130,6 +130,13 @@ object GraftFunctions {
         FunctionIdentifier("graft_simhash"),
         new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
         (children: Seq[Expression]) => SimHash64(children.head))
+    if (!reg.functionExists(FunctionIdentifier("graft_hash_embed")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_hash_embed"),
+        new ExpressionInfo(classOf[HashEmbed].getName, "graft_hash_embed"),
+        (children: Seq[Expression]) => HashEmbed(children.head,
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].longValue()))
   }
 
   private val pqSeq = new java.util.concurrent.atomic.AtomicLong()
@@ -202,5 +209,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (FunctionIdentifier("graft_simhash"),
         new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
         (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_hash_embed"),
+        new ExpressionInfo(classOf[HashEmbed].getName, "graft_hash_embed"),
+        (children: Seq[Expression]) => HashEmbed(children.head,
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].longValue())))
   }
 }

@@ -614,4 +614,31 @@ object TextStats {
           " ").as("clean_text"))
       .orderBy("doc_id")
   }
+
+  /** t22_hash_embed — MODEL-FREE document embeddings via signed
+    * feature hashing (the hashing trick): each doc's token array maps
+    * to a dense L2-normalized `dim`-float vector in one compiled
+    * `graft_hash_embed` pass. This is the bridge between the text
+    * stack and the ANN stack when no neural encoder is in the loop (or
+    * before one runs): the output is exactly the `embeddings` table
+    * shape, so d05/d06 near-dup, a01–a14 search/index/classify, and
+    * a06 outlier scoring all run on raw text corpora unchanged.
+    * Cosine between hashed vectors estimates token-multiset cosine
+    * (signed collisions cancel in expectation; raise `dim` to tighten).
+    *
+    * Scale posture: scan-speed map-side work — no explode, no shuffle
+    * (the output sort is presentational), no training state, and the
+    * vector is dim·4 bytes regardless of doc length, so the op is the
+    * cheapest whole-corpus pass in the inventory. Rows-only: float
+    * vectors and XXH64 are not ANSI-SQL-expressible; the spec matches
+    * a hand-built vector float-for-float against Spark's own xxhash64
+    * and pins the near-dup-ranking property. */
+  def hashEmbed(documents: DataFrame, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"),
+        expr(s"graft_hash_embed(split(lower(trim(text)), '\\\\s+'), $dim, ${seed}L)")
+          .as("embedding"))
+      .orderBy("doc_id")
+  }
 }

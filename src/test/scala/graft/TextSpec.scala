@@ -262,4 +262,38 @@ class TextSpec extends SparkSpecBase {
     assert(out(1L) == (3, 3))
   }
 
+  test("hashEmbed matches a hand-built xxhash64 twin float-for-float") {
+    val dim = 8
+    val out = TextStats.hashEmbed(
+        Seq((0L, "apple banana APPLE"), (1L, ""), (2L, "   ")).toDF("doc_id", "text"),
+        dim = dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // expected vector rebuilt from Spark's OWN xxhash64 (same bytes,
+    // same default seed 42) — bucket = floorMod(h, dim), sign = h < 0
+    val hr = spark.sql("SELECT xxhash64('apple'), xxhash64('banana')").head()
+    val acc = new Array[Double](dim)
+    for (h <- Seq(hr.getLong(0), hr.getLong(1), hr.getLong(0))) {
+      acc((((h % dim) + dim) % dim).toInt) += (if (h < 0) -1.0 else 1.0)
+    }
+    val norm = math.sqrt(acc.map(x => x * x).sum)
+    val expected = acc.map(x => (x / norm).toFloat).toSeq
+    assert(out(0L) == expected, s"got ${out(0L)} want $expected")
+    assert(out(1L) == Seq.fill(dim)(0.0f), "empty text must embed to the zero vector")
+    assert(out(2L) == Seq.fill(dim)(0.0f), "whitespace text must embed to the zero vector")
+  }
+
+  test("hashEmbed output feeds the ANN stack: the near-dup doc outranks unrelated") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "the quick brown fox jumps over the lazy cat near the river bank"),
+      (2L, "completely different text about cooking pasta with garlic and olive oil")
+    ).toDF("doc_id", "text")
+    // the output IS the embeddings-table shape — knnBrute runs unchanged
+    val e = TextStats.hashEmbed(corpus).withColumnRenamed("doc_id", "vec_id")
+    val nn = graft.ann.Ann.knnBrute(e, nQueries = 1, k = 2).collect()
+    assert(nn.head.getLong(1) == 1L, s"near-dup must rank first, got ${nn.toSeq}")
+    assert(nn.head.getDouble(2) > 0.8, s"near-dup cosine ${nn.head.getDouble(2)} too low")
+    assert(nn.last.getLong(1) == 2L && nn.last.getDouble(2) < nn.head.getDouble(2))
+  }
+
 }
