@@ -421,6 +421,20 @@ object Oracles {
                 CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS sessions_started
          FROM r GROUP BY 1 ORDER BY day""",
 
+    // the range-join formulation is the oracle's; the Spark side
+    // fans each (day, user) pair out to its <=7 report days instead
+    // (equi key, no nested-loop join)
+    "q45_rolling_distinct" ->
+      """WITH pairs AS (
+           SELECT DISTINCT CAST(ts AS DATE) AS a_day, user_id FROM events),
+         days AS (SELECT DISTINCT a_day AS day FROM pairs)
+         SELECT strftime(d.day, '%Y-%m-%d') AS day,
+                count(DISTINCT p.user_id) AS uniq_win,
+                count(DISTINCT CASE WHEN p.a_day = d.day THEN p.user_id END) AS uniq_day
+         FROM pairs p JOIN days d
+           ON p.a_day <= d.day AND p.a_day >= d.day - 6
+         GROUP BY d.day ORDER BY day""",
+
     "q42_funnel_steps" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
          s1 AS (SELECT user_id, min(us) AS t1 FROM ev

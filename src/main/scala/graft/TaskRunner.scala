@@ -83,6 +83,8 @@ object TaskRunner {
       eventsIn(s, d, p), l(p, "gapMs", 1800000L))),
     "q44_peak_concurrency" -> ((s, d, p) => TrackAnalytics.peakConcurrency(
       eventsIn(s, d, p), l(p, "gapMs", 1800000L))),
+    "q45_rolling_distinct" -> ((s, d, p) => TrackAnalytics.rollingDistinct(
+      eventsIn(s, d, p), i(p, "windowDays", 7))),
     "q14_stratified_sample" -> ((s, d, p) => TrackAnalytics.stratifiedSample(
       eventsIn(s, d, p), i(p, "perStratum", 5))),
     "q20_time_window" -> ((s, d, p) => TrackAnalytics.timeWindow(eventsIn(s, d, p))),

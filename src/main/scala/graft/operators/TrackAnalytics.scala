@@ -487,4 +487,41 @@ object TrackAnalytics {
         col("peak_concurrent"), col("sessions_started"))
       .orderBy("day")
   }
+
+  /** q45_rolling_distinct — trailing-window distinct actives per day
+    * (the "7-day active users" report): for each day with events, the
+    * exact distinct user count over that day and the `windowDays`-1
+    * before it, next to the same-day count. Exact sliding
+    * count-distinct cannot be window-aggregated (distinct doesn't
+    * merge), so the plan reduces first and fans out at the DAY grain:
+    * one distinct pass collapses the event log to (active_day, user)
+    * pairs, each pair explodes to the ≤`windowDays` report days it
+    * supports (a compiled `sequence`, no join), and one
+    * multi-distinct aggregation (a single Expand pass, like q40)
+    * produces both counts. Report days are restricted to days that
+    * have events via a broadcast day-list semi join — day lists are
+    * calendar-bounded, the one always-broadcastable dimension.
+    *
+    * Scale posture: the event log is touched once (the distinct);
+    * everything after is (day, user)-pair-sized ×windowDays — at
+    * 100 TB that is the floor any exact formulation pays. The
+    * approximate path for wider windows is q28's mergeable HLL
+    * (per-day sketches union across the window); this operator is the
+    * exact twin that keeps the oracle. */
+  def rollingDistinct(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val pairs = graft.Caches.tracked(
+      events.select(to_date(col("ts")).as("a_day"), col("user_id")).distinct())
+    val days = pairs.select(col("a_day").as("day")).distinct()
+    pairs
+      .select(col("a_day"), col("user_id"),
+        explode(sequence(col("a_day"), date_add(col("a_day"), windowDays - 1))).as("day"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(
+        countDistinct("user_id").as("uniq_win"),
+        countDistinct(when(col("a_day") === col("day"), col("user_id"))).as("uniq_day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("uniq_win"), col("uniq_day"))
+      .orderBy("day")
+  }
 }
