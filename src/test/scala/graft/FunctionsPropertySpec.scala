@@ -73,6 +73,26 @@ class FunctionsPropertySpec extends SparkSpecBase {
     assert(out.forall(_.getBoolean(1)), "simhash changed under input reordering")
   }
 
+  test("hash-embed is a bag embedding: unit (or zero) norm, permutation-invariant, dim-bounded") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = (1 to 60).map { _ =>
+      val toks = randToks(rnd.nextInt(25)) // may be empty → zero vector
+      (toks, rnd.shuffle(toks))
+    }
+    val out = rows.toDF("ta", "tb").selectExpr(
+      "graft_hash_embed(ta, 16, 42L) AS ea",
+      "graft_hash_embed(tb, 16, 42L) AS eb",
+      "size(ta) AS n").collect()
+    out.foreach { r =>
+      val ea = r.getSeq[Float](0)
+      assert(ea == r.getSeq[Float](1), "bag semantics: token order must not matter")
+      assert(ea.length == 16, s"dim must be 16, got ${ea.length}")
+      val norm = math.sqrt(ea.map(x => x.toDouble * x).sum)
+      if (r.getInt(2) == 0) assert(norm == 0.0, "empty doc must embed to the zero vector")
+      else assert(math.abs(norm - 1.0) < 1e-3, s"non-empty doc norm $norm != 1")
+    }
+  }
+
   test("hyperplane buckets are deterministic and bounded to 2^bits") {
     graft.functions.GraftFunctions.register(spark)
     val rows = (1 to 40).map(_ => Tuple1(Seq.fill(8)(rnd.nextFloat() * 2f - 1f)))
