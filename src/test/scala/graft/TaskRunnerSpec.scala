@@ -99,6 +99,26 @@ class TaskRunnerSpec extends SparkSpecBase {
     assert(admitted("0.5") <= admitted("0.95"))
   }
 
+  test("round-10 continuation params take effect: gapMs, windowDays, balanceFactor, dim") {
+    // q44: a tighter session gap can only start more sessions
+    def started(p: Map[String, String]) = TaskRunner.run(spark, d, "q44_peak_concurrency", p)
+      .collect().map(_.getLong(2)).sum
+    assert(started(Map("gapMs" -> "1")) >= started(Map.empty))
+    // q45: a 1-day window collapses the trailing count onto the daily count
+    val one = TaskRunner.run(spark, d, "q45_rolling_distinct", Map("windowDays" -> "1"))
+      .collect()
+    assert(one.nonEmpty && one.forall(r => r.getLong(1) == r.getLong(2)))
+    val week = TaskRunner.run(spark, d, "q45_rolling_distinct").collect()
+    assert(week.forall(r => r.getLong(1) >= r.getLong(2)))
+    // a14: an unreachable balance factor splits nothing
+    val calm = TaskRunner.run(spark, d, "a14_cell_split",
+      Map("balanceFactor" -> "1000")).collect()
+    assert(calm.nonEmpty && calm.forall(!_.getBoolean(2)), "no cell may split at factor 1000")
+    // t22: dim drives the vector length
+    val e8 = TaskRunner.run(spark, d, "t22_hash_embed", Map("dim" -> "8")).collect()
+    assert(e8.forall(_.getSeq[Float](1).length == 8))
+  }
+
   test("every param-aware runner binds an existing inventory query") {
     val orphans = TaskRunner.runners.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"runners with no inventory query: $orphans")
