@@ -843,33 +843,40 @@ object Ann {
       // distributed-update 2-means, all flagged cells in one joint pass
       // per round; the 2·|flagged|-row sub-centroid table is collected
       // and re-broadcast per iteration so lineage stays flat (the
-      // kmeansCentroidsDistributed pattern)
-      def collected(df: DataFrame): DataFrame =
-        df.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-          .toSeq.toDF("cell", "sub", "scent")
+      // kmeansCentroidsDistributed pattern). Each round's aggregation
+      // yields the new means AND the member count of the assignment
+      // that produced them, so no extra final assign pass runs — the
+      // reported n_members is the posting-list size consistent with
+      // the shipped centroid.
       val wBest = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("sub"))
       def assignSubs(subs: DataFrame): DataFrame = members
         .join(broadcast(subs), "cell")
         .withColumn("sim", expr("graft_cosine(embedding, scent)"))
         .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
-      var subs = collected(
+      // (cell, sub, scent, n) rows held on the driver between rounds
+      var subs: Array[(Int, Int, Array[Float], Long)] =
         seed1.select(col("cell"), lit(1).as("sub"), col("s1e").as("scent"))
-          .unionByName(seed2.select(col("cell"), lit(2).as("sub"), col("s2e").as("scent"))))
+          .unionByName(seed2.select(col("cell"), lit(2).as("sub"), col("s2e").as("scent")))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray, 0L))
       for (_ <- 1 to iters) {
-        subs = collected(assignSubs(subs)
+        val subsDf = subs.toSeq.map(t => (t._1, t._2, t._3)).toDF("cell", "sub", "scent")
+        subs = assignSubs(subsDf)
           .select(col("cell"), col("sub"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy("cell", "sub", "pos").agg(avg("x").as("cx"))
+          .groupBy("cell", "sub", "pos")
+          .agg(avg("x").as("cx"), count(lit(1)).as("n"))
           .groupBy("cell", "sub")
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-            s => s.getField("cx").cast("float")).as("scent")))
+            s => s.getField("cx").cast("float")).as("scent"),
+            max("n").as("n"))
+          .collect().map(r =>
+            (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray, r.getLong(3)))
       }
-      val finalCounts: Map[(Int, Int), Long] = assignSubs(subs)
-        .groupBy("cell", "sub").agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
-      val subCent: Map[(Int, Int), Array[Float]] = subs.collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray).toMap
-      // a split is real only if BOTH subs kept members under the final
-      // assignment; collapsed cells stay as they were
+      val finalCounts: Map[(Int, Int), Long] =
+        subs.map(t => (t._1, t._2) -> t._4).toMap
+      val subCent: Map[(Int, Int), Array[Float]] =
+        subs.map(t => (t._1, t._2) -> t._3).toMap
+      // a split is real only if BOTH subs kept members in the round
+      // that produced the final means; collapsed cells stay as they were
       val splitParents = flagged.filter(c =>
         finalCounts.getOrElse((c, 1), 0L) > 0 && finalCounts.getOrElse((c, 2), 0L) > 0)
       val maxLabel = cents.agg(max("c_label")).first().getInt(0)
