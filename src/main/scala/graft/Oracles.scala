@@ -828,6 +828,27 @@ object Oracles {
          WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) < rate * 4294967296.0
          ORDER BY doc_id""",
 
+    "t23_source_upsample" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+           FROM documents),
+         ps AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_tokens
+                FROM toks GROUP BY source),
+         mx AS (SELECT max(src_tokens) AS max_tokens FROM ps),
+         ep AS (SELECT source,
+                       least(3.0, CAST(max_tokens AS DOUBLE) / src_tokens) AS epochs
+                FROM ps CROSS JOIN mx),
+         nc AS (SELECT doc_id, t.source,
+                       CAST(floor(epochs) AS BIGINT)
+                       + CASE WHEN CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+                                   < (epochs - floor(epochs)) * 4294967296.0
+                              THEN 1 ELSE 0 END AS n_copies
+                FROM toks t JOIN ep USING (source))
+         SELECT doc_id, source,
+                CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy
+         FROM nc ORDER BY doc_id, copy""",
+
     // t16: the oracle states the SPEC (one global rank per shard); the
     // Spark side computes it hierarchically — hash-match proves the
     // prefix-sum formulation equals the global window

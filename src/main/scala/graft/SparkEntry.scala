@@ -162,6 +162,7 @@ object SparkEntry {
     "t20_rolling_scrub" -> ((s, d) => TextStats.rollingScrub(Tables.documents(s, d))),
     "t21_source_drift" -> ((s, d) => TextStats.sourceDrift(Tables.documents(s, d))),
     "t22_hash_embed" -> ((s, d) => TextStats.hashEmbed(Tables.documents(s, d))),
+    "t23_source_upsample" -> ((s, d) => TextStats.sourceUpsample(Tables.documents(s, d))),
     "t18_quality_filter" -> ((s, d) => TextStats.qualityFilter(Tables.documents(s, d))),
     "t19_cooccurrence" -> ((s, d) => TextStats.cooccurrence(Tables.documents(s, d))),
     "m01_binary_meta" -> ((s, d) => BinaryPipeline.binaryMeta(Tables.documents(s, d))),

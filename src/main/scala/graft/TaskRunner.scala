@@ -223,6 +223,8 @@ object TaskRunner {
       Tables.documents(s, d), i(p, "topK", 50))),
     "t22_hash_embed" -> ((s, d, p) => TextStats.hashEmbed(
       Tables.documents(s, d), i(p, "dim", 64), l(p, "seed", 42L))),
+    "t23_source_upsample" -> ((s, d, p) => TextStats.sourceUpsample(
+      Tables.documents(s, d), dbl(p, "maxEpochs", 3.0))),
     "t19_cooccurrence" -> ((s, d, p) => TextStats.cooccurrence(
       Tables.documents(s, d), i(p, "window", 3), i(p, "topN", 20))),
     "t18_quality_filter" -> ((s, d, p) => TextStats.qualityFilter(

@@ -411,6 +411,43 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** t23_source_upsample — the UPSAMPLING half of mixture control
+    * (t15 downsamples oversized sources to a budget; this repeats
+    * undersized ones): every source is brought toward the LARGEST
+    * source's token count by fractional epochs — epochs(src) =
+    * min(maxEpochs, max_tokens/src_tokens) — and each doc emits
+    * floor(epochs) copies plus one more with probability
+    * frac(epochs), decided by the same deterministic LCG as
+    * t15/t16/s13, so a given doc's copy count is reproducible across
+    * engines and runs. The output carries a copy index (doc_id,
+    * source, copy) — the form a training-shard writer consumes
+    * (dataset epochs materialized as rows, the standard mixture
+    * practice when small high-quality sources must not drown).
+    *
+    * Scale posture: the rate table is source-grain (broadcast); the
+    * corpus pass is one narrow join + a compiled sequence-explode —
+    * output rows = Σ epochs(src)·|src|, the unavoidable output size.
+    * The epochs ratio is ONE IEEE division per source (no float sums
+    * anywhere), so the oracle is exact. */
+  def sourceUpsample(documents: DataFrame, maxEpochs: Double = 3.0): DataFrame = {
+    val perSrc = graft.Caches.tracked(documents
+      .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+      .groupBy("source").agg(sum("n_toks").as("src_tokens")))
+    val maxTok = perSrc.agg(max("src_tokens").as("max_tokens"))
+    val epochs = perSrc.crossJoin(broadcast(maxTok))
+      .withColumn("epochs", least(lit(maxEpochs),
+        col("max_tokens").cast("double") / col("src_tokens")))
+      .select("source", "epochs")
+    documents.select(col("doc_id"), col("source"))
+      .join(broadcast(epochs), "source")
+      .withColumn("n_copies", floor(col("epochs")) +
+        when(((col("doc_id") * 2654435761L) % 4294967296L).cast("double")
+          < (col("epochs") - floor(col("epochs"))) * 4294967296.0, 1L).otherwise(0L))
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
   /** t16_shard_assign — deterministic global shuffle + sharding for
     * training output: every doc gets a shard (LCG hash mod nShards)
     * and a stable position within its shard (ascending hash order =

@@ -262,6 +262,24 @@ class TextSpec extends SparkSpecBase {
     assert(out(1L) == (3, 3))
   }
 
+  test("sourceUpsample repeats undersized sources by fractional epochs, largest stays 1x") {
+    // big: 16 tokens; small: 4 tokens → epochs = min(3, 16/4) = 3 exactly
+    val d = Seq(
+      (0L, "a b c d e f g h i j k l m n o p", "big"),
+      (1L, "w x y z", "small")
+    ).toDF("doc_id", "text", "source")
+    val out = TextStats.sourceUpsample(d).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.filter(_._1 == 0L).map(_._2).toSeq == Seq(0L), "largest source stays 1x")
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq == Seq(0L, 1L, 2L),
+      s"small source must emit 3 indexed copies, got ${out.toSeq}")
+    // fractional part: epochs = min(1.5, ...) → every small doc emits 1
+    // copy plus an LCG-decided extra; copy counts stay in {1, 2}
+    val frac = TextStats.sourceUpsample(d, maxEpochs = 1.5).collect()
+      .map(r => r.getLong(0)).groupBy(identity).map { case (k, v) => k -> v.length }
+    assert(frac(0L) == 1 && (frac(1L) == 1 || frac(1L) == 2), s"got $frac")
+  }
+
   test("hashEmbed matches a hand-built xxhash64 twin float-for-float") {
     val dim = 8
     val out = TextStats.hashEmbed(
