@@ -212,6 +212,21 @@ object Oracles {
          round(quantile_cont(l_extendedprice, 0.5),3) AS p50_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "q46_robust_outliers" ->
+      """WITH v AS (SELECT o_orderpriority AS grp, o_totalprice AS x FROM orders),
+         m AS (SELECT grp, quantile_cont(x, 0.5) AS med FROM v GROUP BY grp),
+         dv AS (SELECT v.grp, abs(x - med) AS adev, med
+                FROM v JOIN m USING (grp)),
+         md AS (SELECT grp, quantile_cont(adev, 0.5) AS mad FROM dv GROUP BY grp)
+         SELECT dv.grp AS o_orderpriority,
+                count(*) AS n,
+                floor(min(med)*100 + 0.5)/100 AS med,
+                floor(min(mad)*100 + 0.5)/100 AS mad,
+                CAST(sum(CASE WHEN adev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_outliers
+         FROM dv JOIN md USING (grp)
+         GROUP BY dv.grp ORDER BY o_orderpriority""",
+
     "q33_division" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -85,6 +85,8 @@ object TaskRunner {
       eventsIn(s, d, p), l(p, "gapMs", 1800000L))),
     "q45_rolling_distinct" -> ((s, d, p) => TrackAnalytics.rollingDistinct(
       eventsIn(s, d, p), i(p, "windowDays", 7))),
+    "q46_robust_outliers" -> ((s, d, p) => RelationalOps.robustOutliers(
+      Tables.orders(s, d), dbl(p, "k", 3.0))),
     "q14_stratified_sample" -> ((s, d, p) => TrackAnalytics.stratifiedSample(
       eventsIn(s, d, p), i(p, "perStratum", 5))),
     "q20_time_window" -> ((s, d, p) => TrackAnalytics.timeWindow(eventsIn(s, d, p))),

@@ -285,4 +285,45 @@ object RelationalOps {
          GROUP BY p_brand
          ORDER BY p_brand"""
     }
+
+  /** q46_robust_outliers — robust per-group outlier report via
+    * median + MAD (median absolute deviation): for each order
+    * priority, the exact interpolated median of o_totalprice, the MAD
+    * around it, and how many orders sit more than `k` MADs out — the
+    * numeric data-cleaning decision mean/stddev can't make (both are
+    * themselves dragged by the outliers they're meant to flag; the
+    * median/MAD pair has a 50% breakdown point). This is a06's
+    * embedding-space outlier flag re-expressed for plain numeric
+    * facts.
+    *
+    * Exactness: the medians are the q21 exact-percentile machinery
+    * (bit-identical to DuckDB quantile_cont), |x−med| and k·mad are
+    * single IEEE ops on engine-identical doubles, so the oracle
+    * checks the flag COUNTS exactly — display stats round via
+    * stableRound. Scale: three passes over the fact values with
+    * group-grain broadcast joins between them — the honest exact-MAD
+    * cost; at 100 TB swap the inner percentile for q29's mergeable
+    * sketch (same plan shape, one config knob). The values relation
+    * is tracked-cached so the three passes scan the parquet once. */
+  def robustOutliers(orders: DataFrame, k: Double = 3.0): DataFrame = {
+    val vals = graft.Caches.tracked(
+      orders.select(col("o_orderpriority").as("grp"), col("o_totalprice").as("x")))
+    val med = vals.groupBy("grp").agg(expr("percentile(x, 0.5)").as("med"))
+    val devs = graft.Caches.tracked(
+      vals.join(broadcast(med), "grp")
+        .withColumn("adev", abs(col("x") - col("med"))))
+    val mad = devs.groupBy("grp").agg(expr("percentile(adev, 0.5)").as("mad"))
+    devs.join(broadcast(mad), "grp")
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).as("n"),
+        min("med").as("med_raw"), // constant per group; min is the deterministic pick
+        min("mad").as("mad_raw"),
+        sum(when(col("adev") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("grp").as("o_orderpriority"), col("n"),
+        graft.Num.stableRound(col("med_raw"), 2).as("med"),
+        graft.Num.stableRound(col("mad_raw"), 2).as("mad"),
+        col("n_outliers"))
+      .orderBy("o_orderpriority")
+  }
 }
