@@ -117,6 +117,14 @@ class TaskRunnerSpec extends SparkSpecBase {
     // t22: dim drives the vector length
     val e8 = TaskRunner.run(spark, d, "t22_hash_embed", Map("dim" -> "8")).collect()
     assert(e8.forall(_.getSeq[Float](1).length == 8))
+    // t23: capping epochs at 1 collapses upsampling to one copy per doc
+    val flat = TaskRunner.run(spark, d, "t23_source_upsample", Map("maxEpochs" -> "1"))
+      .collect()
+    assert(flat.forall(_.getLong(2) == 0L), "maxEpochs=1 must emit copy 0 only")
+    // q46: a wider MAD band can only flag fewer outliers
+    def outliers(k: String) = TaskRunner.run(spark, d, "q46_robust_outliers",
+      Map("k" -> k)).collect().map(_.getLong(4)).sum
+    assert(outliers("10") <= outliers("1"))
   }
 
   test("every param-aware runner binds an existing inventory query") {
