@@ -90,6 +90,25 @@ class PlanSpec extends SparkSpecBase {
     assert(unpart.size == 1, s"expected exactly the day-offset global window, got ${unpart.size}")
   }
 
+  test("q45_rolling_distinct: events scan pruned to (ts, user_id)") {
+    val ss = scans(plan("q45_rolling_distinct"))
+    assert(ss.nonEmpty)
+    assert(ss.forall(_.requiredSchema.fieldNames.toSet == Set("ts", "user_id")),
+      ss.map(_.requiredSchema.fieldNames.mkString(",")).mkString("; "))
+  }
+
+  test("t23_source_upsample: text is read once (inside the cached rate table)") {
+    val p = plan("t23_source_upsample")
+    // the corpus-sized pass carries only (doc_id, source); text feeds
+    // the source-grain token totals exactly once, behind the cache
+    val direct = p.collect { case f: FileSourceScanExec => f }
+      .count(_.requiredSchema.fieldNames.contains("text"))
+    assert(direct == 0, s"$direct text scans bypass the cached rate table")
+    val cached = p.collect { case i: InMemoryTableScanExec => i.relation.cachedPlan }.distinct
+    assert(cached.size == 1, s"expected one shared cache, got ${cached.size}")
+    assert(scans(cached.head).count(_.requiredSchema.fieldNames.contains("text")) == 1)
+  }
+
   test("near-dup joins never degenerate to cartesian/nested-loop") {
     for (name <- Seq("d03_minhash_lsh", "d11_dedup_against", "d12_ingest_admit",
                      "m06_chunk_dedup")) {
