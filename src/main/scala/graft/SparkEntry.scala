@@ -168,7 +168,8 @@ object SparkEntry {
     "t19_cooccurrence" -> ((s, d) => TextStats.cooccurrence(Tables.documents(s, d))),
     "m01_binary_meta" -> ((s, d) => BinaryPipeline.binaryMeta(Tables.documents(s, d))),
     "m02_chunk_sample" -> ((s, d) => BinaryPipeline.chunkSample(Tables.documents(s, d))),
-    "m06_chunk_dedup" -> ((s, d) => BinaryPipeline.chunkDedup(Tables.documents(s, d)))
+    "m06_chunk_dedup" -> ((s, d) => BinaryPipeline.chunkDedup(Tables.documents(s, d))),
+    "m07_cdc_dedup" -> ((s, d) => BinaryPipeline.cdcDedup(Tables.documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

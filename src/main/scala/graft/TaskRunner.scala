@@ -240,6 +240,9 @@ object TaskRunner {
     "m06_chunk_dedup" -> ((s, d, p) => graft.multimodal.BinaryPipeline.chunkDedup(
       Tables.documents(s, d), i(p, "chunkBytes", 64),
       i(p, "minShared", 2), l(p, "dfCap", 1000L))),
+    "m07_cdc_dedup" -> ((s, d, p) => graft.multimodal.BinaryPipeline.cdcDedup(
+      Tables.documents(s, d), i(p, "minLen", 16), i(p, "maskBits", 5),
+      i(p, "minShared", 2), l(p, "dfCap", 1000L))),
     "q39_window_funnel" -> ((s, d, p) => TrackAnalytics.windowFunnel(
       eventsIn(s, d, p),
       str(p, "steps", "view,click,purchase").split(",").map(_.trim).toSeq,

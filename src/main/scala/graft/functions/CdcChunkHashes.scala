@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.Platform
+
+/** Native expression: CONTENT-DEFINED chunking (the FastCDC/LBFS gear
+  * pattern) of a binary payload into XXH64 chunk fingerprints, in one
+  * compiled pass. Fixed-stride blocks (m02/m06) are shift-VARIANT: one
+  * inserted byte re-aligns every later block and all fingerprints
+  * change — the exact failure t17's fixed span grid had for text,
+  * which t20's rolling windows repaired. CDC repairs it for binary:
+  * chunk boundaries are cut where a gear rolling hash of the recent
+  * bytes masks to zero, so boundaries are a function of local CONTENT,
+  * not position — after an insertion the boundary sequence
+  * re-synchronizes and every later chunk fingerprints identically.
+  *
+  * Gear hash: h = (h << 1) + GEAR(byte) — the shift ages a byte out of
+  * influence after 64 steps, giving an effective 64-byte window; GEAR
+  * is 256 longs derived from the seed-42 splitmix LCG (the
+  * HyperplaneBuckets constants). A boundary needs `minLen` bytes since
+  * the last cut (no degenerate slivers) and is forced at 4·minLen·
+  * (mask density) … pragmatically at `maxLen` = 8·minLen so one
+  * boundary-free run (zero pages, encrypted blocks) cannot produce an
+  * unbounded chunk. The tail chunk always emits. Chunk fingerprints
+  * are XXH64 over the chunk's bytes, seed 42 — Spark's own xxhash64
+  * construction on the slice.
+  */
+case class CdcChunkHashes(child: Expression, minLen: Int, maskBits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_cdc_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    CdcChunkHashes.compute(input.asInstanceOf[Array[Byte]], minLen, maskBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.CdcChunkHashes.compute($v, $minLen, $maskBits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcChunkHashes {
+  /** 256-entry gear table from the seed-42 splitmix LCG (the
+    * HyperplaneBuckets constants) — fixed so fingerprints are stable
+    * across sessions and versions. */
+  private val GEAR: Array[Long] = {
+    val out = new Array[Long](256)
+    var s = 42L
+    var i = 0
+    while (i < 256) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      out(i) = s
+      i += 1
+    }
+    out
+  }
+
+  /** Shared by eval and codegen: one call per row keeps the enclosing
+    * projection inside whole-stage codegen. */
+  def compute(bytes: Array[Byte], minLen: Int, maskBits: Int): UnsafeArrayData = {
+    val n = bytes.length
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val mask = (1L << maskBits) - 1L
+    val maxLen = 8 * minLen
+    val hashes = new java.util.ArrayList[java.lang.Long]()
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h << 1) + GEAR(bytes(i) & 0xFF)
+      val len = i - start + 1
+      if ((len >= minLen && (h & mask) == 0L) || len >= maxLen) {
+        hashes.add(XXH64.hashUnsafeBytes(
+          bytes, Platform.BYTE_ARRAY_OFFSET + start, len, 42L))
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < n)
+      hashes.add(XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET + start, n - start, 42L))
+    val out = new Array[Long](hashes.size())
+    var j = 0
+    while (j < out.length) { out(j) = hashes.get(j); j += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}

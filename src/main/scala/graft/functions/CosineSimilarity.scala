@@ -137,6 +137,13 @@ object GraftFunctions {
         (children: Seq[Expression]) => HashEmbed(children.head,
           children(1).eval().asInstanceOf[Number].intValue(),
           children(2).eval().asInstanceOf[Number].longValue()))
+    if (!reg.functionExists(FunctionIdentifier("graft_cdc_hashes")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_cdc_hashes"),
+        new ExpressionInfo(classOf[CdcChunkHashes].getName, "graft_cdc_hashes"),
+        (children: Seq[Expression]) => CdcChunkHashes(children.head,
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].intValue()))
   }
 
   private val pqSeq = new java.util.concurrent.atomic.AtomicLong()
@@ -215,5 +222,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         (children: Seq[Expression]) => HashEmbed(children.head,
           children(1).eval().asInstanceOf[Number].intValue(),
           children(2).eval().asInstanceOf[Number].longValue())))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_cdc_hashes"),
+        new ExpressionInfo(classOf[CdcChunkHashes].getName, "graft_cdc_hashes"),
+        (children: Seq[Expression]) => CdcChunkHashes(children.head,
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -148,6 +148,47 @@ object BinaryPipeline {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** m07_cdc_dedup — SHIFT-INVARIANT chunk-level payload near-dup:
+    * m06's fixed-stride blocks are position-anchored, so ONE inserted
+    * byte (a prepended header, a re-muxed container atom) re-aligns
+    * every later block and the pair goes dark — the binary analogue of
+    * the fixed span grid t20 repaired for text. Here chunk boundaries
+    * come from content-defined chunking (`graft_cdc_hashes`: gear
+    * rolling hash, boundary where the hash masks to zero), so after an
+    * insertion the chunk stream re-synchronizes and the shared content
+    * keeps fingerprinting identically. Pairing logic is m06's
+    * unchanged: distinct (doc_id, chunk hash), df-capped hot-hash
+    * guard, hash-keyed self-join, ≥ `minShared` shared chunks.
+    *
+    * Scale posture: identical to m06 — payload bytes never shuffle
+    * (chunking is one compiled pass at the scan), only (doc_id,
+    * 8-byte hash) pairs cross exchanges, and the forced-cut maxLen
+    * inside the expression bounds chunk count per payload. Rows-only:
+    * CDC boundaries are not ANSI-SQL-expressible; the spec plants the
+    * one-byte-prefix case and proves m06 misses it while this catches
+    * it. */
+  def cdcDedup(documents: DataFrame, minLen: Int = 16, maskBits: Int = 5,
+               minShared: Int = 2, dfCap: Long = 1000L): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val keyed = documents
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        explode(expr(s"graft_cdc_hashes(payload, $minLen, $maskBits)")).as("h"))
+      .distinct()
+    graft.Caches.tracked(keyed) // three readers — see chunkDedup
+    val eligible = keyed.groupBy("h")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, dfCap))
+      .select("h")
+    val cand = keyed.join(eligible, "h")
+    cand.as("a").join(cand.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Feature schema a real media decoder would produce. */
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

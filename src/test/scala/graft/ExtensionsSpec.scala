@@ -32,7 +32,8 @@ class ExtensionsSpec extends AnyFunSuite {
              size(graft_minhash_bands(graft_shingle_hashes(array('a','b','c'), 2), 8, 4)) AS mb,
              graft_simhash(array('x','y')) AS simh,
              size(graft_hyperplane_buckets(array_repeat(CAST(0.5 AS FLOAT), 64), 42L, 2, 4, 64)) AS hb,
-             size(graft_hash_embed(array('x','y'), 16, 42L)) AS he
+             size(graft_hash_embed(array('x','y'), 16, 42L)) AS he,
+             size(graft_cdc_hashes(CAST('abcdef' AS BINARY), 2, 3)) AS cdc
         """).head()
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
       assert(r.getInt(1) == 2, "two overlapping 2-shingles of 3 tokens")
@@ -42,6 +43,7 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getLong(5) != 0L)
       assert(r.getInt(6) == 2, "one bucket per table")
       assert(r.getInt(7) == 16, "hash-embed vector has the requested dim")
+      assert(r.getInt(8) >= 1, "cdc chunking emits at least the tail chunk")
     } finally {
       s2.catalog.clearCache()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()

@@ -44,6 +44,30 @@ class MultimodalSpec extends SparkSpecBase {
     assert(BinaryPipeline.chunkDedup(d, dfCap = 1L).collect().isEmpty)
   }
 
+  test("cdcDedup catches the one-byte-prefixed copy that fixed-stride chunkDedup misses") {
+    // deterministic non-repetitive content, long enough for ~8 CDC chunks
+    val rnd = new scala.util.Random(7)
+    val base = Iterator.continually(rnd.alphanumeric.head).take(400).mkString
+    val d = Seq(
+      (0L, base),
+      (1L, "X" + base), // one inserted byte: every fixed 64-byte block shifts
+      (2L, Iterator.continually(rnd.alphanumeric.head).take(400).mkString)
+    ).toDF("doc_id", "text")
+    // boundary re-sync on the raw hashes: the shifted copy shares chunks
+    graft.functions.GraftFunctions.register(spark)
+    val Array(ha, hb, hc) = d.orderBy("doc_id")
+      .selectExpr("graft_cdc_hashes(cast(text AS BINARY), 16, 5) AS h")
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert((ha intersect hb).size >= 2,
+      s"CDC chunks must re-synchronize after the prefix: ${(ha intersect hb).size} shared")
+    assert((ha intersect hc).isEmpty, "unrelated payloads share nothing")
+    // the operator pair-level contrast: m07 pairs (0,1); m06 cannot
+    val cdc = BinaryPipeline.cdcDedup(d).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cdc.toSeq == Seq((0L, 1L)), s"got ${cdc.toSeq}")
+    val fixed = BinaryPipeline.chunkDedup(d).collect()
+    assert(fixed.isEmpty, s"fixed-stride blocks must all shift dark, got ${fixed.toSeq}")
+  }
+
   test("modalityRoute dispatches payloads by leading byte class") {
     val d = Seq(
       (0L, """{"k": 1}"""),
