@@ -180,6 +180,33 @@ object StreamingFlow {
       .drop("toks", "sh")
   }
 
+  /** s15_stream_cdc_dedup — streaming SHIFT-INVARIANT payload
+    * near-dedup, the m07 twin of what s09 is to d04: each arriving
+    * payload is content-defined-chunked (graft_cdc_hashes, one
+    * compiled pass) and keyed by the MINIMUM chunk fingerprint — a
+    * bottom-1 sketch of the chunk set. A one-byte-prefixed or
+    * header-patched copy shares almost all CDC chunks, therefore
+    * (almost surely) the minimum, and collapses onto the original;
+    * dropDuplicatesWithinWatermark keeps the first arrival per key
+    * with watermark-bounded state. Coarseness is the honest price of
+    * a single streaming key, in both directions: two payloads sharing
+    * ONLY their minimum chunk also collapse (the s09 simhash-key
+    * trade), and an edit that happens to hit the minimum-hash chunk
+    * changes the key — the copy slips through with probability
+    * ~(edited chunks)/(total chunks), shrinking as payloads grow or
+    * maskBits drops. The batch-side m07 pair join is the precise
+    * report. Empty payloads carry no chunks and pass un-deduplicated
+    * (key null). */
+  def streamCdcDedup(stream: DataFrame, minLen: Int = 16,
+                     maskBits: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    stream
+      .withColumn("cdc_key",
+        array_min(expr(s"graft_cdc_hashes(CAST(text AS BINARY), $minLen, $maskBits)")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("cdc_key")
+  }
+
   /** s14_stream_ingest_admit — streaming ingestion admission, the
     * streaming twin of batch d12 with the loop MADE REAL: every
     * micro-batch runs the SAME `Dedup.ingestAdmit` derivation against

@@ -193,6 +193,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s15 streaming CDC dedup collapses the prefix-shifted copy, keeps distinct payloads") {
+    implicit val sqlCtx = spark.sqlContext
+    // long payloads → ~40 CDC chunks, so the min-hash chunk is (for
+    // this fixed seed) not the prefix-edited first chunk — the key
+    // miss mode the scaladoc quantifies
+    val rnd = new scala.util.Random(7)
+    val base = Iterator.continually(rnd.alphanumeric.head).take(2000).mkString
+    val other = Iterator.continually(rnd.alphanumeric.head).take(2000).mkString
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingFlow.streamCdcDedup(
+        input.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("cdc_out").outputMode("append").start()
+    try {
+      input.addData((ts(1), 0L, base), (ts(2), 1L, other))
+      q.processAllAvailable()
+      // a later micro-batch delivers the one-byte-prefixed copy — the
+      // CDC key re-synchronizes, so it drops as a duplicate
+      input.addData((ts(3), 2L, "X" + base), (ts(4), 3L, other))
+      q.processAllAvailable()
+      val kept = spark.table("cdc_out").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(0L, 1L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("s14 streaming ingest admission matches batch d12 per trigger and compounds the corpus") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("s14").toString
