@@ -25,18 +25,42 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caches {
   private val held = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val scopeLocal = new ThreadLocal[java.util.ArrayList[DataFrame]]()
 
-  /** Persist `df` (if not already cached) and track it for [[release]].
-    * Returns `df` for chaining. */
+  /** Persist `df` (if not already cached) and track it for [[release]]
+    * — or, inside a [[scoped]] block on this thread, for that block's
+    * own release. Returns `df` for chaining. */
   private[graft] def tracked(df: DataFrame): DataFrame = {
     // storageLevel consults the session CacheManager: an equal plan
     // cached earlier (same operator re-invoked) reports its level and
     // is NOT re-persisted — no duplicate entry, no warning
     if (df.storageLevel == StorageLevel.NONE) {
       df.persist()
-      held.add(df)
+      val sc = scopeLocal.get()
+      if (sc != null) sc.add(df) else held.add(df)
     }
     df
+  }
+
+  /** Run `body` with its tracked caches SCOPED: frames tracked on this
+    * thread inside the block are unpersisted when it exits, and
+    * nothing else is touched — the release for callers embedded in a
+    * long-lived session (s14's per-trigger admission), where the
+    * global [[release]] would thrash caches other concurrent queries
+    * still need. The body must materialize its results before
+    * returning (s14 localCheckpoints), since its caches die with the
+    * scope. Operator plan construction is single-threaded from the
+    * caller, so the thread-local sees every tracked() the body
+    * triggers; scopes don't nest (the inner list would capture the
+    * outer's frames). */
+  def scoped[T](body: => T): T = {
+    val sc = new java.util.ArrayList[DataFrame]()
+    scopeLocal.set(sc)
+    try body
+    finally {
+      scopeLocal.remove()
+      sc.forEach(_.unpersist())
+    }
   }
 
   /** Track a frame the operator persisted ITSELF (e.g. the surviving

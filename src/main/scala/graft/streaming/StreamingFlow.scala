@@ -242,8 +242,10 @@ object StreamingFlow {
     * Verdicts are eagerly localCheckpoint'ed before any write: the
     * plan reads corpusPath and the admitted docs are then written INTO
     * corpusPath — the checkpoint breaks the read-write cycle (the
-    * sink_upsert pattern) and lets the tracked shingle caches release
-    * per trigger instead of accumulating across an unbounded stream. */
+    * sink_upsert pattern). The shingle caches the admission tracks are
+    * released per trigger through Caches.scoped, which touches ONLY
+    * this trigger's frames — a global release here would thrash the
+    * caches of whatever else the long-lived session is running. */
   private[graft] def ingestAdmitBatch(corpusPath: String, verdictPath: String,
                                       threshold: Double, dfCap: Option[Long]
                                      ): (DataFrame, Long) => Unit =
@@ -251,10 +253,11 @@ object StreamingFlow {
       val spark = batch.sparkSession
       val docs = batch.select("doc_id", "text").localCheckpoint(true)
       val corpus = spark.read.parquet(corpusPath).select("doc_id", "text")
-      val verdicts = graft.dedup.Dedup
-        .ingestAdmit(docs, corpus, threshold, dfCap = dfCap)
-        .localCheckpoint(true)
-      graft.Caches.release()
+      val verdicts = graft.Caches.scoped {
+        graft.dedup.Dedup
+          .ingestAdmit(docs, corpus, threshold, dfCap = dfCap)
+          .localCheckpoint(true)
+      }
       verdicts.withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(verdictPath)
