@@ -212,6 +212,24 @@ object Oracles {
          round(quantile_cont(l_extendedprice, 0.5),3) AS p50_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // bucket = how many boundaries x strictly exceeds — spelled as
+    // nine explicit comparisons (no list lambda, engine-portable)
+    "q47_equi_depth" ->
+      """WITH b AS (SELECT quantile_cont(l_extendedprice,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnd
+           FROM lineitem),
+         r AS (SELECT l_extendedprice AS x FROM lineitem)
+         SELECT CAST((x > bnd[1]) AS INT) + CAST((x > bnd[2]) AS INT)
+              + CAST((x > bnd[3]) AS INT) + CAST((x > bnd[4]) AS INT)
+              + CAST((x > bnd[5]) AS INT) + CAST((x > bnd[6]) AS INT)
+              + CAST((x > bnd[7]) AS INT) + CAST((x > bnd[8]) AS INT)
+              + CAST((x > bnd[9]) AS INT) AS bucket,
+                count(*) AS n_rows,
+                floor(min(x)*100 + 0.5)/100 AS lo,
+                floor(max(x)*100 + 0.5)/100 AS hi
+         FROM r CROSS JOIN b
+         GROUP BY 1 ORDER BY bucket""",
+
     "q46_robust_outliers" ->
       """WITH v AS (SELECT o_orderpriority AS grp, o_totalprice AS x FROM orders),
          m AS (SELECT grp, quantile_cont(x, 0.5) AS med FROM v GROUP BY grp),

@@ -87,6 +87,8 @@ object TaskRunner {
       eventsIn(s, d, p), i(p, "windowDays", 7))),
     "q46_robust_outliers" -> ((s, d, p) => RelationalOps.robustOutliers(
       Tables.orders(s, d), dbl(p, "k", 3.0))),
+    "q47_equi_depth" -> ((s, d, p) => RelationalOps.equiDepth(
+      Tables.lineitem(s, d), i(p, "buckets", 10))),
     "q14_stratified_sample" -> ((s, d, p) => TrackAnalytics.stratifiedSample(
       eventsIn(s, d, p), i(p, "perStratum", 5))),
     "q20_time_window" -> ((s, d, p) => TrackAnalytics.timeWindow(eventsIn(s, d, p))),

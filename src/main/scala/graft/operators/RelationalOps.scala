@@ -305,6 +305,35 @@ object RelationalOps {
     * cost; at 100 TB swap the inner percentile for q29's mergeable
     * sketch (same plan shape, one config knob). The values relation
     * is tracked-cached so the three passes scan the parquet once. */
+  /** q47_equi_depth — equi-depth histogram of a fact column (the
+    * table-statistics building block behind ANALYZE / CBO selectivity
+    * and data profiling): `buckets` boundaries at the exact
+    * interpolated quantiles, then per-bucket row count + value range.
+    * Deliberately NOT an ntile window — that plan is one global sort
+    * of the fact table. Here the boundaries come from ONE exact
+    * percentile aggregation (the q21 machinery, partial-agg friendly),
+    * ride broadcast as a 9-element array, and each row finds its
+    * bucket with a compiled array fold — two narrow passes, no global
+    * ordering anywhere. Ties at a boundary go to the lower bucket
+    * (strict > against each boundary), mirrored in the oracle.
+    * At 100 TB swap the exact percentile for q29's mergeable sketch —
+    * same plan, one knob. */
+  def equiDepth(lineitem: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "equiDepth: need at least 2 buckets")
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val bnd = lineitem.agg(
+      expr(s"percentile(l_extendedprice, array(${qs.mkString(", ")}))").as("bnd"))
+    lineitem.select(col("l_extendedprice").as("x"))
+      .crossJoin(broadcast(bnd))
+      .withColumn("bucket",
+        expr("aggregate(bnd, 0, (acc, v) -> acc + CASE WHEN x > v THEN 1 ELSE 0 END)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.Num.stableRound(min("x"), 2).as("lo"),
+        graft.Num.stableRound(max("x"), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
   def robustOutliers(orders: DataFrame, k: Double = 3.0): DataFrame = {
     val vals = graft.Caches.tracked(
       orders.select(col("o_orderpriority").as("grp"), col("o_totalprice").as("x")))
