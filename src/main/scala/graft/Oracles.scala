@@ -212,6 +212,19 @@ object Oracles {
          round(quantile_cont(l_extendedprice, 0.5),3) AS p50_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // the plain inequality self-join IS the oracle's formulation; the
+    // Spark side runs the bucket-key hash join with an exact
+    // post-filter — same pairs by construction
+    "q48_price_band" ->
+      """SELECT a.p_brand AS brand,
+                a.p_partkey AS k_a, b.p_partkey AS k_b,
+                floor(abs(a.p_retailprice - b.p_retailprice)*100 + 0.5)/100 AS price_gap
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand
+          AND a.p_partkey < b.p_partkey
+          AND abs(a.p_retailprice - b.p_retailprice) <= 0.50
+         ORDER BY brand, k_a, k_b""",
+
     // bucket = how many boundaries x strictly exceeds — spelled as
     // nine explicit comparisons (no list lambda, engine-portable)
     "q47_equi_depth" ->

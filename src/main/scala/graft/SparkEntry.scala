@@ -78,6 +78,7 @@ object SparkEntry {
     "q45_rolling_distinct" -> ((s, d) => TrackAnalytics.rollingDistinct(Tables.events(s, d))),
     "q46_robust_outliers" -> ((s, d) => RelationalOps.robustOutliers(Tables.orders(s, d))),
     "q47_equi_depth" -> ((s, d) => RelationalOps.equiDepth(Tables.lineitem(s, d))),
+    "q48_price_band" -> ((s, d) => RelationalOps.priceBand(Tables.part(s, d))),
     "q40_grouping_sets" -> ((s, d) => RelationalOps.groupingSets(Tables.orders(s, d))),
     "q41_graph_rank" -> ((s, d) => TrackAnalytics.graphRank(Tables.events(s, d))),
     "a10_range_search" -> ((s, d) => Ann.rangeSearch(Tables.embeddings(s, d))),

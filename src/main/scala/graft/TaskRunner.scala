@@ -89,6 +89,8 @@ object TaskRunner {
       Tables.orders(s, d), dbl(p, "k", 3.0))),
     "q47_equi_depth" -> ((s, d, p) => RelationalOps.equiDepth(
       Tables.lineitem(s, d), i(p, "buckets", 10))),
+    "q48_price_band" -> ((s, d, p) => RelationalOps.priceBand(
+      Tables.part(s, d), dbl(p, "eps", 0.50))),
     "q14_stratified_sample" -> ((s, d, p) => TrackAnalytics.stratifiedSample(
       eventsIn(s, d, p), i(p, "perStratum", 5))),
     "q20_time_window" -> ((s, d, p) => TrackAnalytics.timeWindow(eventsIn(s, d, p))),

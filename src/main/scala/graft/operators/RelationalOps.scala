@@ -286,6 +286,37 @@ object RelationalOps {
          ORDER BY p_brand"""
     }
 
+  /** q48_price_band — numeric BAND self-join: pairs of same-brand
+    * parts whose retail prices differ by at most `eps` — the "find
+    * near-identical values" shape (price matching, sensor
+    * cross-validation, reconciliation) whose naive form is an
+    * inequality self-join, i.e. a per-group cartesian. The scale
+    * technique is the BUCKET KEY: floor(x/eps) discretizes the band —
+    * a qualifying pair's buckets differ by at most 1 — so each row
+    * probes its own and both neighbor buckets (one compiled explode)
+    * and the join runs on (brand, bucket) equality, a plain shuffled
+    * hash join; the exact |Δ| ≤ eps predicate then prunes the
+    * candidates. A pair meets exactly once (the probe enumerates the
+    * right row's single bucket), so no distinct is needed. This is
+    * the same bucketing that makes d06/a02 sub-quadratic in hash
+    * space and q27 in time, applied to plain numeric data —
+    * PlanSpec pins that no cartesian/BNLJ appears. */
+  def priceBand(part: DataFrame, eps: Double = 0.50): DataFrame = {
+    val p = part.select(col("p_partkey").as("k"), col("p_brand").as("brand"),
+      col("p_retailprice").as("x"))
+      .withColumn("b", floor(col("x") / eps).cast("long"))
+    val probes = p
+      .select(col("k").as("k_a"), col("brand"), col("x").as("x_a"),
+        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("pb"))
+    val right = p.select(col("k").as("k_b"), col("brand"), col("x").as("x_b"),
+      col("b").as("pb"))
+    probes.join(right, Seq("brand", "pb"))
+      .filter(col("k_a") < col("k_b") && abs(col("x_a") - col("x_b")) <= eps)
+      .select(col("brand"), col("k_a"), col("k_b"),
+        graft.Num.stableRound(abs(col("x_a") - col("x_b")), 2).as("price_gap"))
+      .orderBy("brand", "k_a", "k_b")
+  }
+
   /** q46_robust_outliers — robust per-group outlier report via
     * median + MAD (median absolute deviation): for each order
     * priority, the exact interpolated median of o_totalprice, the MAD

@@ -111,7 +111,7 @@ class PlanSpec extends SparkSpecBase {
 
   test("near-dup joins never degenerate to cartesian/nested-loop") {
     for (name <- Seq("d03_minhash_lsh", "d11_dedup_against", "d12_ingest_admit",
-                     "m06_chunk_dedup")) {
+                     "m06_chunk_dedup", "m07_cdc_dedup", "q48_price_band")) {
       val p = plan(name)
       assert(p.collect { case c: CartesianProductExec => c }.isEmpty, s"$name: cartesian")
       assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty, s"$name: bnlj")
