@@ -88,7 +88,9 @@ object TaskRunner {
     "q46_robust_outliers" -> ((s, d, p) => RelationalOps.robustOutliers(
       Tables.orders(s, d), dbl(p, "k", 3.0))),
     "q47_equi_depth" -> ((s, d, p) => RelationalOps.equiDepth(
-      Tables.lineitem(s, d), i(p, "buckets", 10))),
+      Tables.lineitem(s, d), i(p, "buckets", 10),
+      exact = p.get("exact").forall(_.trim.toBoolean),
+      accuracy = i(p, "accuracy", 10000))),
     "q48_price_band" -> ((s, d, p) => RelationalOps.priceBand(
       Tables.part(s, d), dbl(p, "eps", 0.50))),
     "q14_stratified_sample" -> ((s, d, p) => TrackAnalytics.stratifiedSample(

@@ -347,13 +347,18 @@ object RelationalOps {
     * bucket with a compiled array fold — two narrow passes, no global
     * ordering anywhere. Ties at a boundary go to the lower bucket
     * (strict > against each boundary), mirrored in the oracle.
-    * At 100 TB swap the exact percentile for q29's mergeable sketch —
-    * same plan, one knob. */
-  def equiDepth(lineitem: DataFrame, buckets: Int = 10): DataFrame = {
+    * `exact = false` IS the 100 TB path: the boundaries come from
+    * q29's mergeable percentile sketch instead — O(accuracy) memory
+    * in the single boundary group instead of buffering every value —
+    * with the identical bucket-count pass downstream. The exact
+    * default keeps the oracle. */
+  def equiDepth(lineitem: DataFrame, buckets: Int = 10,
+                exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     require(buckets >= 2, "equiDepth: need at least 2 buckets")
     val qs = (1 until buckets).map(i => i.toDouble / buckets)
-    val bnd = lineitem.agg(
-      expr(s"percentile(l_extendedprice, array(${qs.mkString(", ")}))").as("bnd"))
+    val pct = if (exact) s"percentile(l_extendedprice, array(${qs.mkString(", ")}))"
+      else s"percentile_approx(l_extendedprice, array(${qs.mkString(", ")}), $accuracy)"
+    val bnd = lineitem.agg(expr(pct).cast("array<double>").as("bnd"))
     lineitem.select(col("l_extendedprice").as("x"))
       .crossJoin(broadcast(bnd))
       .withColumn("bucket",

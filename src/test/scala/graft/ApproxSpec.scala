@@ -22,6 +22,22 @@ class ApproxSpec extends SparkSpecBase {
     }
   }
 
+  test("equiDepth sketch boundaries bucket within 5% of the exact histogram") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val n = li.count()
+    val exact = graft.operators.RelationalOps.equiDepth(li)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val approx = graft.operators.RelationalOps.equiDepth(li, exact = false)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == (0 until 10).toSet)
+    assert(approx.keySet == (0 until 10).toSet, "sketch path keeps all 10 buckets")
+    assert(approx.values.sum == n, "every row lands in exactly one bucket")
+    // rank error of the sketch boundary shifts rows between adjacent
+    // buckets — per-bucket counts stay near the n/10 equi-depth target
+    approx.values.foreach(c =>
+      assert(math.abs(c - n / 10.0) / n < 0.05, s"bucket count $c vs ${n / 10.0}"))
+  }
+
   test("approx_count_distinct lands within rsd bounds of the exact count") {
     val d = "/root/testdata/sf0.001"
     val exact = FlowAnalytics.distinctCount(Tables.orders(spark, d), Tables.customer(spark, d))
