@@ -86,7 +86,9 @@ object TaskRunner {
     "q45_rolling_distinct" -> ((s, d, p) => TrackAnalytics.rollingDistinct(
       eventsIn(s, d, p), i(p, "windowDays", 7))),
     "q46_robust_outliers" -> ((s, d, p) => RelationalOps.robustOutliers(
-      Tables.orders(s, d), dbl(p, "k", 3.0))),
+      Tables.orders(s, d), dbl(p, "k", 3.0),
+      exact = p.get("exact").forall(_.trim.toBoolean),
+      accuracy = i(p, "accuracy", 10000))),
     "q47_equi_depth" -> ((s, d, p) => RelationalOps.equiDepth(
       Tables.lineitem(s, d), i(p, "buckets", 10),
       exact = p.get("exact").forall(_.trim.toBoolean),

@@ -317,25 +317,6 @@ object RelationalOps {
       .orderBy("brand", "k_a", "k_b")
   }
 
-  /** q46_robust_outliers — robust per-group outlier report via
-    * median + MAD (median absolute deviation): for each order
-    * priority, the exact interpolated median of o_totalprice, the MAD
-    * around it, and how many orders sit more than `k` MADs out — the
-    * numeric data-cleaning decision mean/stddev can't make (both are
-    * themselves dragged by the outliers they're meant to flag; the
-    * median/MAD pair has a 50% breakdown point). This is a06's
-    * embedding-space outlier flag re-expressed for plain numeric
-    * facts.
-    *
-    * Exactness: the medians are the q21 exact-percentile machinery
-    * (bit-identical to DuckDB quantile_cont), |x−med| and k·mad are
-    * single IEEE ops on engine-identical doubles, so the oracle
-    * checks the flag COUNTS exactly — display stats round via
-    * stableRound. Scale: three passes over the fact values with
-    * group-grain broadcast joins between them — the honest exact-MAD
-    * cost; at 100 TB swap the inner percentile for q29's mergeable
-    * sketch (same plan shape, one config knob). The values relation
-    * is tracked-cached so the three passes scan the parquet once. */
   /** q47_equi_depth — equi-depth histogram of a fact column (the
     * table-statistics building block behind ANALYZE / CBO selectivity
     * and data profiling): `buckets` boundaries at the exact
@@ -370,14 +351,39 @@ object RelationalOps {
       .orderBy("bucket")
   }
 
-  def robustOutliers(orders: DataFrame, k: Double = 3.0): DataFrame = {
+  /** q46_robust_outliers — robust per-group outlier report via
+    * median + MAD (median absolute deviation): for each order
+    * priority, the exact interpolated median of o_totalprice, the MAD
+    * around it, and how many orders sit more than `k` MADs out — the
+    * numeric data-cleaning decision mean/stddev can't make (both are
+    * themselves dragged by the outliers they're meant to flag; the
+    * median/MAD pair has a 50% breakdown point). This is a06's
+    * embedding-space outlier flag re-expressed for plain numeric
+    * facts.
+    *
+    * Exactness: the medians are the q21 exact-percentile machinery
+    * (bit-identical to DuckDB quantile_cont), |x−med| and k·mad are
+    * single IEEE ops on engine-identical doubles, so the oracle
+    * checks the flag COUNTS exactly — display stats round via
+    * stableRound. Scale: three passes over the fact values with
+    * group-grain broadcast joins between them — the honest exact-MAD
+    * cost; `exact = false` swaps both medians to q29's mergeable
+    * sketch (O(accuracy) memory per group, same plan shape) — the
+    * shipped 100 TB path, spec-bounded against the exact flags. The
+    * values relation is tracked-cached so the three passes scan the
+    * parquet once. */
+  def robustOutliers(orders: DataFrame, k: Double = 3.0,
+                     exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    def median(c: String) =
+      if (exact) expr(s"percentile($c, 0.5)")
+      else expr(s"percentile_approx($c, 0.5, $accuracy)").cast("double")
     val vals = graft.Caches.tracked(
       orders.select(col("o_orderpriority").as("grp"), col("o_totalprice").as("x")))
-    val med = vals.groupBy("grp").agg(expr("percentile(x, 0.5)").as("med"))
+    val med = vals.groupBy("grp").agg(median("x").as("med"))
     val devs = graft.Caches.tracked(
       vals.join(broadcast(med), "grp")
         .withColumn("adev", abs(col("x") - col("med"))))
-    val mad = devs.groupBy("grp").agg(expr("percentile(adev, 0.5)").as("mad"))
+    val mad = devs.groupBy("grp").agg(median("adev").as("mad"))
     devs.join(broadcast(mad), "grp")
       .groupBy("grp")
       .agg(

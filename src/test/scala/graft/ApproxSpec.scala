@@ -38,6 +38,22 @@ class ApproxSpec extends SparkSpecBase {
       assert(math.abs(c - n / 10.0) / n < 0.05, s"bucket count $c vs ${n / 10.0}"))
   }
 
+  test("robustOutliers sketch medians keep the exact flag counts (within boundary slack)") {
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    val exact = graft.operators.RelationalOps.robustOutliers(o)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
+    val approx = graft.operators.RelationalOps.robustOutliers(o, exact = false)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (grp, (n, flags)) =>
+      assert(approx(grp)._1 == n, s"$grp group size must not change")
+      // a sketch median shifts the band edge by at most the rank error;
+      // only rows hugging the k·MAD boundary can flip
+      assert(math.abs(approx(grp)._2 - flags) <= math.max(2L, n / 100),
+        s"$grp flags ${approx(grp)._2} vs exact $flags")
+    }
+  }
+
   test("approx_count_distinct lands within rsd bounds of the exact count") {
     val d = "/root/testdata/sf0.001"
     val exact = FlowAnalytics.distinctCount(Tables.orders(spark, d), Tables.customer(spark, d))
