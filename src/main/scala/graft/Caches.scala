@@ -51,14 +51,15 @@ object Caches {
     * returning (s14 localCheckpoints), since its caches die with the
     * scope. Operator plan construction is single-threaded from the
     * caller, so the thread-local sees every tracked() the body
-    * triggers; scopes don't nest (the inner list would capture the
-    * outer's frames). */
+    * triggers. Scopes nest: the inner block releases only its own
+    * frames and restores the outer scope's list on exit. */
   def scoped[T](body: => T): T = {
+    val outer = scopeLocal.get()
     val sc = new java.util.ArrayList[DataFrame]()
     scopeLocal.set(sc)
     try body
     finally {
-      scopeLocal.remove()
+      if (outer != null) scopeLocal.set(outer) else scopeLocal.remove()
       sc.forEach(_.unpersist())
     }
   }

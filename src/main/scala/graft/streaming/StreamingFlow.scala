@@ -195,8 +195,9 @@ object StreamingFlow {
     * changes the key — the copy slips through with probability
     * ~(edited chunks)/(total chunks), shrinking as payloads grow or
     * maskBits drops. The batch-side m07 pair join is the precise
-    * report. Empty payloads carry no chunks and pass un-deduplicated
-    * (key null). */
+    * report. Empty payloads all share the null key and collapse to
+    * the first arrival per watermark — they are byte-identical to
+    * each other, so collapsing IS the dedup semantic (spec-pinned). */
   def streamCdcDedup(stream: DataFrame, minLen: Int = 16,
                      maskBits: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(stream.sparkSession)
@@ -252,7 +253,15 @@ object StreamingFlow {
     (batch, batchId) => {
       val spark = batch.sparkSession
       val docs = batch.select("doc_id", "text").localCheckpoint(true)
-      val corpus = spark.read.parquet(corpusPath).select("doc_id", "text")
+      // replay safety: a batch that crashed between its writes and the
+      // streaming commit re-runs — it must judge against the SAME
+      // corpus snapshot as the first attempt, so its own partition
+      // (this batch's prior admissions, if any landed) is excluded;
+      // without this the replay sees its own docs in the corpus and
+      // flips their verdicts to corpus_dup
+      val corpus = spark.read.parquet(corpusPath)
+        .filter(col("batch_id") =!= batchId)
+        .select("doc_id", "text")
       val verdicts = graft.Caches.scoped {
         graft.dedup.Dedup
           .ingestAdmit(docs, corpus, threshold, dfCap = dfCap)

@@ -24,6 +24,26 @@ class CachesSpec extends SparkSpecBase {
     assert(outer.storageLevel == StorageLevel.NONE, "global release still covers outer")
   }
 
+  test("scopes nest: the inner scope releases its frames and restores the outer") {
+    var outerDf: org.apache.spark.sql.DataFrame = null
+    var innerDf: org.apache.spark.sql.DataFrame = null
+    var lateOuterDf: org.apache.spark.sql.DataFrame = null
+    Caches.scoped {
+      outerDf = Caches.tracked(Seq((10, "x")).toDF("k", "v")); outerDf.count()
+      Caches.scoped {
+        innerDf = Caches.tracked(Seq((11, "y")).toDF("k", "v")); innerDf.count()
+      }
+      assert(innerDf.storageLevel == StorageLevel.NONE, "inner scope released its frame")
+      assert(outerDf.storageLevel != StorageLevel.NONE, "outer frame survives the inner exit")
+      // frames tracked AFTER the inner scope must land in the outer
+      // scope, not the global registry (the restore contract)
+      lateOuterDf = Caches.tracked(Seq((12, "z")).toDF("k", "v")); lateOuterDf.count()
+    }
+    assert(outerDf.storageLevel == StorageLevel.NONE)
+    assert(lateOuterDf.storageLevel == StorageLevel.NONE,
+      "post-inner frames belong to the outer scope and die with it")
+  }
+
   test("tracked is idempotent on an already-cached plan") {
     val df = Seq((3, "c")).toDF("k", "v")
     val t1 = Caches.tracked(df)

@@ -209,12 +209,15 @@ class StreamingSpec extends SparkSpecBase {
       input.addData((ts(1), 0L, base), (ts(2), 1L, other))
       q.processAllAvailable()
       // a later micro-batch delivers the one-byte-prefixed copy — the
-      // CDC key re-synchronizes, so it drops as a duplicate
-      input.addData((ts(3), 2L, "X" + base), (ts(4), 3L, other))
+      // CDC key re-synchronizes, so it drops as a duplicate; empty
+      // payloads are byte-identical to each other and collapse onto
+      // the first arrival (null key group)
+      input.addData((ts(3), 2L, "X" + base), (ts(4), 3L, other),
+        (ts(5), 4L, ""), (ts(6), 5L, ""))
       q.processAllAvailable()
       val kept = spark.table("cdc_out").select("doc_id").collect()
         .map(_.getLong(0)).sorted.toSeq
-      assert(kept == Seq(0L, 1L), s"got $kept")
+      assert(kept == Seq(0L, 1L, 4L), s"got $kept")
     } finally q.stop()
   }
 
@@ -257,6 +260,19 @@ class StreamingSpec extends SparkSpecBase {
       val corpusIds = spark.read.parquet(corpusPath)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(corpusIds == Set(100L, 2L, 4L), s"got $corpusIds")
+      // REPLAY: a batch that crashed after its writes but before the
+      // streaming commit re-runs with the same batch_id — re-invoking
+      // the per-trigger step directly must reproduce batch 0's
+      // verdicts bit-for-bit (its own admissions are excluded from
+      // the corpus snapshot), not flip them to corpus_dup
+      StreamingFlow.ingestAdmitBatch(corpusPath, verdictPath, 0.8, None)(
+        Seq((1L, docA), (2L, docB), (3L, docB), (4L, docC)).toDF("doc_id", "text"), 0L)
+      val replayed = spark.read.parquet(verdictPath).filter(col("batch_id") === 0)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(replayed == v1, s"replay must be idempotent: $replayed vs $v1")
+      val corpusAfter = spark.read.parquet(corpusPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(corpusAfter == Set(100L, 2L, 4L), "replay must not duplicate corpus docs")
     } finally q.stop()
   }
 
