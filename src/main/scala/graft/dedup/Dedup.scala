@@ -188,8 +188,19 @@ object Dedup {
   def dedupAgainst(newDocs: DataFrame, corpus: DataFrame, threshold: Double = 0.8,
                    numHashes: Int = 64, bands: Int = 16,
                    dfCap: Option[Long] = None): DataFrame = {
-    // side TAG rides the shingle pipeline — membership never needs an
-    // id-set join, so the split is free at any batch size
+    val (shingled, sig) = taggedPipeline(newDocs, corpus, numHashes, bands, dfCap)
+    crossSidePairs(shingled, sig, threshold)
+      .orderBy("new_doc", "corpus_doc")
+  }
+
+  /** The shared batch∪corpus derivation behind d11 and d12: side-
+    * tagged shingle sets (ONE tracked cache — membership never needs
+    * an id-set join, so the split is free at any batch size) and the
+    * band-signature relation over them. Built once per call chain so
+    * the admission's two legs never re-shingle the batch. */
+  private def taggedPipeline(newDocs: DataFrame, corpus: DataFrame,
+                             numHashes: Int, bands: Int,
+                             dfCap: Option[Long]): (DataFrame, DataFrame) = {
     val union = newDocs.select("doc_id", "text").withColumn("is_new", lit(true))
       .unionByName(corpus.select("doc_id", "text").withColumn("is_new", lit(false)))
     val sets = withShingleHashes(union).select(col("doc_id"), col("is_new"), col("sh"))
@@ -207,24 +218,52 @@ object Dedup {
       .select(col("doc_id"), col("is_new"), size(col("sh")).as("nsh"),
         posexplode(expr(s"graft_minhash_bands(sh, $numHashes, $bands)"))
           .as(Seq("bi", "bh")))
-    val sigNew = sig.filter(col("is_new"))
-    val sigCorp = sig.filter(!col("is_new"))
-    val sizeOk = col("x.nsh") * threshold <= col("y.nsh") + 0.5 &&
+    (shingled, sig)
+  }
+
+  /** The d02/d03 exact-safe size prefilter over two `sig` aliases. */
+  private def sizeOkCols(threshold: Double) =
+    col("x.nsh") * threshold <= col("y.nsh") + 0.5 &&
       col("y.nsh") * threshold <= col("x.nsh") + 0.5
-    val cand = sigNew.as("x")
-      .join(sigCorp.as("y").hint("shuffle_hash"),
-        col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh") && sizeOk)
-      .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("corpus_doc"))
-      .distinct()
+
+  /** Exact-verified band join of two candidate relations against the
+    * shared tagged shingle sets. `cand` must carry (doc_a', doc_b')
+    * named by `leftCol`/`rightCol`. */
+  private def verifyPairs(shingled: DataFrame, cand: DataFrame, threshold: Double,
+                          leftCol: String, rightCol: String): DataFrame =
     cand
-      .join(shingled.select(col("doc_id").as("new_doc"), col("sh").as("sh_a")), "new_doc")
-      .join(shingled.select(col("doc_id").as("corpus_doc"), col("sh").as("sh_b")), "corpus_doc")
+      .join(shingled.select(col("doc_id").as(leftCol), col("sh").as("sh_a")), leftCol)
+      .join(shingled.select(col("doc_id").as(rightCol), col("sh").as("sh_b")), rightCol)
       .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("shared") / (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
       .filter(col("jaccard") >= threshold)
-      .select(col("new_doc"), col("corpus_doc"), stableRound(col("jaccard"), 4).as("jaccard"))
-      .orderBy("new_doc", "corpus_doc")
+      .select(col(leftCol), col(rightCol), stableRound(col("jaccard"), 4).as("jaccard"))
+
+  /** Verified batch×corpus pairs (the d11 asymmetric leg), unsorted. */
+  private def crossSidePairs(shingled: DataFrame, sig: DataFrame,
+                             threshold: Double): DataFrame = {
+    val cand = sig.filter(col("is_new")).as("x")
+      .join(sig.filter(!col("is_new")).as("y").hint("shuffle_hash"),
+        col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh") && sizeOkCols(threshold))
+      .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("corpus_doc"))
+      .distinct()
+    verifyPairs(shingled, cand, threshold, "new_doc", "corpus_doc")
+  }
+
+  /** Verified batch×batch pairs (doc_a < doc_b) over the SAME tagged
+    * relations — the admission's second leg without a second shingle
+    * pass. */
+  private def newSidePairs(shingled: DataFrame, sig: DataFrame,
+                           threshold: Double): DataFrame = {
+    val sigNew = sig.filter(col("is_new"))
+    val cand = sigNew.as("x")
+      .join(sigNew.as("y").hint("shuffle_hash"),
+        col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id") && sizeOkCols(threshold))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(shingled.filter(col("is_new")), cand, threshold, "doc_a", "doc_b")
   }
 
   /** d12_ingest_admit — the ADMISSION step that closes d11's
@@ -239,18 +278,22 @@ object Dedup {
     * the per-doc reason column a curation run reports (t18's
     * protocol). Note a batch doc can shadow a later near-identical
     * batch doc even when it is itself a corpus_dup — its content is
-    * already represented either way. Under a binding dfCap the two
-    * legs compute Jaccard over slightly different shingle universes
-    * (union-wide vs batch-wide df); at the default non-binding cap
-    * they agree exactly, which is what the oracle checks. */
+    * already represented either way. Both legs share ONE tagged
+    * shingle/signature derivation (the batch is tokenized and
+    * fingerprinted exactly once per admission — the |batch|-
+    * proportional cost a per-trigger consumer like s14 pays), so
+    * Jaccard means the same union-wide thing on both legs even under
+    * a binding dfCap; at the default non-binding cap that equals the
+    * batch-wide value, which is what the oracle checks. */
   def ingestAdmit(newDocs: DataFrame, corpus: DataFrame, threshold: Double = 0.8,
                   numHashes: Int = 64, bands: Int = 16,
                   dfCap: Option[Long] = None): DataFrame = {
-    val corpusDup = dedupAgainst(newDocs, corpus, threshold, numHashes, bands, dfCap)
+    val (shingled, sig) = taggedPipeline(newDocs, corpus, numHashes, bands, dfCap)
+    val corpusDup = crossSidePairs(shingled, sig, threshold)
       .select(col("new_doc").as("doc_id")).distinct()
       .withColumn("cd", lit(true))
     // doc_a < doc_b in the pair output: the later id is the duplicate
-    val batchDup = minHashPairs(newDocs, threshold, numHashes, bands, dfCap)
+    val batchDup = newSidePairs(shingled, sig, threshold)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("bd", lit(true))
     newDocs.select("doc_id")

@@ -141,9 +141,15 @@ object Sources {
     * Sizing comes from the filesystem listing (no data scan);
     * `coalesce` avoids a shuffle when shrinking the file count — the
     * common case; pass repartition=true to rebalance skewed inputs at
-    * the cost of one exchange. Returns the target file count. The
-    * rewrite stages through localCheckpoint (the sink_upsert recipe:
-    * Spark refuses to overwrite a path it still reads from). */
+    * the cost of one exchange. Returns the target file count.
+    *
+    * The rewrite stages through a DURABLE sibling directory, then
+    * swaps by rename: the compacted copy is fully on disk before the
+    * source is touched, so an executor loss or job crash at any point
+    * leaves a complete copy (original or staged) on the filesystem —
+    * an in-place overwrite backed only by localCheckpoint blocks
+    * would destroy the source while the replacement lived in
+    * executor memory with its lineage cut. */
   def compactParquet(spark: SparkSession, path: String,
                      targetFileBytes: Long = 128L * 1024 * 1024,
                      repartition: Boolean = false): Int = {
@@ -153,7 +159,17 @@ object Sources {
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path)
     val sized = if (repartition) df.repartition(n) else df.coalesce(n)
-    sized.localCheckpoint(true).write.mode("overwrite").parquet(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".compact-old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    sized.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(hPath, old))
+      throw new java.io.IOException(s"compactParquet: cannot stage $path aside")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(old, hPath) // roll back — the original is untouched
+      throw new java.io.IOException(s"compactParquet: cannot swap in compacted $path")
+    }
+    fs.delete(old, true)
     n
   }
 

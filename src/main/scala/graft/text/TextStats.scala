@@ -388,12 +388,18 @@ object TextStats {
   /** The t15 per-source keep-rate table — the SINGLE definition shared
     * by the batch sampler and the streaming mixture gate (s13), so a
     * doc routes identically in both (the qualityExpr precedent). */
-  private[graft] def sourceRatesOf(documents: DataFrame, budgetShare: Double): DataFrame = {
-    // persisted (tracked): perSrc feeds both the grand total and the
-    // rate table — without it the corpus token count runs twice
-    val perSrc = graft.Caches.tracked(documents
+  /** Per-source token totals — the ONE tokenization-rule-bearing
+    * derivation shared by t15's rates, t23's epochs and s13's gate
+    * (the whitespace class here is the determinism contract with
+    * their oracles; change it in one place or nowhere). Persisted
+    * (tracked): every caller reads it at least twice. */
+  private def perSourceTokens(documents: DataFrame): DataFrame =
+    graft.Caches.tracked(documents
       .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
       .groupBy("source").agg(sum("n_toks").as("src_tokens")))
+
+  private[graft] def sourceRatesOf(documents: DataFrame, budgetShare: Double): DataFrame = {
+    val perSrc = perSourceTokens(documents)
     val tot = perSrc.agg(sum("src_tokens").as("total_tokens"), count(lit(1)).as("n_sources"))
     perSrc.crossJoin(broadcast(tot))
       .withColumn("rate", least(lit(1.0),
@@ -430,9 +436,7 @@ object TextStats {
     * The epochs ratio is ONE IEEE division per source (no float sums
     * anywhere), so the oracle is exact. */
   def sourceUpsample(documents: DataFrame, maxEpochs: Double = 3.0): DataFrame = {
-    val perSrc = graft.Caches.tracked(documents
-      .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
-      .groupBy("source").agg(sum("n_toks").as("src_tokens")))
+    val perSrc = perSourceTokens(documents)
     val maxTok = perSrc.agg(max("src_tokens").as("max_tokens"))
     val epochs = perSrc.crossJoin(broadcast(maxTok))
       .withColumn("epochs", least(lit(maxEpochs),
