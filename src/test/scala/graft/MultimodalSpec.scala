@@ -68,6 +68,20 @@ class MultimodalSpec extends SparkSpecBase {
     assert(fixed.isEmpty, s"fixed-stride blocks must all shift dark, got ${fixed.toSeq}")
   }
 
+  test("cdcDedup candidate volume stays near-zero on 1e4 distinct random payloads") {
+    import org.apache.spark.sql.functions._
+    // 10^4 unrelated 256-byte payloads (hex of chained xxhash64): CDC
+    // chunks of unrelated content must not collide, so the pair join
+    // stays empty-ish — a degenerate boundary rule (e.g. every forced
+    // cut emitting an identical sliver) would blow this up n²-style
+    val n = 10000L
+    val d = spark.range(n).select(col("id").as("doc_id"),
+      expr("array_join(transform(sequence(0, 15), j -> hex(xxhash64(id * 16 + j))), '')")
+        .as("text"))
+    val pairs = BinaryPipeline.cdcDedup(d, minShared = 1).count()
+    assert(pairs < n / 20, s"CDC pair volume $pairs degenerated for n=$n")
+  }
+
   test("modalityRoute dispatches payloads by leading byte class") {
     val d = Seq(
       (0L, """{"k": 1}"""),
