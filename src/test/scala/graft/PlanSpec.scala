@@ -109,6 +109,16 @@ class PlanSpec extends SparkSpecBase {
     assert(scans(cached.head).count(_.requiredSchema.fieldNames.contains("text")) == 1)
   }
 
+  test("t22_hash_embed: scan-speed map-side pass — no shuffle except the output sort") {
+    val p = plan("t22_hash_embed")
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1, s"expected only the order-by exchange, got ${shuffles.size}")
+    val ss = scans(p)
+    assert(ss.nonEmpty)
+    assert(ss.forall(_.requiredSchema.fieldNames.toSet == Set("doc_id", "text")),
+      ss.map(_.requiredSchema.fieldNames.mkString(",")).mkString("; "))
+  }
+
   test("near-dup joins never degenerate to cartesian/nested-loop") {
     for (name <- Seq("d03_minhash_lsh", "d11_dedup_against", "d12_ingest_admit",
                      "m06_chunk_dedup", "m07_cdc_dedup", "q48_price_band")) {
