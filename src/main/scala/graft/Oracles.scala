@@ -1004,7 +1004,7 @@ object Oracles {
                     ORDER BY signed DESC, tok) AS rn
            FROM pairs)
          SELECT source,
-                max(t_s) AS src_tokens,
+                CAST(max(t_s) AS BIGINT) AS src_tokens,
                 floor((CAST(sum(abs(signed)) AS DOUBLE)
                        / (CAST(max(t_s) AS DOUBLE) * CAST(max(t) AS DOUBLE)))
                       * 10000 + 0.5) / 10000 AS drift_l1,

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, to_json}
 import graft.operators._
 import graft.dedup.Dedup
 import graft.text.TextStats
@@ -76,6 +77,10 @@ object SparkEntry {
     "q43_period_delta" -> ((s, d) => TrackAnalytics.periodDelta(Tables.events(s, d))),
     "q44_peak_concurrency" -> ((s, d) => TrackAnalytics.peakConcurrency(Tables.events(s, d))),
     "q45_rolling_distinct" -> ((s, d) => TrackAnalytics.rollingDistinct(Tables.events(s, d))),
+    // windowDays=7 in the inventory so ApproxSpec's bound vs exact q45
+    // is the same configuration the driver executes
+    "q49_rolling_distinct_hll" -> ((s, d) =>
+      TrackAnalytics.rollingDistinctHll(Tables.events(s, d), windowDays = 7)),
     "q46_robust_outliers" -> ((s, d) => RelationalOps.robustOutliers(Tables.orders(s, d))),
     "q47_equi_depth" -> ((s, d) => RelationalOps.equiDepth(Tables.lineitem(s, d))),
     "q48_price_band" -> ((s, d) => RelationalOps.priceBand(Tables.part(s, d))),
@@ -138,8 +143,13 @@ object SparkEntry {
     // closes a12's loop: balanceFactor 1.2 so the natural occupancy
     // skew of the sqrt(n) k-means build exercises the split path at
     // test SFs (2.0 is the production default, matching a12's flag)
+    // contract binding serializes the vector column: the driver's
+    // pandas comparator cannot sort ndarray cells (r10 harness crash),
+    // so the inventory output carries json text while the typed
+    // Ann.cellSplit keeps array<float> for a04/a07 composition
     "a14_cell_split" -> ((s, d) => Ann.cellSplit(Tables.embeddings(s, d),
-      balanceFactor = 1.2)),
+      balanceFactor = 1.2)
+      .withColumn("centroid", to_json(col("centroid")))),
     "a08_pq_knn" -> ((s, d) => Ann.pqKnn(Tables.embeddings(s, d))),
     "a09_ivf_pq" -> ((s, d) => Ann.ivfPqKnn(Tables.embeddings(s, d))),
     "t01_token_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),
@@ -164,7 +174,10 @@ object SparkEntry {
     "t17_span_scrub" -> ((s, d) => TextStats.spanScrub(Tables.documents(s, d))),
     "t20_rolling_scrub" -> ((s, d) => TextStats.rollingScrub(Tables.documents(s, d))),
     "t21_source_drift" -> ((s, d) => TextStats.sourceDrift(Tables.documents(s, d))),
-    "t22_hash_embed" -> ((s, d) => TextStats.hashEmbed(Tables.documents(s, d))),
+    // same vector-serialization contract as a14: typed API keeps the
+    // embeddings-table shape, the inventory output is driver-sortable
+    "t22_hash_embed" -> ((s, d) => TextStats.hashEmbed(Tables.documents(s, d))
+      .withColumn("embedding", to_json(col("embedding")))),
     "t23_source_upsample" -> ((s, d) => TextStats.sourceUpsample(Tables.documents(s, d))),
     "t18_quality_filter" -> ((s, d) => TextStats.qualityFilter(Tables.documents(s, d))),
     "t19_cooccurrence" -> ((s, d) => TextStats.cooccurrence(Tables.documents(s, d))),

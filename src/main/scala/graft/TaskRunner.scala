@@ -85,6 +85,8 @@ object TaskRunner {
       eventsIn(s, d, p), l(p, "gapMs", 1800000L))),
     "q45_rolling_distinct" -> ((s, d, p) => TrackAnalytics.rollingDistinct(
       eventsIn(s, d, p), i(p, "windowDays", 7))),
+    "q49_rolling_distinct_hll" -> ((s, d, p) => TrackAnalytics.rollingDistinctHll(
+      eventsIn(s, d, p), i(p, "windowDays", 7), i(p, "lgConfigK", 12))),
     "q46_robust_outliers" -> ((s, d, p) => RelationalOps.robustOutliers(
       Tables.orders(s, d), dbl(p, "k", 3.0),
       exact = p.get("exact").forall(_.trim.toBoolean),

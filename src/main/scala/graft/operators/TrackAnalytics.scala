@@ -453,7 +453,10 @@ object TrackAnalytics {
     // micro-precision tie order — see funnelStep
     val wSess = Window.partitionBy("user_id").orderBy(expr("ts_ns div 1000"), col("event_id"))
     val frame = wSess.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sessions = events
+    // tracked: the boundaries unionAll embeds sessions in BOTH
+    // branches — uncached, the event-log scan + user_id shuffle of
+    // sessionization would run twice
+    val sessions = graft.Caches.tracked(events
       .withColumn("cur_ms", expr("ts_ns div 1000000"))
       .withColumn("prev_ms", lag(expr("ts_ns div 1000000"), 1).over(wSess))
       .withColumn("new_s",
@@ -461,7 +464,7 @@ object TrackAnalytics {
       .withColumn("session_id", sum("new_s").over(frame))
       .groupBy("user_id", "session_id")
       .agg(min(expr("ts_ns div 1000")).as("start_us"),
-        max(expr("ts_ns div 1000")).as("end_us"))
+        max(expr("ts_ns div 1000")).as("end_us")))
     val boundaries = graft.Caches.tracked(
       sessions.select(col("start_us").as("t_us"), lit(1).as("delta"))
         .unionAll(sessions.select(col("end_us").as("t_us"), lit(-1).as("delta")))
@@ -522,6 +525,49 @@ object TrackAnalytics {
         countDistinct(when(col("a_day") === col("day"), col("user_id"))).as("uniq_day"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("uniq_win"), col("uniq_day"))
+      .orderBy("day")
+  }
+
+  /** q49_rolling_distinct_hll — the wide-window sketch path q45's
+    * scaladoc promises: trailing-window distinct actives per day via
+    * MERGEABLE per-day HLL sketches (Spark's DataSketches
+    * hll_sketch_agg / hll_union_agg) instead of exact (day, user)
+    * fan-out. One pass collapses the event log to ONE sketch row per
+    * calendar day; each day-row (a few KB of sketch, not a user list)
+    * fans out to the ≤`windowDays` report days it supports, and a
+    * day-grain union-aggregate merges the window. `uniq_day_est` is
+    * the day's own sketch estimated directly.
+    *
+    * Scale posture: the event log is touched ONCE (the day-grain
+    * sketch aggregation, full partial/merge combine on the map side);
+    * everything downstream is |days| × windowDays sketch rows —
+    * calendar-bounded, INDEPENDENT of corpus size. At windowDays=90
+    * the exact q45 plan multiplies the (day, user) pair set 90×; this
+    * plan multiplies ~365 rows/year 90×, each a ≤2^lgConfigK-byte
+    * sketch (PlanSpec pins that the explode input is the aggregated
+    * sketch row, not user-grain rows). Standard error is
+    * ~1.04/√2^lgConfigK (≈1.6% at the default 12); DataSketches HLL is
+    * exact in sparse mode at small cardinalities. Rows-only: DuckDB's
+    * approx_count_distinct is a different sketch — the bound vs exact
+    * q45 is ApproxSpec's job. */
+  def rollingDistinctHll(events: DataFrame, windowDays: Int = 90,
+                         lgConfigK: Int = 12): DataFrame = {
+    val daySketch = graft.Caches.tracked(
+      events.select(to_date(col("ts")).as("a_day"), col("user_id"))
+        .groupBy("a_day")
+        .agg(hll_sketch_agg(col("user_id"), lgConfigK).as("sk")))
+    val days = daySketch.select(col("a_day").as("day"))
+    daySketch
+      .select(col("a_day"), col("sk"),
+        explode(sequence(col("a_day"), date_add(col("a_day"), windowDays - 1))).as("day"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("uniq_win_est"),
+        max(when(col("a_day") === col("day"),
+          hll_sketch_estimate(col("sk")))).as("uniq_day_est"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("uniq_win_est"), col("uniq_day_est"))
       .orderBy("day")
   }
 }

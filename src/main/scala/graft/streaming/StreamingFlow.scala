@@ -196,16 +196,17 @@ object StreamingFlow {
     * ~(edited chunks)/(total chunks), shrinking as payloads grow or
     * maskBits drops. The batch-side m07 pair join is the precise
     * report. Payloads under `minLen` bytes carry no chunks (the CDC
-    * sliver guard), share the null key, and collapse to the first
-    * arrival per watermark — below the fingerprint resolution they
-    * are indistinguishable, and empties really are byte-identical
-    * (spec-pinned). */
+    * sliver guard) — those fall back to a whole-payload xxhash64 key,
+    * so only byte-identical short payloads collapse; below the
+    * fingerprint resolution exact equality is the only honest
+    * near-dup definition (spec-pinned). */
   def streamCdcDedup(stream: DataFrame, minLen: Int = 16,
                      maskBits: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(stream.sparkSession)
     stream
-      .withColumn("cdc_key",
-        array_min(expr(s"graft_cdc_hashes(CAST(text AS BINARY), $minLen, $maskBits)")))
+      .withColumn("cdc_key", coalesce(
+        array_min(expr(s"graft_cdc_hashes(CAST(text AS BINARY), $minLen, $maskBits)")),
+        xxhash64(expr("CAST(text AS BINARY)"))))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("cdc_key")
   }

@@ -54,6 +54,22 @@ class ApproxSpec extends SparkSpecBase {
     }
   }
 
+  test("q49 sliding-HLL rolling distinct lands within 5% of exact q45 (windowDays=7)") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val exact = graft.operators.TrackAnalytics.rollingDistinct(ev, windowDays = 7)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = graft.operators.TrackAnalytics.rollingDistinctHll(ev, windowDays = 7)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(exact.keySet == approx.keySet, "same report days as the exact twin")
+    exact.foreach { case (day, (win, dayN)) =>
+      val (aWin, aDay) = approx(day)
+      // lgConfigK=12 → ~1.6% stderr; DataSketches HLL is exact in
+      // sparse mode at these cardinalities, so 5% is generous slack
+      assert(math.abs(aWin - win).toDouble / win < 0.05, s"$day win $aWin vs $win")
+      assert(math.abs(aDay - dayN).toDouble / dayN < 0.05, s"$day day $aDay vs $dayN")
+    }
+  }
+
   test("approx_count_distinct lands within rsd bounds of the exact count") {
     val d = "/root/testdata/sf0.001"
     val exact = FlowAnalytics.distinctCount(Tables.orders(spark, d), Tables.customer(spark, d))

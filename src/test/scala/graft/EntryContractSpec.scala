@@ -32,6 +32,25 @@ class EntryContractSpec extends SparkSpecBase {
     assert(queries -- survey == Set.empty, s"queries missing from SURVEY: ${queries -- survey}")
   }
 
+  test("every inventory output schema is atomic-typed (driver comparator contract)") {
+    // the driver's pandas comparator sorts every column; ndarray /
+    // dict cells are unhashable and crash the whole correctness gate
+    // (r10: a14/t22 shipped with zero driver-side signal). Vector-
+    // valued operators must serialize (to_json) in their contract
+    // binding — the typed API keeps arrays for composition.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"non-atomic contract output columns (serialize with to_json):\n${offenders.mkString("\n")}")
+  }
+
   test("every inventory query executes with a well-formed schema") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {

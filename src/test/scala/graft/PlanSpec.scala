@@ -97,6 +97,20 @@ class PlanSpec extends SparkSpecBase {
       ss.map(_.requiredSchema.fieldNames.mkString(",")).mkString("; "))
   }
 
+  test("q49_rolling_distinct_hll: windowDays=90 fans out day-grain sketch rows, never (day,user) pairs") {
+    val df = graft.operators.TrackAnalytics.rollingDistinctHll(
+      Tables.events(spark, sfDir), windowDays = 90)
+    val p = df.queryExecution.sparkPlan
+    val gens = p.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.size == 1, s"expected exactly one explode, got ${gens.size}")
+    // the 90× multiplier must apply AFTER the day-grain sketch
+    // aggregation: the explode's input rows carry the sketch column,
+    // and user_id is already aggregated away
+    val childCols = gens.head.child.output.map(_.name).toSet
+    assert(childCols.contains("sk"), s"explode input must be per-day sketches, got $childCols")
+    assert(!childCols.contains("user_id"), "explode input must be day-grain, not user-grain")
+  }
+
   test("t23_source_upsample: text is read once (inside the cached rate table)") {
     val p = plan("t23_source_upsample")
     // the corpus-sized pass carries only (doc_id, source); text feeds

@@ -209,15 +209,18 @@ class StreamingSpec extends SparkSpecBase {
       input.addData((ts(1), 0L, base), (ts(2), 1L, other))
       q.processAllAvailable()
       // a later micro-batch delivers the one-byte-prefixed copy — the
-      // CDC key re-synchronizes, so it drops as a duplicate; empty
-      // payloads are byte-identical to each other and collapse onto
-      // the first arrival (null key group)
+      // CDC key re-synchronizes, so it drops as a duplicate; payloads
+      // under minLen carry no chunks and fall back to the whole-payload
+      // hash key, so only BYTE-IDENTICAL short payloads collapse:
+      // the two empties merge, the two distinct short strings both
+      // survive, and the repeated short string drops
       input.addData((ts(3), 2L, "X" + base), (ts(4), 3L, other),
-        (ts(5), 4L, ""), (ts(6), 5L, ""))
+        (ts(5), 4L, ""), (ts(6), 5L, ""),
+        (ts(7), 6L, "abc"), (ts(8), 7L, "xyz"), (ts(9), 8L, "abc"))
       q.processAllAvailable()
       val kept = spark.table("cdc_out").select("doc_id").collect()
         .map(_.getLong(0)).sorted.toSeq
-      assert(kept == Seq(0L, 1L, 4L), s"got $kept")
+      assert(kept == Seq(0L, 1L, 4L, 6L, 7L), s"got $kept")
     } finally q.stop()
   }
 

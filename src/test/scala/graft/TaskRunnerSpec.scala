@@ -127,6 +127,21 @@ class TaskRunnerSpec extends SparkSpecBase {
     assert(outliers("10") <= outliers("1"))
   }
 
+  test("round-11 params take effect: m07 minShared/maskBits, q49 windowDays") {
+    // m07: requiring fewer shared chunks can only keep more pairs
+    def pairs(p: Map[String, String]) =
+      TaskRunner.run(spark, d, "m07_cdc_dedup", p).count()
+    assert(pairs(Map("minShared" -> "1")) >= pairs(Map("minShared" -> "3")))
+    // m07: finer chunking (lower maskBits → shorter expected chunks)
+    // still runs end-to-end and reports pairs
+    assert(pairs(Map("maskBits" -> "4", "minLen" -> "8")) > 0)
+    // q49: a 1-day window collapses the trailing estimate onto the
+    // daily estimate (the q45 twin property, on the sketch path)
+    val one = TaskRunner.run(spark, d, "q49_rolling_distinct_hll",
+      Map("windowDays" -> "1")).collect()
+    assert(one.nonEmpty && one.forall(r => r.getLong(1) == r.getLong(2)))
+  }
+
   test("every param-aware runner binds an existing inventory query") {
     val orphans = TaskRunner.runners.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"runners with no inventory query: $orphans")

@@ -37,6 +37,20 @@ for name, sql in sorted(oracle.items()):
     sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
     if sc != dc:
         print(f"FAIL {name}: columns spark={sc} duck={dc}"); fail += 1; continue
+    # the driver's hash is dtype-sensitive: an uncast DuckDB HUGEINT /
+    # DECIMAL aggregate surfaces as float64 against Spark's int64 and
+    # fails the gate even when values are equal (r10 t21). Catch both
+    # the declared-type leak and any dtype-kind divergence here.
+    rel = con.sql(sql)
+    leaks = [f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+             if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()]
+    if leaks:
+        print(f"FAIL {name}: oracle emits HUGEINT/DECIMAL (cast to BIGINT/DOUBLE): {leaks}")
+        fail += 1; continue
+    kind_mismatch = [f"{c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}"
+                     for c in sc if spark_df[c].dtype.kind != duck_df[c].dtype.kind]
+    if kind_mismatch:
+        print(f"FAIL {name}: dtype kind mismatch {kind_mismatch}"); fail += 1; continue
     s = spark_df[sc].sort_values(sc).reset_index(drop=True)
     d = duck_df[dc].sort_values(dc).reset_index(drop=True)
     if len(s) != len(d):
@@ -66,10 +80,14 @@ for pdir in sorted(glob.glob(f"{outdir}/*/")):
     name = os.path.basename(pdir.rstrip('/'))
     if name in oracle: continue
     try:
-        n = len(con.sql(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df())
+        df = con.sql(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df()
+        n = len(df)
+        # the driver sorts rows-only outputs too — reproduce its crash
+        # on unhashable (ndarray) cells so it can't ship again (r10 a14/t22)
+        df.sort_values(list(df.columns))
         print(f"ROWS {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
     except Exception as e:
-        print(f"ROWS {name}: read error {e}")
+        print(f"ROWS {name}: read/sort error {e}"); fail += 1
 
 print(f"\n{ok} OK, {fail} FAIL")
 sys.exit(1 if fail else 0)
