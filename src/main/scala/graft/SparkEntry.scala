@@ -179,12 +179,14 @@ object SparkEntry {
     "t22_hash_embed" -> ((s, d) => TextStats.hashEmbed(Tables.documents(s, d))
       .withColumn("embedding", to_json(col("embedding")))),
     "t23_source_upsample" -> ((s, d) => TextStats.sourceUpsample(Tables.documents(s, d))),
+    "t24_unigram_surprisal" -> ((s, d) => TextStats.unigramSurprisal(Tables.documents(s, d))),
     "t18_quality_filter" -> ((s, d) => TextStats.qualityFilter(Tables.documents(s, d))),
     "t19_cooccurrence" -> ((s, d) => TextStats.cooccurrence(Tables.documents(s, d))),
     "m01_binary_meta" -> ((s, d) => BinaryPipeline.binaryMeta(Tables.documents(s, d))),
     "m02_chunk_sample" -> ((s, d) => BinaryPipeline.chunkSample(Tables.documents(s, d))),
     "m06_chunk_dedup" -> ((s, d) => BinaryPipeline.chunkDedup(Tables.documents(s, d))),
-    "m07_cdc_dedup" -> ((s, d) => BinaryPipeline.cdcDedup(Tables.documents(s, d)))
+    "m07_cdc_dedup" -> ((s, d) => BinaryPipeline.cdcDedup(Tables.documents(s, d))),
+    "m08_feature_dedup" -> ((s, d) => BinaryPipeline.featureDedup(Tables.documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

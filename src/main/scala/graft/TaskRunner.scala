@@ -253,6 +253,8 @@ object TaskRunner {
     "m07_cdc_dedup" -> ((s, d, p) => graft.multimodal.BinaryPipeline.cdcDedup(
       Tables.documents(s, d), i(p, "minLen", 16), i(p, "maskBits", 5),
       i(p, "minShared", 2), l(p, "dfCap", 1000L))),
+    "m08_feature_dedup" -> ((s, d, p) => graft.multimodal.BinaryPipeline.featureDedup(
+      Tables.documents(s, d), dbl(p, "threshold", 0.99), i(p, "featureDim", 8))),
     "q39_window_funnel" -> ((s, d, p) => TrackAnalytics.windowFunnel(
       eventsIn(s, d, p),
       str(p, "steps", "view,click,purchase").split(",").map(_.trim).toSeq,

@@ -189,6 +189,38 @@ object BinaryPipeline {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** m08_feature_dedup — the multimodal near-dup MANIFEST over
+    * DECODED features: the missing edge between the decode stub and
+    * the dedup/ANN stack. Payloads run through `decodeFeatures` (the
+    * one declared codec seam — a real deployment plugs image/audio
+    * decode + a feature net there) and every payload gets its
+    * feature-space nearest neighbour via the SAME IVF kNN self-join
+    * as a07, flagged `is_dup` at `threshold`. A re-encoded or
+    * metadata-patched media file whose bytes differ (invisible to
+    * m05's exact hash and to m07's byte-level CDC) flags against its
+    * original whenever the decoder maps both near the same features —
+    * embed-then-ANN-join is how image/audio dedup is actually done at
+    * scale, and the manifest form (one row per payload, filter
+    * `is_dup` to act) is what a curation pass consumes; on a corpus
+    * with no feature-duplicates the manifest is still the full
+    * nearest-neighbour report, never empty.
+    *
+    * Scale posture: inherits a07's — the cell id is the only join
+    * key, candidate volume Σ|cell|·nprobe, never n²; the decode pass
+    * is `decodeFeatures`' partition-at-a-time map. Rows-only: stub
+    * features are not ANSI-SQL-expressible; the spec plants
+    * byte-identical payloads (feature-identical ⇒ mutual NN at cos
+    * 1.0, is_dup true). */
+  def featureDedup(documents: DataFrame, threshold: Double = 0.99,
+                   featureDim: Int = 8): DataFrame = {
+    val feats = decodeFeatures(documents, featureDim)
+      .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
+    graft.ann.Ann.knnJoin(feats, k = 1)
+      .select(col("query_id").as("doc_id"), col("neighbor_id").as("nn_id"),
+        col("cos_sim"), (col("cos_sim") >= threshold).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Feature schema a real media decoder would produce. */
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -68,6 +68,27 @@ object StreamingFlow {
         unix_millis(col("window.start")).as("hour_ms"),
         col("uniq_users"))
 
+  /** s16_stream_rolling_distinct — the LIVE trailing-window actives
+    * report (streaming twin of batch q45/q49): sliding event-time
+    * windows of `windowDays` days advancing one day at a time, each
+    * holding a mergeable HLL sketch of distinct users. An event lands
+    * in `windowDays` open windows (epoch-aligned, so window.end − 1
+    * day IS the report day, with exactly q45's [day−w+1, day]
+    * coverage); state is one constant-size sketch per open window —
+    * calendar-bounded, evicted by the watermark — regardless of user
+    * cardinality. This is the q49 design living natively in
+    * Structured Streaming: same sketch, same day-grain volume
+    * argument, updated per micro-batch instead of per run. */
+  def streamRollingDistinct(events: DataFrame, windowDays: Int = 7,
+                            rsd: Double = 0.05): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), s"$windowDays days", "1 day"))
+      .agg(approx_count_distinct("user_id", rsd).as("uniq_win_est"))
+      .select(
+        date_format(col("window.end") - expr("INTERVAL 1 DAY"), "yyyy-MM-dd").as("day"),
+        col("uniq_win_est"))
+
   /** s07_stream_interval_join — stream-stream join with bounded state:
     * clicks within `windowMin` minutes AFTER a signup, both sides
     * watermarked so the join state for expired intervals is evicted

@@ -377,6 +377,47 @@ object TextStats {
       .orderBy("doc_id", "rnk")
   }
 
+  /** t24_unigram_surprisal — per-document mean unigram surprisal in
+    * bits: the classic model-free quality/novelty signal (a cheap
+    * perplexity proxy) — how "surprising" a document's tokens are
+    * under the corpus's own unigram MLE. surprisal(doc) =
+    * Σ tf·(−log2 cf/T) / Σ tf over the doc's distinct terms, where cf
+    * is the corpus frequency and T the corpus token count.
+    * Boilerplate and template spam (common tokens) score low; rare-
+    * vocabulary documents score high — both tails are what a
+    * training-mix owner inspects before filtering.
+    *
+    * Scale posture: identical plan shape to t14 — ONE tokenize pass
+    * persisted at (doc, term) grain feeds both the corpus-frequency
+    * aggregate and the probe side of the re-join; the term join's key
+    * skew (stopwords are hot) is bounded because the probe side is
+    * distinct (doc, term) pairs, and the corpus-frequency side is
+    * vocabulary-grain (one row per term). Rows-only: −log2 is
+    * transcendental (no cross-engine float determinism — SURVEY §5);
+    * the spec pins a hand-computed twin and the rare-beats-common
+    * ordering. Empty documents carry no tokens and no row. */
+  def unigramSurprisal(documents: DataFrame): DataFrame = {
+    val terms = graft.Scans.spreadIfNarrow(documents, col("doc_id"))
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    // tracked: tf feeds the corpus-frequency aggregate AND the probe
+    // side of the re-join (the t14 precedent)
+    val tf = graft.Caches.tracked(
+      terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
+    val tot = cf.agg(sum("cf").as("t"))
+    tf.join(cf, "term")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_toks"),
+        (sum(col("tf") * -log2(col("cf").cast("double") / col("t")))
+          / sum("tf")).as("sup"))
+      .select(col("doc_id"), col("n_toks"),
+        stableRound(col("sup"), 4).as("surprisal_bits"))
+      .orderBy("doc_id")
+  }
+
   /** t15_source_mix — domain-mixture sampling to a token budget: a
     * training mix wants each source capped at an equal share of
     * `budgetShare · total_tokens`. Two tiny aggregations derive each

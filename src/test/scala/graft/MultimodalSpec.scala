@@ -105,6 +105,23 @@ class MultimodalSpec extends SparkSpecBase {
     assert(cells.map(_.getInt(1)).distinct.length > 1, "all docs in one cell")
   }
 
+  test("featureDedup manifests every payload; byte-identical payloads are mutual NNs at cos 1.0") {
+    // docs 0/2 are byte-identical (the re-upload case); 1 and 3 differ
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "completely different content with its own byte pattern here"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "yet another unrelated payload of distinct bytes entirely")
+    ).toDF("doc_id", "text")
+    val rows = BinaryPipeline.featureDedup(d, threshold = 0.999).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L), "one manifest row per payload")
+    // identical bytes -> identical stub features -> same IVF cell ->
+    // mutual nearest neighbours at exactly 1.0, flagged dup
+    assert(rows(0L) == (2L, 1.0, true), s"got ${rows(0L)}")
+    assert(rows(2L) == (0L, 1.0, true), s"got ${rows(2L)}")
+  }
+
   test("decodeFeatures produces the stub feature schema per row") {
     val d = Seq((0L, "hello"), (1L, "world")).toDF("doc_id", "text")
     val out = BinaryPipeline.decodeFeatures(d, featureDim = 4).collect()

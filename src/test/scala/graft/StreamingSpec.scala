@@ -224,6 +224,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s16 streaming rolling distinct matches batch exact q45 per report day") {
+    implicit val sqlCtx = spark.sqlContext
+    // midnight-aligned UTC days well past epoch (watermark-safe)
+    def dayTs(d: Int) = new Timestamp((20000L + d) * 86400000L)
+    val events = Seq(
+      (dayTs(0), 1L), (dayTs(0), 2L), // day 0: users {1,2}
+      (dayTs(1), 2L),                 // day 1: user {2}
+      (dayTs(3), 1L), (dayTs(3), 3L), (dayTs(3), 4L)) // day 3: {1,3,4}
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = StreamingFlow.streamRollingDistinct(
+        input.toDF().toDF("ts", "user_id"), windowDays = 7, rsd = 0.01)
+      .writeStream.format("memory").queryName("s16_out").outputMode("complete").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val stream = spark.table("s16_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.TrackAnalytics.rollingDistinct(
+          events.toDF("ts", "user_id"), windowDays = 7).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // batch reports only days WITH events; the stream emits every
+      // window an event supports — compare on the batch's days
+      batch.foreach { case (day, exact) =>
+        assert(stream.contains(day), s"stream missing report day $day")
+        assert(stream(day) == exact,
+          s"$day: stream ${stream(day)} vs exact $exact (HLL exact at these counts)")
+      }
+    } finally q.stop()
+  }
+
   test("s14 streaming ingest admission matches batch d12 per trigger and compounds the corpus") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("s14").toString

@@ -280,6 +280,24 @@ class TextSpec extends SparkSpecBase {
     assert(frac(0L) == 1 && (frac(1L) == 1 || frac(1L) == 2), s"got $frac")
   }
 
+  test("unigramSurprisal matches the hand-computed twin; rare vocabulary outscores common") {
+    // corpus counts: a=3, b=2, c=1, T=6
+    val d = Seq(
+      (0L, "a a b"), // (2·(−log2 3/6) + 1·(−log2 2/6)) / 3 = 1.1950
+      (1L, "a b"),   // (1 + 1.58496) / 2                  = 1.2925
+      (2L, "c"),     // −log2(1/6)                         = 2.5850
+      (3L, "")       // tokenless — no row
+    ).toDF("doc_id", "text")
+    val out = TextStats.unigramSurprisal(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L), "empty doc carries no row")
+    assert(out(0L) == (3L, 1.195), s"got ${out(0L)}")
+    assert(out(1L) == (2L, 1.2925), s"got ${out(1L)}")
+    assert(out(2L) == (1L, 2.585), s"got ${out(2L)}")
+    // the rare-vocabulary doc is the most surprising
+    assert(out(2L)._2 > out(1L)._2 && out(1L)._2 > out(0L)._2)
+  }
+
   test("hashEmbed matches a hand-built xxhash64 twin float-for-float") {
     val dim = 8
     val out = TextStats.hashEmbed(
