@@ -132,6 +132,57 @@ object Sources {
       .sortWithinPartitions(sortCol)
       .write.mode(mode).parquet(path)
 
+  /** sink_zorder — MULTI-column locality clustering (Z-order), the
+    * lakehouse `OPTIMIZE ZORDER BY` layout: each clustering column is
+    * rank-normalized to a `bitsPerCol`-bit bucket id via ONE
+    * approx-quantile pass (equi-depth, so skew and scale differences
+    * can't starve a column's bits), the ids' bits are interleaved
+    * into a Z-value by a compiled expression, and rows are
+    * range-partitioned + sorted on it. Where sink_sorted makes
+    * min/max stats tight for ONE key, this makes them simultaneously
+    * tight for EVERY clustered column — a selective predicate on any
+    * of them skips most files/row-groups. At 100 TB this is the
+    * standard answer to "we filter by two keys and can only sort by
+    * one".
+    *
+    * Cost: one quantile aggregation (boundaries ≤ 2^bitsPerCol − 1
+    * doubles per column, collected to the driver — bounded by
+    * construction, the q47 protocol) + one range exchange, the same
+    * shape as sink_sorted. The per-row bucket fold is a compiled
+    * array aggregate over the broadcast boundary array. */
+  def writeZordered(df: DataFrame, path: String, cols: Seq[String],
+                    numFiles: Int, bitsPerCol: Int = 8,
+                    mode: String = "overwrite"): Unit = {
+    require(cols.nonEmpty && cols.size * bitsPerCol <= 62,
+      s"z-value must fit a long: ${cols.size} cols x $bitsPerCol bits")
+    import org.apache.spark.sql.functions.{aggregate, lit, percentile_approx,
+      shiftleft, shiftright, typedlit, when}
+    import org.apache.spark.sql.Column
+    val buckets = 1 << bitsPerCol
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val bRow = df.select(cols.map(c =>
+      percentile_approx(col(c).cast("double"), typedlit(qs), lit(10000)).as(c)): _*)
+      .first()
+    val bounds: Map[String, Seq[Double]] =
+      cols.zipWithIndex.map { case (c, i) => c -> bRow.getSeq[Double](i) }.toMap
+    def bucketOf(c: String): Column =
+      aggregate(typedlit(bounds(c)), lit(0),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+    // bit i of column j lands at z-bit i·nCols + j: equal interleave
+    val n = cols.size
+    val z = cols.zipWithIndex.map { case (c, j) =>
+      val b = bucketOf(c)
+      (0 until bitsPerCol).map { i =>
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), i * n + j).cast("long")
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
+
   /** sink_compact — small-files compaction: rewrite a parquet
     * directory into ceil(bytes / targetFileBytes) files. Streaming
     * sinks, per-batch upserts and over-parallel writes accumulate

@@ -97,6 +97,19 @@ class PlanSpec extends SparkSpecBase {
       ss.map(_.requiredSchema.fieldNames.mkString(",")).mkString("; "))
   }
 
+  test("t24_unigram_surprisal: text is read only inside the single cached (doc,term) tf table") {
+    val p = plan("t24_unigram_surprisal")
+    // both the corpus-frequency aggregate and the probe side read the
+    // tracked tf cache — one tokenize pass per run (the t14/t21 shape)
+    val direct = p.collect { case f: FileSourceScanExec => f }
+      .count(_.requiredSchema.fieldNames.contains("text"))
+    assert(direct == 0, s"$direct text scans bypass the cached tf table")
+    val cachedSubtrees = p.collect { case i: InMemoryTableScanExec => i.relation.cachedPlan }
+      .distinct
+    assert(cachedSubtrees.size == 1, s"expected one shared cache, got ${cachedSubtrees.size}")
+    assert(scans(cachedSubtrees.head).count(_.requiredSchema.fieldNames.contains("text")) == 1)
+  }
+
   test("q49_rolling_distinct_hll: windowDays=90 fans out day-grain sketch rows, never (day,user) pairs") {
     val df = graft.operators.TrackAnalytics.rollingDistinctHll(
       Tables.events(spark, sfDir), windowDays = 90)

@@ -116,6 +116,40 @@ class SourcesSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).count() == d.count())
   }
 
+  test("writeZordered confines EVERY clustered column per file; single-column sort cannot") {
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    val rnd = new scala.util.Random(42)
+    val d = Seq.fill(4000)((rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      .toDF("x", "y").repartition(8)
+    Sources.writeZordered(d, dir, Seq("x", "y"), numFiles = 16)
+    def spreads(f: String) = {
+      val rows = spark.read.parquet(f).collect()
+      val xs = rows.map(_.getLong(0)); val ys = rows.map(_.getLong(1))
+      ((xs.max - xs.min).toDouble / 999, (ys.max - ys.min).toDouble / 999)
+    }
+    val files = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length == 16)
+    val sp = files.map(spreads)
+    val mx = sp.map(_._1).sum / sp.length
+    val my = sp.map(_._2).sum / sp.length
+    // 16 z-range files pin the top z bits = the top bits of BOTH
+    // columns' bucket ids — each column is confined to ~a quarter of
+    // its range per file (0.5 allows range-boundary straddle)
+    assert(mx < 0.5, s"x mean per-file spread $mx — not clustered")
+    assert(my < 0.5, s"y mean per-file spread $my — not clustered")
+    // contrast: the single-column layout leaves y unclustered —
+    // that is the gap z-ordering exists to close
+    val dirS = Files.createTempDirectory("graft_sorted1").toString
+    Sources.writeSorted(d, dirS, "x", numFiles = 16)
+    val spS = new java.io.File(dirS).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(f => spreads(f.toString))
+    assert(spS.map(_._2).sum / spS.length > 0.75,
+      "y per-file spread should stay ~global under a single-column sort")
+    // and the layout loses nothing
+    assert(spark.read.parquet(dir).count() == 4000)
+  }
+
   test("compactParquet rewrites a many-small-files directory to the sized file count") {
     val dir = Files.createTempDirectory("graft_compact").toString
     val d = (0L until 1000L).map(i => (i, s"name$i")).toDF("id", "name")
