@@ -213,8 +213,11 @@ object BinaryPipeline {
     * 1.0, is_dup true). */
   def featureDedup(documents: DataFrame, threshold: Double = 0.99,
                    featureDim: Int = 8): DataFrame = {
-    val feats = decodeFeatures(documents, featureDim)
-      .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
+    // tracked: knnJoin reads the feature frame for centroid training,
+    // the query side and the corpus side — uncached, the decode map
+    // (a real codec + feature net in production) would run 3-4x
+    val feats = graft.Caches.tracked(decodeFeatures(documents, featureDim)
+      .select(col("doc_id").as("vec_id"), col("feature").as("embedding")))
     graft.ann.Ann.knnJoin(feats, k = 1)
       .select(col("query_id").as("doc_id"), col("neighbor_id").as("nn_id"),
         col("cos_sim"), (col("cos_sim") >= threshold).as("is_dup"))
