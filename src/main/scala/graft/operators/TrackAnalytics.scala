@@ -512,6 +512,7 @@ object TrackAnalytics {
     * (per-day sketches union across the window); this operator is the
     * exact twin that keeps the oracle. */
   def rollingDistinct(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val pairs = graft.Caches.tracked(
       events.select(to_date(col("ts")).as("a_day"), col("user_id")).distinct())
     val days = pairs.select(col("a_day").as("day")).distinct()
@@ -552,6 +553,7 @@ object TrackAnalytics {
     * q45 is ApproxSpec's job. */
   def rollingDistinctHll(events: DataFrame, windowDays: Int = 90,
                          lgConfigK: Int = 12): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val daySketch = graft.Caches.tracked(
       events.select(to_date(col("ts")).as("a_day"), col("user_id"))
         .groupBy("a_day")
