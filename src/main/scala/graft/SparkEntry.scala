@@ -115,6 +115,7 @@ object SparkEntry {
     "d07_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d), dfCap = Some(1000L))),
     "d08_dedup_apply" -> ((s, d) => Dedup.dedupApply(Tables.documents(s, d), dfCap = Some(1000L))),
     "d09_decontaminate" -> ((s, d) => Dedup.decontaminate(Tables.documents(s, d))),
+    "d13_bloom_decontaminate" -> ((s, d) => Dedup.bloomDecontaminate(Tables.documents(s, d))),
     "d10_source_overlap" -> ((s, d) => Dedup.sourceOverlap(
       Tables.documents(s, d), dfCap = Some(1000L))),
     // incremental shape: src0 plays the new batch, the rest the corpus

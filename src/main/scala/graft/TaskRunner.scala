@@ -196,6 +196,9 @@ object TaskRunner {
     "d09_decontaminate" -> ((s, d, p) => Dedup.decontaminate(
       Tables.documents(s, d), str(p, "evalSource", "src0"),
       l(p, "minShared", 8L))),
+    "d13_bloom_decontaminate" -> ((s, d, p) => Dedup.bloomDecontaminate(
+      Tables.documents(s, d), str(p, "evalSource", "src0"),
+      l(p, "minShared", 8L), dbl(p, "fpp", 0.001))),
     "d10_source_overlap" -> ((s, d, p) => Dedup.sourceOverlap(
       Tables.documents(s, d), dbl(p, "threshold", 0.8),
       capL(p, "dfCap", 1000L))),

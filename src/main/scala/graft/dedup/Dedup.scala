@@ -598,6 +598,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d13_bloom_decontaminate — the BLOOM-FILTER scale path of d09.
+    * Same contamination question (how many distinct word-3-gram
+    * shingles does each corpus doc share with the benchmark), answered
+    * without ever joining: the benchmark's distinct shingle hashes
+    * fold into a fixed-size Bloom filter (distributed treeAggregate;
+    * the driver holds only the bitset, `-n·ln(fpp)/ln(2)²` bits
+    * regardless of key width), and every corpus document counts its
+    * might-contain hits in ONE compiled traversal of its
+    * already-computed hash array — no explode, no broadcast hash
+    * relation, no shuffle on the corpus side at all.
+    *
+    * Where d09 broadcasts the full 8-byte-per-shingle distinct set
+    * (~8 GB at 10⁹ benchmark shingles — past the broadcast ceiling),
+    * the Bloom at fpp=0.001 is ~1.8 GB and fpp=0.01 ~1.2 GB; fpp is
+    * the explicit size/precision knob. The price is one-sided:
+    * `n_maybe_shared ≥ n_shared` always (no false negatives — every
+    * d09-contaminated doc is flagged here), and a doc with
+    * `n_maybe_shared` just over `minShared` may be a false flag with
+    * probability ~Binom(|sh|, fpp) ≥ minShared — vanishing for real
+    * thresholds. Flagging is conservative in exactly the direction
+    * decontamination wants. Probabilistic membership is outside
+    * DuckDB's vocabulary → rows-only; DedupSpec pins the superset
+    * property and the false-flag budget against exact d09. */
+  def bloomDecontaminate(documents: DataFrame, evalSource: String = "src0",
+                         minShared: Long = 8, fpp: Double = 0.001): DataFrame = {
+    val spark = documents.sparkSession
+    val sets = withShingleHashes(documents).select(col("doc_id"), col("source"), col("sh"))
+    val evalSh = graft.Caches.tracked(
+      sets.filter(col("source") === evalSource)
+        .select(explode(col("sh")).as("sh_h")).distinct())
+    // sizing pass over the (cached, eval-bounded) distinct hashes so
+    // the filter hits its nominal fpp exactly
+    val bloom = evalSh.stat.bloomFilter("sh_h", math.max(evalSh.count(), 1L), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val fname = graft.functions.GraftFunctions.registerBloomHitCount(spark, bytes)
+    val out = sets.filter(col("source") =!= evalSource)
+      .select(col("doc_id"),
+        expr(s"$fname(sh)").cast("long").as("n_maybe_shared"))
+      .withColumn("contaminated", col("n_maybe_shared") >= minShared)
+      .orderBy("doc_id")
+    graft.functions.GraftFunctions.dropFunction(spark, fname)
+    out
+  }
+
   /** d05_embed_dedup — embedding-cosine near-dup pairs. Brute-force
     * all-pairs is the correctness baseline (the oracle); the
     * bucketed-ANN scale path lives in graft.ann. All arithmetic is

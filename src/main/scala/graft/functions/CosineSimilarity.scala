@@ -147,6 +147,32 @@ object GraftFunctions {
   }
 
   private val pqSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val bloomSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Bind a BUILT Bloom filter (serialized bytes) under a unique
+    * per-call function name, [[registerPqEncode]]-style: the bitset
+    * rides in the builder closure, never in SQL text. Callers drop the
+    * name once their plans are analyzed. Returns the name of a
+    * one-argument function over array<bigint> counting might-contain
+    * hits. */
+  def registerBloomHitCount(spark: SparkSession, bloomBytes: Array[Byte]): String = {
+    val fname = s"graft_bloom_hit_count_${bloomSeq.incrementAndGet()}"
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(fname),
+      new ExpressionInfo(classOf[BloomHitCount].getName, fname),
+      (children: Seq[Expression]) => BloomHitCount(children.head, bloomBytes))
+    fname
+  }
+
+  /** Same binding for the scalar boolean probe over one bigint key. */
+  def registerBloomContains(spark: SparkSession, bloomBytes: Array[Byte]): String = {
+    val fname = s"graft_bloom_contains_${bloomSeq.incrementAndGet()}"
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(fname),
+      new ExpressionInfo(classOf[BloomMightContain].getName, fname),
+      (children: Seq[Expression]) => BloomMightContain(children.head, bloomBytes))
+    fname
+  }
 
   /** Bind a TRAINED PQ codebook under a unique per-call function name
     * (data can't ride in SQL text; the builder closure carries it).

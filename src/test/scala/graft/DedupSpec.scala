@@ -161,6 +161,38 @@ class DedupSpec extends SparkSpecBase {
     assert(!out.contains(0L), "eval docs are the reference set, not scored")
   }
 
+  test("bloomDecontaminate flags the leak, skips shorts, and never misses a d09 flag") {
+    val bench = "the capital of france is paris and the capital of spain is madrid"
+    val leak = "answer key the capital of france is paris and the capital of spain"
+    val clean = "a completely unrelated training document about cooking pasta at home"
+    val d = Seq(
+      (0L, bench, "eval"), (1L, leak, "train"), (2L, clean, "train"),
+      (3L, "too short", "train")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.bloomDecontaminate(d, evalSource = "eval", minShared = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L)._2 && out(1L)._1 >= 5, s"leaked doc not flagged: ${out.get(1L)}")
+    assert(!out(2L)._2, s"clean doc false-flagged: ${out.get(2L)}")
+    assert(!out.contains(3L) && !out.contains(0L))
+  }
+
+  test("bloomDecontaminate is a one-sided superset of exact d09 on real documents") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.decontaminate(d, minShared = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val bloom = Dedup.bloomDecontaminate(d, minShared = 8, fpp = 0.001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(bloom.keySet == exact.keySet, "same scored corpus universe")
+    // no false negatives: pointwise count dominance lifts to flags
+    exact.foreach { case (id, (nShared, flagged)) =>
+      assert(bloom(id)._1 >= nShared, s"doc $id: bloom ${bloom(id)._1} < exact $nShared")
+      if (flagged) assert(bloom(id)._2, s"doc $id flagged by d09 but missed by bloom")
+    }
+    // false-flag budget: at fpp=0.001 the extra flags stay under 1%
+    val extra = bloom.count { case (id, (_, f)) => f && !exact(id)._2 }
+    assert(extra <= math.max(1, exact.size / 100), s"$extra bloom-only flags of ${exact.size}")
+  }
+
   test("dfCap drops a planted hot shingle and bounds the pair blowup") {
     // 40 docs all sharing one hot 3-gram ("common shared prefix") but
     // otherwise disjoint: uncapped, the hot shingle makes every pair a
