@@ -227,6 +227,32 @@ object Oracles {
 
     // bucket = how many boundaries x strictly exceeds — spelled as
     // nine explicit comparisons (no list lambda, engine-portable)
+    // q50: count/count(DISTINCT) are BIGINT in DuckDB (no HUGEINT
+    // leak); min/max cast explicitly (l_linenumber is INTEGER)
+    "q50_table_stats" ->
+      """SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
+                count(l_orderkey) AS n_non_null,
+                count(*) - count(l_orderkey) AS n_nulls,
+                count(DISTINCT l_orderkey) AS n_distinct,
+                CAST(min(l_orderkey) AS BIGINT) AS min_val,
+                CAST(max(l_orderkey) AS BIGINT) AS max_val FROM lineitem
+         UNION ALL
+         SELECT 'l_partkey', count(*), count(l_partkey),
+                count(*) - count(l_partkey), count(DISTINCT l_partkey),
+                CAST(min(l_partkey) AS BIGINT),
+                CAST(max(l_partkey) AS BIGINT) FROM lineitem
+         UNION ALL
+         SELECT 'l_suppkey', count(*), count(l_suppkey),
+                count(*) - count(l_suppkey), count(DISTINCT l_suppkey),
+                CAST(min(l_suppkey) AS BIGINT),
+                CAST(max(l_suppkey) AS BIGINT) FROM lineitem
+         UNION ALL
+         SELECT 'l_linenumber', count(*), count(l_linenumber),
+                count(*) - count(l_linenumber), count(DISTINCT l_linenumber),
+                CAST(min(l_linenumber) AS BIGINT),
+                CAST(max(l_linenumber) AS BIGINT) FROM lineitem
+         ORDER BY column_name""",
+
     "q47_equi_depth" ->
       """WITH b AS (SELECT quantile_cont(l_extendedprice,
              [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnd

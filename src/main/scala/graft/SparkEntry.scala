@@ -83,6 +83,7 @@ object SparkEntry {
       TrackAnalytics.rollingDistinctHll(Tables.events(s, d), windowDays = 7)),
     "q46_robust_outliers" -> ((s, d) => RelationalOps.robustOutliers(Tables.orders(s, d))),
     "q47_equi_depth" -> ((s, d) => RelationalOps.equiDepth(Tables.lineitem(s, d))),
+    "q50_table_stats" -> ((s, d) => RelationalOps.tableStats(Tables.lineitem(s, d))),
     "q48_price_band" -> ((s, d) => RelationalOps.priceBand(Tables.part(s, d))),
     "q40_grouping_sets" -> ((s, d) => RelationalOps.groupingSets(Tables.orders(s, d))),
     "q41_graph_rank" -> ((s, d) => TrackAnalytics.graphRank(Tables.events(s, d))),

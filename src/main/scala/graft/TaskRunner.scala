@@ -95,6 +95,12 @@ object TaskRunner {
       Tables.lineitem(s, d), i(p, "buckets", 10),
       exact = p.get("exact").forall(_.trim.toBoolean),
       accuracy = i(p, "accuracy", 10000))),
+    "q50_table_stats" -> ((s, d, p) => RelationalOps.tableStats(
+      Tables.lineitem(s, d),
+      statCols = p.get("statCols").map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")),
+      exact = p.get("exact").forall(_.trim.toBoolean),
+      rsd = dbl(p, "rsd", 0.02))),
     "q48_price_band" -> ((s, d, p) => RelationalOps.priceBand(
       Tables.part(s, d), dbl(p, "eps", 0.50))),
     "q14_stratified_sample" -> ((s, d, p) => TrackAnalytics.stratifiedSample(

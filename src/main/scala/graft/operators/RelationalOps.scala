@@ -397,4 +397,46 @@ object RelationalOps {
         col("n_outliers"))
       .orderBy("o_orderpriority")
   }
+
+  /** q50_table_stats — ANALYZE-style column statistics in ONE pass:
+    * per integer column the non-null count, null count, distinct
+    * count, min and max, unpivoted to a (column_name, stats...) row
+    * per column. This is the profile every planner, layout decision
+    * (sink_zorder's clustering keys, bucketing counts) and data-quality
+    * gate starts from — ANALYZE TABLE COMPUTE STATISTICS as an
+    * inventory operator whose output a pipeline can act on.
+    *
+    * Plan shape: all `4·|cols|+1` aggregates ride ONE aggregation —
+    * the multi-distinct Expand (q07's machinery) is a single shuffle
+    * of partial aggregates regardless of table width, and the
+    * `stack` unpivot is a driver-free generator over the one result
+    * row. `exact = false` IS the 100 TB posture: every distinct count
+    * swaps to approx_count_distinct's mergeable HLL (no Expand
+    * row-multiplication at all — partial sketches merge map-side),
+    * which is exactly what ANALYZE does at warehouse scale. The exact
+    * default keeps the oracle; ApproxSpec bounds the sketch path. */
+  def tableStats(lineitem: DataFrame,
+                 statCols: Seq[String] =
+                   Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+                 exact: Boolean = true, rsd: Double = 0.02): DataFrame = {
+    require(statCols.nonEmpty, "tableStats: need at least one column")
+    val aggs = statCols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"nn_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c), rsd)).as(s"nd_$c"),
+        min(col(c)).cast("long").as(s"mn_$c"),
+        max(col(c)).cast("long").as(s"mx_$c"))
+    }
+    val all = count(lit(1)).as("n_rows") +: aggs
+    val one = lineitem.agg(all.head, all.tail: _*)
+    val stackArgs = statCols.map(c =>
+      s"'$c', nn_$c, n_rows - nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    one.select(col("n_rows"),
+        expr(s"stack(${statCols.size}, $stackArgs) AS " +
+          "(column_name, n_non_null, n_nulls, n_distinct, min_val, max_val)"))
+      .select("column_name", "n_rows", "n_non_null", "n_nulls",
+        "n_distinct", "min_val", "max_val")
+      .orderBy("column_name")
+  }
 }

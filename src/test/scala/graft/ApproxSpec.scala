@@ -38,6 +38,24 @@ class ApproxSpec extends SparkSpecBase {
       assert(math.abs(c - n / 10.0) / n < 0.05, s"bucket count $c vs ${n / 10.0}"))
   }
 
+  test("tableStats sketch NDVs land within 5% of exact; all other stats identical") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    def byCol(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val exact = byCol(graft.operators.RelationalOps.tableStats(li))
+    val approx = byCol(graft.operators.RelationalOps.tableStats(li, exact = false))
+    assert(exact.keySet == Set("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (c, (nRows, nn, nulls, ndv, mn, mx)) =>
+      val (aRows, ann, anulls, andv, amn, amx) = approx(c)
+      assert((aRows, ann, anulls, amn, amx) == (nRows, nn, nulls, mn, mx),
+        s"$c: only the NDV may differ on the sketch path")
+      assert(math.abs(andv - ndv) / ndv.toDouble < 0.05, s"$c ndv $andv vs $ndv")
+      assert(mn <= mx && nn + nulls == nRows && ndv <= nn, s"$c stats inconsistent")
+    }
+  }
+
   test("robustOutliers sketch medians keep the exact flag counts (within boundary slack)") {
     val o = Tables.orders(spark, "/root/testdata/sf0.001")
     val exact = graft.operators.RelationalOps.robustOutliers(o)

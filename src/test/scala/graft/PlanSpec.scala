@@ -32,6 +32,20 @@ class PlanSpec extends SparkSpecBase {
       ss.map(_.requiredSchema.fieldNames.mkString(",")).mkString("; "))
   }
 
+  test("q50_table_stats: one aggregation pass; sketch path drops the multi-distinct Expand") {
+    val li = Tables.lineitem(spark, sfDir)
+    val exact = graft.operators.RelationalOps.tableStats(li).queryExecution.sparkPlan
+    // exact: the 4 count-distincts share ONE Expand-based aggregation —
+    // partial agg + final agg + the output sort, never a pass per column
+    val exchanges = exact.collect { case s: ShuffleExchangeExec => s }
+    assert(exchanges.size <= 2, s"agg + sort exchanges only, got ${exchanges.size}")
+    assert(scans(exact).size == 1, "the table is scanned once")
+    val sketch = graft.operators.RelationalOps.tableStats(li, exact = false).queryExecution.sparkPlan
+    assert(!sketch.toString.contains("Expand"),
+      "approx NDVs must aggregate as mergeable sketches, not Expand rows")
+    assert(scans(sketch).size == 1)
+  }
+
   test("a10_range_search: one broadcast scan pass, no shuffle except the output sort") {
     val p = plan("a10_range_search")
     val shuffles = p.collect { case s: ShuffleExchangeExec => s }
