@@ -227,6 +227,16 @@ object Oracles {
 
     // bucket = how many boundaries x strictly exceeds — spelled as
     // nine explicit comparisons (no list lambda, engine-portable)
+    // q51: the Bloom prefilter is invisible to semantics — the oracle
+    // is the plain semi-join aggregate; sum(BIGINT) casts away HUGEINT
+    "q51_bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_totalprice > 350000)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     // q50: count/count(DISTINCT) are BIGINT in DuckDB (no HUGEINT
     // leak); min/max cast explicitly (l_linenumber is INTEGER)
     "q50_table_stats" ->

@@ -84,6 +84,8 @@ object SparkEntry {
     "q46_robust_outliers" -> ((s, d) => RelationalOps.robustOutliers(Tables.orders(s, d))),
     "q47_equi_depth" -> ((s, d) => RelationalOps.equiDepth(Tables.lineitem(s, d))),
     "q50_table_stats" -> ((s, d) => RelationalOps.tableStats(Tables.lineitem(s, d))),
+    "q51_bloom_semi_join" -> ((s, d) => RelationalOps.bloomSemiJoin(
+      Tables.lineitem(s, d), Tables.orders(s, d))),
     "q48_price_band" -> ((s, d) => RelationalOps.priceBand(Tables.part(s, d))),
     "q40_grouping_sets" -> ((s, d) => RelationalOps.groupingSets(Tables.orders(s, d))),
     "q41_graph_rank" -> ((s, d) => TrackAnalytics.graphRank(Tables.events(s, d))),

@@ -439,4 +439,45 @@ object RelationalOps {
         "n_distinct", "min_val", "max_val")
       .orderBy("column_name")
   }
+
+  /** q51_bloom_semi_join — semi join with an explicit Bloom
+    * PRE-FILTER on the probe side: the filtered orders keys fold into
+    * a fixed-size Bloom filter (distributed build, d13's machinery),
+    * every lineitem row probes it in ONE compiled expression BEFORE
+    * any exchange, and only survivors enter the real semi join. The
+    * Bloom is a pure optimization: false positives are removed by the
+    * join, false negatives don't exist — the result is EXACTLY the
+    * plain semi-join aggregate, which is what the oracle checks.
+    *
+    * This is the technique Spark's AQE injects implicitly as a
+    * runtime filter for shuffle joins (internal
+    * BloomFilterAggregate/BloomFilterMightContain pair) — exposed
+    * here as an explicit, parameterizable operator: at 100 TB with a
+    * build side past the broadcast ceiling, the probe shuffle moves
+    * only rows that pass the Bloom (~selectivity + fpp of the table)
+    * instead of every row, and the filter itself needs no shuffle,
+    * no broadcast hash relation — just the bitset's bytes riding
+    * into codegen. fpp trades bitset size against wasted shuffle. */
+  def bloomSemiJoin(lineitem: DataFrame, orders: DataFrame,
+                    minTotal: Double = 350000.0, fpp: Double = 0.01): DataFrame = {
+    val spark = lineitem.sparkSession
+    val keys = graft.Caches.tracked(
+      orders.filter(col("o_totalprice") > minTotal).select("o_orderkey"))
+    val bloom = keys.stat.bloomFilter("o_orderkey", math.max(keys.count(), 1L), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val fname = graft.functions.GraftFunctions.registerBloomContains(spark, bytes)
+    val out = lineitem
+      .filter(expr(s"$fname(l_orderkey)"))
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy("l_returnflag")
+    graft.functions.GraftFunctions.dropFunction(spark, fname)
+    out
+  }
 }

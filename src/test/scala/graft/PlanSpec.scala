@@ -46,6 +46,22 @@ class PlanSpec extends SparkSpecBase {
     assert(scans(sketch).size == 1)
   }
 
+  test("q51_bloom_semi_join: the bloom probe filters BELOW the join, on the probe subtree") {
+    val p = plan("q51_bloom_semi_join")
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.nonEmpty, "a semi join must survive planning")
+    val semi = joins.head
+    // the probe (lineitem) side carries the compiled bloom filter —
+    // rows die before any exchange, not after the join
+    assert(semi.left.toString.contains("graft_bloom_contains"),
+      s"bloom probe missing from the probe subtree:\n${semi.left}")
+    // (InferFiltersFromConstraints also mirrors the predicate onto the
+    // build side through the equi-join constraint — harmless: build
+    // keys all pass by construction, and the probe-side placement is
+    // what moves the shuffle volume)
+  }
+
   test("a10_range_search: one broadcast scan pass, no shuffle except the output sort") {
     val p = plan("a10_range_search")
     val shuffles = p.collect { case s: ShuffleExchangeExec => s }
