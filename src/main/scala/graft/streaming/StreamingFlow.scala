@@ -201,6 +201,54 @@ object StreamingFlow {
       .drop("toks", "sh")
   }
 
+  /** The benchmark Bloom filter for [[streamBloomDecontaminate]],
+    * built distributed once from a static documents table (d13's
+    * machinery): the driver residue is the fixed-size bitset — bytes
+    * whose size depends only on fpp and the shingle count, never on
+    * shingle width. */
+  def evalShingleBloom(documents: DataFrame, evalSource: String = "src0",
+                       fpp: Double = 0.001): Array[Byte] = {
+    val evalSh = graft.Caches.tracked(
+      graft.dedup.Dedup.withShingleHashes(
+          documents.filter(col("source") === evalSource))
+        .select(explode(col("sh")).as("sh_h")).distinct())
+    val bloom = evalSh.stat.bloomFilter("sh_h", math.max(evalSh.count(), 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** s17_stream_bloom_decontaminate — s11 with d13's Bloom probe:
+    * where s11 carries the benchmark shingle union as a plan literal
+    * (8 bytes per shingle — fine for one benchmark, linear growth as
+    * the held-out suite accretes), the Bloom keeps the per-executor
+    * footprint at `-n·ln(fpp)/ln(2)²` BITS regardless of how many
+    * benchmarks fold in, and the per-doc probe is one compiled
+    * traversal instead of an array intersection. Same stateless
+    * per-row routing, same quarantine threshold; Bloom one-sidedness
+    * means routing is conservative — everything s11 quarantines, s17
+    * quarantines (no contaminated doc slips through), and a clean doc
+    * false-quarantines with probability ~Binom(|sh|, fpp) ≥ minShared.
+    * The function registration is NOT dropped here: a streaming query
+    * re-resolves nothing per trigger, but the registry entry must
+    * outlive this constructor for restarts re-planning from the
+    * unresolved plan. */
+  def streamBloomDecontaminate(stream: DataFrame, bloomBytes: Array[Byte],
+                               minShared: Long = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    val fname = graft.functions.GraftFunctions.registerBloomHitCount(
+      stream.sparkSession, bloomBytes)
+    stream
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("sh", expr("graft_shingle_hashes(toks, 3)"))
+      // coalesce: null text yields null shingles — route as unshared
+      .withColumn("n_maybe_shared",
+        coalesce(expr(s"$fname(sh)"), lit(0)).cast("long"))
+      .withColumn("route",
+        when(col("n_maybe_shared") >= minShared, "quarantine").otherwise("pass"))
+      .drop("toks", "sh")
+  }
+
   /** s15_stream_cdc_dedup — streaming SHIFT-INVARIANT payload
     * near-dedup, the m07 twin of what s09 is to d04: each arriving
     * payload is content-defined-chunked (graft_cdc_hashes, one

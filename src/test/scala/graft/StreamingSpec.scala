@@ -193,6 +193,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s17 bloom decontamination routes like s11 and counts >= batch d13's exact twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bench = "the capital of france is paris and the capital of spain is madrid"
+    val leak = "answer key the capital of france is paris and the capital of spain"
+    val clean = "a completely unrelated training document about cooking pasta at home"
+    val static = Seq(
+      (0L, bench, "eval"), (1L, leak, "train"), (2L, clean, "train")
+    ).toDF("doc_id", "text", "source")
+    val bloomBytes = StreamingFlow.evalShingleBloom(static, evalSource = "eval")
+    assert(bloomBytes.nonEmpty)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingFlow.streamBloomDecontaminate(
+        input.toDF().toDF("doc_id", "text"), bloomBytes, minShared = 5)
+      .writeStream.format("memory").queryName("bloom_decon_out").outputMode("append").start()
+    try {
+      input.addData((1L, leak), (2L, clean), (3L, "too short"))
+      q.processAllAvailable()
+      val rows = spark.table("bloom_decon_out").orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+      assert(rows(1L)._2 == "quarantine", s"leak must quarantine: ${rows(1L)}")
+      assert(rows(2L)._2 == "pass", s"clean doc false-quarantined: ${rows(2L)}")
+      assert(rows(3L) == (0L, "pass"), "sub-3-token doc carries no shingles")
+      // one-sidedness: stream maybe-counts dominate exact d09 counts
+      val exact = graft.dedup.Dedup.decontaminate(static, "eval", 5).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows(1L)._1 >= exact(1L) && rows(2L)._1 >= exact(2L),
+        s"stream ${rows.view.mapValues(_._1).toMap} vs exact $exact")
+    } finally q.stop()
+  }
+
   test("s15 streaming CDC dedup collapses the prefix-shifted copy, keeps distinct payloads") {
     implicit val sqlCtx = spark.sqlContext
     // long payloads → ~40 CDC chunks, so the min-hash chunk is (for
