@@ -227,6 +227,22 @@ object Oracles {
 
     // bucket = how many boundaries x strictly exceeds — spelled as
     // nine explicit comparisons (no list lambda, engine-portable)
+    // q52: sum(cnt) casts away HUGEINT; share/skew_ratio are single
+    // IEEE divisions of integer-exact values (bit-equal cross-engine);
+    // quantile_cont matches Spark's percentile interpolation (q46)
+    "q52_key_skew" ->
+      """WITH c AS (SELECT l_partkey AS key, count(*) AS cnt
+                    FROM lineitem GROUP BY 1),
+         s AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+                      quantile_cont(cnt, 0.5) AS p50_cnt, max(cnt) AS max_cnt
+               FROM c)
+         SELECT key, cnt,
+                CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share,
+                n_keys, n_rows, p50_cnt, max_cnt,
+                CAST(max_cnt AS DOUBLE) / p50_cnt AS skew_ratio
+         FROM c CROSS JOIN s
+         ORDER BY cnt DESC, key LIMIT 20""",
+
     // q51: the Bloom prefilter is invisible to semantics — the oracle
     // is the plain semi-join aggregate; sum(BIGINT) casts away HUGEINT
     "q51_bloom_semi_join" ->

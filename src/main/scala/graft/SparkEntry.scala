@@ -86,6 +86,7 @@ object SparkEntry {
     "q50_table_stats" -> ((s, d) => RelationalOps.tableStats(Tables.lineitem(s, d))),
     "q51_bloom_semi_join" -> ((s, d) => RelationalOps.bloomSemiJoin(
       Tables.lineitem(s, d), Tables.orders(s, d))),
+    "q52_key_skew" -> ((s, d) => RelationalOps.keySkew(Tables.lineitem(s, d))),
     "q48_price_band" -> ((s, d) => RelationalOps.priceBand(Tables.part(s, d))),
     "q40_grouping_sets" -> ((s, d) => RelationalOps.groupingSets(Tables.orders(s, d))),
     "q41_graph_rank" -> ((s, d) => TrackAnalytics.graphRank(Tables.events(s, d))),

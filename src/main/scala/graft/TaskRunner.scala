@@ -101,6 +101,9 @@ object TaskRunner {
         .getOrElse(Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")),
       exact = p.get("exact").forall(_.trim.toBoolean),
       rsd = dbl(p, "rsd", 0.02))),
+    "q52_key_skew" -> ((s, d, p) => RelationalOps.keySkew(
+      Tables.lineitem(s, d), str(p, "keyCol", "l_partkey"),
+      i(p, "topK", 20))),
     "q51_bloom_semi_join" -> ((s, d, p) => RelationalOps.bloomSemiJoin(
       Tables.lineitem(s, d), Tables.orders(s, d),
       minTotal = dbl(p, "minTotal", 350000.0), fpp = dbl(p, "fpp", 0.01))),

@@ -458,6 +458,45 @@ object RelationalOps {
     * instead of every row, and the filter itself needs no shuffle,
     * no broadcast hash relation — just the bitset's bytes riding
     * into codegen. fpp trades bitset size against wasted shuffle. */
+  /** q52_key_skew — join/agg-key skew diagnosis: the top-K heaviest
+    * keys of a column with their row share, against the key-count
+    * distribution summary (n_keys, median count, max count, and
+    * skew_ratio = max/median — the number that says whether q19/q35's
+    * salting or AQE skew-join handling is needed BEFORE the 100 TB
+    * join stalls on one straggler partition). The report every
+    * pipeline owner wants from "why is stage 7 slow".
+    *
+    * Plan shape: ONE count aggregation to the (key, cnt) table —
+    * |keys| rows, orders of magnitude smaller than the fact table —
+    * tracked-cached and read twice: a one-row summary aggregate
+    * (broadcast back onto the report) and a top-K via orderBy+limit
+    * (TakeOrdered — a bounded heap per partition plus a K-row driver
+    * merge, never a global sort materialization). Determinism: ties
+    * break on key; share and skew_ratio are single IEEE divisions of
+    * integer-exact values, bit-equal across engines (the q46
+    * percentile convention for the median). */
+  def keySkew(lineitem: DataFrame, keyCol: String = "l_partkey",
+              topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"keySkew: topK must be >= 1, got $topK")
+    val counts = graft.Caches.tracked(
+      lineitem.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt")))
+    val summary = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum("cnt").as("n_rows"),
+      expr("percentile(cnt, 0.5)").as("p50_cnt"),
+      max("cnt").as("max_cnt"))
+    counts.orderBy(col("cnt").desc, col("key"))
+      .limit(topK)
+      .crossJoin(broadcast(summary))
+      .withColumn("share",
+        col("cnt").cast("double") / col("n_rows").cast("double"))
+      .withColumn("skew_ratio",
+        col("max_cnt").cast("double") / col("p50_cnt"))
+      .select("key", "cnt", "share", "n_keys", "n_rows", "p50_cnt",
+        "max_cnt", "skew_ratio")
+      .orderBy(col("cnt").desc, col("key"))
+  }
+
   def bloomSemiJoin(lineitem: DataFrame, orders: DataFrame,
                     minTotal: Double = 350000.0, fpp: Double = 0.01): DataFrame = {
     val spark = lineitem.sparkSession
