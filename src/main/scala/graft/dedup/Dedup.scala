@@ -193,6 +193,75 @@ object Dedup {
       .orderBy("new_doc", "corpus_doc")
   }
 
+  /** sink_dedup_index — PERSIST the corpus half of d11's derivation,
+    * making incremental dedup actually incremental: `dedupAgainst`
+    * re-shingles and re-fingerprints the ENTIRE corpus on every batch
+    * (fine per call, fatal as a nightly loop at 100 TB — the corpus
+    * side dwarfs the batch side by construction). This sink runs that
+    * derivation ONCE, writing two tables under `path`:
+    * `shingles/` (doc_id, sh — the exact-verify side) and
+    * `sig/` (doc_id, nsh, bi, bh — the band-candidate side,
+    * partitioned by band index so a probe's band-i keys prune to the
+    * bi=i directory). [[dedupAgainstIndex]] then probes at
+    * |batch|-proportional cost with ZERO corpus text reads.
+    *
+    * Storage is the honest trade: `sig` is numHashes/bands rows per
+    * doc (constant), `shingles` is ~one 8-byte hash per corpus token
+    * — comparable to the text itself, the price of exact-Jaccard
+    * verification (signature-only estimation would shrink it to the
+    * constant part at the cost of approximate scores). The index is
+    * immutable by design — admitted batches append via the same sink
+    * (the a12 append pattern); dfCap is not offered here because the
+    * cap's document frequencies are union-wide and an immutable index
+    * cannot know future batches (cap at build time against the corpus
+    * DF instead). */
+  def writeDedupIndex(corpus: DataFrame, path: String,
+                      numHashes: Int = 64, bands: Int = 16): Unit = {
+    val sets = graft.Caches.tracked(
+      withShingleHashes(corpus).select(col("doc_id"), col("sh")))
+    sets.write.mode("overwrite").parquet(path + "/shingles")
+    sets.select(col("doc_id"), size(col("sh")).as("nsh"),
+        posexplode(expr(s"graft_minhash_bands(sh, $numHashes, $bands)"))
+          .as(Seq("bi", "bh")))
+      .write.mode("overwrite").partitionBy("bi").parquet(path + "/sig")
+  }
+
+  /** d11 against the SAVED index: byte-identical output to
+    * `dedupAgainst(newDocs, corpus, dfCap = None)` with the same
+    * (numHashes, bands) the index was built with — the batch is
+    * shingled and fingerprinted fresh (|batch|-proportional), the
+    * corpus arrives as parquet signature/shingle relations. The band
+    * join stays shuffle-hash on (bi, bh); corpus TEXT is never
+    * scanned (spec-pinned). */
+  def dedupAgainstIndex(newDocs: DataFrame, indexPath: String,
+                        threshold: Double = 0.8, numHashes: Int = 64,
+                        bands: Int = 16): DataFrame = {
+    val spark = newDocs.sparkSession
+    val batchSets = graft.Caches.tracked(
+      withShingleHashes(newDocs).select(col("doc_id"), col("sh")))
+    val batchSig = batchSets.select(col("doc_id"), size(col("sh")).as("nsh"),
+      posexplode(expr(s"graft_minhash_bands(sh, $numHashes, $bands)"))
+        .as(Seq("bi", "bh")))
+    val idxSig = spark.read.parquet(indexPath + "/sig")
+    val cand = batchSig.as("x")
+      .join(idxSig.as("y").hint("shuffle_hash"),
+        col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh") &&
+          sizeOkCols(threshold))
+      .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("corpus_doc"))
+      .distinct()
+    val idxSh = spark.read.parquet(indexPath + "/shingles")
+    cand
+      .join(batchSets.select(col("doc_id").as("new_doc"), col("sh").as("sh_a")), "new_doc")
+      .join(idxSh.select(col("doc_id").as("corpus_doc"), col("sh").as("sh_b")), "corpus_doc")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("shared") / (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_doc"), col("corpus_doc"),
+        stableRound(col("jaccard"), 4).as("jaccard"))
+      .orderBy("new_doc", "corpus_doc")
+  }
+
   /** The shared batch∪corpus derivation behind d11 and d12: side-
     * tagged shingle sets (ONE tracked cache — membership never needs
     * an id-set join, so the split is free at any batch size) and the

@@ -161,6 +161,33 @@ class DedupSpec extends SparkSpecBase {
     assert(!out.contains(0L), "eval docs are the reference set, not scored")
   }
 
+  test("dedupAgainstIndex reproduces dedupAgainst from the saved index, corpus text unread") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = docs.filter(docs("source") === "src0")
+    val corpus = docs.filter(docs("source") =!= "src0")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    graft.dedup.Dedup.writeDedupIndex(corpus, dir)
+    val live = graft.dedup.Dedup.dedupAgainst(batch, corpus, threshold = 0.6).collect()
+    val probe = graft.dedup.Dedup.dedupAgainstIndex(batch, dir, threshold = 0.6)
+    assert(probe.collect().toSeq == live.toSeq,
+      "index probe must be byte-identical to the live corpus join")
+    // the probe plan reads ONLY index parquet — never the corpus text
+    val scannedPaths = probe.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scannedPaths.exists(_.contains(dir.split("/").last)), "index tables scanned")
+    assert(!scannedPaths.exists(_.contains("documents.parquet")) ||
+      // the batch side legitimately reads documents; corpus text must
+      // arrive only via the index — so documents scans must all be
+      // batch-filtered (source = src0 pushed down)
+      probe.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("documents.parquet")) => f
+      }.forall(_.dataFilters.exists(_.toString.contains("src0"))),
+      "corpus text must never be re-scanned by the probe")
+  }
+
   test("bloomDecontaminate flags the leak, skips shorts, and never misses a d09 flag") {
     val bench = "the capital of france is paris and the capital of spain is madrid"
     val leak = "answer key the capital of france is paris and the capital of spain"
