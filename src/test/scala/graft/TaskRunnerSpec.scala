@@ -142,6 +142,27 @@ class TaskRunnerSpec extends SparkSpecBase {
     assert(one.nonEmpty && one.forall(r => r.getLong(1) == r.getLong(2)))
   }
 
+  test("round-11 bloom/stats params take effect: statCols, keyCol/topK, minTotal, fpp") {
+    // q50: a single-column profile yields one row with that name
+    val one = TaskRunner.run(spark, d, "q50_table_stats",
+      Map("statCols" -> "l_suppkey")).collect()
+    assert(one.length == 1 && one(0).getString(0) == "l_suppkey")
+    // q52: keyCol switches the profiled key; topK bounds the report
+    val sk = TaskRunner.run(spark, d, "q52_key_skew",
+      Map("keyCol" -> "l_suppkey", "topK" -> "5")).collect()
+    assert(sk.length == 5)
+    // q51: a higher threshold can only shrink the semi-join aggregate
+    def items(p: Map[String, String]) =
+      TaskRunner.run(spark, d, "q51_bloom_semi_join", p)
+        .collect().map(_.getLong(1)).sum
+    assert(items(Map("minTotal" -> "450000")) < items(Map("minTotal" -> "150000")))
+    // d13: a coarser bloom (higher fpp) can only raise maybe-counts
+    def maybeTotal(p: Map[String, String]) =
+      TaskRunner.run(spark, d, "d13_bloom_decontaminate", p)
+        .collect().map(_.getLong(1)).sum
+    assert(maybeTotal(Map("fpp" -> "0.2")) >= maybeTotal(Map("fpp" -> "0.001")))
+  }
+
   test("every param-aware runner binds an existing inventory query") {
     val orphans = TaskRunner.runners.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"runners with no inventory query: $orphans")
