@@ -236,12 +236,30 @@ object Dedup {
   def dedupAgainstIndex(newDocs: DataFrame, indexPath: String,
                         threshold: Double = 0.8, numHashes: Int = 64,
                         bands: Int = 16): DataFrame = {
-    val spark = newDocs.sparkSession
+    val (batchSets, batchSig) = batchPipeline(newDocs, numHashes, bands)
+    indexCrossPairs(batchSets, batchSig, indexPath, threshold)
+      .orderBy("new_doc", "corpus_doc")
+  }
+
+  /** The fresh batch half of the index probe: tracked shingle sets +
+    * band signatures, the |batch|-proportional cost every index
+    * consumer pays. */
+  private def batchPipeline(newDocs: DataFrame, numHashes: Int,
+                            bands: Int): (DataFrame, DataFrame) = {
     val batchSets = graft.Caches.tracked(
       withShingleHashes(newDocs).select(col("doc_id"), col("sh")))
     val batchSig = batchSets.select(col("doc_id"), size(col("sh")).as("nsh"),
-      posexplode(expr(s"graft_minhash_bands(sh, $numHashes, $bands)"))
+      posexplode(expr(s"graft_minhash_bands(sh, ${numHashes}, ${bands})"))
         .as(Seq("bi", "bh")))
+    (batchSets, batchSig)
+  }
+
+  /** Verified batch×index pairs (unsorted): band candidates against
+    * the saved sig relation, exact-Jaccard verify against the saved
+    * shingle relation. */
+  private def indexCrossPairs(batchSets: DataFrame, batchSig: DataFrame,
+                              indexPath: String, threshold: Double): DataFrame = {
+    val spark = batchSets.sparkSession
     val idxSig = spark.read.parquet(indexPath + "/sig")
     val cand = batchSig.as("x")
       .join(idxSig.as("y").hint("shuffle_hash"),
@@ -259,7 +277,59 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("new_doc"), col("corpus_doc"),
         stableRound(col("jaccard"), 4).as("jaccard"))
-      .orderBy("new_doc", "corpus_doc")
+  }
+
+  /** APPEND a batch (its admitted docs) to a saved dedup index — the
+    * write that closes the incremental loop: tomorrow's admission
+    * probes today's admissions without any rebuild. Same derivation
+    * as [[writeDedupIndex]], parquet append on both tables; band
+    * partitioning keeps appends directory-local. Idempotence is the
+    * caller's batch protocol (s14's batch_id overwrite pattern for
+    * streaming; a nightly job appends each batch once). */
+  def appendDedupIndex(admitted: DataFrame, path: String,
+                       numHashes: Int = 64, bands: Int = 16): Unit = {
+    val sets = graft.Caches.tracked(
+      withShingleHashes(admitted).select(col("doc_id"), col("sh")))
+    sets.write.mode("append").parquet(path + "/shingles")
+    sets.select(col("doc_id"), size(col("sh")).as("nsh"),
+        posexplode(expr(s"graft_minhash_bands(sh, $numHashes, $bands)"))
+          .as(Seq("bi", "bh")))
+      .write.mode("append").partitionBy("bi").parquet(path + "/sig")
+  }
+
+  /** d12's admission verdict against the SAVED index: corpus_dup via
+    * [[indexCrossPairs]] (zero corpus text reads), batch_dup via the
+    * batch×batch band join over the SAME fresh batch derivation —
+    * verdict-identical to `ingestAdmit(newDocs, corpus, dfCap = None)`
+    * when the index holds that corpus (spec-pinned). With
+    * [[appendDedupIndex]] this is the whole nightly loop at
+    * |batch|-proportional cost: probe, admit, append. */
+  def ingestAdmitIndexed(newDocs: DataFrame, indexPath: String,
+                         threshold: Double = 0.8, numHashes: Int = 64,
+                         bands: Int = 16): DataFrame = {
+    val (batchSets, batchSig0) = batchPipeline(newDocs, numHashes, bands)
+    val batchSig = graft.Caches.tracked(batchSig0)
+    val corpusDup = indexCrossPairs(batchSets, batchSig, indexPath, threshold)
+      .select(col("new_doc").as("doc_id")).distinct()
+      .withColumn("cd", lit(true))
+    val candBB = batchSig.as("x")
+      .join(batchSig.as("y").hint("shuffle_hash"),
+        col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id") && sizeOkCols(threshold))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val batchDup = verifyPairs(batchSets, candBB, threshold, "doc_a", "doc_b")
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("bd", lit(true))
+    newDocs.select("doc_id")
+      .join(corpusDup, Seq("doc_id"), "left")
+      .join(batchDup, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("cd"), "corpus_dup")
+          .when(col("bd"), "batch_dup")
+          .otherwise("admitted"))
+      .select(col("doc_id"), (col("reason") === "admitted").as("admitted"), col("reason"))
+      .orderBy("doc_id")
   }
 
   /** The shared batch∪corpus derivation behind d11 and d12: side-

@@ -188,6 +188,35 @@ class DedupSpec extends SparkSpecBase {
       "corpus text must never be re-scanned by the probe")
   }
 
+  test("ingestAdmitIndexed matches live ingestAdmit; appended admissions shadow the next batch") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = docs.filter(docs("source") === "src0")
+    val corpus = docs.filter(docs("source") =!= "src0")
+    val dir = java.nio.file.Files.createTempDirectory("graft_admit_idx").toString
+    graft.dedup.Dedup.writeDedupIndex(corpus, dir)
+    val live = graft.dedup.Dedup.ingestAdmit(batch, corpus, threshold = 0.6).collect()
+    val probe = graft.dedup.Dedup.ingestAdmitIndexed(batch, dir, threshold = 0.6).collect()
+    assert(probe.toSeq == live.toSeq,
+      "index admission must be verdict-identical to the live corpus join")
+    // close the loop: append batch-1's admitted docs, then a near-copy
+    // of one of them in batch-2 must come back corpus_dup
+    val admittedIds = probe.filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    assert(admittedIds.nonEmpty, "need at least one admitted doc to exercise the loop")
+    import spark.implicits._
+    val keeper = batch.filter(batch("doc_id").isin(admittedIds.toSeq: _*))
+    graft.dedup.Dedup.appendDedupIndex(keeper, dir)
+    val copiedId = admittedIds.min
+    val copiedText = keeper.filter(keeper("doc_id") === copiedId)
+      .select("text").collect()(0).getString(0)
+    val batch2 = Seq((1000000L, copiedText), (1000001L, "an entirely fresh document about nothing else whatsoever"))
+      .toDF("doc_id", "text")
+    val verdict2 = graft.dedup.Dedup.ingestAdmitIndexed(batch2, dir, threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(verdict2(1000000L) == "corpus_dup",
+      s"the appended admission must shadow its copy: $verdict2")
+    assert(verdict2(1000001L) == "admitted", s"fresh doc must admit: $verdict2")
+  }
+
   test("bloomDecontaminate flags the leak, skips shorts, and never misses a d09 flag") {
     val bench = "the capital of france is paris and the capital of spain is madrid"
     val leak = "answer key the capital of france is paris and the capital of spain"
