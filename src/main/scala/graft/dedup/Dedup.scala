@@ -216,14 +216,25 @@ object Dedup {
     * cannot know future batches (cap at build time against the corpus
     * DF instead). */
   def writeDedupIndex(corpus: DataFrame, path: String,
-                      numHashes: Int = 64, bands: Int = 16): Unit = {
+                      numHashes: Int = 64, bands: Int = 16,
+                      batchId: Option[Long] = None): Unit = {
     val sets = graft.Caches.tracked(
       withShingleHashes(corpus).select(col("doc_id"), col("sh")))
-    sets.write.mode("overwrite").parquet(path + "/shingles")
-    sets.select(col("doc_id"), size(col("sh")).as("nsh"),
-        posexplode(expr(s"graft_minhash_bands(sh, $numHashes, $bands)"))
-          .as(Seq("bi", "bh")))
-      .write.mode("overwrite").partitionBy("bi").parquet(path + "/sig")
+    val sig = sets.select(col("doc_id"), size(col("sh")).as("nsh"),
+      posexplode(expr(s"graft_minhash_bands(sh, $numHashes, $bands)"))
+        .as(Seq("bi", "bh")))
+    batchId match {
+      case None =>
+        sets.write.mode("overwrite").parquet(path + "/shingles")
+        sig.write.mode("overwrite").partitionBy("bi").parquet(path + "/sig")
+      case Some(id) =>
+        // batch_id-partitioned layout: the streaming/nightly loop's
+        // replay-safe shape (appendDedupIndex overwrites per batch)
+        sets.withColumn("batch_id", lit(id))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(path + "/shingles")
+        sig.withColumn("batch_id", lit(id))
+          .write.mode("overwrite").partitionBy("batch_id", "bi").parquet(path + "/sig")
+    }
   }
 
   /** d11 against the SAVED index: byte-identical output to
@@ -258,16 +269,24 @@ object Dedup {
     * the saved sig relation, exact-Jaccard verify against the saved
     * shingle relation. */
   private def indexCrossPairs(batchSets: DataFrame, batchSig: DataFrame,
-                              indexPath: String, threshold: Double): DataFrame = {
+                              indexPath: String, threshold: Double,
+                              excludeBatchId: Option[Long] = None): DataFrame = {
     val spark = batchSets.sparkSession
-    val idxSig = spark.read.parquet(indexPath + "/sig")
+    // self-exclusion (batch_id-partitioned indexes only): a replayed
+    // batch must judge against the same snapshot as its first attempt,
+    // so its own prior partitions are pruned out (the s14 recipe)
+    def excl(df: DataFrame) = excludeBatchId match {
+      case None => df
+      case Some(id) => df.filter(col("batch_id") =!= id)
+    }
+    val idxSig = excl(spark.read.parquet(indexPath + "/sig"))
     val cand = batchSig.as("x")
       .join(idxSig.as("y").hint("shuffle_hash"),
         col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh") &&
           sizeOkCols(threshold))
       .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("corpus_doc"))
       .distinct()
-    val idxSh = spark.read.parquet(indexPath + "/shingles")
+    val idxSh = excl(spark.read.parquet(indexPath + "/shingles"))
     cand
       .join(batchSets.select(col("doc_id").as("new_doc"), col("sh").as("sh_a")), "new_doc")
       .join(idxSh.select(col("doc_id").as("corpus_doc"), col("sh").as("sh_b")), "corpus_doc")
@@ -287,14 +306,28 @@ object Dedup {
     * caller's batch protocol (s14's batch_id overwrite pattern for
     * streaming; a nightly job appends each batch once). */
   def appendDedupIndex(admitted: DataFrame, path: String,
-                       numHashes: Int = 64, bands: Int = 16): Unit = {
+                       numHashes: Int = 64, bands: Int = 16,
+                       batchId: Option[Long] = None): Unit = {
     val sets = graft.Caches.tracked(
       withShingleHashes(admitted).select(col("doc_id"), col("sh")))
-    sets.write.mode("append").parquet(path + "/shingles")
-    sets.select(col("doc_id"), size(col("sh")).as("nsh"),
-        posexplode(expr(s"graft_minhash_bands(sh, $numHashes, $bands)"))
-          .as(Seq("bi", "bh")))
-      .write.mode("append").partitionBy("bi").parquet(path + "/sig")
+    val sig = sets.select(col("doc_id"), size(col("sh")).as("nsh"),
+      posexplode(expr(s"graft_minhash_bands(sh, $numHashes, $bands)"))
+        .as(Seq("bi", "bh")))
+    batchId match {
+      case None =>
+        sets.write.mode("append").parquet(path + "/shingles")
+        sig.write.mode("append").partitionBy("bi").parquet(path + "/sig")
+      case Some(id) =>
+        // replay-safe append on a batch_id-partitioned index: dynamic
+        // partition overwrite rewrites ONLY this batch's partitions,
+        // so a crashed-then-replayed batch lands exactly once
+        sets.withColumn("batch_id", lit(id))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(path + "/shingles")
+        sig.withColumn("batch_id", lit(id))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "bi").parquet(path + "/sig")
+    }
   }
 
   /** d12's admission verdict against the SAVED index: corpus_dup via
@@ -306,10 +339,12 @@ object Dedup {
     * |batch|-proportional cost: probe, admit, append. */
   def ingestAdmitIndexed(newDocs: DataFrame, indexPath: String,
                          threshold: Double = 0.8, numHashes: Int = 64,
-                         bands: Int = 16): DataFrame = {
+                         bands: Int = 16,
+                         excludeBatchId: Option[Long] = None): DataFrame = {
     val (batchSets, batchSig0) = batchPipeline(newDocs, numHashes, bands)
     val batchSig = graft.Caches.tracked(batchSig0)
-    val corpusDup = indexCrossPairs(batchSets, batchSig, indexPath, threshold)
+    val corpusDup = indexCrossPairs(batchSets, batchSig, indexPath, threshold,
+        excludeBatchId)
       .select(col("new_doc").as("doc_id")).distinct()
       .withColumn("cd", lit(true))
     val candBB = batchSig.as("x")

@@ -348,6 +348,57 @@ object StreamingFlow {
         .partitionBy("batch_id").parquet(corpusPath)
     }
 
+  /** s18_stream_ingest_admit_indexed — s14's admission loop on the
+    * PERSISTED dedup index: where s14's per-trigger cost re-shingles
+    * the whole corpus snapshot (the corpus compounds, so trigger N
+    * pays O(corpus_N) — quadratic-ish over a day of triggers), this
+    * variant probes `Dedup.ingestAdmitIndexed` (corpus arrives as
+    * saved signature/shingle relations, ZERO corpus text reads) and
+    * folds admissions back with `appendDedupIndex` — per-trigger cost
+    * is |batch|-proportional plus one band-pruned parquet join,
+    * which is the cost model a 24/7 ingest admission needs. Same
+    * verdicts, same compounding (trigger N+1 sees trigger N's
+    * admissions), same replay protocol: the index is batch_id-
+    * partitioned (seed with writeDedupIndex(batchId = Some(-1))),
+    * probes exclude the replaying batch's own partitions, and both
+    * writes are dynamic partition overwrites keyed by batch_id —
+    * a crashed-then-replayed trigger lands exactly once. */
+  def streamIngestAdmitIndexed(stream: DataFrame, indexPath: String,
+                               verdictPath: String, checkpoint: String,
+                               threshold: Double = 0.8
+                              ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(ingestAdmitIndexedBatch(indexPath, verdictPath, threshold))
+      .start()
+
+  /** The per-trigger step behind [[streamIngestAdmitIndexed]] —
+    * s14's ingestAdmitBatch with the index in place of the corpus
+    * snapshot. Verdicts localCheckpoint before the index append
+    * breaks the read-write cycle on indexPath. */
+  private[graft] def ingestAdmitIndexedBatch(indexPath: String, verdictPath: String,
+                                             threshold: Double
+                                            ): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val docs = batch.select("doc_id", "text").localCheckpoint(true)
+      val verdicts = graft.Caches.scoped {
+        graft.dedup.Dedup
+          .ingestAdmitIndexed(docs, indexPath, threshold,
+            excludeBatchId = Some(batchId))
+          .localCheckpoint(true)
+      }
+      verdicts.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(verdictPath)
+      val admitted = docs.join(
+        verdicts.filter(col("admitted")).select("doc_id"), "doc_id")
+      graft.Caches.scoped {
+        graft.dedup.Dedup.appendDedupIndex(admitted, indexPath,
+          batchId = Some(batchId))
+      }
+    }
+
   case class Ev(userId: Long, tsMs: Long)
   case class SessionState(lastMs: Long, sessions: Int)
   case class SessionCount(userId: Long, sessions: Int)

@@ -340,6 +340,54 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s18 indexed streaming admission: s14 verdicts at batch-proportional cost, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("s18").toString
+    val idxPath = s"$dir/index"; val verdictPath = s"$dir/verdicts"
+    val docA = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    val docB = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val docC = "papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu mike"
+    // seed the index from the corpus under the sentinel batch_id
+    graft.dedup.Dedup.writeDedupIndex(
+      Seq((100L, docA)).toDF("doc_id", "text"), idxPath, batchId = Some(-1L))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingFlow.streamIngestAdmitIndexed(
+      input.toDF().toDF("doc_id", "text"), idxPath, verdictPath, s"$dir/ckpt")
+    try {
+      input.addData((1L, docA), (2L, docB), (3L, docB), (4L, docC))
+      q.processAllAvailable()
+      val v1 = spark.read.parquet(verdictPath).filter(col("batch_id") === 0)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      // identical verdicts to the live-corpus batch operator (s14's gate)
+      val b1 = graft.dedup.Dedup.ingestAdmit(
+          Seq((1L, docA), (2L, docB), (3L, docB), (4L, docC)).toDF("doc_id", "text"),
+          Seq((100L, docA)).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(v1 == b1, s"stream $v1 vs batch $b1")
+      // compounding: docB admitted a trigger ago is now a corpus_dup
+      input.addData((5L, docB), (6L, docA))
+      q.processAllAvailable()
+      val v2 = spark.read.parquet(verdictPath).filter(col("batch_id") === 1)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(v2 == Map(5L -> "corpus_dup", 6L -> "corpus_dup"), s"got $v2")
+      // the index now holds seed + exactly trigger 1's admissions
+      val idxIds = spark.read.parquet(s"$idxPath/shingles")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(idxIds == Set(100L, 2L, 4L), s"got $idxIds")
+      // replay of batch 0 (same batch_id) reproduces its verdicts —
+      // its own index partitions are excluded from the probe — and
+      // overwrites rather than duplicates its appended rows
+      StreamingFlow.ingestAdmitIndexedBatch(idxPath, verdictPath, 0.8)(
+        Seq((1L, docA), (2L, docB), (3L, docB), (4L, docC)).toDF("doc_id", "text"), 0L)
+      val replayed = spark.read.parquet(verdictPath).filter(col("batch_id") === 0)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(replayed == v1, s"replay must be idempotent: $replayed vs $v1")
+      val idxAfter = spark.read.parquet(s"$idxPath/shingles")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(idxAfter.sorted == Seq(2L, 4L, 100L), s"replay duplicated index rows: $idxAfter")
+    } finally q.stop()
+  }
+
   test("s10 quality gate routes docs and scores identically to batch t02") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
