@@ -890,4 +890,60 @@ object Ann {
         .orderBy("c_label")
     }
   }
+
+  /** sink_ann_index — PERSIST the IVF index as parquet posting lists
+    * (what FAISS writes to disk, in table form): the centroid table
+    * under `centroids/` and every corpus vector stored IN ITS CELL —
+    * `vectors/` partitioned by c_label. Build cost (k-means train +
+    * one assignment pass) is paid once; every subsequent query batch
+    * probes via [[ivfKnnIndexed]] reading ONLY its probed cells'
+    * directories. This is the missing half of the index lifecycle the
+    * in-memory path re-derives per call: a04/a07 re-assign the whole
+    * corpus on every invocation (map-only but n·k·d flops); the saved
+    * layout makes assignment a property of the data at rest. Append
+    * without retrain = assign the new batch under the saved quantizer
+    * and parquet-append its cells (the a12 pattern); re-split hot
+    * cells with a14 then rewrite only the split cells' directories. */
+  def writeAnnIndex(corpus: DataFrame, centroids: DataFrame, path: String): Unit = {
+    GraftFunctions.register(corpus.sparkSession)
+    centroids.write.mode("overwrite").parquet(path + "/centroids")
+    assign(corpus, centroids)
+      .select(col("vec_id"), col("embedding"), col("c_label"))
+      .write.mode("overwrite").partitionBy("c_label").parquet(path + "/vectors")
+  }
+
+  /** a04's search against the SAVED index: queries assign fresh under
+    * the saved centroid table (|queries|·k flops — queries are few by
+    * definition), the probed-cell set (≤ |queries|·nprobe labels, a
+    * bounded driver list) prunes the vectors read to those cell
+    * DIRECTORIES statically, and scoring runs only inside them.
+    * Result-identical to `ivfKnn` under the same centroids
+    * (spec-pinned, along with the partition pruning itself): the
+    * probe never touches corpus cells nobody probed — at 100 TB with
+    * sqrt(n) cells and nprobe=2, that is ~2·|queries|/sqrt(n) of the
+    * corpus instead of all of it. */
+  def ivfKnnIndexed(queries: DataFrame, indexPath: String,
+                    k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(indexPath + "/centroids")
+    val q = graft.Caches.tracked(
+      assignN(queries, cents, nprobe)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("c_label")))
+    val probed = q.select("c_label").distinct().collect().map(_.get(0))
+    val c = spark.read.parquet(indexPath + "/vectors")
+      .filter(col("c_label").isin(probed: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("c_label"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, "c_label")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", expr("graft_cosine(qe, ce)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        stableRound(col("sim"), 4).as("cos_sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
 }

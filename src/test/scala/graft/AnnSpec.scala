@@ -153,6 +153,30 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"pq recall@3 $recall too low")
   }
 
+  test("ivfKnnIndexed reproduces ivfKnn from the saved index, reading only probed cells") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Ann.labelCentroids(emb)
+    val nQ = 10
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_idx").toString
+    Ann.writeAnnIndex(emb.filter(emb("vec_id") >= nQ), cents, dir)
+    val live = Ann.ivfKnn(emb, nQueries = nQ, centroids = Some(cents)).collect()
+    val probe = Ann.ivfKnnIndexed(emb.filter(emb("vec_id") < nQ), dir)
+    assert(probe.collect().toSeq == live.toSeq,
+      "saved-index probe must be result-identical to the live IVF search")
+    // the vectors read is cell-pruned: the isin over probed labels
+    // must reach the scan as a PARTITION filter (directory pruning),
+    // and prune to at most the probed-label count
+    val vecScans = probe.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("vectors")) => f
+    }
+    assert(vecScans.nonEmpty, "vectors scan missing")
+    assert(vecScans.forall(_.partitionFilters.nonEmpty),
+      "probed-cell isin must prune partitions, not filter rows")
+    val nProbedCells = vecScans.map(_.selectedPartitions.partitionCount).sum
+    assert(nProbedCells <= nQ * 2, s"read $nProbedCells cells for $nQ queries x nprobe=2")
+  }
+
   test("ivfPqKnn composes k-means cells with PQ re-rank at bounded recall") {
     // real embeddings: the cell-restricted ADC scan + exact re-rank must
     // keep solid recall@3 vs exact brute force (the a08 bound, now with
