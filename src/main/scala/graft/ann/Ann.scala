@@ -912,6 +912,21 @@ object Ann {
       .write.mode("overwrite").partitionBy("c_label").parquet(path + "/vectors")
   }
 
+  /** Append a batch to a saved ANN index WITHOUT retraining (a12's
+    * contract, at rest): new vectors assign under the SAVED quantizer
+    * — batch-proportional, one broadcast of the centroid table — and
+    * parquet-append into their cells' directories. Quantization drift
+    * is the documented price (a12's needs_split flags + a14's
+    * re-split are the repair loop; only split directories rewrite). */
+  def appendAnnIndex(batch: DataFrame, indexPath: String): Unit = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(indexPath + "/centroids")
+    assign(batch, cents)
+      .select(col("vec_id"), col("embedding"), col("c_label"))
+      .write.mode("append").partitionBy("c_label").parquet(indexPath + "/vectors")
+  }
+
   /** a04's search against the SAVED index: queries assign fresh under
     * the saved centroid table (|queries|·k flops — queries are few by
     * definition), the probed-cell set (≤ |queries|·nprobe labels, a

@@ -177,6 +177,25 @@ class AnnSpec extends SparkSpecBase {
     assert(nProbedCells <= nQ * 2, s"read $nProbedCells cells for $nQ queries x nprobe=2")
   }
 
+  test("appendAnnIndex folds a batch into the saved cells; probes retrieve it at cos 1.0") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Ann.labelCentroids(emb)
+    val nQ = 5
+    val queries = emb.filter(emb("vec_id") < nQ)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_append").toString
+    Ann.writeAnnIndex(emb.filter(emb("vec_id") >= nQ), cents, dir)
+    // append exact copies of the queries under fresh ids: each must
+    // surface as its twin's top neighbour at cosine 1.0
+    Ann.appendAnnIndex(
+      queries.select((queries("vec_id") + 1000000L).as("vec_id"), queries("embedding")), dir)
+    val top = Ann.ivfKnnIndexed(queries, dir, k = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    (0L until nQ).foreach { qid =>
+      assert(top(qid) == ((qid + 1000000L, 1.0)),
+        s"query $qid: appended twin not retrieved, got ${top(qid)}")
+    }
+  }
+
   test("ivfPqKnn composes k-means cells with PQ re-rank at bounded recall") {
     // real embeddings: the cell-restricted ADC scan + exact re-rank must
     // keep solid recall@3 vs exact brute force (the a08 bound, now with
