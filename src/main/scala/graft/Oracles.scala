@@ -1415,6 +1415,34 @@ object Oracles {
     // m06: chunk-string equality stands in for chunk-hash equality;
     // char-indexed substr equals Spark's byte-indexed binary substring
     // on this corpus (the m02 precedent)
+    // m09: blocks group on CONTENT here vs the 64-bit content hash in
+    // Spark (the m06 convention — counts agree modulo ~|blocks|²/2⁶⁴
+    // collisions); sums cast away HUGEINT; dedup_ratio is one IEEE
+    // division of integer-exact values
+    "m09_storage_savings" ->
+      """WITH r AS (
+           SELECT doc_id, text,
+                  CASE WHEN ascii(substr(text,1,1)) = 123 THEN 'json'
+                       WHEN ascii(substr(text,1,1)) = 60 THEN 'markup'
+                       WHEN ascii(substr(text,1,1)) BETWEEN 48 AND 57 THEN 'numeric'
+                       WHEN (ascii(substr(text,1,1)) BETWEEN 65 AND 90)
+                         OR (ascii(substr(text,1,1)) BETWEEN 97 AND 122) THEN 'prose'
+                       ELSE 'other' END AS route
+           FROM documents WHERE length(text) > 0),
+         b AS (SELECT DISTINCT route, substr(text, i*64 + 1, 64) AS blk
+               FROM (SELECT route, text,
+                       unnest(range(0, CAST(floor((length(text)-1)/64) AS BIGINT) + 1)) AS i
+                     FROM r)),
+         u AS (SELECT route, count(*) AS n_unique_blocks,
+                      CAST(sum(length(blk)) AS BIGINT) AS unique_bytes
+               FROM b GROUP BY route),
+         p AS (SELECT route, count(*) AS n_docs,
+                      CAST(sum(length(text)) AS BIGINT) AS total_bytes
+               FROM r GROUP BY route)
+         SELECT p.route, n_docs, total_bytes, n_unique_blocks, unique_bytes,
+                CAST(total_bytes AS DOUBLE) / CAST(unique_bytes AS DOUBLE) AS dedup_ratio
+         FROM p JOIN u USING (route) ORDER BY route""",
+
     "m06_chunk_dedup" ->
       """WITH c AS (
            SELECT DISTINCT doc_id, substr(text, i*64 + 1, 64) AS chunk

@@ -191,7 +191,8 @@ object SparkEntry {
     "m02_chunk_sample" -> ((s, d) => BinaryPipeline.chunkSample(Tables.documents(s, d))),
     "m06_chunk_dedup" -> ((s, d) => BinaryPipeline.chunkDedup(Tables.documents(s, d))),
     "m07_cdc_dedup" -> ((s, d) => BinaryPipeline.cdcDedup(Tables.documents(s, d))),
-    "m08_feature_dedup" -> ((s, d) => BinaryPipeline.featureDedup(Tables.documents(s, d)))
+    "m08_feature_dedup" -> ((s, d) => BinaryPipeline.featureDedup(Tables.documents(s, d))),
+    "m09_storage_savings" -> ((s, d) => BinaryPipeline.storageSavings(Tables.documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -262,6 +262,8 @@ object TaskRunner {
       l(p, "maxLocalEdges", 4000000L))),
     "a10_range_search" -> ((s, d, p) => Ann.rangeSearch(
       Tables.embeddings(s, d), i(p, "nQueries", 10), dbl(p, "tau", 0.3))),
+    "m09_storage_savings" -> ((s, d, p) => graft.multimodal.BinaryPipeline.storageSavings(
+      Tables.documents(s, d), i(p, "chunkBytes", 64))),
     "m06_chunk_dedup" -> ((s, d, p) => graft.multimodal.BinaryPipeline.chunkDedup(
       Tables.documents(s, d), i(p, "chunkBytes", 64),
       i(p, "minShared", 2), l(p, "dfCap", 1000L))),

@@ -73,16 +73,20 @@ object BinaryPipeline {
     * payloads the "magic bytes" are the first codepoint's class; a
     * binary corpus swaps the CASE arms for real signatures (0xFFD8
     * JPEG, 'RIFF' WAV, ...) — the routing plumbing is identical. */
+  /** The m04 routing rule as an expression — shared by every operator
+    * that reports per-modality (m04, m09). */
+  private def routeExpr: org.apache.spark.sql.Column =
+    when(col("first_code") === 123, "json")          // '{'
+      .when(col("first_code") === 60, "markup")      // '<'
+      .when(col("first_code").between(48, 57), "numeric")
+      .when(col("first_code").between(65, 90) ||
+        col("first_code").between(97, 122), "prose")
+      .otherwise("other")
+
   def modalityRoute(documents: DataFrame): DataFrame =
     documents
       .withColumn("first_code", ascii(substring(col("text"), 1, 1)))
-      .withColumn("route",
-        when(col("first_code") === 123, "json")          // '{'
-          .when(col("first_code") === 60, "markup")      // '<'
-          .when(col("first_code").between(48, 57), "numeric")
-          .when(col("first_code").between(65, 90) ||
-            col("first_code").between(97, 122), "prose")
-          .otherwise("other"))
+      .withColumn("route", routeExpr)
       .groupBy("route")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -146,6 +150,53 @@ object BinaryPipeline {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** m09_storage_savings — the CAPACITY-PLANNING report for a
+    * content-addressed block store, per modality: logical bytes vs
+    * the bytes a `chunkBytes`-block dedup store would actually hold
+    * (each distinct block stored once), and the resulting dedup
+    * ratio. m05 reports what payload-level dedup reclaims, m06/m07
+    * find WHO shares content — this answers the storage owner's
+    * question "how big is the lake after block dedup, per tier".
+    *
+    * Scale posture: one scan; blocks shuffle as (route, 8-byte hash,
+    * block length) — never the block bytes — into a two-level
+    * aggregation (distinct blocks, then per-route sums). Block
+    * identity is the 64-bit content hash (collision odds
+    * ~|blocks|²/2⁶⁴, the m06 convention — the oracle groups on block
+    * CONTENT and agrees). Empty payloads carry no blocks and are
+    * excluded from every column (spec-pinned). dedup_ratio is one
+    * IEEE division of integer-exact sums, bit-equal cross-engine. */
+  def storageSavings(documents: DataFrame, chunkBytes: Int = 64): DataFrame = {
+    val routed = graft.Caches.tracked(documents
+      .withColumn("payload", col("text").cast("binary"))
+      .filter(length(col("payload")) > 0)
+      .withColumn("first_code", ascii(substring(col("text"), 1, 1)))
+      .withColumn("route", routeExpr)
+      .select(col("route"), col("payload")))
+    val per = routed.groupBy("route").agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("payload")).cast("long")).as("total_bytes"))
+    val uniq = routed
+      .select(col("route"), explode(
+        transform(
+          sequence(lit(0), floor((length(col("payload")) - 1) / chunkBytes).cast("int")),
+          i => struct(
+            xxhash64(substring(col("payload"), i * chunkBytes + 1, lit(chunkBytes))).as("h"),
+            least(lit(chunkBytes), length(col("payload")) - i * chunkBytes).as("blen"))))
+        .as("b"))
+      .select(col("route"), col("b.h").as("h"), col("b.blen").as("blen"))
+      .groupBy("route", "h").agg(max("blen").as("blen"))
+      .groupBy("route").agg(
+        count(lit(1)).as("n_unique_blocks"),
+        sum(col("blen").cast("long")).as("unique_bytes"))
+    per.join(uniq, "route")
+      .withColumn("dedup_ratio",
+        col("total_bytes").cast("double") / col("unique_bytes").cast("double"))
+      .select("route", "n_docs", "total_bytes", "n_unique_blocks",
+        "unique_bytes", "dedup_ratio")
+      .orderBy("route")
   }
 
   /** m07_cdc_dedup — SHIFT-INVARIANT chunk-level payload near-dup:

@@ -82,6 +82,30 @@ class MultimodalSpec extends SparkSpecBase {
     assert(pairs < n / 20, s"CDC pair volume $pairs degenerated for n=$n")
   }
 
+  test("storageSavings sizes the block store: planted copies collapse, empties excluded") {
+    val blockA = "a" * 64
+    val blockB = "b" * 64
+    // three prose docs: two identical (128 B), one half-shared, plus
+    // an empty doc that must be invisible to every column
+    val d = Seq(
+      (0L, blockA + blockB), (1L, blockA + blockB), (2L, blockA + ("c" * 64)),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val r = BinaryPipeline.storageSavings(d).collect()
+    assert(r.length == 1 && r(0).getString(0) == "prose", "empty doc must not route")
+    val row = r(0)
+    assert(row.getLong(1) == 3, "n_docs counts non-empty docs only")
+    assert(row.getLong(2) == 384, s"logical bytes: ${row.getLong(2)}")
+    // distinct blocks: aaa, bbb, ccc
+    assert(row.getLong(3) == 3 && row.getLong(4) == 192,
+      s"store holds 3 x 64B blocks: ${row.getLong(3)} / ${row.getLong(4)}")
+    assert(row.getDouble(5) == 2.0, s"dedup ratio: ${row.getDouble(5)}")
+    // a short tail block is stored at its true length
+    val tail = BinaryPipeline.storageSavings(
+      Seq((0L, blockA + "zz")).toDF("doc_id", "text")).collect()(0)
+    assert(tail.getLong(4) == 66, s"tail bytes: ${tail.getLong(4)}")
+  }
+
   test("modalityRoute dispatches payloads by leading byte class") {
     val d = Seq(
       (0L, """{"k": 1}"""),
