@@ -185,6 +185,7 @@ object SparkEntry {
       .withColumn("embedding", to_json(col("embedding")))),
     "t23_source_upsample" -> ((s, d) => TextStats.sourceUpsample(Tables.documents(s, d))),
     "t24_unigram_surprisal" -> ((s, d) => TextStats.unigramSurprisal(Tables.documents(s, d))),
+    "t26_frequent_terms" -> ((s, d) => TextStats.frequentTerms(Tables.documents(s, d))),
     "t18_quality_filter" -> ((s, d) => TextStats.qualityFilter(Tables.documents(s, d))),
     "t19_cooccurrence" -> ((s, d) => TextStats.cooccurrence(Tables.documents(s, d))),
     "m01_binary_meta" -> ((s, d) => BinaryPipeline.binaryMeta(Tables.documents(s, d))),

@@ -238,6 +238,8 @@ object TaskRunner {
     }),
     "t14_term_salience" -> ((s, d, p) => TextStats.termSalience(
       Tables.documents(s, d), i(p, "topK", 3))),
+    "t26_frequent_terms" -> ((s, d, p) => TextStats.frequentTerms(
+      Tables.documents(s, d), i(p, "k", 64), i(p, "topN", 20))),
     "t15_source_mix" -> ((s, d, p) => TextStats.sourceMix(
       Tables.documents(s, d), dbl(p, "budgetShare", 0.5))),
     "t16_shard_assign" -> ((s, d, p) => TextStats.shardAssign(

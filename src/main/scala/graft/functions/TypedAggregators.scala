@@ -45,10 +45,52 @@ object TypedAggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
-  /** Register both as SQL functions (mirrors the reference's
+  /** Misra–Gries heavy-hitters sketch: at most `k` counters however
+    * wide the true vocabulary, mergeable with the Agarwal et al.
+    * offset-merge (sum counters pairwise, subtract the (k+1)-th
+    * largest, keep positives). Guarantees, independent of merge
+    * order: every estimate is an UNDER-count by at most N/(k+1)
+    * (N = stream length), so every term with true frequency >
+    * N/(k+1) is guaranteed present — the one-sidedness the spec
+    * pins. This is the bounded-state scale path for vocabulary-sized
+    * aggregations: map-side state and shuffle rows are O(k) per
+    * partition regardless of how much typo/noise long-tail a 100 TB
+    * crawl carries, where an exact word count shuffles the full
+    * per-partition vocabulary. */
+  class FreqSketch(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k >= 1, s"FreqSketch: k must be >= 1, got $k")
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+      if (a == null) b
+      else if (b.contains(a) || b.size < k) b.updated(a, b.getOrElse(a, 0L) + 1L)
+      else b.flatMap { case (t, c) => if (c > 1L) Some(t -> (c - 1L)) else None }
+
+    override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
+      val combined = b2.foldLeft(b1) { case (acc, (t, c)) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + c)
+      }
+      if (combined.size <= k) combined
+      else {
+        val offset = combined.valuesIterator.toSeq.sorted(Ordering[Long].reverse)(k)
+        combined.flatMap { case (t, c) =>
+          if (c - offset > 0L) Some(t -> (c - offset)) else None
+        }
+      }
+    }
+
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      Encoders.kryo[Map[String, Long]]
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Register as SQL functions (mirrors the reference's
     * sqlContext.udf.register of its UDAF). */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("group_concat_distinct", udaf(GroupConcatDistinct))
     spark.udf.register("top_k_values", udaf(new TopK(3)))
+    spark.udf.register("freq_sketch", udaf(new FreqSketch(64)))
   }
 }

@@ -153,6 +153,30 @@ object TextStats {
       .orderBy(col("freq").desc, col("word"))
       .limit(topN)
 
+  /** t26_frequent_terms — t06's heavy-hitters SCALE PATH: the exact
+    * word count's shuffle carries every distinct word each partition
+    * saw (the full per-partition vocabulary — unbounded under the
+    * typo/noise long tail of a 100 TB crawl); the Misra–Gries sketch
+    * ([[graft.functions.TypedAggregators.FreqSketch]]) caps map-side
+    * state and shuffle rows at `k` counters per partition, merging
+    * with the offset rule. Estimates under-count by at most
+    * N/(k+1), so every term with true frequency above that bound is
+    * GUARANTEED in the sketch — choose k ≥ vocabulary-share of the
+    * terms you care about and the top of the report is exact ranking
+    * over under-counted-by-a-common-bound values. Rows-only (the
+    * sketch's estimates depend on merge order — the spec pins the
+    * order-independent guarantees against exact t06 instead). */
+  def frequentTerms(documents: DataFrame, k: Int = 64, topN: Int = 20): DataFrame = {
+    val sketch = udaf(new graft.functions.TypedAggregators.FreqSketch(k))
+    Scans.spreadIfNarrow(documents, col("doc_id"))
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .agg(sketch(col("word")).as("sk"))
+      .select(explode(col("sk")).as(Seq("word", "est_freq")))
+      .orderBy(col("est_freq").desc, col("word"))
+      .limit(topN)
+  }
+
   /** t07_repetition — within-document repetition signal (the Gopher
     * duplicate-n-gram filter): fraction of word bigram occurrences
     * that repeat an earlier bigram. Distinct-bigram counting reuses

@@ -30,6 +30,27 @@ class AggregatorSpec extends SparkSpecBase {
     assert(builtin("FRANCE") == "AUTOMOBILE,BUILDING")
   }
 
+  test("FreqSketch honors the Misra-Gries guarantees against exact t06 on real documents") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = graft.text.TextStats.wordFreq(docs, topN = 1000000).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val k = 64
+    val sketch = graft.text.TextStats.frequentTerms(docs, k = k, topN = k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.nonEmpty && sketch.size <= k)
+    // one-sided under-count, bounded by N/(k+1) — independent of merge order
+    sketch.foreach { case (w, est) =>
+      val truth = exact.getOrElse(w, 0L)
+      assert(est <= truth, s"'$w' over-counted: $est > $truth")
+      assert(truth - est <= n / (k + 1), s"'$w' under-count ${truth - est} > ${n / (k + 1)}")
+    }
+    // every guaranteed-heavy term (true freq > N/(k+1)) must survive
+    exact.filter(_._2 > n / (k + 1)).keys.foreach { w =>
+      assert(sketch.contains(w), s"heavy term '$w' missing from the sketch")
+    }
+  }
+
   test("top_k_values keeps a bounded buffer of the k largest") {
     TypedAggregators.register(spark)
     Seq(("a", 1.0), ("a", 5.0), ("a", 3.0), ("a", 9.0), ("b", 2.0))
