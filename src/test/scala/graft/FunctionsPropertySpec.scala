@@ -93,6 +93,35 @@ class FunctionsPropertySpec extends SparkSpecBase {
     }
   }
 
+  test("bloom probes: no false negatives ever, hit counts bounded and monotone") {
+    import org.apache.spark.sql.functions.col
+    val members = (0 until 500).map(_ => rnd.nextLong()).distinct
+    val bloom = members.toDF("h").stat.bloomFilter("h", members.size.toLong, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos); bos.toByteArray
+    }
+    val contains = graft.functions.GraftFunctions.registerBloomContains(spark, bytes)
+    val hits = graft.functions.GraftFunctions.registerBloomHitCount(spark, bytes)
+    // every inserted key answers true — the one-sidedness everything
+    // downstream (d13/q51/s17) leans on
+    val missed = members.toDF("h").selectExpr(s"$contains(h) AS c")
+      .collect().count(!_.getBoolean(0))
+    assert(missed == 0, s"$missed false negatives")
+    // hit count over an array: bounded by size, monotone under append,
+    // zero for the empty array, and >= the member count of the array
+    val probe = Seq(
+      (members.take(10), 10), (members.take(10) ++ Seq.fill(5)(rnd.nextLong()), 10),
+      (Seq.empty[Long], 0)
+    ).toDF("arr", "nMembers")
+    val rows = probe.selectExpr(s"$hits(arr) AS n", "size(arr) AS sz", "nMembers").collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) <= r.getInt(1), "count cannot exceed array size")
+      assert(r.getInt(0) >= r.getInt(2), "members must all hit")
+    }
+    graft.functions.GraftFunctions.dropFunction(spark, contains)
+    graft.functions.GraftFunctions.dropFunction(spark, hits)
+  }
+
   test("hyperplane buckets are deterministic and bounded to 2^bits") {
     graft.functions.GraftFunctions.register(spark)
     val rows = (1 to 40).map(_ => Tuple1(Seq.fill(8)(rnd.nextFloat() * 2f - 1f)))

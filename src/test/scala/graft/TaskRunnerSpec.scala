@@ -161,6 +161,14 @@ class TaskRunnerSpec extends SparkSpecBase {
       TaskRunner.run(spark, d, "d13_bloom_decontaminate", p)
         .collect().map(_.getLong(1)).sum
     assert(maybeTotal(Map("fpp" -> "0.2")) >= maybeTotal(Map("fpp" -> "0.001")))
+    // t26: the report is bounded by min(k, topN)
+    assert(TaskRunner.run(spark, d, "t26_frequent_terms",
+      Map("k" -> "8", "topN" -> "50")).collect().length <= 8)
+    // m09: halving the block size cannot shrink unique block bytes
+    // on the same corpus more than the total (sanity: runs + shape)
+    val m = TaskRunner.run(spark, d, "m09_storage_savings",
+      Map("chunkBytes" -> "32")).collect()
+    assert(m.nonEmpty && m.forall(r => r.getLong(4) <= r.getLong(2)))
   }
 
   test("every param-aware runner binds an existing inventory query") {
