@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sink_versioned_upsert — a MINIMAL transactional table format over
+  * plain parquet: the clean-room core of what Delta Lake / Iceberg
+  * add to `upsertPartitioned` (Sources.scala), implementable without
+  * their jars. A table is a directory of immutable parquet data files
+  * plus a commit log (`_graft_log/v<N>.json`, each listing the
+  * COMPLETE file set of that snapshot). The two transactional
+  * properties live entirely in the log protocol:
+  *
+  *  - SNAPSHOT READS: a reader resolves the latest committed version
+  *    ONCE and plans against that version's file list. Writers never
+  *    mutate or delete data files (copy-on-write), so a plan stays
+  *    consistent however many commits land mid-query — and any
+  *    historical version stays readable (time travel via `asOf`).
+  *  - OPTIMISTIC CONCURRENCY: a commit is an atomic compare-and-swap
+  *    on the next version file — the payload is written to a temp
+  *    file and PUBLISHED via `Files.createLink` (POSIX link(2) is
+  *    atomic and fails with EEXIST if the version already landed).
+  *    A losing writer re-reads the new snapshot, re-derives its
+  *    merge, and retries: MERGEs serialize without locks.
+  *
+  * MERGE does file-level pruning, not blind rewrite: update keys
+  * left-semi-join the snapshot (tagged with `input_file_name`) to
+  * find the files that actually contain replaced keys; untouched
+  * files CARRY OVER into the next version by reference, only touched
+  * files rewrite. At 100 TB with sink_sorted/sink_zorder layout, a
+  * keyed update touches few files — this is exactly Delta's MERGE
+  * cost model. Object stores without atomic link/rename need the
+  * format's own commit service (the documented environment seam);
+  * HDFS and POSIX filesystems get the full protocol as-is.
+  * Data-file GC (vacuum) is deliberately separate: old versions stay
+  * readable until a retention pass unlinks files no retained version
+  * references. */
+object VersionedTable {
+
+  private def logDir(path: String): Path = Paths.get(path, "_graft_log")
+  private def versionFile(path: String, v: Long): Path =
+    logDir(path).resolve(f"v$v%020d.json")
+
+  /** Latest committed version, or None for a non-table directory. */
+  def latestVersion(path: String): Option[Long] = {
+    val dir = logDir(path)
+    if (!Files.isDirectory(dir)) None
+    else {
+      val vs = Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+        .toSeq
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** The file list of a version (paths relative to the table root). */
+  private[graft] def filesOf(path: String, v: Long): Seq[String] = {
+    val payload = new String(Files.readAllBytes(versionFile(path, v)), "UTF-8")
+    // log payload is {"version":N,"files":["a","b",...]} written by
+    // this object — parsed with the same fixed shape
+    val marker = "\"files\":["
+    val start = payload.indexOf(marker) + marker.length
+    val body = payload.substring(start, payload.indexOf(']', start)).trim
+    if (body.isEmpty) Seq.empty
+    else body.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+  }
+
+  /** Snapshot read: latest version by default, `asOf` for history. */
+  def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"$path is not a versioned table"))
+    val files = filesOf(path, v)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files.map(f => s"$path/$f"): _*)
+  }
+
+  /** Atomic CAS publish of version `v`: true = this writer won. */
+  private[graft] def tryCommit(path: String, v: Long, files: Seq[String]): Boolean = {
+    Files.createDirectories(logDir(path))
+    val payload =
+      s"""{"version":$v,"files":[${files.map(f => s"\"$f\"").mkString(",")}]}"""
+    val tmp = Files.createTempFile(logDir(path), ".tmp-", ".json")
+    Files.write(tmp, payload.getBytes("UTF-8"), StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      Files.createLink(versionFile(path, v), tmp) // atomic; EEXIST on conflict
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.delete(tmp)
+  }
+
+  /** Write a parquet batch under a unique commit directory; returns
+    * the new part files relative to the table root. */
+  private def writeBatch(df: DataFrame, path: String): Seq[String] = {
+    val sub = "data-" + java.util.UUID.randomUUID().toString
+    df.write.parquet(s"$path/$sub")
+    Files.list(Paths.get(path, sub)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet"))
+      .map(n => s"$sub/$n").toSeq.sorted
+  }
+
+  /** Create the table at version 1. */
+  def create(df: DataFrame, path: String): Long = {
+    val files = writeBatch(df, path)
+    if (!tryCommit(path, 1L, files))
+      throw new IllegalStateException(s"$path already exists as a versioned table")
+    1L
+  }
+
+  /** Transactional MERGE: rows of `updates` replace snapshot rows with
+    * equal `keyCols`; everything else is untouched. Retries the
+    * derive-write-commit cycle on conflict until it lands (bounded by
+    * `maxRetries`). Returns the committed version. */
+  def upsert(spark: SparkSession, path: String, keyCols: Seq[String],
+             updates: DataFrame, maxRetries: Int = 10): Long = {
+    require(keyCols.nonEmpty, "upsert: need at least one key column")
+    val up = updates.localCheckpoint(true) // one derivation, retried cheaply
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      val base = latestVersion(path).getOrElse(
+        throw new IllegalArgumentException(s"$path is not a versioned table"))
+      val files = filesOf(path, base)
+      val absOf = files.map(f => s"$path/$f")
+      val snap = spark.read.parquet(absOf: _*)
+        .withColumn("_file", input_file_name())
+      // file pruning: only files holding a replaced key rewrite
+      val touchedAbs = snap
+        .join(up.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+        .select("_file").distinct().collect().map(_.getString(0)).toSet
+      def isTouched(rel: String) = touchedAbs.exists(_.endsWith(rel))
+      val carried = files.filterNot(isTouched)
+      val rewritten = snap
+        .filter(col("_file").isin(touchedAbs.toSeq: _*))
+        .drop("_file")
+        .join(up.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+        .unionByName(up.select(snap.drop("_file").columns.map(col): _*))
+      val newFiles =
+        if (touchedAbs.isEmpty && up.isEmpty) Seq.empty
+        else writeBatch(rewritten, path)
+      if (tryCommit(path, base + 1, (carried ++ newFiles).sorted))
+        return base + 1
+      // lost the race: orphan this attempt's files (vacuum's job) and
+      // re-derive against the winner's snapshot
+    }
+    throw new IllegalStateException(
+      s"upsert lost $maxRetries commit races on $path")
+  }
+}

@@ -172,6 +172,51 @@ class SourcesSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).count() == 1000)
   }
 
+  test("versioned table: snapshot reads, file-pruned MERGE, time travel") {
+    import graft.sources.VersionedTable
+    val dir = Files.createTempDirectory("graft_vt").toString + "/t"
+    val base = (0L until 100L).map(i => (i, s"name$i")).toDF("id", "name")
+    assert(VersionedTable.create(base.repartition(4, $"id"), dir) == 1L)
+    // a reader planned against v1 survives a concurrent commit intact
+    val snapshotReader = VersionedTable.read(spark, dir)
+    val updates = Seq((7L, "SEVEN"), (200L, "fresh")).toDF("id", "name")
+    assert(VersionedTable.upsert(spark, dir, Seq("id"), updates) == 2L)
+    assert(snapshotReader.filter($"id" === 7L).collect()(0).getString(1) == "name7",
+      "v1 reader must not see the v2 merge (snapshot isolation)")
+    // v2: key replaced, insert landed, untouched rows intact
+    val v2 = VersionedTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2.size == 101 && v2(7L) == "SEVEN" && v2(200L) == "fresh" && v2(8L) == "name8")
+    // file pruning: files without key 7 carry over by reference
+    val f1 = VersionedTable.filesOf(dir, 1L).toSet
+    val f2 = VersionedTable.filesOf(dir, 2L).toSet
+    assert((f1 intersect f2).nonEmpty, "untouched files must carry over, not rewrite")
+    assert((f1 diff f2).nonEmpty, "the touched file must be replaced")
+    // time travel: v1 is still fully readable
+    val v1 = VersionedTable.read(spark, dir, asOf = Some(1L)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1.size == 100 && v1(7L) == "name7")
+  }
+
+  test("versioned table: commits are CAS — one winner, losers retry into the next version") {
+    import graft.sources.VersionedTable
+    val dir = Files.createTempDirectory("graft_vt_cas").toString + "/t"
+    VersionedTable.create(Seq((1L, "x"), (2L, "y")).toDF("id", "name"), dir)
+    // raw CAS: two writers publish version 2 — exactly one wins
+    val files = VersionedTable.filesOf(dir, 1L)
+    assert(VersionedTable.tryCommit(dir, 2L, files))
+    assert(!VersionedTable.tryCommit(dir, 2L, files), "second v2 commit must lose")
+    // a writer that loses the race re-derives and lands on top: the
+    // conflicting v2 above carried v1's files, so this merge must see
+    // them, lose v2, and commit v3 with BOTH changes visible
+    val v = VersionedTable.upsert(spark, dir, Seq("id"),
+      Seq((2L, "Y2")).toDF("id", "name"))
+    assert(v == 3L, s"expected the retried commit at v3, got $v")
+    val out = VersionedTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "x", 2L -> "Y2"))
+  }
+
   test("streaming jdbc sink: batch-id idempotence commits each batch exactly once") {
     val dbDir = Files.createTempDirectory("graft_derby_stream").toString
     val url = s"jdbc:derby:$dbDir/streamdb;create=true"
