@@ -113,6 +113,82 @@ object VersionedTable {
     1L
   }
 
+  /** Change-data feed between two committed versions, derived from
+    * the snapshots themselves (no extra write-side bookkeeping): a
+    * full-outer join on the key columns classifies every row as
+    * inserted / deleted / updated / unchanged — the "what changed
+    * since the version I last synced" read a downstream incremental
+    * consumer runs. Cost is both snapshots' PRUNED file sets: files
+    * carried by reference between the versions are identical by
+    * construction, so they are excluded before any read — only
+    * rewritten/new/dropped files scan (at 100 TB, the merge-touched
+    * slice, not the table). */
+  def changesBetween(spark: SparkSession, path: String, keyCols: Seq[String],
+                     fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"changesBetween: need fromV < toV, got $fromV >= $toV")
+    val fromFiles = filesOf(path, fromV).toSet
+    val toFiles = filesOf(path, toV).toSet
+    val common = fromFiles intersect toFiles // carried — identical rows
+    def readSide(files: Set[String]): Option[DataFrame] = {
+      val own = (files -- common).toSeq.sorted
+      if (own.isEmpty) None
+      else Some(spark.read.parquet(own.map(f => s"$path/$f"): _*))
+    }
+    (readSide(fromFiles), readSide(toFiles)) match {
+      case (None, None) =>
+        spark.emptyDataFrame
+      case (before, after) =>
+        val b = before.getOrElse(after.get.limit(0))
+          .select(keyCols.map(col) :+ struct(col("*")).as("_before"): _*)
+        val a = after.getOrElse(before.get.limit(0))
+          .select(keyCols.map(col) :+ struct(col("*")).as("_after"): _*)
+        b.join(a, keyCols, "full_outer")
+          .withColumn("change_type",
+            when(col("_before").isNull, "insert")
+              .when(col("_after").isNull, "delete")
+              .when(col("_before") =!= col("_after"), "update")
+              .otherwise("unchanged"))
+          .filter(col("change_type") =!= "unchanged")
+          .select(keyCols.map(col) :+ col("change_type") :+
+            col("_before") :+ col("_after"): _*)
+    }
+  }
+
+  /** Retention pass: unlink data files no retained version references
+    * and drop the superseded log entries — the GC the copy-on-write
+    * protocol defers. Keeps the newest `retainVersions` snapshots
+    * readable (time travel shrinks to that horizon). Safe against the
+    * commit protocol: current readers hold file handles (POSIX unlink
+    * keeps their data alive) and new commits only reference files of
+    * the latest — retained — version. Returns the deleted file count. */
+  def vacuum(path: String, retainVersions: Int = 1): Int = {
+    require(retainVersions >= 1, "vacuum: must retain at least the latest version")
+    val latest = latestVersion(path).getOrElse(return 0)
+    val keepVs = ((latest - retainVersions + 1L) max 1L) to latest
+    val keep = keepVs.flatMap(v => filesOf(path, v)).toSet
+    val dataDirs = Files.list(Paths.get(path)).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("data-"))
+      .toSeq
+    var deleted = 0
+    dataDirs.foreach { d =>
+      Files.list(d).iterator().asScala.foreach { f =>
+        val rel = s"${d.getFileName}/${f.getFileName}"
+        val isData = f.getFileName.toString.endsWith(".parquet")
+        if (isData && !keep.contains(rel)) { Files.delete(f); deleted += 1 }
+        else if (!isData) Files.delete(f) // _SUCCESS/.crc markers
+      }
+      if (!Files.list(d).iterator().hasNext) Files.delete(d)
+    }
+    // drop superseded log entries so asOf fails fast instead of
+    // resolving to missing files
+    Files.list(logDir(path)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("v"))
+      .filter(p => p.getFileName.toString.stripPrefix("v")
+        .stripSuffix(".json").toLong < keepVs.head)
+      .foreach(Files.delete)
+    deleted
+  }
+
   /** Transactional MERGE: rows of `updates` replace snapshot rows with
     * equal `keyCols`; everything else is untouched. Retries the
     * derive-write-commit cycle on conflict until it lands (bounded by

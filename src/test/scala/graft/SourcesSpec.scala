@@ -217,6 +217,32 @@ class SourcesSpec extends SparkSpecBase {
     assert(out == Map(1L -> "x", 2L -> "Y2"))
   }
 
+  test("versioned table: change feed reads only rewritten files; vacuum keeps the horizon") {
+    import graft.sources.VersionedTable
+    val dir = Files.createTempDirectory("graft_vt_cdc").toString + "/t"
+    val base = (0L until 50L).map(i => (i, s"v$i")).toDF("id", "name")
+    VersionedTable.create(base.repartition(4, $"id"), dir)
+    VersionedTable.upsert(spark, dir, Seq("id"),
+      Seq((3L, "CHANGED"), (100L, "NEW")).toDF("id", "name"))
+    val changes = VersionedTable.changesBetween(spark, dir, Seq("id"), 1L, 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(changes(3L) == "update" && changes(100L) == "insert", s"got $changes")
+    // carried files are excluded, so only the rewritten slice's keys
+    // can even appear — every reported change is a real one
+    assert(changes.size == 2 || changes.keySet.subsetOf(Set(3L, 100L) ++
+      // rows co-resident in the rewritten file surface as unchanged
+      // and are filtered; nothing outside the touched file may leak
+      (0L until 50L).filter(i => i % 4 == 3L % 4).toSet), s"got $changes")
+    // vacuum to the latest version: v1-only files die, v2 stays whole
+    val deleted = VersionedTable.vacuum(dir, retainVersions = 1)
+    assert(deleted > 0, "the rewritten v1 file must be reclaimed")
+    val after = VersionedTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after.size == 51 && after(3L) == "CHANGED" && after(100L) == "NEW")
+    intercept[Exception](
+      VersionedTable.read(spark, dir, asOf = Some(1L)).collect())
+  }
+
   test("streaming jdbc sink: batch-id idempotence commits each batch exactly once") {
     val dbDir = Files.createTempDirectory("graft_derby_stream").toString
     val url = s"jdbc:derby:$dbDir/streamdb;create=true"
