@@ -708,9 +708,11 @@ object Dedup {
         }.mkString(" | ")
         s"struct($t AS ci, $key AS cv)"
     }
-    val keys = withBlocks
+    // tracked: the self-join reads this relation twice — uncached,
+    // the text scan + compiled fingerprint pass would run once per side
+    val keys = graft.Caches.tracked(withBlocks
       .withColumn("chunk", explode(expr(s"array(${keyStructs.mkString(",")})")))
-      .select(col("doc_id"), col("simhash"), col("chunk.ci").as("ci"), col("chunk.cv").as("cv"))
+      .select(col("doc_id"), col("simhash"), col("chunk.ci").as("ci"), col("chunk.cv").as("cv")))
     keys.as("x")
       .join(keys.as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
