@@ -875,6 +875,10 @@ object Dedup {
       .select(col("vec_id"), col("embedding"),
         posexplode(expr(s"graft_hyperplane_buckets(embedding, 42L, $tables, $bits, $dim)"))
           .as(Seq("bt", "bb")))
+    // deliberately NOT cached: the duplicated per-side hyperplane
+    // projection stays inside whole-stage codegen and measures faster
+    // than a cache materialization + row-based InMemoryTableScan
+    // (2.17 s vs 1.62 s at sf0.1 REPS-minima)
     val ids = withB.select(col("vec_id"), col("bt"), col("bb"))
     // join strategy is left to the planner: size estimates scale with
     // input bytes, so the broadcast these joins get at test SF flips
