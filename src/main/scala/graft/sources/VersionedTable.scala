@@ -154,6 +154,50 @@ object VersionedTable {
     }
   }
 
+  /** Streaming change-data feed (src_stream_versioned): tail the
+    * commit log itself as a file stream — every committed version
+    * file is exactly one immutable, atomically-published object, so
+    * the log dir IS a well-formed streaming source with no extra
+    * bookkeeping. Each micro-batch resolves its new versions in
+    * order and appends that version's [[changesBetween]] rows
+    * (version 1 = the initial snapshot as inserts) to `outPath`,
+    * partitioned by version with dynamic overwrite — a replayed
+    * trigger rewrites only its own versions' partitions (the s14
+    * idempotence recipe). This is the downstream-sync surface: a
+    * consumer materializes deltas continuously instead of diffing
+    * snapshots on a schedule. */
+  def streamChanges(spark: SparkSession, tablePath: String, keyCols: Seq[String],
+                    outPath: String, checkpoint: String
+                   ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(s"$tablePath/_graft_log")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val vs = batch.collect().flatMap { r =>
+          val s = r.getString(0)
+          val m = "\"version\":(\\d+)".r.findFirstMatchIn(s)
+          m.map(_.group(1).toLong)
+        }.sorted
+        vs.foreach { v =>
+          val changes =
+            if (v == 1L)
+              read(spark, tablePath, asOf = Some(1L))
+                .select(keyCols.map(col) :+ lit("insert").as("change_type"): _*)
+            else
+              changesBetween(spark, tablePath, keyCols, v - 1, v)
+                .select(keyCols.map(col) :+ col("change_type"): _*)
+          changes.withColumn("version", lit(v))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("version").parquet(outPath)
+        }
+      }
+      .start()
+  }
+
   /** Retention pass: unlink data files no retained version references
     * and drop the superseded log entries — the GC the copy-on-write
     * protocol defers. Keeps the newest `retainVersions` snapshots

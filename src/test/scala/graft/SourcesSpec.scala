@@ -243,6 +243,29 @@ class SourcesSpec extends SparkSpecBase {
       VersionedTable.read(spark, dir, asOf = Some(1L)).collect())
   }
 
+  test("versioned table: the commit log streams as a change feed, one partition per version") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_vt_stream").toString
+    val dir = s"$root/t"; val out = s"$root/changes"
+    VersionedTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir)
+    val q = VersionedTable.streamChanges(spark, dir, Seq("id"), out, s"$root/ckpt")
+    try {
+      q.processAllAvailable()
+      VersionedTable.upsert(spark, dir, Seq("id"),
+        Seq((2L, "B2"), (3L, "c")).toDF("id", "name"))
+      q.processAllAvailable()
+      val feed = spark.read.parquet(out)
+        .select(col("version").cast("long"), col("id"), col("change_type")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+      assert(feed((1L, 1L)) == "insert" && feed((1L, 2L)) == "insert",
+        s"v1 snapshot must stream as inserts: $feed")
+      assert(feed((2L, 2L)) == "update" && feed((2L, 3L)) == "insert",
+        s"v2 merge must stream as its delta: $feed")
+      assert(!feed.contains((2L, 1L)), "untouched key must not appear in the v2 delta")
+    } finally q.stop()
+  }
+
   test("streaming jdbc sink: batch-id idempotence commits each batch exactly once") {
     val dbDir = Files.createTempDirectory("graft_derby_stream").toString
     val url = s"jdbc:derby:$dbDir/streamdb;create=true"
