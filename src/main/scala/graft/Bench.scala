@@ -56,7 +56,10 @@ object Bench {
     // 3-decimal timings: full-precision doubles made the line ~4 kB and
     // the driver's tail capture head-clipped it every round (a01–q09
     // timings lost). 1 ms resolution is far below host noise anyway.
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would emit "1,234"
+    // and corrupt the JSON line.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")

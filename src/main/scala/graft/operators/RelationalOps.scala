@@ -440,24 +440,6 @@ object RelationalOps {
       .orderBy("column_name")
   }
 
-  /** q51_bloom_semi_join — semi join with an explicit Bloom
-    * PRE-FILTER on the probe side: the filtered orders keys fold into
-    * a fixed-size Bloom filter (distributed build, d13's machinery),
-    * every lineitem row probes it in ONE compiled expression BEFORE
-    * any exchange, and only survivors enter the real semi join. The
-    * Bloom is a pure optimization: false positives are removed by the
-    * join, false negatives don't exist — the result is EXACTLY the
-    * plain semi-join aggregate, which is what the oracle checks.
-    *
-    * This is the technique Spark's AQE injects implicitly as a
-    * runtime filter for shuffle joins (internal
-    * BloomFilterAggregate/BloomFilterMightContain pair) — exposed
-    * here as an explicit, parameterizable operator: at 100 TB with a
-    * build side past the broadcast ceiling, the probe shuffle moves
-    * only rows that pass the Bloom (~selectivity + fpp of the table)
-    * instead of every row, and the filter itself needs no shuffle,
-    * no broadcast hash relation — just the bitset's bytes riding
-    * into codegen. fpp trades bitset size against wasted shuffle. */
   /** q52_key_skew — join/agg-key skew diagnosis: the top-K heaviest
     * keys of a column with their row share, against the key-count
     * distribution summary (n_keys, median count, max count, and
@@ -497,6 +479,24 @@ object RelationalOps {
       .orderBy(col("cnt").desc, col("key"))
   }
 
+  /** q51_bloom_semi_join — semi join with an explicit Bloom
+    * PRE-FILTER on the probe side: the filtered orders keys fold into
+    * a fixed-size Bloom filter (distributed build, d13's machinery),
+    * every lineitem row probes it in ONE compiled expression BEFORE
+    * any exchange, and only survivors enter the real semi join. The
+    * Bloom is a pure optimization: false positives are removed by the
+    * join, false negatives don't exist — the result is EXACTLY the
+    * plain semi-join aggregate, which is what the oracle checks.
+    *
+    * This is the technique Spark's AQE injects implicitly as a
+    * runtime filter for shuffle joins (internal
+    * BloomFilterAggregate/BloomFilterMightContain pair) — exposed
+    * here as an explicit, parameterizable operator: at 100 TB with a
+    * build side past the broadcast ceiling, the probe shuffle moves
+    * only rows that pass the Bloom (~selectivity + fpp of the table)
+    * instead of every row, and the filter itself needs no shuffle,
+    * no broadcast hash relation — just the bitset's bytes riding
+    * into codegen. fpp trades bitset size against wasted shuffle. */
   def bloomSemiJoin(lineitem: DataFrame, orders: DataFrame,
                     minTotal: Double = 350000.0, fpp: Double = 0.01): DataFrame = {
     val spark = lineitem.sparkSession

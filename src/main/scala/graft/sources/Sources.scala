@@ -168,12 +168,16 @@ object Sources {
     def bucketOf(c: String): Column =
       aggregate(typedlit(bounds(c)), lit(0),
         (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
-    // bit i of column j lands at z-bit i·nCols + j: equal interleave
+    // bit i of column j lands at z-bit i·nCols + j: equal interleave.
+    // The bucket is widened to LONG before any shift: shiftleft on an
+    // int masks the distance mod 32 (and bit 31 sign-extends on a
+    // later cast), which would silently scramble the interleave for
+    // any config past 31 total bits — the require above allows 62.
     val n = cols.size
     val z = cols.zipWithIndex.map { case (c, j) =>
-      val b = bucketOf(c)
+      val b = bucketOf(c).cast("long")
       (0 until bitsPerCol).map { i =>
-        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), i * n + j).cast("long")
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * n + j)
       }.reduce(_.bitwiseOR(_))
     }.reduce(_.bitwiseOR(_))
     df.withColumn("__z", z)

@@ -44,19 +44,30 @@ object VersionedTable {
   private def versionFile(path: String, v: Long): Path =
     logDir(path).resolve(f"v$v%020d.json")
 
+  /** `Files.list` requires an explicit close (each open stream holds a
+    * directory fd) — every listing in this object funnels through
+    * here. */
+  private def listDir[T](dir: Path)(f: Iterator[Path] => T): T = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   /** Latest committed version, or None for a non-table directory. */
   def latestVersion(path: String): Option[Long] = {
     val dir = logDir(path)
     if (!Files.isDirectory(dir)) None
     else {
-      val vs = Files.list(dir).iterator().asScala
-        .map(_.getFileName.toString)
+      val vs = listDir(dir)(_.map(_.getFileName.toString)
         .filter(n => n.startsWith("v") && n.endsWith(".json"))
         .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
-        .toSeq
+        .toSeq)
       if (vs.isEmpty) None else Some(vs.max)
     }
   }
+
+  /** Whether `v`'s log entry still exists (vacuum prunes old ones). */
+  def hasVersion(path: String, v: Long): Boolean =
+    Files.exists(versionFile(path, v))
 
   /** The file list of a version (paths relative to the table root). */
   private[graft] def filesOf(path: String, v: Long): Seq[String] = {
@@ -99,10 +110,9 @@ object VersionedTable {
   private def writeBatch(df: DataFrame, path: String): Seq[String] = {
     val sub = "data-" + java.util.UUID.randomUUID().toString
     df.write.parquet(s"$path/$sub")
-    Files.list(Paths.get(path, sub)).iterator().asScala
-      .map(_.getFileName.toString)
+    listDir(Paths.get(path, sub))(_.map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet"))
-      .map(n => s"$sub/$n").toSeq.sorted
+      .map(n => s"$sub/$n").toSeq.sorted)
   }
 
   /** Create the table at version 1. */
@@ -129,29 +139,33 @@ object VersionedTable {
     val fromFiles = filesOf(path, fromV).toSet
     val toFiles = filesOf(path, toV).toSet
     val common = fromFiles intersect toFiles // carried — identical rows
-    def readSide(files: Set[String]): Option[DataFrame] = {
+    // a side whose files all carried over contributes an EMPTY frame
+    // with the table schema (never a zero-column emptyDataFrame — the
+    // documented output shape must hold even for a no-op commit)
+    val schemaFiles = (toFiles ++ fromFiles).toSeq.sorted
+    if (schemaFiles.isEmpty) {
+      throw new IllegalArgumentException(
+        s"changesBetween: versions $fromV and $toV of $path list no files")
+    }
+    def readSide(files: Set[String]): DataFrame = {
       val own = (files -- common).toSeq.sorted
-      if (own.isEmpty) None
-      else Some(spark.read.parquet(own.map(f => s"$path/$f"): _*))
+      if (own.isEmpty)
+        spark.read.parquet(schemaFiles.map(f => s"$path/$f"): _*).limit(0)
+      else spark.read.parquet(own.map(f => s"$path/$f"): _*)
     }
-    (readSide(fromFiles), readSide(toFiles)) match {
-      case (None, None) =>
-        spark.emptyDataFrame
-      case (before, after) =>
-        val b = before.getOrElse(after.get.limit(0))
-          .select(keyCols.map(col) :+ struct(col("*")).as("_before"): _*)
-        val a = after.getOrElse(before.get.limit(0))
-          .select(keyCols.map(col) :+ struct(col("*")).as("_after"): _*)
-        b.join(a, keyCols, "full_outer")
-          .withColumn("change_type",
-            when(col("_before").isNull, "insert")
-              .when(col("_after").isNull, "delete")
-              .when(col("_before") =!= col("_after"), "update")
-              .otherwise("unchanged"))
-          .filter(col("change_type") =!= "unchanged")
-          .select(keyCols.map(col) :+ col("change_type") :+
-            col("_before") :+ col("_after"): _*)
-    }
+    val b = readSide(fromFiles)
+      .select(keyCols.map(col) :+ struct(col("*")).as("_before"): _*)
+    val a = readSide(toFiles)
+      .select(keyCols.map(col) :+ struct(col("*")).as("_after"): _*)
+    b.join(a, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("_before").isNull, "insert")
+          .when(col("_after").isNull, "delete")
+          .when(col("_before") =!= col("_after"), "update")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      .select(keyCols.map(col) :+ col("change_type") :+
+        col("_before") :+ col("_after"): _*)
   }
 
   /** Streaming change-data feed (src_stream_versioned): tail the
@@ -183,9 +197,13 @@ object VersionedTable {
           m.map(_.group(1).toLong)
         }.sorted
         vs.foreach { v =>
+          // v==1 and "previous version vacuumed away" share a shape:
+          // no predecessor to diff against, so the full snapshot
+          // streams as a RESYNC of inserts (the consumer's recovery
+          // point) instead of crashing the query on a missing log
           val changes =
-            if (v == 1L)
-              read(spark, tablePath, asOf = Some(1L))
+            if (v == 1L || !hasVersion(tablePath, v - 1))
+              read(spark, tablePath, asOf = Some(v))
                 .select(keyCols.map(col) :+ lit("insert").as("change_type"): _*)
             else
               changesBetween(spark, tablePath, keyCols, v - 1, v)
@@ -201,34 +219,44 @@ object VersionedTable {
   /** Retention pass: unlink data files no retained version references
     * and drop the superseded log entries — the GC the copy-on-write
     * protocol defers. Keeps the newest `retainVersions` snapshots
-    * readable (time travel shrinks to that horizon). Safe against the
-    * commit protocol: current readers hold file handles (POSIX unlink
-    * keeps their data alive) and new commits only reference files of
-    * the latest — retained — version. Returns the deleted file count. */
-  def vacuum(path: String, retainVersions: Int = 1): Int = {
+    * readable; time travel and the streaming change feed shrink to
+    * that horizon (a read of a vacuumed version fails; the feed
+    * resyncs). Two race guards, both the standard table-format
+    * recipe: `minAgeMs` skips unreferenced files younger than the
+    * grace period, so a concurrent upsert's already-written but
+    * NOT-yet-committed batch is never reclaimed out from under its
+    * commit (size the grace above the longest write+commit window,
+    * as Delta's retention check does) — and readers of RETAINED
+    * versions are untouched because Spark re-opens files at action
+    * time from a file list vacuum preserved. Returns the deleted
+    * file count. */
+  def vacuum(path: String, retainVersions: Int = 1,
+             minAgeMs: Long = 24L * 3600 * 1000): Int = {
     require(retainVersions >= 1, "vacuum: must retain at least the latest version")
     val latest = latestVersion(path).getOrElse(return 0)
     val keepVs = ((latest - retainVersions + 1L) max 1L) to latest
     val keep = keepVs.flatMap(v => filesOf(path, v)).toSet
-    val dataDirs = Files.list(Paths.get(path)).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("data-"))
-      .toSeq
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val dataDirs = listDir(Paths.get(path))(
+      _.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("data-")).toSeq)
     var deleted = 0
     dataDirs.foreach { d =>
-      Files.list(d).iterator().asScala.foreach { f =>
+      listDir(d)(_.toSeq).foreach { f =>
         val rel = s"${d.getFileName}/${f.getFileName}"
         val isData = f.getFileName.toString.endsWith(".parquet")
-        if (isData && !keep.contains(rel)) { Files.delete(f); deleted += 1 }
-        else if (!isData) Files.delete(f) // _SUCCESS/.crc markers
+        val oldEnough = Files.getLastModifiedTime(f).toMillis <= cutoff
+        if (isData && !keep.contains(rel) && oldEnough) {
+          Files.delete(f); deleted += 1
+        } else if (!isData && oldEnough) Files.delete(f) // _SUCCESS/.crc
       }
-      if (!Files.list(d).iterator().hasNext) Files.delete(d)
+      if (listDir(d)(_.isEmpty)) Files.delete(d)
     }
     // drop superseded log entries so asOf fails fast instead of
     // resolving to missing files
-    Files.list(logDir(path)).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("v"))
+    listDir(logDir(path))(_.filter(_.getFileName.toString.startsWith("v"))
       .filter(p => p.getFileName.toString.stripPrefix("v")
-        .stripSuffix(".json").toLong < keepVs.head)
+        .stripSuffix(".json").toLong < keepVs.head).toSeq)
       .foreach(Files.delete)
     deleted
   }

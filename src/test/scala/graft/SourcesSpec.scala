@@ -233,8 +233,18 @@ class SourcesSpec extends SparkSpecBase {
       // rows co-resident in the rewritten file surface as unchanged
       // and are filtered; nothing outside the touched file may leak
       (0L until 50L).filter(i => i % 4 == 3L % 4).toSet), s"got $changes")
-    // vacuum to the latest version: v1-only files die, v2 stays whole
-    val deleted = VersionedTable.vacuum(dir, retainVersions = 1)
+    // a no-op merge commits a version with an unchanged file list; its
+    // change feed must be EMPTY WITH THE DOCUMENTED SCHEMA, not a
+    // zero-column frame
+    VersionedTable.upsert(spark, dir, Seq("id"),
+      spark.emptyDataFrame.selectExpr("CAST(1 AS BIGINT) AS id", "'x' AS name").limit(0))
+    val noop = VersionedTable.changesBetween(spark, dir, Seq("id"), 2L, 3L)
+    assert(noop.columns.toSeq == Seq("id", "change_type", "_before", "_after"))
+    assert(noop.count() == 0)
+    // vacuum to the latest version: old-only files die, v3 stays whole.
+    // minAgeMs=0 for the test; the default grace period exists so a
+    // concurrent writer's uncommitted batch is never reclaimed
+    val deleted = VersionedTable.vacuum(dir, retainVersions = 1, minAgeMs = 0L)
     assert(deleted > 0, "the rewritten v1 file must be reclaimed")
     val after = VersionedTable.read(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
