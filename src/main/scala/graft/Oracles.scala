@@ -97,6 +97,32 @@ object Oracles {
          SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
          FROM s GROUP BY user_id ORDER BY user_id""",
 
+    // q53: session derivation identical to q11; rn <= 8 mirrors the
+    // Spark slice; LIMIT after the (count DESC, path) tiebreak
+    "q53_session_paths" ->
+      """WITH l AS (
+           SELECT user_id, event_id, event_type,
+                  epoch_ms(ts) AS cur_ms, epoch_us(ts) AS cur_us,
+                  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, event_type, cur_us,
+                  sum(CASE WHEN prev_ms IS NULL OR cur_ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY cur_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM l),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                        ORDER BY cur_us, event_id) AS rn
+           FROM s),
+         p AS (
+           SELECT user_id, session_id,
+                  string_agg(event_type, '>' ORDER BY cur_us, event_id) AS path
+           FROM r WHERE rn <= 8 GROUP BY user_id, session_id)
+         SELECT path, count(*) AS n_sessions
+         FROM p GROUP BY path
+         ORDER BY n_sessions DESC, path LIMIT 20""",
+
     "q34_session_window" ->
       """WITH l AS (
            SELECT user_id, event_id, epoch_us(ts) AS cur_us,

@@ -39,6 +39,7 @@ object SparkEntry {
     "q10_collision" -> ((s, d) => TrackAnalytics.collision(Tables.events(s, d))),
     "q11_sessionize" -> ((s, d) => TrackAnalytics.sessionize(Tables.events(s, d))),
     "q34_session_window" -> ((s, d) => TrackAnalytics.sessionWindow(Tables.events(s, d))),
+    "q53_session_paths" -> ((s, d) => TrackAnalytics.sessionPaths(Tables.events(s, d))),
     "q12_rollup" -> ((s, d) => RelationalOps.rollupAgg(
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q13_running_total" -> ((s, d) => RelationalOps.runningTotal(Tables.orders(s, d))),

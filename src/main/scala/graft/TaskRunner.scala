@@ -81,6 +81,9 @@ object TaskRunner {
       eventsIn(s, d, p), str(p, "typeA", "click"), str(p, "typeB", "purchase"))),
     "q11_sessionize" -> ((s, d, p) => TrackAnalytics.sessionize(
       eventsIn(s, d, p), l(p, "gapMs", 1800000L))),
+    "q53_session_paths" -> ((s, d, p) => TrackAnalytics.sessionPaths(
+      eventsIn(s, d, p), l(p, "gapMs", 1800000L),
+      i(p, "maxSteps", 8), i(p, "topK", 20))),
     "q44_peak_concurrency" -> ((s, d, p) => TrackAnalytics.peakConcurrency(
       eventsIn(s, d, p), l(p, "gapMs", 1800000L))),
     "q45_rolling_distinct" -> ((s, d, p) => TrackAnalytics.rollingDistinct(

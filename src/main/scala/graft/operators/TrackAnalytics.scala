@@ -97,6 +97,48 @@ object TrackAnalytics {
       .orderBy("user_id")
   }
 
+  /** q53_session_paths — behavioral PATH analysis (the Amplitude/
+    * ClickHouse "top user journeys" report): each session's first
+    * `maxSteps` event types in order, joined into a path string, with
+    * the top-K paths by session count. q09/q39 score a KNOWN funnel;
+    * this DISCOVERS the funnels worth scoring — the first question a
+    * product owner asks of an event log.
+    *
+    * Derivation shares q11's sessionization exactly (same gap rule,
+    * same micro-precision tie order), then one aggregation per
+    * session assembles the path: collect_list of (us, event_id, type)
+    * structs, array_sort (struct ordering = field order, so the sort
+    * key IS the event order), slice to `maxSteps`, join. Per-session
+    * arrays are human-scale (the q08 bound argument) and the slice
+    * caps the path string. Plan: ONE user_id exchange — the session
+    * window partitions by user_id, and hash(user_id) already
+    * co-locates (user_id, session_id) for the aggregation, so no
+    * second shuffle; the top-K is TakeOrdered over |distinct paths|
+    * rows. */
+  def sessionPaths(events: DataFrame, gapMs: Long = 1800000L,
+                   maxSteps: Int = 8, topK: Int = 20): DataFrame = {
+    require(maxSteps >= 1 && topK >= 1, "sessionPaths: maxSteps and topK must be >= 1")
+    val w = Window.partitionBy("user_id").orderBy(expr("ts_ns div 1000"), col("event_id"))
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("cur_ms", expr("ts_ns div 1000000"))
+      .withColumn("prev_ms", lag(expr("ts_ns div 1000000"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull || col("cur_ms") - col("prev_ms") > gapMs, 1).otherwise(0))
+      .withColumn("session_id", sum("new_s").over(frame))
+      .groupBy("user_id", "session_id")
+      .agg(array_join(
+        transform(
+          slice(array_sort(collect_list(struct(
+            expr("ts_ns div 1000").as("us"), col("event_id"), col("event_type")))),
+            1, maxSteps),
+          s => s.getField("event_type")), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Deterministic pseudo-random scramble used instead of rand() so the
     * sample is reproducible across engines and runs (Knuth
     * multiplicative hash over the record id). */
