@@ -310,6 +310,27 @@ class SourcesSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("versioned table: a feed started after vacuum resyncs the snapshot instead of crashing") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_vt_resync").toString
+    val dir = s"$root/t"; val out = s"$root/changes"
+    VersionedTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir)
+    VersionedTable.upsert(spark, dir, Seq("id"), Seq((3L, "c")).toDF("id", "name"))
+    // v1's log entry dies; a consumer then starts a FRESH feed at v2
+    VersionedTable.vacuum(dir, retainVersions = 1, minAgeMs = 0L)
+    val q = VersionedTable.streamChanges(spark, dir, Seq("id"), out, s"$root/ckpt")
+    try {
+      q.processAllAvailable()
+      val feed = spark.read.parquet(out)
+        .select(col("version").cast("long"), col("id"), col("change_type")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+      // no v1 to diff against: v2 streams as a full-snapshot resync
+      assert(feed == Map((2L, 1L) -> "insert", (2L, 2L) -> "insert",
+        (2L, 3L) -> "insert"), s"got $feed")
+    } finally q.stop()
+  }
+
   test("streaming jdbc sink: batch-id idempotence commits each batch exactly once") {
     val dbDir = Files.createTempDirectory("graft_derby_stream").toString
     val url = s"jdbc:derby:$dbDir/streamdb;create=true"
