@@ -450,6 +450,58 @@ object StreamingFlow {
       }
   }
 
+  case class PathEv(userId: Long, tsMs: Long, eventType: String)
+  case class PathState(lastMs: Long, steps: Seq[String])
+  case class SessionPath(userId: Long, path: String)
+
+  /** s20_stream_session_paths — live journey emission, the streaming
+    * twin of batch q53: per-user state carries (last event time, the
+    * current session's first `maxSteps` event types) and a session's
+    * PATH is emitted exactly when the session closes — by a
+    * gap-exceeding next event, or by watermark timeout (s03's
+    * eviction rule: once the watermark passes last + gap nothing
+    * in-watermark can extend the session, so its path is final).
+    * Downstream aggregation of the emitted paths is q53's top-K —
+    * run it per window over this feed for a LIVE "top journeys"
+    * board. State is bounded: maxSteps strings per active user,
+    * evicted on timeout; a returning user re-anchors fresh. */
+  def sessionPathFeed(ds: Dataset[PathEv], gapMs: Long = 1800000L,
+                      maxSteps: Int = 8,
+                      watermarkDelay: String = "1 hour"): Dataset[SessionPath] = {
+    import ds.sparkSession.implicits._
+    ds.toDF()
+      .withColumn("ets", timestamp_millis(col("tsMs")))
+      .withWatermark("ets", watermarkDelay)
+      .as[PathEv]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[PathEv], state: GroupState[PathState]) =>
+          if (state.hasTimedOut) {
+            val closed = state.getOption.map(st =>
+              SessionPath(uid, st.steps.mkString(">"))).iterator
+            state.remove()
+            closed.toSeq.iterator
+          } else {
+            var st = state.getOption.getOrElse(PathState(Long.MinValue, Vector.empty))
+            val out = Seq.newBuilder[SessionPath]
+            evs.toSeq.sortBy(_.tsMs).foreach { e =>
+              val newSession = st.lastMs == Long.MinValue || e.tsMs - st.lastMs > gapMs
+              if (newSession && st.steps.nonEmpty)
+                out += SessionPath(uid, st.steps.mkString(">"))
+              val steps =
+                if (newSession) Vector(e.eventType)
+                else if (st.steps.size < maxSteps) st.steps :+ e.eventType
+                else st.steps
+              st = PathState(e.tsMs, steps)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   case class FunnelEv(userId: Long, tsUs: Long, eventType: String)
   case class FunnelState(t1: Long, tPrev: Long, level: Int)
   case class FunnelLevel(userId: Long, level: Int)

@@ -434,6 +434,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s20 emits each session's path on close (gap) and on watermark eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingFlow.PathEv
+    val base = 1700000000000L
+    val h = 3600000L
+    val input = MemoryStream[PathEv]
+    val q = StreamingFlow.sessionPathFeed(input.toDS(),
+        gapMs = 1800000L, maxSteps = 3, watermarkDelay = "10 minutes").writeStream
+      .format("memory").queryName("path_out").outputMode("update").start()
+    try {
+      // session 1: four events — the path caps at maxSteps=3
+      input.addData(PathEv(1L, base, "view"), PathEv(1L, base + 1000, "click"),
+        PathEv(1L, base + 2000, "cart"), PathEv(1L, base + 3000, "checkout"))
+      q.processAllAvailable()
+      // a gap-exceeding event closes session 1 and opens session 2
+      input.addData(PathEv(1L, base + 2 * h, "view"))
+      q.processAllAvailable()
+      val afterGap = spark.table("path_out").collect().map(_.getString(1)).toSet
+      assert(afterGap == Set("view>click>cart"),
+        s"closed session must emit its capped path: $afterGap")
+      // other-user traffic pushes the watermark past session 2 + gap;
+      // the following batch processes the timeout and emits its path
+      input.addData(PathEv(9L, base + 6 * h, "view"))
+      q.processAllAvailable()
+      input.addData(PathEv(9L, base + 6 * h + 1000, "click"))
+      q.processAllAvailable()
+      val afterEvict = spark.table("path_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(afterEvict.contains((1L, "view")),
+        s"evicted session must emit its final path: $afterEvict")
+    } finally q.stop()
+  }
+
   test("s03 evicts idle session state on event-time timeout; a late return re-anchors") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1700000000000L
