@@ -168,6 +168,37 @@ object VersionedTable {
         col("_before") :+ col("_after"): _*)
   }
 
+  /** OPTIMIZE: rewrite the CURRENT snapshot into a clustered layout
+    * (sink_zorder's multi-column interleave, or sink_sorted's single
+    * column) and publish it as a new commit — the compaction +
+    * re-clustering pass a merge-heavy table needs, because every
+    * upsert lands its rewritten rows as fresh unclustered files and
+    * data-skipping decays with each one. Readers are untouched
+    * (copy-on-write + CAS like any commit); a concurrent upsert that
+    * wins the race simply makes this attempt retry on the newer
+    * snapshot. Content is IDENTICAL before and after (spec-pinned) —
+    * only layout changes; old files age out via vacuum. */
+  def optimize(spark: SparkSession, path: String, clusterCols: Seq[String],
+               numFiles: Int, bitsPerCol: Int = 8, maxRetries: Int = 5): Long = {
+    require(clusterCols.nonEmpty, "optimize: need at least one cluster column")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      val base = latestVersion(path).getOrElse(
+        throw new IllegalArgumentException(s"$path is not a versioned table"))
+      val snap = read(spark, path, asOf = Some(base))
+      val sub = "data-" + java.util.UUID.randomUUID().toString
+      if (clusterCols.size == 1)
+        Sources.writeSorted(snap, s"$path/$sub", clusterCols.head, numFiles)
+      else
+        Sources.writeZordered(snap, s"$path/$sub", clusterCols, numFiles, bitsPerCol)
+      val newFiles = listDir(Paths.get(path, sub))(_.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).map(n => s"$sub/$n").toSeq.sorted)
+      if (tryCommit(path, base + 1, newFiles)) return base + 1
+    }
+    throw new IllegalStateException(s"optimize lost $maxRetries commit races on $path")
+  }
+
   /** Streaming change-data feed (src_stream_versioned): tail the
     * commit log itself as a file stream — every committed version
     * file is exactly one immutable, atomically-published object, so

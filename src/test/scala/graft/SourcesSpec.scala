@@ -310,6 +310,40 @@ class SourcesSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("versioned table: optimize re-clusters the snapshot losslessly as a new commit") {
+    import graft.sources.VersionedTable
+    val dir = Files.createTempDirectory("graft_vt_opt").toString + "/t"
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(2000)((rnd.nextInt(100000).toLong,
+        rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      .toDF("id", "x", "y").repartition(6)
+    VersionedTable.create(base, dir)
+    // a few merge batches decay the layout
+    (0 until 3).foreach { i =>
+      VersionedTable.upsert(spark, dir, Seq("id"),
+        Seq((i.toLong, 500L, 500L)).toDF("id", "x", "y"))
+    }
+    val before = VersionedTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val v = VersionedTable.optimize(spark, dir, Seq("x", "y"), numFiles = 16)
+    assert(v == 5L, s"optimize must commit the next version, got $v")
+    val after = VersionedTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(after == before, "optimize must not change content")
+    // the new layout actually clusters: per-file x-spread shrinks well
+    // below global (the sink_zorder property, through the table seam)
+    val files = VersionedTable.filesOf(dir, v).map(f => s"$dir/$f")
+    assert(files.size == 16)
+    val spreads = files.map { f =>
+      val xs = spark.read.parquet(f).collect().map(_.getLong(1))
+      (xs.max - xs.min).toDouble / 999
+    }
+    assert(spreads.sum / spreads.size < 0.5,
+      s"optimized files must confine x: $spreads")
+    // pre-optimize versions still read (time travel unaffected)
+    assert(VersionedTable.read(spark, dir, asOf = Some(4L)).count() == before.size)
+  }
+
   test("versioned table: a feed started after vacuum resyncs the snapshot instead of crashing") {
     import graft.sources.VersionedTable
     import org.apache.spark.sql.functions.col
