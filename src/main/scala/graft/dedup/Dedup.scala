@@ -298,6 +298,65 @@ object Dedup {
         stableRound(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** SIGNATURE-ONLY dedup index — the storage trade the full index
+    * documents: where `shingles/` costs ~8 bytes per corpus TOKEN
+    * (the price of exact-Jaccard verification), this index stores
+    * `numHashes` MinHash components per DOC (constant bytes/doc,
+    * typically 512 B) plus the same band-partitioned candidate
+    * rows — the whole index is signature-sized however long the
+    * documents run. The price is estimation: candidate pairs score
+    * by component agreement (an unbiased Jaccard estimator with
+    * σ = sqrt(J(1−J)/numHashes) ≈ 0.06 at 64 hashes), not exact set
+    * intersection. Use it when the corpus is too large to store
+    * shingle sets and a ±few-percent similarity score is acceptable
+    * — the classic web-scale MinHash deployment. */
+  def writeDedupSignatureIndex(corpus: DataFrame, path: String,
+                               numHashes: Int = 64, bands: Int = 16): Unit = {
+    val sets = graft.Caches.tracked(
+      withShingleHashes(corpus).select(col("doc_id"), col("sh")))
+    // bands=numHashes degenerates the banded hash to component grain
+    sets.select(col("doc_id"), size(col("sh")).as("nsh"),
+        expr(s"graft_minhash_bands(sh, $numHashes, $numHashes)").as("msig"))
+      .write.mode("overwrite").parquet(path + "/minsig")
+    sets.select(col("doc_id"), size(col("sh")).as("nsh"),
+        posexplode(expr(s"graft_minhash_bands(sh, $numHashes, $bands)"))
+          .as(Seq("bi", "bh")))
+      .write.mode("overwrite").partitionBy("bi").parquet(path + "/sig")
+  }
+
+  /** d11 against the SIGNATURE index: same band candidates, scores by
+    * component agreement instead of exact intersection. Output shape
+    * matches [[dedupAgainstIndex]] with `est_jaccard` in place of the
+    * exact score; the spec bounds the estimator against exact. */
+  def dedupAgainstSignatureIndex(newDocs: DataFrame, indexPath: String,
+                                 threshold: Double = 0.8, numHashes: Int = 64,
+                                 bands: Int = 16): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (batchSets, batchSig) = batchPipeline(newDocs, numHashes, bands)
+    val batchSigT = graft.Caches.tracked(batchSig)
+    val idxSig = spark.read.parquet(indexPath + "/sig")
+    val cand = batchSigT.as("x")
+      .join(idxSig.as("y").hint("shuffle_hash"),
+        col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh") &&
+          sizeOkCols(threshold))
+      .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("corpus_doc"))
+      .distinct()
+    val batchMsig = batchSets.select(col("doc_id").as("new_doc"),
+      expr(s"graft_minhash_bands(sh, $numHashes, $numHashes)").as("sig_a"))
+    val idxMsig = spark.read.parquet(indexPath + "/minsig")
+      .select(col("doc_id").as("corpus_doc"), col("msig").as("sig_b"))
+    cand
+      .join(batchMsig, "new_doc")
+      .join(idxMsig, "corpus_doc")
+      .withColumn("est_jaccard",
+        expr(s"aggregate(zip_with(sig_a, sig_b, (a, b) -> IF(a = b, 1, 0)), 0, (acc, v) -> acc + v)")
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("new_doc"), col("corpus_doc"),
+        stableRound(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy("new_doc", "corpus_doc")
+  }
+
   /** APPEND a batch (its admitted docs) to a saved dedup index — the
     * write that closes the incremental loop: tomorrow's admission
     * probes today's admissions without any rebuild. Same derivation

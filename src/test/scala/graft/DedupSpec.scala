@@ -188,6 +188,29 @@ class DedupSpec extends SparkSpecBase {
       "corpus text must never be re-scanned by the probe")
   }
 
+  test("signature index estimates Jaccard within MinHash error, same candidate recall") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = docs.filter(docs("source") === "src0")
+    val corpus = docs.filter(docs("source") =!= "src0")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_idx").toString
+    graft.dedup.Dedup.writeDedupIndex(corpus, dir)
+    graft.dedup.Dedup.writeDedupSignatureIndex(corpus, dir + "_sig")
+    val exact = graft.dedup.Dedup.dedupAgainstIndex(batch, dir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // lower signature threshold: the estimator's noise must not hide
+    // exact pairs sitting just above the exact threshold
+    val est = graft.dedup.Dedup.dedupAgainstSignatureIndex(batch, dir + "_sig",
+        threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "need real near-dup pairs to compare")
+    exact.foreach { case (pair, j) =>
+      assert(est.contains(pair), s"pair $pair (exact J=$j) missed by the signature index")
+      // 64-hash MinHash: σ ≈ sqrt(J(1−J)/64) ≤ 0.0625; allow 4σ
+      assert(math.abs(est(pair) - j) <= 0.25,
+        s"pair $pair: estimate ${est(pair)} vs exact $j")
+    }
+  }
+
   test("ingestAdmitIndexed matches live ingestAdmit; appended admissions shadow the next batch") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val batch = docs.filter(docs("source") === "src0")
