@@ -208,8 +208,9 @@ object Dedup {
     * Storage is the honest trade: `sig` is numHashes/bands rows per
     * doc (constant), `shingles` is ~one 8-byte hash per corpus token
     * — comparable to the text itself, the price of exact-Jaccard
-    * verification (signature-only estimation would shrink it to the
-    * constant part at the cost of approximate scores). The index is
+    * verification ([[writeDedupSignatureIndex]] is the shipped
+    * constant-bytes-per-doc alternative scoring by MinHash
+    * estimation). The index is
     * immutable by design — admitted batches append via the same sink
     * (the a12 append pattern); dfCap is not offered here because the
     * cap's document frequencies are union-wide and an immutable index
