@@ -169,6 +169,10 @@ class TaskRunnerSpec extends SparkSpecBase {
     val m = TaskRunner.run(spark, d, "m09_storage_savings",
       Map("chunkBytes" -> "32")).collect()
     assert(m.nonEmpty && m.forall(r => r.getLong(4) <= r.getLong(2)))
+    // q53: maxSteps=1 collapses every path to a single event type
+    val p1 = TaskRunner.run(spark, d, "q53_session_paths",
+      Map("maxSteps" -> "1", "topK" -> "3")).collect()
+    assert(p1.length <= 3 && p1.forall(!_.getString(0).contains(">")))
   }
 
   test("every param-aware runner binds an existing inventory query") {
