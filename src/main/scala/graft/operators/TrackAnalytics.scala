@@ -110,11 +110,12 @@ object TrackAnalytics {
     * structs, array_sort (struct ordering = field order, so the sort
     * key IS the event order), slice to `maxSteps`, join. Per-session
     * arrays are human-scale (the q08 bound argument) and the slice
-    * caps the path string. Plan: ONE user_id exchange — the session
-    * window partitions by user_id, and hash(user_id) already
-    * co-locates (user_id, session_id) for the aggregation, so no
-    * second shuffle; the top-K is TakeOrdered over |distinct paths|
-    * rows. */
+    * caps the path string. Plan: events cross ONE exchange (the
+    * session window's user_id partitioning — hash(user_id) already
+    * co-locates (user_id, session_id) for the path aggregation);
+    * after that only (path, partial count) pairs move, at
+    * path-vocabulary grain, and the top-K is TakeOrdered over
+    * |distinct paths| rows — both PlanSpec-pinned. */
   def sessionPaths(events: DataFrame, gapMs: Long = 1800000L,
                    maxSteps: Int = 8, topK: Int = 20): DataFrame = {
     require(maxSteps >= 1 && topK >= 1, "sessionPaths: maxSteps and topK must be >= 1")

@@ -62,6 +62,53 @@ class PlanSpec extends SparkSpecBase {
     // what moves the shuffle volume)
   }
 
+  /** Exchange count from the EXECUTED plan (EnsureRequirements has
+    * run there; sparkPlan carries no Exchange nodes yet), recursing
+    * through the AQE wrapper. */
+  private def executedShuffles(name: String): Seq[ShuffleExchangeExec] = {
+    def collect(p: SparkPlan): Seq[ShuffleExchangeExec] = p.collect {
+      case s: ShuffleExchangeExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => collect(a.initialPlan)
+    }.flatten
+    collect(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
+  }
+
+  test("q53_session_paths: events shuffle once (user_id); only path partials move after") {
+    // the session window's hashpartitioning(user_id) is the only
+    // EVENT-GRAIN exchange — hash(user_id) already co-locates
+    // (user_id, session_id) for the path aggregation; the second
+    // exchange moves (path, partial count) pairs at path-vocabulary
+    // grain, and the top-K plans as TakeOrderedAndProject (bounded
+    // heap), never a sort+limit exchange
+    val shuffles = executedShuffles("q53_session_paths")
+    assert(shuffles.size == 2, s"got ${shuffles.size} exchanges")
+    assert(shuffles.exists(_.outputPartitioning.toString.contains("user_id")),
+      "the event-grain exchange must partition on user_id")
+    val pathEx = shuffles.filter(_.outputPartitioning.toString.contains("path"))
+    assert(pathEx.nonEmpty &&
+      pathEx.forall(_.output.map(_.name).forall(Set("path", "count").contains)),
+      s"the path exchange may move only partial counts: ${pathEx.map(_.output)}")
+    assert(plan("q53_session_paths").toString.contains("TakeOrderedAndProject"),
+      "global top-K must be a bounded heap, not a global sort")
+  }
+
+  test("m09_storage_savings: text reads only through the cache; no payload crosses a shuffle") {
+    val p = plan("m09_storage_savings")
+    // plain collect does NOT descend into InMemoryRelation subtrees:
+    // zero hits = every text read goes through the ONE cached
+    // materialization of the routed payload frame
+    val uncached = p.collect { case f: FileSourceScanExec => f }
+    assert(uncached.isEmpty,
+      s"raw document scans outside the cache: ${uncached.size}")
+    // no exchange may carry the payload: shuffles move per-route
+    // partials and (route, hash, length) triples only
+    executedShuffles("m09_storage_savings").foreach { s =>
+      val cols = s.output.map(_.name.toLowerCase)
+      assert(!cols.exists(c => c.contains("payload") || c.contains("text")),
+        s"payload bytes crossing an exchange: $cols")
+    }
+  }
+
   test("a10_range_search: one broadcast scan pass, no shuffle except the output sort") {
     val p = plan("a10_range_search")
     val shuffles = p.collect { case s: ShuffleExchangeExec => s }
