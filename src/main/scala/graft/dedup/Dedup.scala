@@ -313,15 +313,20 @@ object Dedup {
     * — the classic web-scale MinHash deployment. */
   def writeDedupSignatureIndex(corpus: DataFrame, path: String,
                                numHashes: Int = 64, bands: Int = 16): Unit = {
-    val sets = graft.Caches.tracked(
-      withShingleHashes(corpus).select(col("doc_id"), col("sh")))
-    // bands=numHashes degenerates the banded hash to component grain
-    sets.select(col("doc_id"), size(col("sh")).as("nsh"),
-        expr(s"graft_minhash_bands(sh, $numHashes, $numHashes)").as("msig"))
+    // ONE cached materialization carries both signatures: the two
+    // writes below would otherwise each re-run the shingle build AND
+    // a full numHashes-permutation minima loop per document — the
+    // dominant build cost. (bands=numHashes degenerates the banded
+    // hash to component grain; band hashes are chained over the
+    // minima, so they are not derivable from the stored components.)
+    val signed = graft.Caches.tracked(
+      withShingleHashes(corpus).select(col("doc_id"), size(col("sh")).as("nsh"),
+        expr(s"graft_minhash_bands(sh, $numHashes, $numHashes)").as("msig"),
+        expr(s"graft_minhash_bands(sh, $numHashes, $bands)").as("bsig")))
+    signed.select("doc_id", "nsh", "msig")
       .write.mode("overwrite").parquet(path + "/minsig")
-    sets.select(col("doc_id"), size(col("sh")).as("nsh"),
-        posexplode(expr(s"graft_minhash_bands(sh, $numHashes, $bands)"))
-          .as(Seq("bi", "bh")))
+    signed.select(col("doc_id"), col("nsh"),
+        posexplode(col("bsig")).as(Seq("bi", "bh")))
       .write.mode("overwrite").partitionBy("bi").parquet(path + "/sig")
   }
 

@@ -77,11 +77,13 @@ object TrackAnalytics {
       .intersect(events.filter(col("event_type") === typeB).select("user_id").distinct())
       .orderBy("user_id")
 
-  /** q11_sessionize — gap-based sessionization (30-minute gap), the
-    * batch twin of streaming session windows. Two stacked windows on
-    * the same (user_id) partitioning → a single shuffle. */
-  def sessionize(events: DataFrame, gapMs: Long = 1800000L): DataFrame = {
-    // micro-precision tie order — see funnelStep
+  /** The SHARED gap-rule session assignment behind q11, q44 and q53:
+    * events + a per-user session_id from the 30-minute-gap rule —
+    * millisecond gap check, MICROsecond (ts, event_id) tie order (see
+    * funnelStep), two stacked windows on one user_id partitioning.
+    * Every oracle mirrors this derivation exactly, so it exists ONCE:
+    * a fix to the gap rule cannot silently miss a consumer. */
+  private[graft] def withSessionIds(events: DataFrame, gapMs: Long): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(expr("ts_ns div 1000"), col("event_id"))
     val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
@@ -90,12 +92,19 @@ object TrackAnalytics {
       .withColumn("new_s",
         when(col("prev_ms").isNull || col("cur_ms") - col("prev_ms") > gapMs, 1).otherwise(0))
       .withColumn("session_id", sum("new_s").over(frame))
+      .drop("cur_ms", "prev_ms", "new_s")
+  }
+
+  /** q11_sessionize — gap-based sessionization (30-minute gap), the
+    * batch twin of streaming session windows. Two stacked windows on
+    * the same (user_id) partitioning → a single shuffle. */
+  def sessionize(events: DataFrame, gapMs: Long = 1800000L): DataFrame =
+    withSessionIds(events, gapMs)
       .groupBy("user_id")
       .agg(
         countDistinct("session_id").as("n_sessions"),
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
-  }
 
   /** q53_session_paths — behavioral PATH analysis (the Amplitude/
     * ClickHouse "top user journeys" report): each session's first
@@ -119,14 +128,7 @@ object TrackAnalytics {
   def sessionPaths(events: DataFrame, gapMs: Long = 1800000L,
                    maxSteps: Int = 8, topK: Int = 20): DataFrame = {
     require(maxSteps >= 1 && topK >= 1, "sessionPaths: maxSteps and topK must be >= 1")
-    val w = Window.partitionBy("user_id").orderBy(expr("ts_ns div 1000"), col("event_id"))
-    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events
-      .withColumn("cur_ms", expr("ts_ns div 1000000"))
-      .withColumn("prev_ms", lag(expr("ts_ns div 1000000"), 1).over(w))
-      .withColumn("new_s",
-        when(col("prev_ms").isNull || col("cur_ms") - col("prev_ms") > gapMs, 1).otherwise(0))
-      .withColumn("session_id", sum("new_s").over(frame))
+    withSessionIds(events, gapMs)
       .groupBy("user_id", "session_id")
       .agg(array_join(
         transform(
@@ -493,18 +495,10 @@ object TrackAnalytics {
     * sweep and stays counted in the offset of every day in between —
     * exactly the global-sum semantics, split by day. */
   def peakConcurrency(events: DataFrame, gapMs: Long = 1800000L): DataFrame = {
-    // micro-precision tie order — see funnelStep
-    val wSess = Window.partitionBy("user_id").orderBy(expr("ts_ns div 1000"), col("event_id"))
-    val frame = wSess.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // tracked: the boundaries unionAll embeds sessions in BOTH
     // branches — uncached, the event-log scan + user_id shuffle of
     // sessionization would run twice
-    val sessions = graft.Caches.tracked(events
-      .withColumn("cur_ms", expr("ts_ns div 1000000"))
-      .withColumn("prev_ms", lag(expr("ts_ns div 1000000"), 1).over(wSess))
-      .withColumn("new_s",
-        when(col("prev_ms").isNull || col("cur_ms") - col("prev_ms") > gapMs, 1).otherwise(0))
-      .withColumn("session_id", sum("new_s").over(frame))
+    val sessions = graft.Caches.tracked(withSessionIds(events, gapMs)
       .groupBy("user_id", "session_id")
       .agg(min(expr("ts_ns div 1000")).as("start_us"),
         max(expr("ts_ns div 1000")).as("end_us")))

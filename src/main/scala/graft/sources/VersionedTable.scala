@@ -90,11 +90,20 @@ object VersionedTable {
     else spark.read.parquet(files.map(f => s"$path/$f"): _*)
   }
 
+  /** Whether a version's commit changed table CONTENT (false for
+    * layout-only commits like optimize — Delta's dataChange flag):
+    * change-feed consumers skip those instead of self-diffing two
+    * identical snapshots. Absent field (pre-flag logs) = true. */
+  private[graft] def isDataChange(path: String, v: Long): Boolean =
+    !new String(Files.readAllBytes(versionFile(path, v)), "UTF-8")
+      .contains("\"dataChange\":false")
+
   /** Atomic CAS publish of version `v`: true = this writer won. */
-  private[graft] def tryCommit(path: String, v: Long, files: Seq[String]): Boolean = {
+  private[graft] def tryCommit(path: String, v: Long, files: Seq[String],
+                               dataChange: Boolean = true): Boolean = {
     Files.createDirectories(logDir(path))
     val payload =
-      s"""{"version":$v,"files":[${files.map(f => s"\"$f\"").mkString(",")}]}"""
+      s"""{"version":$v,"dataChange":$dataChange,"files":[${files.map(f => s"\"$f\"").mkString(",")}]}"""
     val tmp = Files.createTempFile(logDir(path), ".tmp-", ".json")
     Files.write(tmp, payload.getBytes("UTF-8"), StandardOpenOption.TRUNCATE_EXISTING)
     try {
@@ -105,14 +114,17 @@ object VersionedTable {
     } finally Files.delete(tmp)
   }
 
-  /** Write a parquet batch under a unique commit directory; returns
-    * the new part files relative to the table root. */
-  private def writeBatch(df: DataFrame, path: String): Seq[String] = {
-    val sub = "data-" + java.util.UUID.randomUUID().toString
-    df.write.parquet(s"$path/$sub")
+  /** The parquet part files of one commit directory, relative to the
+    * table root — the ONE listing convention every commit path uses. */
+  private def listDataFiles(path: String, sub: String): Seq[String] =
     listDir(Paths.get(path, sub))(_.map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet"))
       .map(n => s"$sub/$n").toSeq.sorted)
+
+  private def writeBatch(df: DataFrame, path: String): Seq[String] = {
+    val sub = "data-" + java.util.UUID.randomUUID().toString
+    df.write.parquet(s"$path/$sub")
+    listDataFiles(path, sub)
   }
 
   /** Create the table at version 1. */
@@ -186,15 +198,19 @@ object VersionedTable {
       attempt += 1
       val base = latestVersion(path).getOrElse(
         throw new IllegalArgumentException(s"$path is not a versioned table"))
+      // an empty snapshot has nothing to cluster (and a zero-column
+      // frame would not even resolve the cluster columns): no-op
+      if (filesOf(path, base).isEmpty) return base
       val snap = read(spark, path, asOf = Some(base))
       val sub = "data-" + java.util.UUID.randomUUID().toString
       if (clusterCols.size == 1)
         Sources.writeSorted(snap, s"$path/$sub", clusterCols.head, numFiles)
       else
         Sources.writeZordered(snap, s"$path/$sub", clusterCols, numFiles, bitsPerCol)
-      val newFiles = listDir(Paths.get(path, sub))(_.map(_.getFileName.toString)
-        .filter(_.endsWith(".parquet")).map(n => s"$sub/$n").toSeq.sorted)
-      if (tryCommit(path, base + 1, newFiles)) return base + 1
+      // layout-only commit: content identical, so the change feed
+      // must skip it (dataChange=false, the Delta convention)
+      if (tryCommit(path, base + 1, listDataFiles(path, sub), dataChange = false))
+        return base + 1
     }
     throw new IllegalStateException(s"optimize lost $maxRetries commit races on $path")
   }
@@ -227,7 +243,7 @@ object VersionedTable {
           val m = "\"version\":(\\d+)".r.findFirstMatchIn(s)
           m.map(_.group(1).toLong)
         }.sorted
-        vs.foreach { v =>
+        vs.filter(v => v == 1L || isDataChange(tablePath, v)).foreach { v =>
           // v==1 and "previous version vacuumed away" share a shape:
           // no predecessor to diff against, so the full snapshot
           // streams as a RESYNC of inserts (the consumer's recovery

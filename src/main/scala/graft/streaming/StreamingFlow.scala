@@ -450,49 +450,58 @@ object StreamingFlow {
       }
   }
 
-  case class PathEv(userId: Long, tsMs: Long, eventType: String)
-  case class PathState(lastMs: Long, steps: Seq[String])
-  case class SessionPath(userId: Long, path: String)
+  case class PathEv(userId: Long, tsMs: Long, eventId: Long, eventType: String)
+  case class PathStep(tsMs: Long, eventId: Long, eventType: String)
+  case class PathState(lastMs: Long, steps: Seq[PathStep])
+  case class SessionPath(userId: Long, path: String,
+                         closedAt: java.sql.Timestamp)
 
   /** s20_stream_session_paths — live journey emission, the streaming
-    * twin of batch q53: per-user state carries (last event time, the
-    * current session's first `maxSteps` event types) and a session's
-    * PATH is emitted exactly when the session closes — by a
-    * gap-exceeding next event, or by watermark timeout (s03's
-    * eviction rule: once the watermark passes last + gap nothing
-    * in-watermark can extend the session, so its path is final).
-    * Downstream aggregation of the emitted paths is q53's top-K —
-    * run it per window over this feed for a LIVE "top journeys"
-    * board. State is bounded: maxSteps strings per active user,
-    * evicted on timeout; a returning user re-anchors fresh. */
+    * twin of batch q53: per-user state carries (latest event time,
+    * the current session's first `maxSteps` steps as (ts, event_id,
+    * type) — KEPT SORTED, so an in-watermark late event lands at its
+    * true position in the path, and same-millisecond events tie on
+    * event_id exactly like the batch twin) and a session's PATH is
+    * emitted exactly when the session closes — by a gap-exceeding
+    * next event, or by watermark timeout (s03's eviction rule: once
+    * the watermark passes last + gap nothing in-watermark can extend
+    * the session, so its path is final). `lastMs` is MONOTONE
+    * (max-tracked): a late event must never rewind the gap anchor —
+    * rewinding would split the live session and fire the timeout
+    * early. Emissions are final-on-close, so the sink runs in APPEND
+    * mode and carries `closedAt` as an event-time column — windowed
+    * q53 top-K aggregation composes downstream for a live
+    * top-journeys board. State is bounded: maxSteps steps per active
+    * user, evicted on timeout; a returning user re-anchors fresh. */
   def sessionPathFeed(ds: Dataset[PathEv], gapMs: Long = 1800000L,
                       maxSteps: Int = 8,
                       watermarkDelay: String = "1 hour"): Dataset[SessionPath] = {
     import ds.sparkSession.implicits._
+    def pathOf(st: PathState): String = st.steps.map(_.eventType).mkString(">")
     ds.toDF()
       .withColumn("ets", timestamp_millis(col("tsMs")))
       .withWatermark("ets", watermarkDelay)
       .as[PathEv]
       .groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, evs: Iterator[PathEv], state: GroupState[PathState]) =>
           if (state.hasTimedOut) {
-            val closed = state.getOption.map(st =>
-              SessionPath(uid, st.steps.mkString(">"))).iterator
+            val closed = state.getOption.map(st => SessionPath(uid, pathOf(st),
+              new java.sql.Timestamp(st.lastMs))).toSeq
             state.remove()
-            closed.toSeq.iterator
+            closed.iterator
           } else {
             var st = state.getOption.getOrElse(PathState(Long.MinValue, Vector.empty))
             val out = Seq.newBuilder[SessionPath]
-            evs.toSeq.sortBy(_.tsMs).foreach { e =>
+            evs.toSeq.sortBy(e => (e.tsMs, e.eventId)).foreach { e =>
               val newSession = st.lastMs == Long.MinValue || e.tsMs - st.lastMs > gapMs
               if (newSession && st.steps.nonEmpty)
-                out += SessionPath(uid, st.steps.mkString(">"))
+                out += SessionPath(uid, pathOf(st), new java.sql.Timestamp(st.lastMs))
               val steps =
-                if (newSession) Vector(e.eventType)
-                else if (st.steps.size < maxSteps) st.steps :+ e.eventType
-                else st.steps
-              st = PathState(e.tsMs, steps)
+                if (newSession) Vector(PathStep(e.tsMs, e.eventId, e.eventType))
+                else ((st.steps :+ PathStep(e.tsMs, e.eventId, e.eventType))
+                  .sortBy(s => (s.tsMs, s.eventId)).take(maxSteps))
+              st = PathState(if (newSession) e.tsMs else math.max(st.lastMs, e.tsMs), steps)
             }
             state.update(st)
             state.setTimeoutTimestamp(

@@ -197,10 +197,11 @@ class DedupSpec extends SparkSpecBase {
     graft.dedup.Dedup.writeDedupSignatureIndex(corpus, dir + "_sig")
     val exact = graft.dedup.Dedup.dedupAgainstIndex(batch, dir, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    // lower signature threshold: the estimator's noise must not hide
-    // exact pairs sitting just above the exact threshold
+    // probe at (exact threshold − estimator tolerance): an estimate
+    // the 4σ bound below deems acceptable must still clear the filter,
+    // keeping the recall and tolerance assertions mutually consistent
     val est = graft.dedup.Dedup.dedupAgainstSignatureIndex(batch, dir + "_sig",
-        threshold = 0.3).collect()
+        threshold = 0.25).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(exact.nonEmpty, "need real near-dup pairs to compare")
     exact.foreach { case (pair, j) =>

@@ -342,6 +342,11 @@ class SourcesSpec extends SparkSpecBase {
       s"optimized files must confine x: $spreads")
     // pre-optimize versions still read (time travel unaffected)
     assert(VersionedTable.read(spark, dir, asOf = Some(4L)).count() == before.size)
+    // layout-only commit: flagged so the change feed skips it instead
+    // of self-diffing two identical snapshots (the Delta dataChange
+    // convention); merge commits stay data-changing
+    assert(!VersionedTable.isDataChange(dir, v), "optimize must flag dataChange=false")
+    assert(VersionedTable.isDataChange(dir, 4L), "merges must stay dataChange=true")
   }
 
   test("versioned table: a feed started after vacuum resyncs the snapshot instead of crashing") {

@@ -434,31 +434,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
-  test("s20 emits each session's path on close (gap) and on watermark eviction") {
+  test("s20 emits each session's path on close; late events slot in order, never rewind the gap") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingFlow.PathEv
     val base = 1700000000000L
     val h = 3600000L
     val input = MemoryStream[PathEv]
     val q = StreamingFlow.sessionPathFeed(input.toDS(),
-        gapMs = 1800000L, maxSteps = 3, watermarkDelay = "10 minutes").writeStream
-      .format("memory").queryName("path_out").outputMode("update").start()
+        gapMs = 1800000L, maxSteps = 4, watermarkDelay = "1 hour").writeStream
+      .format("memory").queryName("path_out").outputMode("append").start()
     try {
-      // session 1: four events — the path caps at maxSteps=3
-      input.addData(PathEv(1L, base, "view"), PathEv(1L, base + 1000, "click"),
-        PathEv(1L, base + 2000, "cart"), PathEv(1L, base + 3000, "checkout"))
+      input.addData(PathEv(1L, base, 1L, "view"), PathEv(1L, base + 120000, 2L, "cart"))
       q.processAllAvailable()
-      // a gap-exceeding event closes session 1 and opens session 2
-      input.addData(PathEv(1L, base + 2 * h, "view"))
+      // an IN-WATERMARK late event between the two: it must land at
+      // its true position (view>click>cart) and must NOT rewind the
+      // gap anchor (the session stays open from base+120000)
+      input.addData(PathEv(1L, base + 60000, 3L, "click"))
+      q.processAllAvailable()
+      // 25 min after the session's true last event (< gap): same session
+      input.addData(PathEv(1L, base + 120000 + 1500000, 4L, "checkout"))
+      q.processAllAvailable()
+      // a gap-exceeding event closes session 1 (4 steps) and opens #2
+      input.addData(PathEv(1L, base + 4 * h, 5L, "view"))
       q.processAllAvailable()
       val afterGap = spark.table("path_out").collect().map(_.getString(1)).toSet
-      assert(afterGap == Set("view>click>cart"),
-        s"closed session must emit its capped path: $afterGap")
+      assert(afterGap == Set("view>click>cart>checkout"),
+        s"late event must order correctly and not split the session: $afterGap")
       // other-user traffic pushes the watermark past session 2 + gap;
       // the following batch processes the timeout and emits its path
-      input.addData(PathEv(9L, base + 6 * h, "view"))
+      input.addData(PathEv(9L, base + 9 * h, 6L, "view"))
       q.processAllAvailable()
-      input.addData(PathEv(9L, base + 6 * h + 1000, "click"))
+      input.addData(PathEv(9L, base + 9 * h + 1000, 7L, "click"))
       q.processAllAvailable()
       val afterEvict = spark.table("path_out").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
