@@ -164,7 +164,14 @@ object Sources {
       percentile_approx(col(c).cast("double"), typedlit(qs), lit(10000)).as(c)): _*)
       .first()
     val bounds: Map[String, Seq[Double]] =
-      cols.zipWithIndex.map { case (c, i) => c -> bRow.getSeq[Double](i) }.toMap
+      cols.zipWithIndex.map { case (c, i) =>
+        val bs = bRow.getSeq[Double](i)
+        // percentile_approx of an all-NULL column is NULL — fail with
+        // the actual problem, not an NPE out of typedlit
+        require(bs != null, s"writeZordered: clustering column '$c' is " +
+          "entirely NULL — no quantile boundaries to bucket on")
+        c -> bs
+      }.toMap
     def bucketOf(c: String): Column =
       aggregate(typedlit(bounds(c)), lit(0),
         (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))

@@ -243,7 +243,13 @@ object VersionedTable {
           val m = "\"version\":(\\d+)".r.findFirstMatchIn(s)
           m.map(_.group(1).toLong)
         }.sorted
-        vs.filter(v => v == 1L || isDataChange(tablePath, v)).foreach { v =>
+        // a vacuum racing a lagging feed can have pruned v's own log
+        // entry by the time this trigger runs: skip it — the next
+        // retained version resyncs (its v-1 is missing → full-snapshot
+        // inserts below), instead of NoSuchFileException killing the
+        // query
+        vs.filter(v => hasVersion(tablePath, v) &&
+            (v == 1L || isDataChange(tablePath, v))).foreach { v =>
           // v==1 and "previous version vacuumed away" share a shape:
           // no predecessor to diff against, so the full snapshot
           // streams as a RESYNC of inserts (the consumer's recovery
@@ -289,21 +295,31 @@ object VersionedTable {
         p.getFileName.toString.startsWith("data-")).toSeq)
     var deleted = 0
     dataDirs.foreach { d =>
-      listDir(d)(_.toSeq).foreach { f =>
+      val entries = listDir(d)(_.toSeq)
+      // sidecars (_SUCCESS/.crc) only go once NO parquet in the dir is
+      // referenced by a retained version — deleting a live dir's
+      // markers would surprise tooling that checks them
+      val dirRetained = entries.exists(f =>
+        f.getFileName.toString.endsWith(".parquet") &&
+          keep.contains(s"${d.getFileName}/${f.getFileName}"))
+      entries.foreach { f =>
         val rel = s"${d.getFileName}/${f.getFileName}"
         val isData = f.getFileName.toString.endsWith(".parquet")
         val oldEnough = Files.getLastModifiedTime(f).toMillis <= cutoff
         if (isData && !keep.contains(rel) && oldEnough) {
           Files.delete(f); deleted += 1
-        } else if (!isData && oldEnough) Files.delete(f) // _SUCCESS/.crc
+        } else if (!isData && oldEnough && !dirRetained) Files.delete(f)
       }
       if (listDir(d)(_.isEmpty)) Files.delete(d)
     }
     // drop superseded log entries so asOf fails fast instead of
-    // resolving to missing files
+    // resolving to missing files — with the SAME minAgeMs grace as the
+    // data files, so a lagging change feed can still resolve a version
+    // it just saw land in the log stream
     listDir(logDir(path))(_.filter(_.getFileName.toString.startsWith("v"))
       .filter(p => p.getFileName.toString.stripPrefix("v")
-        .stripSuffix(".json").toLong < keepVs.head).toSeq)
+        .stripSuffix(".json").toLong < keepVs.head)
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff).toSeq)
       .foreach(Files.delete)
     deleted
   }
@@ -316,6 +332,14 @@ object VersionedTable {
              updates: DataFrame, maxRetries: Int = 10): Long = {
     require(keyCols.nonEmpty, "upsert: need at least one key column")
     val up = updates.localCheckpoint(true) // one derivation, retried cheaply
+    // Two update rows for one key would make the MERGE ambiguous (and
+    // leave duplicate keys in the committed snapshot) — fail fast, the
+    // Delta "multiple source rows matched" rule, instead of silently
+    // committing both.
+    val upRows = up.count()
+    val upKeys = up.select(keyCols.map(col): _*).distinct().count()
+    require(upRows == upKeys,
+      s"upsert: updates hold ${upRows - upKeys} duplicate rows for key (${keyCols.mkString(",")})")
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
@@ -329,7 +353,13 @@ object VersionedTable {
       val touchedAbs = snap
         .join(up.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
         .select("_file").distinct().collect().map(_.getString(0)).toSet
-      def isTouched(rel: String) = touchedAbs.exists(_.endsWith(rel))
+      // input_file_name() returns URI-encoded paths (space → %20 …)
+      // while `files` holds raw directory-listing names: decode before
+      // comparing, or a URL-encodable table root would mark a touched
+      // file as carried AND commit its rewrite — duplicate stale keys.
+      val touchedPaths = touchedAbs.map(a =>
+        try new java.net.URI(a).getPath catch { case _: Exception => a })
+      def isTouched(rel: String) = touchedPaths.exists(_.endsWith("/" + rel))
       val carried = files.filterNot(isTouched)
       val rewritten = snap
         .filter(col("_file").isin(touchedAbs.toSeq: _*))

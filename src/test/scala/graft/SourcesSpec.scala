@@ -349,6 +349,47 @@ class SourcesSpec extends SparkSpecBase {
     assert(VersionedTable.isDataChange(dir, 4L), "merges must stay dataChange=true")
   }
 
+  test("versioned table hardening: encoded roots, duplicate update keys, vacuum grace, sidecars") {
+    import graft.sources.VersionedTable
+    import java.nio.file.Paths
+    // a URL-encodable table root: input_file_name() URI-encodes the
+    // space, so the touched-file match must DECODE before comparing —
+    // or the touched file is carried AND rewritten (duplicate keys)
+    val dir = Files.createTempDirectory("graft_vt enc").toString + "/t v"
+    val base = (0L until 40L).map(i => (i, s"n$i")).toDF("id", "name")
+    VersionedTable.create(base.repartition(4, $"id"), dir)
+    VersionedTable.upsert(spark, dir, Seq("id"), Seq((5L, "FIVE")).toDF("id", "name"))
+    val rows = VersionedTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.length == 40, s"encoded-root merge duplicated keys: ${rows.length} rows")
+    assert(rows.toMap.apply(5L) == "FIVE")
+    val f1 = VersionedTable.filesOf(dir, 1L).toSet
+    val f2 = VersionedTable.filesOf(dir, 2L).toSet
+    assert((f1 diff f2).nonEmpty, "the touched file must still be detected and replaced")
+    // two update rows for one key are an ambiguous MERGE: refuse
+    intercept[IllegalArgumentException](
+      VersionedTable.upsert(spark, dir, Seq("id"),
+        Seq((1L, "a"), (1L, "b")).toDF("id", "name")))
+    // the grace period protects superseded LOG entries too, so a
+    // lagging change feed can still resolve a version it just saw
+    assert(VersionedTable.vacuum(dir, retainVersions = 1, minAgeMs = 3600000L) == 0)
+    assert(VersionedTable.hasVersion(dir, 1L), "log entry inside the grace must survive")
+    // zero-grace vacuum reclaims v1 but leaves retained dirs' _SUCCESS
+    // markers alone (sidecars die only with their whole directory)
+    VersionedTable.vacuum(dir, retainVersions = 1, minAgeMs = 0L)
+    val keptDirs = VersionedTable.filesOf(dir, 2L).map(_.split('/').head).distinct
+    keptDirs.foreach { d =>
+      assert(Files.exists(Paths.get(dir, d, "_SUCCESS")),
+        s"retained dir $d must keep its _SUCCESS marker")
+    }
+    // all-null clustering column: a clear error, not an NPE
+    val nulls = Seq((1L, null.asInstanceOf[java.lang.Long]),
+      (2L, null.asInstanceOf[java.lang.Long])).toDF("id", "x")
+    intercept[IllegalArgumentException](
+      Sources.writeZordered(nulls,
+        Files.createTempDirectory("graft_zn").toString + "/z", Seq("id", "x"), 2))
+  }
+
   test("versioned table: a feed started after vacuum resyncs the snapshot instead of crashing") {
     import graft.sources.VersionedTable
     import org.apache.spark.sql.functions.col
