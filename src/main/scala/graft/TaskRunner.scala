@@ -106,7 +106,8 @@ object TaskRunner {
       rsd = dbl(p, "rsd", 0.02))),
     "q52_key_skew" -> ((s, d, p) => RelationalOps.keySkew(
       Tables.lineitem(s, d), str(p, "keyCol", "l_partkey"),
-      i(p, "topK", 20))),
+      i(p, "topK", 20), exact = p.get("exact").forall(_.trim.toBoolean),
+      accuracy = i(p, "accuracy", 10000))),
     "q51_bloom_semi_join" -> ((s, d, p) => RelationalOps.bloomSemiJoin(
       Tables.lineitem(s, d), Tables.orders(s, d),
       minTotal = dbl(p, "minTotal", 350000.0), fpp = dbl(p, "fpp", 0.01))),

@@ -456,16 +456,32 @@ object RelationalOps {
     * merge, never a global sort materialization). Determinism: ties
     * break on key; share and skew_ratio are single IEEE divisions of
     * integer-exact values, bit-equal across engines (the q46
-    * percentile convention for the median). */
+    * percentile convention for the median).
+    *
+    * `exact=true` (the oracle default) computes the median key count
+    * with the built-in EXACT percentile — a holistic aggregate that
+    * buffers every one of the |keys| cnt values in ONE task, which at
+    * 100 TB with 10⁹+ distinct keys is gigabytes in a single
+    * aggregation buffer: the very straggler/OOM this operator exists
+    * to diagnose. `exact=false` is the scale path: approx_percentile
+    * is a mergeable KLL-style sketch, so the summary aggregate
+    * partials combine map-side like any algebraic aggregate
+    * (ApproxSpec bounds the sketch median within 5% of exact). */
   def keySkew(lineitem: DataFrame, keyCol: String = "l_partkey",
-              topK: Int = 20): DataFrame = {
+              topK: Int = 20, exact: Boolean = true,
+              accuracy: Int = 10000): DataFrame = {
     require(topK >= 1, s"keySkew: topK must be >= 1, got $topK")
     val counts = graft.Caches.tracked(
       lineitem.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt")))
+    // the sketch median is cast to double so both paths share one
+    // output schema (exact percentile already interpolates to double)
+    val p50 =
+      if (exact) expr("percentile(cnt, 0.5)")
+      else expr(s"approx_percentile(cnt, 0.5, $accuracy)").cast("double")
     val summary = counts.agg(
       count(lit(1)).as("n_keys"),
       sum("cnt").as("n_rows"),
-      expr("percentile(cnt, 0.5)").as("p50_cnt"),
+      p50.as("p50_cnt"),
       max("cnt").as("max_cnt"))
     counts.orderBy(col("cnt").desc, col("key"))
       .limit(topK)

@@ -56,6 +56,24 @@ class ApproxSpec extends SparkSpecBase {
     }
   }
 
+  test("keySkew sketch median lands within 5% of exact; all other columns identical") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getLong(6)))
+    val exact = graft.operators.RelationalOps.keySkew(li)
+    val approx = graft.operators.RelationalOps.keySkew(li, exact = false)
+    assert(exact.schema == approx.schema,
+      "both paths must share one output schema (sketch median cast to double)")
+    val (e, a) = (rows(exact), rows(approx))
+    assert(e.length == a.length)
+    e.zip(a).foreach { case ((cnt, sh, nk, nr, p50e, mx), (acnt, ash, ank, anr, p50a, amx)) =>
+      assert((acnt, ash, ank, anr, amx) == (cnt, sh, nk, nr, mx),
+        "only the median (and its skew_ratio) may differ on the sketch path")
+      assert(math.abs(p50a - p50e) / p50e < 0.05, s"sketch p50 $p50a vs exact $p50e")
+    }
+  }
+
   test("robustOutliers sketch medians keep the exact flag counts (within boundary slack)") {
     val o = Tables.orders(spark, "/root/testdata/sf0.001")
     val exact = graft.operators.RelationalOps.robustOutliers(o)
