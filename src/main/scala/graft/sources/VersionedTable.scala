@@ -3,8 +3,9 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** sink_versioned_upsert — a MINIMAL transactional table format over
   * plain parquet: the clean-room core of what Delta Lake / Iceberg
@@ -81,13 +82,37 @@ object VersionedTable {
     else body.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
   }
 
-  /** Snapshot read: latest version by default, `asOf` for history. */
+  /** The schema a version was committed with (None for pre-evolution
+    * logs, which fall back to parquet inference). Stored as the
+    * StructType's own JSON — embedded RAW as the log entry's LAST
+    * field, so it nests without escaping and the fixed-shape `files`
+    * parser (which stops at the first `]`) is unaffected. */
+  private[graft] def schemaOf(path: String, v: Long): Option[StructType] = {
+    val payload = new String(Files.readAllBytes(versionFile(path, v)), "UTF-8")
+    val marker = "\"schema\":"
+    val i = payload.indexOf(marker)
+    if (i < 0) None
+    else Some(DataType.fromJson(
+      payload.substring(i + marker.length, payload.length - 1)).asInstanceOf[StructType])
+  }
+
+  /** Snapshot read: latest version by default, `asOf` for history.
+    * Files are read with the version's COMMITTED schema, so after a
+    * widening upsert the carried (pre-evolution) files surface the
+    * added columns as NULL — old data stays readable through every
+    * later schema, the mergeSchema contract. */
   def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
     val v = asOf.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"$path is not a versioned table"))
     val files = filesOf(path, v)
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files.map(f => s"$path/$f"): _*)
+    val schema = schemaOf(path, v)
+    if (files.isEmpty)
+      schema.map(s => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s))
+        .getOrElse(spark.emptyDataFrame)
+    else {
+      val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+      reader.parquet(files.map(f => s"$path/$f"): _*)
+    }
   }
 
   /** Whether a version's commit changed table CONTENT (false for
@@ -100,10 +125,12 @@ object VersionedTable {
 
   /** Atomic CAS publish of version `v`: true = this writer won. */
   private[graft] def tryCommit(path: String, v: Long, files: Seq[String],
-                               dataChange: Boolean = true): Boolean = {
+                               dataChange: Boolean = true,
+                               schemaJson: Option[String] = None): Boolean = {
     Files.createDirectories(logDir(path))
+    val schemaField = schemaJson.map(j => s""","schema":$j""").getOrElse("")
     val payload =
-      s"""{"version":$v,"dataChange":$dataChange,"files":[${files.map(f => s"\"$f\"").mkString(",")}]}"""
+      s"""{"version":$v,"dataChange":$dataChange,"files":[${files.map(f => s"\"$f\"").mkString(",")}]$schemaField}"""
     val tmp = Files.createTempFile(logDir(path), ".tmp-", ".json")
     Files.write(tmp, payload.getBytes("UTF-8"), StandardOpenOption.TRUNCATE_EXISTING)
     try {
@@ -127,10 +154,10 @@ object VersionedTable {
     listDataFiles(path, sub)
   }
 
-  /** Create the table at version 1. */
+  /** Create the table at version 1 (its schema pins the log). */
   def create(df: DataFrame, path: String): Long = {
     val files = writeBatch(df, path)
-    if (!tryCommit(path, 1L, files))
+    if (!tryCommit(path, 1L, files, schemaJson = Some(df.schema.json)))
       throw new IllegalStateException(s"$path already exists as a versioned table")
     1L
   }
@@ -159,15 +186,28 @@ object VersionedTable {
       throw new IllegalArgumentException(
         s"changesBetween: versions $fromV and $toV of $path list no files")
     }
-    def readSide(files: Set[String]): DataFrame = {
+    def readSide(files: Set[String], v: Long): DataFrame = {
       val own = (files -- common).toSeq.sorted
+      val reader = schemaOf(path, v).map(spark.read.schema).getOrElse(spark.read)
       if (own.isEmpty)
-        spark.read.parquet(schemaFiles.map(f => s"$path/$f"): _*).limit(0)
-      else spark.read.parquet(own.map(f => s"$path/$f"): _*)
+        reader.parquet(schemaFiles.map(f => s"$path/$f"): _*).limit(0)
+      else reader.parquet(own.map(f => s"$path/$f"): _*)
     }
-    val b = readSide(fromFiles)
+    // schema evolution: the two versions may not share a schema — pad
+    // BOTH sides to the union column set (missing columns as typed
+    // NULLs, toV's order first) so the struct compare is well-typed
+    // and a widening commit classifies rows instead of failing. An
+    // old row whose only difference is the padded NULL equals itself.
+    val bRaw = readSide(fromFiles, fromV)
+    val aRaw = readSide(toFiles, toV)
+    val unionFields = aRaw.schema.fields ++
+      bRaw.schema.fields.filterNot(f => aRaw.columns.contains(f.name))
+    def pad(df: DataFrame): DataFrame = df.select(unionFields.map(f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    val b = pad(bRaw)
       .select(keyCols.map(col) :+ struct(col("*")).as("_before"): _*)
-    val a = readSide(toFiles)
+    val a = pad(aRaw)
       .select(keyCols.map(col) :+ struct(col("*")).as("_after"): _*)
     b.join(a, keyCols, "full_outer")
       .withColumn("change_type",
@@ -208,8 +248,10 @@ object VersionedTable {
       else
         Sources.writeZordered(snap, s"$path/$sub", clusterCols, numFiles, bitsPerCol)
       // layout-only commit: content identical, so the change feed
-      // must skip it (dataChange=false, the Delta convention)
-      if (tryCommit(path, base + 1, listDataFiles(path, sub), dataChange = false))
+      // must skip it (dataChange=false, the Delta convention); the
+      // schema carries through unchanged
+      if (tryCommit(path, base + 1, listDataFiles(path, sub), dataChange = false,
+          schemaJson = Some(snap.schema.json)))
         return base + 1
     }
     throw new IllegalStateException(s"optimize lost $maxRetries commit races on $path")
@@ -327,7 +369,15 @@ object VersionedTable {
   /** Transactional MERGE: rows of `updates` replace snapshot rows with
     * equal `keyCols`; everything else is untouched. Retries the
     * derive-write-commit cycle on conflict until it lands (bounded by
-    * `maxRetries`). Returns the committed version. */
+    * `maxRetries`). Returns the committed version.
+    *
+    * SCHEMA EVOLUTION (widening only, the Delta mergeSchema rule):
+    * `updates` must cover every existing column at its committed type
+    * — a type change is refused — and may APPEND new columns, which
+    * join the committed schema. Carried (unrewritten) files simply
+    * lack the new columns on disk; every later read plans with the
+    * commit's schema, so those rows surface the additions as NULL.
+    * Time travel to pre-evolution versions keeps their own schema. */
   def upsert(spark: SparkSession, path: String, keyCols: Seq[String],
              updates: DataFrame, maxRetries: Int = 10): Long = {
     require(keyCols.nonEmpty, "upsert: need at least one key column")
@@ -347,8 +397,29 @@ object VersionedTable {
         throw new IllegalArgumentException(s"$path is not a versioned table"))
       val files = filesOf(path, base)
       val absOf = files.map(f => s"$path/$f")
-      val snap = spark.read.parquet(absOf: _*)
+      val baseReader = schemaOf(path, base).map(spark.read.schema).getOrElse(spark.read)
+      val snap = baseReader.parquet(absOf: _*)
         .withColumn("_file", input_file_name())
+      val baseSchema = snap.drop("_file").schema
+      // widening-only evolution: existing columns keep their type,
+      // updates-only columns append to the committed schema
+      require(keyCols.forall(up.columns.contains),
+        s"upsert: updates lack key column(s) ${keyCols.filterNot(up.columns.contains).mkString(",")}")
+      baseSchema.fields.foreach { b =>
+        require(up.columns.contains(b.name),
+          s"upsert: updates lack existing column '${b.name}' — partial-column merges are not supported")
+        val u = up.schema(b.name)
+        require(u.dataType == b.dataType,
+          s"upsert: column '${b.name}' type ${u.dataType.simpleString} conflicts " +
+            s"with committed type ${b.dataType.simpleString} — type changes are not supported")
+      }
+      val merged = StructType(baseSchema.fields ++
+        up.schema.fields.filterNot(f => baseSchema.fieldNames.contains(f.name)))
+      // carried old files lack appended columns on disk: the snapshot
+      // side pads them as typed NULLs so the rewritten slice conforms
+      def conform(df: DataFrame): DataFrame = df.select(merged.fields.map(f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
       // file pruning: only files holding a replaced key rewrite
       val touchedAbs = snap
         .join(up.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
@@ -361,15 +432,16 @@ object VersionedTable {
         try new java.net.URI(a).getPath catch { case _: Exception => a })
       def isTouched(rel: String) = touchedPaths.exists(_.endsWith("/" + rel))
       val carried = files.filterNot(isTouched)
-      val rewritten = snap
-        .filter(col("_file").isin(touchedAbs.toSeq: _*))
-        .drop("_file")
-        .join(up.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-        .unionByName(up.select(snap.drop("_file").columns.map(col): _*))
+      val rewritten = conform(snap
+          .filter(col("_file").isin(touchedAbs.toSeq: _*))
+          .drop("_file")
+          .join(up.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti"))
+        .unionByName(conform(up))
       val newFiles =
         if (touchedAbs.isEmpty && up.isEmpty) Seq.empty
         else writeBatch(rewritten, path)
-      if (tryCommit(path, base + 1, (carried ++ newFiles).sorted))
+      if (tryCommit(path, base + 1, (carried ++ newFiles).sorted,
+          schemaJson = Some(merged.json)))
         return base + 1
       // lost the race: orphan this attempt's files (vacuum's job) and
       // re-derive against the winner's snapshot

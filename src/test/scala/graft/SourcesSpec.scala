@@ -349,6 +349,40 @@ class SourcesSpec extends SparkSpecBase {
     assert(VersionedTable.isDataChange(dir, 4L), "merges must stay dataChange=true")
   }
 
+  test("versioned table: schema evolution — widening upsert, history and CDC intact") {
+    import graft.sources.VersionedTable
+    val dir = Files.createTempDirectory("graft_vt_evo").toString + "/t"
+    val base = (0L until 30L).map(i => (i, s"n$i")).toDF("id", "name")
+    VersionedTable.create(base.repartition(3, $"id"), dir)
+    // v2 appends `score`: the updated key carries a value; carried
+    // pre-evolution files read the new column as NULL
+    VersionedTable.upsert(spark, dir, Seq("id"),
+      Seq((4L, "FOUR", 0.9), (100L, "new", 0.5)).toDF("id", "name", "score"))
+    val v2 = VersionedTable.read(spark, dir)
+    assert(v2.columns.toSeq == Seq("id", "name", "score"))
+    val m = v2.collect().map(r => r.getLong(0) ->
+      (r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(m.size == 31)
+    assert(m(4L) == (("FOUR", Some(0.9))) && m(100L) == (("new", Some(0.5))))
+    assert(m(7L) == (("n7", None)),
+      "old readers' rows must surface the added column as NULL, not error")
+    // time travel: the pre-evolution version keeps its OWN schema
+    assert(VersionedTable.read(spark, dir, asOf = Some(1L)).columns.toSeq
+      == Seq("id", "name"))
+    // CDC across the schema boundary aligns the sides and classifies
+    val ch = VersionedTable.changesBetween(spark, dir, Seq("id"), 1L, 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ch(4L) == "update" && ch(100L) == "insert", s"got $ch")
+    assert(!ch.values.exists(_ == "delete"),
+      s"a widening merge deletes nothing: $ch")
+    // type changes are refused with the actual conflict named
+    intercept[IllegalArgumentException](VersionedTable.upsert(spark, dir, Seq("id"),
+      Seq((1L, 5L, 0.1)).toDF("id", "name", "score")))
+    // partial-column updates are refused (no silent NULL overwrite)
+    intercept[IllegalArgumentException](VersionedTable.upsert(spark, dir, Seq("id"),
+      Seq((1L, "x")).toDF("id", "name")))
+  }
+
   test("versioned table hardening: encoded roots, duplicate update keys, vacuum grace, sidecars") {
     import graft.sources.VersionedTable
     import java.nio.file.Paths
