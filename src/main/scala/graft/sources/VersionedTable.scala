@@ -257,6 +257,40 @@ object VersionedTable {
     throw new IllegalStateException(s"optimize lost $maxRetries commit races on $path")
   }
 
+  /** Auto-OPTIMIZE policy: re-cluster when a snapshot's file count
+    * crosses `maxSnapshotFiles`. File count is the honest trigger for
+    * merge decay — every upsert lands its rewritten slice as fresh
+    * unclustered files, so the count grows monotonically with commits
+    * until an optimize collapses it back to `numFiles`. */
+  final case class OptimizePolicy(clusterCols: Seq[String], numFiles: Int,
+                                  maxSnapshotFiles: Int = 64, bitsPerCol: Int = 8)
+
+  /** Run [[optimize]] iff the CURRENT snapshot breaches the policy's
+    * file-count threshold; returns the optimize commit's version when
+    * it ran. Cost of the check is one log-entry read — no data scan. */
+  def maybeOptimize(spark: SparkSession, path: String,
+                    policy: OptimizePolicy): Option[Long] = {
+    val latest = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"$path is not a versioned table"))
+    if (filesOf(path, latest).size <= policy.maxSnapshotFiles) None
+    else Some(optimize(spark, path, policy.clusterCols, policy.numFiles,
+      policy.bitsPerCol))
+  }
+
+  /** MERGE with the table maintaining itself: after the upsert
+    * commits, the policy check re-clusters if the snapshot has
+    * decayed past the threshold — so a merge-heavy table keeps
+    * data-skipping without an operator remembering to run OPTIMIZE.
+    * The optimize commit is dataChange=false like any other, so the
+    * change feed streams only the merge. Returns (merge version,
+    * optimize version if one ran). */
+  def upsertAuto(spark: SparkSession, path: String, keyCols: Seq[String],
+                 updates: DataFrame, policy: OptimizePolicy,
+                 maxRetries: Int = 10): (Long, Option[Long]) = {
+    val v = upsert(spark, path, keyCols, updates, maxRetries)
+    (v, maybeOptimize(spark, path, policy))
+  }
+
   /** Streaming change-data feed (src_stream_versioned): tail the
     * commit log itself as a file stream — every committed version
     * file is exactly one immutable, atomically-published object, so
