@@ -472,7 +472,26 @@ object StreamingFlow {
     * mode and carries `closedAt` as an event-time column — windowed
     * q53 top-K aggregation composes downstream for a live
     * top-journeys board. State is bounded: maxSteps steps per active
-    * user, evicted on timeout; a returning user re-anchors fresh. */
+    * user, evicted on timeout; a returning user re-anchors fresh.
+    *
+    * END-OF-STREAM CONTRACT: emission is close-driven, so a session
+    * still open when the query stops has NOT emitted — by design in
+    * append mode (its path isn't final until the watermark says so).
+    * To DRAIN before a planned stop, send a [[DrainEvent]] heartbeat
+    * stamped past every open session's last event + gap +
+    * watermarkDelay and run a final trigger: the heartbeat advances
+    * the watermark (it passes the watermark node) but is filtered
+    * BEFORE state, so it opens no session of its own — every open
+    * session then closes through the normal timeout path and emits.
+    * This is the punctuation/heartbeat pattern; a Kafka deployment
+    * sends it as a real topic message. */
+  val DrainEventType = "__drain__"
+
+  /** A watermark-advancing heartbeat for [[sessionPathFeed]]: include
+    * in the source stream to flush open sessions before a stop. */
+  def DrainEvent(tsMs: Long): PathEv =
+    PathEv(Long.MinValue, tsMs, Long.MinValue, DrainEventType)
+
   def sessionPathFeed(ds: Dataset[PathEv], gapMs: Long = 1800000L,
                       maxSteps: Int = 8,
                       watermarkDelay: String = "1 hour"): Dataset[SessionPath] = {
@@ -482,6 +501,9 @@ object StreamingFlow {
       .withColumn("ets", timestamp_millis(col("tsMs")))
       .withWatermark("ets", watermarkDelay)
       .as[PathEv]
+      // drain heartbeats advance the watermark above, then vanish
+      // here — no state, no session, no emitted path of their own
+      .filter(e => e.eventType != DrainEventType)
       .groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, evs: Iterator[PathEv], state: GroupState[PathState]) =>

@@ -349,6 +349,46 @@ class SourcesSpec extends SparkSpecBase {
     assert(VersionedTable.isDataChange(dir, 4L), "merges must stay dataChange=true")
   }
 
+  test("versioned table: auto-optimize policy re-clusters after threshold, feed unaffected") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_vt_auto").toString
+    val dir = s"$root/t"; val out = s"$root/changes"
+    val base = (0L until 200L).map(i => (i, i % 17, s"n$i")).toDF("id", "x", "name")
+    VersionedTable.create(base.repartition(4, $"id"), dir)
+    val policy = VersionedTable.OptimizePolicy(
+      clusterCols = Seq("x"), numFiles = 4, maxSnapshotFiles = 8)
+    val q = VersionedTable.streamChanges(spark, dir, Seq("id"), out, s"$root/ckpt")
+    try {
+      // small merges decay the layout; below threshold nothing fires
+      var optimized: Option[Long] = None
+      (0 until 6).foreach { i =>
+        val (_, opt) = VersionedTable.upsertAuto(spark, dir, Seq("id"),
+          Seq((i.toLong, i.toLong % 17, s"U$i")).toDF("id", "x", "name"), policy)
+        opt.foreach(v => optimized = Some(v))
+      }
+      assert(optimized.nonEmpty,
+        "six one-file merges over a 4-file base must cross maxSnapshotFiles=8")
+      val optV = optimized.get
+      assert(!VersionedTable.isDataChange(dir, optV),
+        "the auto-fired optimize must be a layout-only commit")
+      // the snapshot it produced collapsed back to the policy size
+      assert(VersionedTable.filesOf(dir, optV).size == 4)
+      // content survives the whole sequence
+      val now = VersionedTable.read(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(now.size == 200 && now(3L) == "U3" && now(199L) == "n199")
+      // the feed saw every merge and SKIPPED the optimize version
+      q.processAllAvailable()
+      val feedVs = spark.read.parquet(out)
+        .select(col("version").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(!feedVs.contains(optV), s"feed must skip layout commit $optV: $feedVs")
+      assert(feedVs.exists(_ > optV) || feedVs.contains(optV - 1),
+        s"feed must still carry the data commits around it: $feedVs")
+    } finally q.stop()
+  }
+
   test("versioned table: schema evolution — widening upsert, history and CDC intact") {
     import graft.sources.VersionedTable
     val dir = Files.createTempDirectory("graft_vt_evo").toString + "/t"

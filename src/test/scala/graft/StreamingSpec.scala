@@ -470,6 +470,18 @@ class StreamingSpec extends SparkSpecBase {
         .map(r => (r.getLong(0), r.getString(1))).toSet
       assert(afterEvict.contains((1L, "view")),
         s"evicted session must emit its final path: $afterEvict")
+      // END-OF-STREAM DRAIN: user 9's session is still open (nothing
+      // pushed the watermark past it) — a heartbeat stamped far past
+      // last+gap+delay flushes it through the normal timeout path,
+      // and the heartbeat itself opens no session
+      input.addData(StreamingFlow.DrainEvent(base + 24 * h))
+      q.processAllAvailable()
+      val drained = spark.table("path_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(drained.contains((9L, "view>click")),
+        s"drain heartbeat must flush the open session: $drained")
+      assert(!drained.exists(_._1 == Long.MinValue),
+        s"the heartbeat must not emit a session of its own: $drained")
     } finally q.stop()
   }
 
