@@ -235,6 +235,63 @@ object Sources {
     n
   }
 
+  /** Index-at-rest maintenance: re-compact every LEAF partition
+    * directory of a partitioned parquet layout down to
+    * ceil(bytes / targetFileBytes) files, keeping the directory
+    * structure — and therefore every probe's static partition
+    * pruning — intact. The dedup and ANN index sinks append one file
+    * set per batch/trigger; after hundreds of appends each `bi=` /
+    * `c_label=` directory is a small-files field and footer reads
+    * dominate probes. This is [[compactParquet]]'s staged-swap
+    * machinery applied per partition directory, with DOT-PREFIXED
+    * staging siblings (Spark readers ignore dot/underscore names), so
+    * a probe racing the pass reads either the old or the new complete
+    * file set of a leaf, never a mix. Flat (unpartitioned) layouts
+    * compact as a single leaf. Content is byte-identical before and
+    * after (spec-pinned through the probe surface); only file count
+    * changes. Returns the number of leaf directories rewritten. */
+  def optimizeIndex(spark: SparkSession, path: String,
+                    targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(p: Path): Seq[Path] = {
+      val st = fs.listStatus(p).filterNot { s =>
+        val n = s.getPath.getName
+        n.startsWith(".") || n.startsWith("_")
+      }
+      val dirs = st.filter(_.isDirectory)
+      if (dirs.nonEmpty) dirs.toSeq.flatMap(d => leaves(d.getPath))
+      else if (st.exists(_.getPath.getName.endsWith(".parquet"))) Seq(p)
+      else Seq.empty
+    }
+    var rewritten = 0
+    leaves(root).foreach { leaf =>
+      val files = fs.listStatus(leaf).filter(_.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
+      val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      if (files.length > n) {
+        val tmp = new Path(leaf.getParent, s".${leaf.getName}.compact-tmp")
+        val old = new Path(leaf.getParent, s".${leaf.getName}.compact-old")
+        fs.delete(tmp, true); fs.delete(old, true)
+        // reading the leaf directly carries only the data columns —
+        // the partition values live in the directory name, which the
+        // swap preserves
+        spark.read.parquet(leaf.toString).coalesce(n)
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (!fs.rename(leaf, old))
+          throw new java.io.IOException(s"optimizeIndex: cannot stage $leaf aside")
+        if (!fs.rename(tmp, leaf)) {
+          fs.rename(old, leaf) // roll back — the original is untouched
+          throw new java.io.IOException(s"optimizeIndex: cannot swap in $leaf")
+        }
+        fs.delete(old, true)
+        rewritten += 1
+      }
+    }
+    rewritten
+  }
+
   /** Streaming file source (the Spark-native stand-in for the
     * reference's Kafka topic): new files in `dir` become micro-batches. */
   def readStreamJson(spark: SparkSession, dir: String, schema: StructType): DataFrame =

@@ -196,6 +196,46 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
+  test("optimizeIndex compacts appended ANN cells; probe identical, pruning intact") {
+    import scala.jdk.CollectionConverters._
+    def parquetByDir(root: String): Map[String, Int] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .toSeq.groupBy(_.getParent.toString).map { case (k, v) => k -> v.size }
+      finally s.close()
+    }
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Ann.labelCentroids(emb)
+    val nQ = 5
+    val queries = emb.filter(emb("vec_id") < nQ)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_opt").toString
+    Ann.writeAnnIndex(emb.filter(emb("vec_id") >= nQ), cents, dir)
+    // ten trigger appends decay the per-cell layouts
+    (0 until 10).foreach { i =>
+      Ann.appendAnnIndex(queries.select(
+        (queries("vec_id") + 1000000L * (i + 1)).as("vec_id"),
+        queries("embedding")), dir)
+    }
+    val before = Ann.ivfKnnIndexed(queries, dir, k = 3).collect().toSeq
+    assert(parquetByDir(dir + "/vectors").values.max >= 10,
+      "appends must have accumulated per-cell files")
+    val rewritten = graft.sources.Sources.optimizeIndex(spark, dir,
+      targetFileBytes = 1L << 30)
+    assert(rewritten > 0)
+    assert(parquetByDir(dir + "/vectors").values.max == 1,
+      s"every cell must compact to its sized count")
+    val probe = Ann.ivfKnnIndexed(queries, dir, k = 3)
+    assert(probe.collect().toSeq == before,
+      "probe must be result-identical across compaction")
+    // compaction must not cost the probe its directory pruning
+    val vecScans = probe.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("vectors")) => f
+    }
+    assert(vecScans.nonEmpty && vecScans.forall(_.partitionFilters.nonEmpty),
+      "probed-cell isin must still prune partitions after compaction")
+  }
+
   test("ivfPqKnn composes k-means cells with PQ re-rank at bounded recall") {
     // real embeddings: the cell-restricted ADC scan + exact re-rank must
     // keep solid recall@3 vs exact brute force (the a08 bound, now with

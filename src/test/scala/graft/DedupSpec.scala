@@ -212,6 +212,40 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("optimizeIndex compacts an appended dedup index; probe byte-identical before/after") {
+    import scala.jdk.CollectionConverters._
+    def parquetByDir(root: String): Map[String, Int] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .toSeq.groupBy(_.getParent.toString).map { case (k, v) => k -> v.size }
+      finally s.close()
+    }
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = docs.filter(docs("source") === "src0")
+    val corpus = docs.filter(docs("source") =!= "src0")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_opt").toString
+    Dedup.writeDedupIndex(corpus, dir)
+    // ten nightly appends: every bi= directory accumulates one file
+    // set per batch — the small-files decay this pass exists for
+    (0 until 10).foreach { i =>
+      Dedup.appendDedupIndex(
+        Seq((2000000L + i, s"wholly unique appended document number $i " +
+          "with plenty of distinct words to shingle properly")).toDF("doc_id", "text"),
+        dir)
+    }
+    val before = Dedup.dedupAgainstIndex(batch, dir, threshold = 0.6).collect().toSeq
+    assert(parquetByDir(dir).values.max >= 10,
+      "appends must have accumulated per-batch files")
+    val rewritten = graft.sources.Sources.optimizeIndex(spark, dir,
+      targetFileBytes = 1L << 30)
+    assert(rewritten > 0, "decayed leaves must rewrite")
+    // at a 1 GiB target every leaf sizes to ceil(bytes/target) = 1
+    assert(parquetByDir(dir).values.max == 1,
+      s"every leaf must compact to its sized count: ${parquetByDir(dir)}")
+    val after = Dedup.dedupAgainstIndex(batch, dir, threshold = 0.6).collect().toSeq
+    assert(after == before, "probe must be byte-identical across compaction")
+  }
+
   test("ingestAdmitIndexed matches live ingestAdmit; appended admissions shadow the next batch") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val batch = docs.filter(docs("source") === "src0")
