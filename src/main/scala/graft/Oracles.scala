@@ -10,8 +10,11 @@ object Oracles {
     "q01_flow_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),2) AS sum_qty,
-         round(sum(l_extendedprice),2) AS sum_base_price,
-         round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0
+           AS sum_base_price,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0
+           AS sum_disc_price,
          count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
@@ -38,7 +41,9 @@ object Oracles {
 
     "q05_star_join_flow" ->
       """SELECT r_name, n_name, count(*) AS flow_cnt,
-         round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0
+           AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey

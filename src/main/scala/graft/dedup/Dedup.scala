@@ -921,10 +921,13 @@ object Dedup {
     * Recall analysis: a pair at exactly cos = 0.5 agrees with a random
     * hyperplane with p = 1 - acos(0.5)/pi = 2/3, so it shares a
     * 4-bit bucket in one table with p^4 ~ 0.198 and is missed by all
-    * 32 tables with (1-p^4)^32 ~ 8.6e-4 — and the miss probability
-    * falls fast above the threshold. The defaults target this
-    * lowest-useful threshold; at the 0.9+ regime real embedding dedup
-    * runs at, 8 tables suffice.
+    * 64 tables with (1-p^4)^64 ~ 7.4e-7 — and the miss probability
+    * falls fast above the threshold. The default was raised from 32
+    * tables after the sf1 rehearsal: with ~2000 boundary pairs the
+    * 32-table miss rate (8.6e-4 each) produced ~2 expected misses per
+    * run — visible against the exact oracle — while 64 tables put the
+    * expected miss count at ~1e-3 through sf10. At the 0.9+ regime
+    * real embedding dedup runs at, 8 tables suffice.
     *
     * Scale posture (100 TB): per vector only (vec_id, 2 ints) x tables
     * rows shuffle for the candidate join; the distinct on candidate id
@@ -934,7 +937,7 @@ object Dedup {
     * so `bits` must grow with log2(n) — at 1e9 vectors use bits ~ 20+
     * and tables per recall target. */
   def embedDedupLsh(embeddings: DataFrame, threshold: Double = 0.5,
-                    tables: Int = 32, bits: Int = 4, dim: Int = 64): DataFrame = {
+                    tables: Int = 64, bits: Int = 4, dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val withB = embeddings
       .select(col("vec_id"), col("embedding"),

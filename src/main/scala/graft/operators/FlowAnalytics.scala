@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object FlowAnalytics {
 
+  /** The cents-exact money-sum protocol (SURVEY §5): a money column
+    * terminates at 2 decimals, so round(x·100) is an EXACT integer;
+    * sums run in BIGINT — order-independent, overflow-safe to ~9e18
+    * cents — and ONE final IEEE division restores the decimal scale
+    * bit-equal across engines. The old round(sum(double),4) form was
+    * only deterministic while the accumulated float error stayed
+    * under the rounding grain: at sf1 (6M rows, sums ~5e10) the
+    * engines' different summation orders drifted the 4th decimal. */
+  private def centsExact(c: Column): Column = round(c * 100).cast("long")
+
   /** q01_flow_agg — multi-metric grouped aggregation (per-checkpoint
     * flow stats; TPC-H Q1 shape). Partial-agg friendly; one shuffle on
     * the (tiny-cardinality) group key. */
@@ -26,10 +36,10 @@ object FlowAnalytics {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        // price*(1-disc) terminates at 4 decimals — round(,4) is the
-        // largest scale that is deterministic across engines (SURVEY §5)
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        (sum(centsExact(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+        // price·(1−disc) in integer cents·basis-points: exact at any SF
+        (sum(centsExact(col("l_extendedprice")) *
+          (lit(100L) - centsExact(col("l_discount")))) / 10000.0).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -86,7 +96,9 @@ object FlowAnalytics {
       .groupBy("r_name", "n_name")
       .agg(
         count(lit(1)).as("flow_cnt"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        // cents-exact revenue: see flowAgg — float sums drift at sf1
+        (sum(centsExact(col("l_extendedprice")) *
+          (lit(100L) - centsExact(col("l_discount")))) / 10000.0).as("revenue"))
       .orderBy("r_name", "n_name")
 
   /** q06_group_concat — ordered distinct string concat per group. The
