@@ -908,40 +908,57 @@ object Dedup {
   }
 
   /** d06_embed_dedup_lsh — embedding near-dup pairs via hyperplane-LSH
-    * candidate generation + exact-cosine verify: the scale path that
-    * replaces d05's triangular nested-loop join. Multi-table OR
-    * construction (`tables` independent tables of `bits` sign bits,
-    * all bucket ids computed by one codegen'd
-    * `graft_hyperplane_buckets` call per row); a pair is a candidate
-    * iff it shares a bucket in ANY table; candidates are verified with
-    * the same `graft_cosine >= threshold` predicate as d05, so the
-    * output equals d05's at the same threshold whenever every true
-    * pair collides somewhere.
+    * candidate generation + exact-cosine verify, with a REGIME
+    * ADAPTER. Multi-table OR construction (`tables` independent
+    * tables of `bits` sign bits, all bucket ids computed by one
+    * codegen'd `graft_hyperplane_buckets` call per row); a pair is a
+    * candidate iff it shares a bucket in ANY table; candidates are
+    * verified with the same `graft_cosine >= threshold` predicate as
+    * d05, so the output equals d05's at the same threshold whenever
+    * every true pair collides somewhere.
     *
-    * Recall analysis: a pair at exactly cos = 0.5 agrees with a random
-    * hyperplane with p = 1 - acos(0.5)/pi = 2/3, so it shares a
-    * 4-bit bucket in one table with p^4 ~ 0.198 and is missed by all
-    * 64 tables with (1-p^4)^64 ~ 7.4e-7 — and the miss probability
-    * falls fast above the threshold. The default was raised from 32
-    * tables after the sf1 rehearsal: with ~2000 boundary pairs the
-    * 32-table miss rate (8.6e-4 each) produced ~2 expected misses per
-    * run — visible against the exact oracle — while 64 tables put the
-    * expected miss count at ~1e-3 through sf10. At the 0.9+ regime
-    * real embedding dedup runs at, 8 tables suffice.
+    * REGIME (the sf1 rehearsal's headline finding): sign-LSH's
+    * exponent is rho = ln(1/p1)/ln(1/p2) with p1 = 1 - acos(t)/pi at
+    * the threshold and p2 = 1/2 for orthogonal pairs — at t = 0.5,
+    * rho ~ 0.585 and the constants lose to the codegen'd brute-force
+    * join at any practical n (measured at sf1/20k vectors: the fixed
+    * bits=4 tables fanned out 5x SLOWER than d05's 400M-pair exact
+    * join; no (bits, tables) setting beats brute there). Low-cosine
+    * thresholds (< 0.7) therefore DELEGATE to [[embedDedup]] —
+    * byte-identical output, honest cost. At t >= 0.7 LSH is
+    * exponentially effective and runs here.
+    *
+    * Auto-tuning (bits < 0, the default): with T tables, boundary
+    * recall fixes the deepest usable depth — expected boundary miss
+    * e^(-T·p1^bits) <= 1e-3 gives bits = ln(T/6.9)/(-ln p1) (7 at
+    * t=0.7, 14 at t=0.9 with T=64), further capped at log2(n)+2 so
+    * buckets never outnumber vectors pointlessly. Candidate volume on
+    * non-clustered data is ~ T·n²/2^bits — the cap is what keeps the
+    * candidate join from degenerating toward all-pairs-x-T, and it
+    * GROWS with n exactly as the 100 TB posture requires (bits ~ 20+
+    * at 1e9 vectors). Cost of auto-tuning: one count() of the input.
     *
     * Scale posture (100 TB): per vector only (vec_id, 2 ints) x tables
     * rows shuffle for the candidate join; the distinct on candidate id
     * PAIRS carries no embeddings — vectors are re-joined only for the
-    * per-pair verify. Candidate volume is ~ tables/2^bits x n^2 on
-    * uniformly random data (rho = ln(1/p1)/ln 2 ~ 0.58 asymptotics),
-    * so `bits` must grow with log2(n) — at 1e9 vectors use bits ~ 20+
-    * and tables per recall target. */
+    * per-pair verify. */
   def embedDedupLsh(embeddings: DataFrame, threshold: Double = 0.5,
-                    tables: Int = 64, bits: Int = 4, dim: Int = 64): DataFrame = {
+                    tables: Int = 64, bits: Int = -1, dim: Int = 64): DataFrame = {
+    if (threshold < 0.7)
+      return embedDedup(embeddings, threshold)
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val b =
+      if (bits > 0) bits
+      else {
+        val p1 = 1.0 - math.acos(threshold) / math.Pi
+        val recallDepth = (math.log(tables / 6.9) / -math.log(p1)).toInt
+        val sizeCap = (math.log(math.max(embeddings.count(), 2L).toDouble) /
+          math.log(2.0)).toInt + 2
+        math.max(4, math.min(recallDepth, sizeCap))
+      }
     val withB = embeddings
       .select(col("vec_id"), col("embedding"),
-        posexplode(expr(s"graft_hyperplane_buckets(embedding, 42L, $tables, $bits, $dim)"))
+        posexplode(expr(s"graft_hyperplane_buckets(embedding, 42L, $tables, $b, $dim)"))
           .as(Seq("bt", "bb")))
     // deliberately NOT cached: the duplicated per-side hyperplane
     // projection stays inside whole-stage codegen and measures faster

@@ -376,11 +376,18 @@ class DedupSpec extends SparkSpecBase {
 
   test("embedDedupLsh reproduces brute-force embedDedup on real vectors") {
     // sf0.01 is the driver's correctness-gate scale — assert the
-    // LSH/brute hash-equality exactly where the oracle will check it
+    // LSH/brute hash-equality exactly where the oracle will check it.
+    // Threshold 0.5 is in the delegation regime (sign-LSH loses to
+    // the codegen brute join below cos ~0.7 — sf1 finding), so this
+    // asserts the adapter's byte-identity; 0.75 runs the LSH path on
+    // the same real vectors.
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val brute = Dedup.embedDedup(emb, threshold = 0.5).collect().toSeq
     val lsh = Dedup.embedDedupLsh(emb, threshold = 0.5).collect().toSeq
     assert(lsh == brute)
+    val brute75 = Dedup.embedDedup(emb, threshold = 0.75).collect().toSeq
+    val lsh75 = Dedup.embedDedupLsh(emb, threshold = 0.75).collect().toSeq
+    assert(lsh75 == brute75, "LSH path must match brute at its own regime")
     // and on a synthetic corpus with a planted near-dup pair
     val vecs = Seq(
       (0L, Array.tabulate(64)(i => if (i == 0) 1.0f else 0.01f)),
