@@ -300,7 +300,16 @@ object RelationalOps {
     * right row's single bucket), so no distinct is needed. This is
     * the same bucketing that makes d06/a02 sub-quadratic in hash
     * space and q27 in time, applied to plain numeric data —
-    * PlanSpec pins that no cartesian/BNLJ appears. */
+    * PlanSpec pins that no cartesian/BNLJ appears.
+    *
+    * Scale honesty (sf1/sf2 rehearsal): with a FIXED value domain the
+    * qualifying-pair count itself grows quadratically with density
+    * (10x parts in the same price range = ~100x pairs; measured 16x
+    * wall at sf1, 5.7x per further 2x at sf2) — that cost is the
+    * ANSWER SIZE, which no algorithm avoids; the bucket-key plan
+    * keeps the work proportional to candidates + output. At 100 TB
+    * either eps shrinks with the domain's density or the consumer
+    * wants q22's histogram, not the pair list. */
   def priceBand(part: DataFrame, eps: Double = 0.50): DataFrame = {
     val p = part.select(col("p_partkey").as("k"), col("p_brand").as("brand"),
       col("p_retailprice").as("x"))

@@ -349,6 +349,40 @@ class SourcesSpec extends SparkSpecBase {
     assert(VersionedTable.isDataChange(dir, 4L), "merges must stay dataChange=true")
   }
 
+  test("versioned table: concurrent writers all land via OCC retry, no lost updates") {
+    import graft.sources.VersionedTable
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val dir = Files.createTempDirectory("graft_vt_conc").toString + "/t"
+    val base = (0L until 64L).map(i => (i, "orig")).toDF("id", "name")
+    VersionedTable.create(base.repartition(4, $"id"), dir)
+    // 4 threads x 4 keyed merges race the commit log; every one must
+    // land (serialized by CAS + retry), none may clobber another's key
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = (0 until 4).map { t =>
+      Future {
+        (0 until 4).foreach { i =>
+          val key = (t * 4 + i).toLong
+          VersionedTable.upsert(spark, dir, Seq("id"),
+            Seq((key, s"w$t-$i")).toDF("id", "name"), maxRetries = 64)
+        }
+      }
+    }
+    try Await.result(Future.sequence(futures), 300.seconds)
+    finally pool.shutdown()
+    assert(VersionedTable.latestVersion(dir).contains(17L),
+      s"16 merges over v1 must serialize to v17, got ${VersionedTable.latestVersion(dir)}")
+    val out = VersionedTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 64)
+    (0 until 16).foreach { k =>
+      assert(out(k.toLong) == s"w${k / 4}-${k % 4}", s"key $k lost its update: ${out(k.toLong)}")
+    }
+    ((16 until 64)).foreach(k => assert(out(k.toLong) == "orig"))
+  }
+
   test("versioned table: auto-optimize policy re-clusters after threshold, feed unaffected") {
     import graft.sources.VersionedTable
     import org.apache.spark.sql.functions.col
