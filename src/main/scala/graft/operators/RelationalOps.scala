@@ -213,14 +213,63 @@ object RelationalOps {
     * at test SFs and the strongest oracle, but an executor OOM at
     * 100 TB. q29 below is the scale path; this stays as its oracle
     * twin (the q28/q29 pattern). */
-  def percentiles(lineitem: DataFrame): DataFrame =
-    lineitem
-      .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"),
-        round(expr("percentile(l_quantity, 0.9)"), 2).as("p90_qty"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 3).as("p50_price"))
+  def percentiles(lineitem: DataFrame): DataFrame = {
+    val qty = exactGroupPercentiles(lineitem, "l_returnflag", "l_quantity",
+      Seq(0.5, 0.9))
+    val price = exactGroupPercentiles(lineitem, "l_returnflag", "l_extendedprice",
+      Seq(0.5))
+    qty.select(col("l_returnflag"),
+        col("__p0").as("q50"), col("__p1").as("q90"))
+      .join(price.select(col("l_returnflag"), col("__p0").as("pr50")),
+        Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        round(col("q50"), 2).as("p50_qty"),
+        round(col("q90"), 2).as("p90_qty"),
+        round(col("pr50"), 3).as("p50_price"))
       .orderBy("l_returnflag")
+  }
+
+  /** EXACT grouped percentiles as a DISTRIBUTED plan — the scale
+    * rewrite of the built-in holistic `percentile`, which buffers
+    * every raw value of a group in one task's aggregation buffer
+    * (the 2nd-slowest operator of the sf1/sf2 rehearsals, and at
+    * 100 TB an OOM). Shape: (1) groupBy (group, value) count — a
+    * partial aggregation, so the exchange carries one row per
+    * DISTINCT value (domain-bounded: prices have at most 10.4M
+    * representable points however many rows exist); (2) running and
+    * total counts over a per-group window — a spillable sort of
+    * (value, count) pairs, never an in-memory buffer of raw rows;
+    * (3) one tiny final aggregation picks, for each requested p, the
+    * two values straddling rank p·(n−1) and interpolates with the
+    * built-in's exact formula `lo + (hi − lo)·frac` — bit-equal to
+    * `percentile` / DuckDB `quantile_cont` (oracle-proven at sf0.01
+    * and sf1). Returns `group, __p0, __p1, …` in `ps` order. */
+  private def exactGroupPercentiles(df: DataFrame, groupCol: String,
+                                    valueCol: String,
+                                    ps: Seq[Double]): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(groupCol).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    var d = counts
+      .withColumn("__cum", sum("__c").over(wCum))
+      .withColumn("__n", sum("__c").over(wAll))
+    ps.zipWithIndex.foreach { case (p, i) =>
+      d = d.withColumn(s"__r$i", lit(p) * (col("__n") - 1).cast("double"))
+    }
+    val aggs = ps.indices.flatMap { i =>
+      Seq(
+        min(when(col("__cum") >= floor(col(s"__r$i")) + 1, col("__v"))).as(s"__lo$i"),
+        min(when(col("__cum") >= ceil(col(s"__r$i")) + 1, col("__v"))).as(s"__hi$i"),
+        max(col(s"__r$i") - floor(col(s"__r$i"))).as(s"__f$i"))
+    }
+    d.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol) +: ps.indices.map { i =>
+        (col(s"__lo$i") + (col(s"__hi$i") - col(s"__lo$i")) * col(s"__f$i"))
+          .as(s"__p$i")
+      }: _*)
+  }
 
   /** q29_percentile_approx — the 100 TB percentile path: single-pass
     * mergeable KLL-style sketch (`percentile_approx`), O(accuracy)
@@ -346,9 +395,17 @@ object RelationalOps {
                 exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     require(buckets >= 2, "equiDepth: need at least 2 buckets")
     val qs = (1 until buckets).map(i => i.toDouble / buckets)
-    val pct = if (exact) s"percentile(l_extendedprice, array(${qs.mkString(", ")}))"
-      else s"percentile_approx(l_extendedprice, array(${qs.mkString(", ")}), $accuracy)"
-    val bnd = lineitem.agg(expr(pct).cast("array<double>").as("bnd"))
+    // exact boundaries via the distributed counts machinery (see
+    // exactGroupPercentiles) instead of the holistic builtin — same
+    // values, no single-task buffer of raw rows
+    val bnd =
+      if (exact)
+        exactGroupPercentiles(lineitem.withColumn("__g", lit(1)), "__g",
+            "l_extendedprice", qs)
+          .select(array(qs.indices.map(i => col(s"__p$i")): _*).as("bnd"))
+      else lineitem.agg(
+        expr(s"percentile_approx(l_extendedprice, array(${qs.mkString(", ")}), $accuracy)")
+          .cast("array<double>").as("bnd"))
     lineitem.select(col("l_extendedprice").as("x"))
       .crossJoin(broadcast(bnd))
       .withColumn("bucket",
@@ -383,16 +440,22 @@ object RelationalOps {
     * parquet once. */
   def robustOutliers(orders: DataFrame, k: Double = 3.0,
                      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
-    def median(c: String) =
-      if (exact) expr(s"percentile($c, 0.5)")
-      else expr(s"percentile_approx($c, 0.5, $accuracy)").cast("double")
+    // exact medians ride the distributed counts machinery (q21's
+    // exactGroupPercentiles) — no holistic per-group buffer; the
+    // sketch path keeps the mergeable approx aggregate
+    def medianOf(df: DataFrame, c: String, as: String): DataFrame =
+      if (exact)
+        exactGroupPercentiles(df, "grp", c, Seq(0.5))
+          .select(col("grp"), col("__p0").as(as))
+      else df.groupBy("grp")
+        .agg(expr(s"percentile_approx($c, 0.5, $accuracy)").cast("double").as(as))
     val vals = graft.Caches.tracked(
       orders.select(col("o_orderpriority").as("grp"), col("o_totalprice").as("x")))
-    val med = vals.groupBy("grp").agg(median("x").as("med"))
+    val med = medianOf(vals, "x", "med")
     val devs = graft.Caches.tracked(
       vals.join(broadcast(med), "grp")
         .withColumn("adev", abs(col("x") - col("med"))))
-    val mad = devs.groupBy("grp").agg(median("adev").as("mad"))
+    val mad = medianOf(devs, "adev", "mad")
     devs.join(broadcast(mad), "grp")
       .groupBy("grp")
       .agg(
@@ -482,16 +545,26 @@ object RelationalOps {
     require(topK >= 1, s"keySkew: topK must be >= 1, got $topK")
     val counts = graft.Caches.tracked(
       lineitem.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt")))
-    // the sketch median is cast to double so both paths share one
-    // output schema (exact percentile already interpolates to double)
-    val p50 =
-      if (exact) expr("percentile(cnt, 0.5)")
-      else expr(s"approx_percentile(cnt, 0.5, $accuracy)").cast("double")
-    val summary = counts.agg(
-      count(lit(1)).as("n_keys"),
-      sum("cnt").as("n_rows"),
-      p50.as("p50_cnt"),
-      max("cnt").as("max_cnt"))
+    // exact median via the distributed counts machinery (cnt values
+    // have few distinct points — the (value, count) relation is tiny
+    // even at 1e9 keys); the sketch path stays the one-aggregation
+    // mergeable form, cast to double so both paths share one schema
+    val summary =
+      if (exact)
+        counts.agg(
+            count(lit(1)).as("n_keys"),
+            sum("cnt").as("n_rows"),
+            max("cnt").as("max_cnt"))
+          .crossJoin(broadcast(
+            exactGroupPercentiles(counts.withColumn("__g", lit(1)), "__g",
+                "cnt", Seq(0.5))
+              .select(col("__p0").as("p50_cnt"))))
+          .select(col("n_keys"), col("n_rows"), col("p50_cnt"), col("max_cnt"))
+      else counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum("cnt").as("n_rows"),
+        expr(s"approx_percentile(cnt, 0.5, $accuracy)").cast("double").as("p50_cnt"),
+        max("cnt").as("max_cnt"))
     counts.orderBy(col("cnt").desc, col("key"))
       .limit(topK)
       .crossJoin(broadcast(summary))
