@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // AQE coalescing above cached plans (see GraftSession) — halves
       // the per-iteration cost of the iterative operators
@@ -75,5 +76,12 @@ object Bench {
       catch { case _: Throwable => () }
     println(line)
     spark.stop()
+    // rc must not read "healthy" when queries errored (r13: 20 erroring
+    // queries still exited 0 and downstream tooling trusted the round)
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: " +
+        errors.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -25,24 +25,44 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark's
-    * vectorized reader rejects. Read nanos as raw long (`ts_ns`, the
-    * exact sort key — full nanosecond precision, matching the oracle's
-    * ORDER BY ts) and surface `ts` as a microsecond-truncated proper
-    * timestamp for window/date functions.
-    * `spark.sql.legacy.parquet.nanosAsLong` is expected from the
-    * session builder (GraftSession / Verify / Bench / specs) — setting
-    * it here as a loader side effect would silently change how OTHER
-    * readers in the same session see nanos columns. */
+  /** The events table's `ts` column has shipped as BOTH
+    * TIMESTAMP(NANOS) parquet (read as raw long nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and plain TIMESTAMP(MICROS)
+    * (read natively as TimestampType), depending on the generator
+    * version. Branch on the type Spark actually resolved so either
+    * vintage loads to the SAME contract:
+    *   - `ts_ns`  LongType  — nanosecond epoch, the exact sort key
+    *     (nanos vintage was micro-truncated at generation, so both
+    *     vintages yield identical multiples of 1000)
+    *   - `ts`     TimestampType — microsecond timestamp for
+    *     window/date functions
+    * `spark.sql.legacy.parquet.nanosAsLong` stays in the session
+    * builders (GraftSession / Verify / Bench / specs) rather than being
+    * set here as a loader side effect, which would silently change how
+    * OTHER readers in the same session see nanos columns. */
   def events(s: SparkSession, d: String): DataFrame = {
-    // fail fast with an actionable message instead of the cryptic
-    // "Illegal Parquet type" an unconfigured external session would hit
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "Tables.events needs spark.sql.legacy.parquet.nanosAsLong=true in the session " +
-        "builder (GraftSession.create sets it) — the events table carries TIMESTAMP(NANOS)")
-    load(s, d, "events")
-      .withColumn("ts_ns", col("ts").cast("long"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case TimestampType =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        // NTZ→TZ cast interprets the naive value in the SESSION zone; the
+        // oracle (DuckDB epoch_ns) treats naive as UTC, so anything but a
+        // UTC session would shift every epoch-derived result silently
+        require(s.conf.getOption("spark.sql.session.timeZone").contains("UTC"),
+          "Tables.events needs spark.sql.session.timeZone=UTC in the session " +
+            "builder: events.ts is TIMESTAMP_NTZ and the epoch contract is naive-as-UTC")
+        val ts = col("ts").cast(TimestampType)
+        raw.withColumn("ts_ns", unix_micros(ts) * lit(1000L))
+          .withColumn("ts", ts)
+      case LongType => // nanos-as-long vintage
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other => throw new IllegalStateException(
+        s"events.ts resolved as $other — expected TIMESTAMP / TIMESTAMP_NTZ (micros) " +
+          "or LongType (TIMESTAMP(NANOS) under spark.sql.legacy.parquet.nanosAsLong=true)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

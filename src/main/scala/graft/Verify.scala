@@ -19,12 +19,19 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // dev knob (unset in driver runs → full dump): csv of query keys
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
+    // a query that THROWS must stay loud in the artifacts: r13's ts-type
+    // regression errored 20 queries and the round's correctness report
+    // silently shrank 114→94 entries because failures left no output dir.
+    // Record every failure (errors.json + manifest counts) and exit
+    // nonzero so coverage shrinkage can't read as all-green again.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = e.toString.take(300)
         System.err.println(s"[verify] $name failed: $e")
         e.getStackTrace.take(3).foreach(f => System.err.println(s"[verify]   at $f"))
       }
@@ -45,6 +52,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      s"""{"expected":${selected.size},"dumped":${selected.size - errors.size},"failed":${errors.size}}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size}/${selected.size} queries FAILED: " +
+        errors.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

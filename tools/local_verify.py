@@ -19,6 +19,18 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# Verify.scala's failure manifest: any query that threw is a hard FAIL
+# here even though it has no output dir (r13: 20 silent absences read
+# as all-green); the expected/dumped counts also gate coverage shrinkage
+try:
+    errs = json.load(open(f"{outdir}/errors.json"))
+    man = json.load(open(f"{outdir}/manifest.json"))
+except FileNotFoundError:
+    errs, man = {}, None
+for k, v in sorted(errs.items()):
+    print(f"FAIL {k}: query threw: {v[:160]}")
+if man:
+    print(f"manifest: expected={man['expected']} dumped={man['dumped']} failed={man['failed']}")
 # dev knob mirroring Verify.scala's SPARK_GRAFT_ONLY subset dumps
 only = os.environ.get("SPARK_GRAFT_ONLY")
 if only:
@@ -89,5 +101,6 @@ for pdir in sorted(glob.glob(f"{outdir}/*/")):
     except Exception as e:
         print(f"ROWS {name}: read/sort error {e}"); fail += 1
 
+fail += len(errs)
 print(f"\n{ok} OK, {fail} FAIL")
 sys.exit(1 if fail else 0)
