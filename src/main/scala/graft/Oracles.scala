@@ -640,13 +640,101 @@ object Oracles {
        FROM p WHERE shared*1.0/(na+nb-shared) >= 0.8
        ORDER BY new_doc, corpus_doc"""
 
-  /** d05 and d06 share one oracle: LSH-bucketed candidates + exact
-    * cosine verify must equal the brute-force pairs at the same
-    * threshold (the d02/d03 pattern for embeddings). */
-  private val embedDedupSql =
-      """WITH v AS (
-           SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vd
+  /** d12/d15: d11's cross-side Jaccard plus the batch-internal leg,
+    * rolled up to per-doc admission verdicts. */
+  private val ingestAdmitSql =
+    """WITH t AS (
+         SELECT doc_id, source,
+                list_distinct([array_to_string(toks[i:i+2], ' ')
+                               for i in range(1, len(toks)-1)]) AS sh
+         FROM (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS toks
+               FROM documents)
+         WHERE len(toks) >= 3),
+       e AS (SELECT doc_id, source, len(sh) AS nsh, unnest(sh) AS shingle FROM t),
+       cp AS (SELECT a.doc_id AS d, b.doc_id AS cdoc, a.nsh AS na, b.nsh AS nb,
+                     count(*) AS shared
+              FROM e a JOIN e b ON a.shingle = b.shingle
+                                 AND a.source = 'src0' AND b.source <> 'src0'
+              GROUP BY 1, 2, 3, 4),
+       cdup AS (SELECT DISTINCT d AS doc_id FROM cp
+                WHERE shared*1.0/(na+nb-shared) >= 0.8),
+       bp AS (SELECT b.doc_id AS d, a.nsh AS na, b.nsh AS nb, count(*) AS shared
+              FROM e a JOIN e b ON a.shingle = b.shingle
+                                 AND a.source = 'src0' AND b.source = 'src0'
+                                 AND a.doc_id < b.doc_id
+              GROUP BY b.doc_id, a.doc_id, a.nsh, b.nsh),
+       bdup AS (SELECT DISTINCT d AS doc_id FROM bp
+                WHERE shared*1.0/(na+nb-shared) >= 0.8),
+       batch AS (SELECT doc_id FROM documents WHERE source = 'src0')
+       SELECT batch.doc_id,
+              (cdup.doc_id IS NULL AND bdup.doc_id IS NULL) AS admitted,
+              CASE WHEN cdup.doc_id IS NOT NULL THEN 'corpus_dup'
+                   WHEN bdup.doc_id IS NOT NULL THEN 'batch_dup'
+                   ELSE 'admitted' END AS reason
+       FROM batch LEFT JOIN cdup USING (doc_id) LEFT JOIN bdup USING (doc_id)
+       ORDER BY batch.doc_id"""
+
+  /** a04 and a15 share one oracle: IVF search math is identical
+    * whether the cell assignment is computed live (a04) or read back
+    * from the saved index layout (a15's sink_ann_index +
+    * ivfKnnIndexed). */
+  private lazy val ivfKnnSql =
+    s"""WITH $centroidBuildCte,
+         nv AS (
+           SELECT vec_id, [CAST(e AS DOUBLE) for e in embedding] AS vd,
+                  sqrt(list_reduce(list_prepend(0.0,
+                    [CAST(e AS DOUBLE)*CAST(e AS DOUBLE) for e in embedding]),
+                    (a, b) -> a + b)) AS nrm
            FROM embeddings),
+         simc AS (
+           SELECT nv.vec_id, c.c_label,
+                  list_reduce(list_prepend(0.0,
+                      [nv.vd[i] * CAST(c.centroid[i] AS DOUBLE) for i in range(1, 65)]),
+                    (x, y) -> x + y)
+                  / (nv.nrm * sqrt(list_reduce(list_prepend(0.0,
+                       [CAST(e AS DOUBLE)*CAST(e AS DOUBLE) for e in c.centroid]),
+                       (x, y) -> x + y))) AS sim
+           FROM nv CROSS JOIN c),
+         rankc AS (
+           SELECT vec_id, c_label,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn
+           FROM simc),
+         cand AS (SELECT vec_id, c_label FROM rankc WHERE rn = 1 AND vec_id >= 10),
+         qry AS (SELECT vec_id, c_label FROM rankc WHERE rn <= 2 AND vec_id < 10),
+         scored AS (
+           SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+                  list_reduce(list_prepend(0.0,
+                      [qv.vd[i] * av.vd[i] for i in range(1, 65)]),
+                    (x, y) -> x + y) / (qv.nrm * av.nrm) AS sim
+           FROM qry q
+           JOIN cand a ON q.c_label = a.c_label
+           JOIN nv qv ON qv.vec_id = q.vec_id
+           JOIN nv av ON av.vec_id = a.vec_id),
+         r AS (
+           SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rn
+           FROM scored)
+         SELECT query_id, neighbor_id,
+                floor(sim*10000 + 0.5)/10000 AS cos_sim, rn
+         FROM r WHERE rn <= 3 ORDER BY query_id, rn"""
+
+  /** d05 and d06 share one oracle shape: candidates + exact cosine
+    * verify must equal the brute-force pairs at the same threshold
+    * (the d02/d03 pattern for embeddings). Parametric: d05 runs the
+    * natural table at 0.5; d06's LSH-regime row runs at 0.75 over the
+    * PLANTED union (the testdata has no natural pairs above cos 0.7,
+    * so an id-offset copy of every vector plants cos=1.0 pairs the
+    * banded LSH must recall — same construction on both engines). */
+  private def embedDedupSql(threshold: Double, planted: Boolean): String = {
+    val src =
+      if (planted)
+        """(SELECT vec_id, embedding FROM embeddings
+            UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings)"""
+      else "embeddings"
+    s"""WITH v AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vd
+           FROM $src),
          n AS (
            SELECT vec_id, vd,
                   sqrt(list_reduce(list_prepend(0.0, [x*x for x in vd]),
@@ -659,8 +747,9 @@ object Oracles {
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          WHERE list_reduce(list_prepend(0.0,
                  [a.vd[i]*b.vd[i] for i in range(1, 65)]),
-               (x, y) -> x + y) / (a.nrm*b.nrm) >= 0.5
+               (x, y) -> x + y) / (a.nrm*b.nrm) >= $threshold
          ORDER BY vec_a, vec_b"""
+  }
 
   /** d10: the d02/d03 pair set rolled up to source pairs (unordered,
     * least/greatest-normalized). */
@@ -744,41 +833,16 @@ object Oracles {
     // internal leg; shingle STRINGS stand in for Spark's 64-bit hashes
     // (the d11 convention). Sub-3-token batch docs carry no shingles,
     // cannot pair, and are admitted — both engines agree.
-    "d12_ingest_admit" ->
-      """WITH t AS (
-           SELECT doc_id, source,
-                  list_distinct([array_to_string(toks[i:i+2], ' ')
-                                 for i in range(1, len(toks)-1)]) AS sh
-           FROM (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS toks
-                 FROM documents)
-           WHERE len(toks) >= 3),
-         e AS (SELECT doc_id, source, len(sh) AS nsh, unnest(sh) AS shingle FROM t),
-         cp AS (SELECT a.doc_id AS d, b.doc_id AS cdoc, a.nsh AS na, b.nsh AS nb,
-                       count(*) AS shared
-                FROM e a JOIN e b ON a.shingle = b.shingle
-                                   AND a.source = 'src0' AND b.source <> 'src0'
-                GROUP BY 1, 2, 3, 4),
-         cdup AS (SELECT DISTINCT d AS doc_id FROM cp
-                  WHERE shared*1.0/(na+nb-shared) >= 0.8),
-         bp AS (SELECT b.doc_id AS d, a.nsh AS na, b.nsh AS nb, count(*) AS shared
-                FROM e a JOIN e b ON a.shingle = b.shingle
-                                   AND a.source = 'src0' AND b.source = 'src0'
-                                   AND a.doc_id < b.doc_id
-                GROUP BY b.doc_id, a.doc_id, a.nsh, b.nsh),
-         bdup AS (SELECT DISTINCT d AS doc_id FROM bp
-                  WHERE shared*1.0/(na+nb-shared) >= 0.8),
-         batch AS (SELECT doc_id FROM documents WHERE source = 'src0')
-         SELECT batch.doc_id,
-                (cdup.doc_id IS NULL AND bdup.doc_id IS NULL) AS admitted,
-                CASE WHEN cdup.doc_id IS NOT NULL THEN 'corpus_dup'
-                     WHEN bdup.doc_id IS NOT NULL THEN 'batch_dup'
-                     ELSE 'admitted' END AS reason
-         FROM batch LEFT JOIN cdup USING (doc_id) LEFT JOIN bdup USING (doc_id)
-         ORDER BY batch.doc_id""",
+    // d14/d15 share d11's/d12's oracles: the at-rest probes
+    // (sink_dedup_index + dedupAgainstIndex / ingestAdmitIndexed) are
+    // result-identical to their live twins over the same corpus.
+    "d12_ingest_admit" -> ingestAdmitSql,
+    "d14_dedup_probe_indexed" -> dedupAgainstSql,
+    "d15_ingest_admit_indexed" -> ingestAdmitSql,
     "d10_source_overlap" -> sourceOverlapSql,
 
-    "d05_embed_dedup" -> embedDedupSql,
-    "d06_embed_dedup_lsh" -> embedDedupSql,
+    "d05_embed_dedup" -> embedDedupSql(0.5, planted = false),
+    "d06_embed_dedup_lsh" -> embedDedupSql(0.75, planted = true),
 
     // d09: shingle EQUALITY is all that matters, so the oracle counts
     // shared 3-gram STRINGS where Spark counts shared 64-bit shingle
@@ -1350,46 +1414,12 @@ object Oracles {
     // IVF search is deterministic SQL given the a03-proven centroid
     // math: store each candidate in its rn=1 cell, probe each query's
     // top-2 cells (nprobe=2, the Spark default), score cell-locally.
-    "a04_ivf_knn" ->
-      s"""WITH $centroidBuildCte,
-         nv AS (
-           SELECT vec_id, [CAST(e AS DOUBLE) for e in embedding] AS vd,
-                  sqrt(list_reduce(list_prepend(0.0,
-                    [CAST(e AS DOUBLE)*CAST(e AS DOUBLE) for e in embedding]),
-                    (a, b) -> a + b)) AS nrm
-           FROM embeddings),
-         simc AS (
-           SELECT nv.vec_id, c.c_label,
-                  list_reduce(list_prepend(0.0,
-                      [nv.vd[i] * CAST(c.centroid[i] AS DOUBLE) for i in range(1, 65)]),
-                    (x, y) -> x + y)
-                  / (nv.nrm * sqrt(list_reduce(list_prepend(0.0,
-                       [CAST(e AS DOUBLE)*CAST(e AS DOUBLE) for e in c.centroid]),
-                       (x, y) -> x + y))) AS sim
-           FROM nv CROSS JOIN c),
-         rankc AS (
-           SELECT vec_id, c_label,
-                  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn
-           FROM simc),
-         cand AS (SELECT vec_id, c_label FROM rankc WHERE rn = 1 AND vec_id >= 10),
-         qry AS (SELECT vec_id, c_label FROM rankc WHERE rn <= 2 AND vec_id < 10),
-         scored AS (
-           SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
-                  list_reduce(list_prepend(0.0,
-                      [qv.vd[i] * av.vd[i] for i in range(1, 65)]),
-                    (x, y) -> x + y) / (qv.nrm * av.nrm) AS sim
-           FROM qry q
-           JOIN cand a ON q.c_label = a.c_label
-           JOIN nv qv ON qv.vec_id = q.vec_id
-           JOIN nv av ON av.vec_id = a.vec_id),
-         r AS (
-           SELECT query_id, neighbor_id, sim,
-                  row_number() OVER (PARTITION BY query_id
-                    ORDER BY sim DESC, neighbor_id) AS rn
-           FROM scored)
-         SELECT query_id, neighbor_id,
-                floor(sim*10000 + 0.5)/10000 AS cos_sim, rn
-         FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
+    // a15 shares this oracle: the at-rest probe (sink_ann_index +
+    // ivfKnnIndexed) is result-identical to the live a04 search under
+    // the same centroids — the index only changes WHERE the cell
+    // assignment lives, not what it computes.
+    "a04_ivf_knn" -> ivfKnnSql,
+    "a15_ivf_probe_indexed" -> ivfKnnSql,
 
     // Full kNN self-join over the same IVF index as a04: storage
     // assignment = rn=1 cell for every vector, every vector queries

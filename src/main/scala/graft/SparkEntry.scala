@@ -104,6 +104,15 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Ann.ivfKnn(e, centroids = Some(Ann.labelCentroids(e)))
     }),
+    // a04's at-rest twin: sink_ann_index persists the corpus cells,
+    // ivfKnnIndexed probes only the queried cells' directories —
+    // result-identical to the live search under the same centroids.
+    "a15_ivf_probe_indexed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_a15_").toString
+      Ann.writeAnnIndex(e.filter(e("vec_id") >= 10), Ann.labelCentroids(e), tmp)
+      Ann.ivfKnnIndexed(e.filter(e("vec_id") < 10), tmp)
+    }),
     "a05_kmeans_cells" -> ((s, d) => Ann.kmeansAssign(Tables.embeddings(s, d))),
     "t06_word_freq" -> ((s, d) => TextStats.wordFreq(Tables.documents(s, d))),
     "m03_media_manifest" -> ((s, d) => BinaryPipeline.mediaManifest(Tables.documents(s, d))),
@@ -116,7 +125,17 @@ object SparkEntry {
     "d03_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(Tables.documents(s, d), dfCap = Some(1000L))),
     "d04_simhash" -> ((s, d) => Dedup.simHash(Tables.documents(s, d))),
     "d05_embed_dedup" -> ((s, d) => Dedup.embedDedup(Tables.embeddings(s, d))),
-    "d06_embed_dedup_lsh" -> ((s, d) => Dedup.embedDedupLsh(Tables.embeddings(s, d))),
+    // d06 registered IN ITS LSH REGIME (threshold 0.75; < 0.7 delegates
+    // to the exact join and is spec-pinned byte-identical). The testdata
+    // has no natural pairs above cos 0.7, so the row unions an id-offset
+    // copy of the table: n planted cos=1.0 pairs the banded LSH must
+    // recall — the oracle applies the same construction, hash-checked.
+    "d06_embed_dedup_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val planted = e.select(col("vec_id"), col("embedding")).unionByName(
+        e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      Dedup.embedDedupLsh(planted, threshold = 0.75)
+    }),
     "d07_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d), dfCap = Some(1000L))),
     "d08_dedup_apply" -> ((s, d) => Dedup.dedupApply(Tables.documents(s, d), dfCap = Some(1000L))),
     "d09_decontaminate" -> ((s, d) => Dedup.decontaminate(Tables.documents(s, d))),
@@ -133,6 +152,22 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Dedup.ingestAdmit(docs.filter(docs("source") === "src0"),
         docs.filter(docs("source") =!= "src0"), dfCap = Some(1000L))
+    }),
+    // The AT-REST index probes — the operators a 100 TB deployment
+    // actually calls (build once, probe per batch). Each row builds the
+    // index in a fresh temp dir then probes it; result-identical to its
+    // live twin (d11/d12), which is what the shared oracle checks.
+    "d14_dedup_probe_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_d14_").toString
+      Dedup.writeDedupIndex(docs.filter(docs("source") =!= "src0"), tmp)
+      Dedup.dedupAgainstIndex(docs.filter(docs("source") === "src0"), tmp)
+    }),
+    "d15_ingest_admit_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_d15_").toString
+      Dedup.writeDedupIndex(docs.filter(docs("source") =!= "src0"), tmp)
+      Dedup.ingestAdmitIndexed(docs.filter(docs("source") === "src0"), tmp)
     }),
     "a07_knn_join" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
