@@ -74,6 +74,20 @@ object Bench {
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         line.getBytes("UTF-8"))
       catch { case _: Throwable => () }
+    // Emission protocol, in recoverability order (the driver's log tail
+    // is ~2 kB and sbt appends [success] after us, so a bare println has
+    // been head-clipped every round → BENCH_r*.json "parsed": null):
+    //  1. sentinel-delimited full line — a parser can grep the BEGIN/END
+    //     markers out of any log capture;
+    //  2. the bare full line (legacy format, kept last-before-[success]);
+    //  3. BENCH_LOCAL.json above as the durable file copy.
+    println("===GRAFT_BENCH_JSON_BEGIN===")
+    println(line)
+    println("===GRAFT_BENCH_JSON_END===")
+    // compact summary WITHOUT the per-query map (<200 B): always survives
+    // a tail capture intact, so the headline total is machine-parseable
+    // even when the full line is clipped
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nqueries":${results.size},"nerrors":${errors.size},"sf":"$sfDir","full":"BENCH_LOCAL.json"}""")
     println(line)
     spark.stop()
     // rc must not read "healthy" when queries errored (r13: 20 erroring

@@ -13,6 +13,20 @@ object SparkEntry {
   private def t(name: String)(implicit s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Temp dir for the at-rest index rows (a15/d14/d15), deleted on JVM
+    * exit: under SPARK_GRAFT_REPS each rep rebuilds its index, and
+    * without cleanup every rep leaked a full index copy in /tmp. */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
@@ -109,7 +123,7 @@ object SparkEntry {
     // result-identical to the live search under the same centroids.
     "a15_ivf_probe_indexed" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_a15_").toString
+      val tmp = scratchDir("graft_a15_")
       Ann.writeAnnIndex(e.filter(e("vec_id") >= 10), Ann.labelCentroids(e), tmp)
       Ann.ivfKnnIndexed(e.filter(e("vec_id") < 10), tmp)
     }),
@@ -159,13 +173,13 @@ object SparkEntry {
     // live twin (d11/d12), which is what the shared oracle checks.
     "d14_dedup_probe_indexed" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_d14_").toString
+      val tmp = scratchDir("graft_d14_")
       Dedup.writeDedupIndex(docs.filter(docs("source") =!= "src0"), tmp)
       Dedup.dedupAgainstIndex(docs.filter(docs("source") === "src0"), tmp)
     }),
     "d15_ingest_admit_indexed" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_d15_").toString
+      val tmp = scratchDir("graft_d15_")
       Dedup.writeDedupIndex(docs.filter(docs("source") =!= "src0"), tmp)
       Dedup.ingestAdmitIndexed(docs.filter(docs("source") === "src0"), tmp)
     }),

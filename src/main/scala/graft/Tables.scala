@@ -43,16 +43,20 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(s, d, "events")
+    // ALL vintages require a UTC session, not just NTZ: the NTZ→TZ cast
+    // interprets the naive value in the session zone, and even for the
+    // instant-semantics vintages every downstream date/window function on
+    // `ts` (day grains, sessionization windows) must agree with the DuckDB
+    // oracle, which evaluates them naive-as-UTC. All internal builders
+    // (GraftSession/Verify/Bench/specs) pin UTC; this guards external ones.
+    require(s.conf.getOption("spark.sql.session.timeZone").contains("UTC"),
+      "Tables.events needs spark.sql.session.timeZone=UTC in the session " +
+        "builder: the events time contract (epoch math and date/window " +
+        "functions vs the naive-as-UTC oracle) only holds under UTC")
     raw.schema("ts").dataType match {
       case TimestampType =>
         raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
       case TimestampNTZType =>
-        // NTZ→TZ cast interprets the naive value in the SESSION zone; the
-        // oracle (DuckDB epoch_ns) treats naive as UTC, so anything but a
-        // UTC session would shift every epoch-derived result silently
-        require(s.conf.getOption("spark.sql.session.timeZone").contains("UTC"),
-          "Tables.events needs spark.sql.session.timeZone=UTC in the session " +
-            "builder: events.ts is TIMESTAMP_NTZ and the epoch contract is naive-as-UTC")
         val ts = col("ts").cast(TimestampType)
         raw.withColumn("ts_ns", unix_micros(ts) * lit(1000L))
           .withColumn("ts", ts)

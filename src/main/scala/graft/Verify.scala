@@ -34,6 +34,13 @@ object Verify {
         errors(name) = e.toString.take(300)
         System.err.println(s"[verify] $name failed: $e")
         e.getStackTrace.take(3).foreach(f => System.err.println(s"[verify]   at $f"))
+        // a stale dump from a previous run into the same outDir would
+        // make the per-query compare print a misleading OK for a query
+        // that actually threw this run — remove it so absence stays loud
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(s"$outDir/$name"))
       }
       finally Caches.release() // drop operator-held intermediate caches
     }

@@ -38,6 +38,8 @@ if only:
     oracle = {k: v for k, v in oracle.items() if k in keep}
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
+    if name in errs:
+        continue  # already a hard FAIL via the errors.json count below
     pdir = f"{outdir}/{name}"
     if not os.path.isdir(pdir):
         print(f"FAIL {name}: no spark output dir"); fail += 1; continue
@@ -102,5 +104,12 @@ for pdir in sorted(glob.glob(f"{outdir}/*/")):
         print(f"ROWS {name}: read/sort error {e}"); fail += 1
 
 fail += len(errs)
+# enforce the manifest, don't just print it: a reused outdir with stale
+# dirs (or dumps missing without an errors.json entry) must fail the gate
+if man:
+    actual_dirs = len(glob.glob(f"{outdir}/*/"))
+    if actual_dirs != man['dumped']:
+        print(f"FAIL manifest: dumped={man['dumped']} but {actual_dirs} output dirs found")
+        fail += 1
 print(f"\n{ok} OK, {fail} FAIL")
 sys.exit(1 if fail else 0)
