@@ -11,9 +11,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * plain parquet: the clean-room core of what Delta Lake / Iceberg
   * add to `upsertPartitioned` (Sources.scala), implementable without
   * their jars. A table is a directory of immutable parquet data files
-  * plus a commit log (`_graft_log/v<N>.json`, each listing the
-  * COMPLETE file set of that snapshot). The two transactional
-  * properties live entirely in the log protocol:
+  * plus a commit log (`_graft_log/v<N>.json` — v1 lists the COMPLETE
+  * file set, later entries the add/remove DELTA, with a complete
+  * checkpoint + `_last_checkpoint` pointer re-anchoring the log every
+  * `CheckpointInterval` commits). The two transactional properties
+  * live entirely in the log protocol:
   *
   *  - SNAPSHOT READS: a reader resolves the latest committed version
   *    ONCE and plans against that version's file list. Writers never
@@ -45,6 +47,90 @@ object VersionedTable {
   private def versionFile(path: String, v: Long): Path =
     logDir(path).resolve(f"v$v%020d.json")
 
+  /** CHECKPOINTED LOG (the Delta _last_checkpoint recipe): commits after
+    * v1 store add/remove DELTAS, and every `CheckpointInterval`-th commit
+    * also writes `checkpoint.v<N>.json` — the complete file list + schema
+    * of that snapshot — and advances the `_last_checkpoint` pointer.
+    * Without this, a merge-heavy table at version 10⁴ with 10⁵ files paid
+    * O(versions) dir listing per `latestVersion` and O(files) JSON per
+    * COMMIT; now a read costs one pointer read + ≤interval probes, and a
+    * commit writes only its touched-file delta. Checkpoint and pointer
+    * writes are best-effort (reads fall back to delta replay / full
+    * listing), so a crash between commit and checkpoint never corrupts. */
+  private[graft] val CheckpointInterval = 10
+  private def checkpointFile(path: String, v: Long): Path =
+    logDir(path).resolve(f"checkpoint.v$v%020d.json")
+  private def pointerFile(path: String): Path =
+    logDir(path).resolve("_last_checkpoint")
+
+  /** Test hooks: reads of log objects (entries + checkpoints) and full
+    * log-dir listings — the spec pins the checkpointed read cost with
+    * these (≤ 1 checkpoint + interval−1 entries, zero full listings). */
+  private[graft] val logReads = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val logListings = new java.util.concurrent.atomic.AtomicLong
+
+  private def readPayload(p: Path): String = {
+    logReads.incrementAndGet()
+    new String(Files.readAllBytes(p), "UTF-8")
+  }
+
+  /** Fixed-shape parser for a named string array in a log payload
+    * (written by this object — same convention as the legacy `files`
+    * parser: first `]` after the marker closes the array). */
+  private def strArray(payload: String, field: String): Option[Seq[String]] = {
+    val marker = "\"" + field + "\":["
+    val start = payload.indexOf(marker)
+    if (start < 0) None
+    else {
+      val s = start + marker.length
+      val body = payload.substring(s, payload.indexOf(']', s)).trim
+      Some(if (body.isEmpty) Seq.empty
+        else body.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+    }
+  }
+
+  private def readPointer(path: String): Option[Long] = {
+    val p = pointerFile(path)
+    if (!Files.exists(p)) None
+    else try Some(new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
+    catch { case _: Exception => None } // torn/garbled pointer: advisory only
+  }
+
+  /** Monotonic advisory advance of `_last_checkpoint` via atomic rename.
+    * Losing a concurrent advance, or crashing before it, is harmless:
+    * `latestVersion` probes FORWARD from wherever the pointer points. */
+  private def advancePointer(path: String, v: Long): Unit = try {
+    if (!readPointer(path).exists(_ >= v)) {
+      // temp lives in the TABLE ROOT, not _graft_log: the change-feed
+      // stream tails the log dir as a file source, and a transient temp
+      // deleted between its listing and read would kill the query
+      val tmp = Files.createTempFile(Paths.get(path), ".graft-ptr-", ".tmp")
+      Files.write(tmp, v.toString.getBytes("UTF-8"))
+      Files.move(tmp, pointerFile(path),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  } catch { case _: Exception => () }
+
+  /** Idempotent checkpoint publish (same link-then-EEXIST discipline as
+    * commits); best-effort — a missing checkpoint only means reads walk
+    * further back through deltas. */
+  private[graft] def writeCheckpoint(path: String, v: Long, files: Seq[String],
+                                     schemaJson: Option[String]): Unit = try {
+    val cp = checkpointFile(path, v)
+    if (!Files.exists(cp)) {
+      val schemaField = schemaJson.map(j => s""","schema":$j""").getOrElse("")
+      val payload =
+        s"""{"version":$v,"files":[${files.map(f => s"\"$f\"").mkString(",")}]$schemaField}"""
+      val tmp = Files.createTempFile(Paths.get(path), ".graft-cp-", ".tmp")
+      Files.write(tmp, payload.getBytes("UTF-8"))
+      try Files.createLink(cp, tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally Files.delete(tmp)
+    }
+    advancePointer(path, v)
+  } catch { case _: Exception => () }
+
   /** `Files.list` requires an explicit close (each open stream holds a
     * directory fd) — every listing in this object funnels through
     * here. */
@@ -53,16 +139,28 @@ object VersionedTable {
     try f(s.iterator().asScala) finally s.close()
   }
 
-  /** Latest committed version, or None for a non-table directory. */
+  /** Latest committed version, or None for a non-table directory.
+    * With a `_last_checkpoint` pointer this is one pointer read plus
+    * ≤(commits since checkpoint) existence probes — versions are dense
+    * by the CAS protocol, so probing forward from the pointer finds the
+    * tip without listing the log dir. The full O(versions) listing is
+    * only the fallback for pre-checkpoint tables (or a stale pointer
+    * whose entry vacuum already pruned). */
   def latestVersion(path: String): Option[Long] = {
     val dir = logDir(path)
     if (!Files.isDirectory(dir)) None
-    else {
-      val vs = listDir(dir)(_.map(_.getFileName.toString)
-        .filter(n => n.startsWith("v") && n.endsWith(".json"))
-        .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
-        .toSeq)
-      if (vs.isEmpty) None else Some(vs.max)
+    else readPointer(path).filter(c => Files.exists(versionFile(path, c))) match {
+      case Some(c) =>
+        var v = c
+        while (Files.exists(versionFile(path, v + 1))) v += 1
+        Some(v)
+      case None =>
+        logListings.incrementAndGet()
+        val vs = listDir(dir)(_.map(_.getFileName.toString)
+          .filter(n => n.startsWith("v") && n.endsWith(".json"))
+          .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+          .toSeq)
+        if (vs.isEmpty) None else Some(vs.max)
     }
   }
 
@@ -70,16 +168,36 @@ object VersionedTable {
   def hasVersion(path: String, v: Long): Boolean =
     Files.exists(versionFile(path, v))
 
-  /** The file list of a version (paths relative to the table root). */
+  /** The file list of a version (paths relative to the table root).
+    * Three payload shapes resolve here: a checkpoint at exactly `v`
+    * (fast path), a complete `files` entry (v1 / legacy logs), or a
+    * delta entry — for which the walk continues backward to the nearest
+    * complete base and replays `add`/`remove` forward. Bounded by the
+    * checkpoint interval on a healthy log; a missing checkpoint only
+    * lengthens the walk (never fails it — v1 is always complete). */
   private[graft] def filesOf(path: String, v: Long): Seq[String] = {
-    val payload = new String(Files.readAllBytes(versionFile(path, v)), "UTF-8")
-    // log payload is {"version":N,"files":["a","b",...]} written by
-    // this object — parsed with the same fixed shape
-    val marker = "\"files\":["
-    val start = payload.indexOf(marker) + marker.length
-    val body = payload.substring(start, payload.indexOf(']', start)).trim
-    if (body.isEmpty) Seq.empty
-    else body.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+    val deltas = scala.collection.mutable.ListBuffer.empty[(Seq[String], Seq[String])]
+    var cursor = v
+    var base: Seq[String] = null
+    while (base == null) {
+      val cp = checkpointFile(path, cursor)
+      if (Files.exists(cp))
+        base = strArray(readPayload(cp), "files").getOrElse(Seq.empty)
+      else {
+        val payload = readPayload(versionFile(path, cursor))
+        strArray(payload, "files") match {
+          case Some(fs) => base = fs
+          case None =>
+            if (cursor <= 1L) throw new IllegalStateException(
+              s"$path: v$cursor is a delta entry with no complete base below it")
+            deltas.prepend((strArray(payload, "add").getOrElse(Seq.empty),
+              strArray(payload, "remove").getOrElse(Seq.empty)))
+            cursor -= 1
+        }
+      }
+    }
+    deltas.foldLeft(base.toSet) { case (acc, (add, rem)) => acc -- rem ++ add }
+      .toSeq.sorted
   }
 
   /** The schema a version was committed with (None for pre-evolution
@@ -88,7 +206,7 @@ object VersionedTable {
     * field, so it nests without escaping and the fixed-shape `files`
     * parser (which stops at the first `]`) is unaffected. */
   private[graft] def schemaOf(path: String, v: Long): Option[StructType] = {
-    val payload = new String(Files.readAllBytes(versionFile(path, v)), "UTF-8")
+    val payload = readPayload(versionFile(path, v))
     val marker = "\"schema\":"
     val i = payload.indexOf(marker)
     if (i < 0) None
@@ -120,21 +238,36 @@ object VersionedTable {
     * change-feed consumers skip those instead of self-diffing two
     * identical snapshots. Absent field (pre-flag logs) = true. */
   private[graft] def isDataChange(path: String, v: Long): Boolean =
-    !new String(Files.readAllBytes(versionFile(path, v)), "UTF-8")
-      .contains("\"dataChange\":false")
+    !readPayload(versionFile(path, v)).contains("\"dataChange\":false")
 
-  /** Atomic CAS publish of version `v`: true = this writer won. */
+  /** Atomic CAS publish of version `v`: true = this writer won.
+    * `files` is the COMPLETE snapshot list; the entry persists only the
+    * add/remove delta against v−1 (v1, or a v−1 that cannot be resolved,
+    * falls back to a complete entry), so commit cost tracks the touched
+    * slice, not table size. Every `CheckpointInterval`-th winner also
+    * publishes the complete list as a checkpoint. */
   private[graft] def tryCommit(path: String, v: Long, files: Seq[String],
                                dataChange: Boolean = true,
                                schemaJson: Option[String] = None): Boolean = {
     Files.createDirectories(logDir(path))
     val schemaField = schemaJson.map(j => s""","schema":$j""").getOrElse("")
-    val payload =
-      s"""{"version":$v,"dataChange":$dataChange,"files":[${files.map(f => s"\"$f\"").mkString(",")}]$schemaField}"""
+    val prev: Option[Seq[String]] =
+      if (v <= 1L) None
+      else try Some(filesOf(path, v - 1)) catch { case _: Exception => None }
+    val payload = prev match {
+      case Some(p) =>
+        val pSet = p.toSet; val fSet = files.toSet
+        val add = files.filterNot(pSet)
+        val remove = p.filterNot(fSet)
+        s"""{"version":$v,"dataChange":$dataChange,"add":[${add.map(f => s"\"$f\"").mkString(",")}],"remove":[${remove.map(f => s"\"$f\"").mkString(",")}]$schemaField}"""
+      case None =>
+        s"""{"version":$v,"dataChange":$dataChange,"files":[${files.map(f => s"\"$f\"").mkString(",")}]$schemaField}"""
+    }
     val tmp = Files.createTempFile(logDir(path), ".tmp-", ".json")
     Files.write(tmp, payload.getBytes("UTF-8"), StandardOpenOption.TRUNCATE_EXISTING)
     try {
       Files.createLink(versionFile(path, v), tmp) // atomic; EEXIST on conflict
+      if (v % CheckpointInterval == 0) writeCheckpoint(path, v, files, schemaJson)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
@@ -388,12 +521,32 @@ object VersionedTable {
       }
       if (listDir(d)(_.isEmpty)) Files.delete(d)
     }
+    // Re-anchor the checkpointed log BEFORE pruning: the oldest retained
+    // version becomes a checkpoint (its complete list is still derivable
+    // here — the entries below it are about to go) and the pointer moves
+    // up, so post-vacuum reads of any retained version never need a
+    // pruned entry and `latestVersion`'s forward probe starts inside the
+    // retained range.
+    if (keepVs.head > 1L)
+      writeCheckpoint(path, keepVs.head, filesOf(path, keepVs.head),
+        schemaOf(path, keepVs.head).map(_.json))
+    // checkpoint publish is best-effort — but pruning the entries BELOW
+    // the horizon is only safe once the horizon's complete list is
+    // durable; if the write failed, keep the log (retry next vacuum)
+    if (keepVs.head > 1L && !Files.exists(checkpointFile(path, keepVs.head)))
+      return deleted
     // drop superseded log entries so asOf fails fast instead of
     // resolving to missing files — with the SAME minAgeMs grace as the
     // data files, so a lagging change feed can still resolve a version
     // it just saw land in the log stream
     listDir(logDir(path))(_.filter(_.getFileName.toString.startsWith("v"))
       .filter(p => p.getFileName.toString.stripPrefix("v")
+        .stripSuffix(".json").toLong < keepVs.head)
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff).toSeq)
+      .foreach(Files.delete)
+    // checkpoints below the retained horizon are equally superseded
+    listDir(logDir(path))(_.filter(_.getFileName.toString.startsWith("checkpoint.v"))
+      .filter(p => p.getFileName.toString.stripPrefix("checkpoint.v")
         .stripSuffix(".json").toLong < keepVs.head)
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff).toSeq)
       .foreach(Files.delete)

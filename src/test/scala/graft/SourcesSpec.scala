@@ -569,4 +569,76 @@ class SourcesSpec extends SparkSpecBase {
       assert(counts == Map("g1" -> 2L, "g2" -> 1L))
     } finally q.stop()
   }
+
+  test("versioned table: checkpointed log bounds read cost at 100 commits") {
+    import graft.sources.VersionedTable
+    val dir = Files.createTempDirectory("graft_vt_ckpt").toString + "/t"
+    // v1 is a real table; v2..v100 drive the LOG protocol through raw
+    // CAS commits with synthetic file names — the read-cost contract is
+    // about log objects, and 99 Spark write jobs would add nothing
+    VersionedTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir)
+    val v1Files = VersionedTable.filesOf(dir, 1L)
+    (2L to 100L).foreach { v =>
+      val files = (v1Files :+ s"synth/f$v.parquet").sorted
+      assert(VersionedTable.tryCommit(dir, v, files), s"commit v$v must win unopposed")
+    }
+    // tip resolution: pointer + forward probes, never an O(versions)
+    // dir listing (the 10⁴-commit scale killer)
+    VersionedTable.logReads.set(0); VersionedTable.logListings.set(0)
+    assert(VersionedTable.latestVersion(dir).contains(100L))
+    assert(VersionedTable.logListings.get == 0,
+      "latestVersion must probe forward from _last_checkpoint, not list the log dir")
+    // snapshot resolution at a non-checkpoint version: ≤ 1 checkpoint +
+    // (interval−1) delta entries — NOT a walk to v1
+    VersionedTable.logReads.set(0)
+    val f99 = VersionedTable.filesOf(dir, 99L)
+    assert(f99.toSet == (v1Files :+ "synth/f99.parquet").toSet,
+      s"delta replay must reconstruct v99's list, got $f99")
+    assert(VersionedTable.logReads.get <= VersionedTable.CheckpointInterval,
+      s"filesOf(99) must cost ≤ 1 checkpoint + ${VersionedTable.CheckpointInterval - 1} " +
+        s"deltas, read ${VersionedTable.logReads.get} log objects")
+    // a checkpoint version resolves in one read
+    VersionedTable.logReads.set(0)
+    assert(VersionedTable.filesOf(dir, 100L).contains("synth/f100.parquet"))
+    assert(VersionedTable.logReads.get <= 1,
+      s"filesOf at a checkpoint version must be one read, was ${VersionedTable.logReads.get}")
+  }
+
+  test("versioned table: reads and history survive a checkpoint boundary end-to-end") {
+    import graft.sources.VersionedTable
+    val dir = Files.createTempDirectory("graft_vt_ckpt_e2e").toString + "/t"
+    VersionedTable.create((0L until 20L).map(i => (i, s"name$i"))
+      .toDF("id", "name").repartition(2, $"id"), dir)
+    // ten real merges: v11 sits one past the v10 checkpoint, so the
+    // final read replays checkpoint + one delta; every intermediate
+    // version stays time-travelable through mixed complete/delta entries
+    (1L to 10L).foreach { i =>
+      assert(VersionedTable.upsert(spark, dir, Seq("id"),
+        Seq((i, s"UP$i")).toDF("id", "name")) == i + 1)
+    }
+    val tip = VersionedTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tip.size == 20 && (1L to 10L).forall(i => tip(i) == s"UP$i") &&
+      tip(0L) == "name0" && tip(15L) == "name15", s"got $tip")
+    // time travel below the checkpoint (pure delta walk to v1)
+    val v4 = VersionedTable.read(spark, dir, asOf = Some(4L)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v4(3L) == "UP3" && v4(4L) == "name4", s"got $v4")
+    // the change feed's pruned-file diff is unaffected by delta entries
+    val changes = VersionedTable.changesBetween(spark, dir, Seq("id"), 10L, 11L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(changes(10L) == "update", s"got $changes")
+    // vacuum re-anchors at the horizon: retained versions keep reading
+    // (v10 via its checkpoint, v11 via checkpoint + delta), pruned ones
+    // fail fast, and the tip probe still never lists the log dir
+    VersionedTable.vacuum(dir, retainVersions = 2, minAgeMs = 0L)
+    assert(VersionedTable.read(spark, dir, asOf = Some(10L)).count() == 20)
+    assert(VersionedTable.read(spark, dir).count() == 20)
+    intercept[Exception](
+      VersionedTable.read(spark, dir, asOf = Some(5L)).collect())
+    VersionedTable.logListings.set(0)
+    assert(VersionedTable.latestVersion(dir).contains(11L))
+    assert(VersionedTable.logListings.get == 0,
+      "post-vacuum tip resolution must still come from the pointer")
+  }
 }
