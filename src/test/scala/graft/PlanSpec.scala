@@ -231,4 +231,60 @@ class PlanSpec extends SparkSpecBase {
       assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty, s"$name: bnlj")
     }
   }
+
+  test("q21/q47: exact percentiles stay distributed — value-grain partial agg, no holistic buffer") {
+    // exactGroupPercentiles (RelationalOps) is load-bearing for
+    // q21/q46/q47/q52; a refactor back to the built-in `percentile`
+    // would silently reintroduce the one-task-buffers-every-raw-value
+    // plan that OOMs at 100 TB. Pin its shape on both consumers:
+    for (name <- Seq("q21_percentile", "q47_equi_depth")) {
+      assert(!plan(name).toString.contains("percentile("),
+        s"$name: the holistic percentile aggregate is back in the plan")
+      // the widest exchange must carry one row per DISTINCT
+      // (group, value) — i.e. partition on the value column (Catalyst
+      // rewrites the `__v` cast alias to `_groupingexpression`) AND sit
+      // above a map-side partial aggregation, so raw fact rows never
+      // cross the wire un-combined
+      val valueGrain = executedShuffles(name).filter(s =>
+        s.outputPartitioning.toString.contains("_groupingexpression") ||
+          s.outputPartitioning.toString.contains("__v"))
+      assert(valueGrain.nonEmpty,
+        s"$name: the (group, value)-grain partial-agg exchange is gone")
+      assert(valueGrain.forall(_.child.toString.contains("HashAggregate")),
+        s"$name: rows must partial-aggregate map-side before the value-grain exchange")
+    }
+  }
+
+  test("events scan: ts predicates push to parquet; derived ts_ns does not (documented)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // the loader contract (Tables.events) keeps `ts` PUSHABLE on both
+    // micros vintages: native TimestampType trivially, and TIMESTAMP_NTZ
+    // because Catalyst unwraps the UTC-session NTZ→TZ cast into an NTZ
+    // literal comparison at the scan. `ts_ns` is derived post-scan on
+    // these vintages, so filters against it stay above the scan. No
+    // inventory query filters on ts_ns at scan level (windows/
+    // sessionization consume it after the scan) — this row documents the
+    // asymmetry so a future time-filtered operator is written against
+    // `ts`, and breaks loudly if a loader change makes ts unpushable.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val rawType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    assume(rawType == TimestampType || rawType == TimestampNTZType,
+      s"pushdown pin targets the micros vintages; got $rawType")
+    val ev = Tables.events(spark, sfDir)
+    val cut = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val tsScans = scans(ev.filter(col("ts") >= lit(cut))
+      .select("user_id").queryExecution.sparkPlan)
+    assert(tsScans.nonEmpty)
+    assert(tsScans.exists(_.metadata.get("PushedFilters")
+        .exists(_.contains("GreaterThanOrEqual(ts"))),
+      s"ts predicate must reach parquet: ${tsScans.map(_.metadata.get("PushedFilters"))}")
+    assert(tsScans.forall(_.requiredSchema.fieldNames.toSet.subsetOf(Set("ts", "user_id"))),
+      "the pruned scan may read only (ts, user_id)")
+    val nsScans = scans(ev.filter(col("ts_ns") >= lit(1704153600000000000L))
+      .queryExecution.sparkPlan)
+    assert(nsScans.exists(_.metadata.get("PushedFilters")
+        .forall(f => !f.contains("GreaterThanOrEqual"))),
+      "a ts_ns comparison cannot push below the derivation — if this starts " +
+        "passing as a pushed filter, the loader contract changed")
+  }
 }
