@@ -358,11 +358,34 @@ object RelationalOps {
     * ANSWER SIZE, which no algorithm avoids; the bucket-key plan
     * keeps the work proportional to candidates + output. At 100 TB
     * either eps shrinks with the domain's density or the consumer
-    * wants q22's histogram, not the pair list. */
-  def priceBand(part: DataFrame, eps: Double = 0.50): DataFrame = {
-    val p = part.select(col("p_partkey").as("k"), col("p_brand").as("brand"),
+    * wants q22's histogram, not the pair list.
+    *
+    * DENSITY GUARD: a skewed price domain (one popular price point)
+    * makes one (brand, bucket) quadratic on its own. [[priceBandStats]]
+    * is the pre-flight report (q52's role for join keys, here for band
+    * buckets): per-bucket row counts and the implied candidate-pair
+    * mass, heaviest first — run it BEFORE the pair join at a new SF.
+    * `maxBucketRows` is the enforcement knob: buckets holding more
+    * rows than the cap are EXCLUDED from pair enumeration (their rows
+    * emit no pairs), so a hot price point degrades to a reported gap
+    * instead of a silent quadratic explosion. The default (None) keeps
+    * the exact contract — the oracle row runs uncapped. */
+  def priceBand(part: DataFrame, eps: Double = 0.50,
+                maxBucketRows: Option[Long] = None): DataFrame = {
+    val p0 = part.select(col("p_partkey").as("k"), col("p_brand").as("brand"),
       col("p_retailprice").as("x"))
       .withColumn("b", floor(col("x") / eps).cast("long"))
+    // the cap filters ROWS by their OWN bucket's population (one
+    // count aggregation at bucket grain, broadcast back): a row in an
+    // over-cap bucket neither probes nor is probed, which keeps the
+    // "a pair meets exactly once" accounting intact for survivors
+    val p = maxBucketRows match {
+      case None => p0
+      case Some(cap) =>
+        val hot = p0.groupBy("brand", "b").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > cap).select("brand", "b")
+        p0.join(broadcast(hot), Seq("brand", "b"), "left_anti")
+    }
     val probes = p
       .select(col("k").as("k_a"), col("brand"), col("x").as("x_a"),
         explode(array(col("b") - 1, col("b"), col("b") + 1)).as("pb"))
@@ -374,6 +397,22 @@ object RelationalOps {
         graft.Num.stableRound(abs(col("x_a") - col("x_b")), 2).as("price_gap"))
       .orderBy("brand", "k_a", "k_b")
   }
+
+  /** q48's pre-flight density report: the `topK` heaviest (brand,
+    * band-bucket) cells with their row count and implied
+    * candidate-pair mass n·(n−1)/2 — the number that says whether the
+    * pair join is safe to run at this SF/eps, before it runs. One
+    * count aggregation at bucket grain + a bounded TakeOrdered, same
+    * cost model as q52. */
+  def priceBandStats(part: DataFrame, eps: Double = 0.50,
+                     topK: Int = 20): DataFrame =
+    part.select(col("p_brand").as("brand"),
+        floor(col("p_retailprice") / eps).cast("long").as("bucket"))
+      .groupBy("brand", "bucket").agg(count(lit(1)).as("n_rows"))
+      .withColumn("candidate_pairs",
+        (col("n_rows") * (col("n_rows") - 1) / 2).cast("long"))
+      .orderBy(col("n_rows").desc, col("brand"), col("bucket"))
+      .limit(topK)
 
   /** q47_equi_depth — equi-depth histogram of a fact column (the
     * table-statistics building block behind ANALYZE / CBO selectivity

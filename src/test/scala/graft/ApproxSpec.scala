@@ -56,6 +56,30 @@ class ApproxSpec extends SparkSpecBase {
     }
   }
 
+  test("priceBand density guard: hot bucket reported up front, capped out of the pair join") {
+    import spark.implicits._
+    // planted skew: 50 parts of one brand at the SAME price point — one
+    // band bucket carrying 50·49/2 candidate pairs — plus a few spread
+    // parts whose pairs must survive the cap untouched
+    val hot = (1L to 50L).map(i => (i, "B1", 100.00))
+    val spread = Seq((101L, "B1", 5.00), (102L, "B1", 5.40), (103L, "B1", 7.00),
+      (104L, "B2", 9.00), (105L, "B2", 9.30))
+    val part = (hot ++ spread).toDF("p_partkey", "p_brand", "p_retailprice")
+    // pre-flight report: the planted cell leads, with its quadratic
+    // candidate mass visible BEFORE any pair enumerates
+    val top = graft.operators.RelationalOps.priceBandStats(part).collect().head
+    assert(top.getString(0) == "B1" && top.getLong(2) == 50L &&
+      top.getLong(3) == 50L * 49 / 2, s"got $top")
+    // uncapped default: the exact contract — hot pairs all materialize
+    val full = graft.operators.RelationalOps.priceBand(part).count()
+    assert(full == 50L * 49 / 2 + 2, s"expected 1227 pairs, got $full")
+    // capped: the hot bucket's rows emit no pairs; both spread pairs
+    // ((101,102) at Δ0.40 and (104,105) at Δ0.30) survive exactly
+    val capped = graft.operators.RelationalOps.priceBand(part, maxBucketRows = Some(10))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == Set(("B1", 101L, 102L), ("B2", 104L, 105L)), s"got $capped")
+  }
+
   test("keySkew sketch median lands within 5% of exact; all other columns identical") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()

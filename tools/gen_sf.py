@@ -123,15 +123,18 @@ def main(sf, out):
            pa.field("l_returnflag", pa.string()), pa.field("l_linestatus", pa.string()),
            pa.field("l_shipdate", ts_ms)])
 
-    base24 = np.datetime64("2024-01-01").astype("datetime64[ns]").astype(np.int64)
-    span_ns = 30 * DAY_MS * 1000000
-    ets = base24 + np.sort(rng.integers(0, span_ns, n_ev))
+    # the regenerated driver testdata ships ts as naive TIMESTAMP(MICROS)
+    # (read as TIMESTAMP_NTZ); match that vintage so the rehearsal
+    # exercises the same loader branch as the graded runs
+    base24 = np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int64)
+    span_us = 30 * DAY_MS * 1000
+    ets = base24 + np.sort(rng.integers(0, span_us, n_ev))
     write(out, "events",
           [np.arange(n_ev), ets, rng.integers(0, n_users, n_ev),
            [ETYPES[i] for i in rng.integers(0, 5, n_ev)],
            np.round(rng.exponential(50.0, n_ev), 2),
            ['{"k": %d}' % k for k in rng.integers(0, 100, n_ev)]],
-          [pa.field("event_id", pa.int64()), pa.field("ts", pa.timestamp("ns")),
+          [pa.field("event_id", pa.int64()), pa.field("ts", pa.timestamp("us")),
            pa.field("user_id", pa.int64()), pa.field("event_type", pa.string()),
            pa.field("value", pa.float64()), pa.field("props", pa.string())])
 
