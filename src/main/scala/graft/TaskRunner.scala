@@ -147,7 +147,7 @@ object TaskRunner {
       Tables.embeddings(s, d), dbl(p, "threshold", 0.5))),
     "d06_embed_dedup_lsh" -> ((s, d, p) => Dedup.embedDedupLsh(
       Tables.embeddings(s, d), dbl(p, "threshold", 0.5),
-      i(p, "tables", 64), i(p, "bits", -1), i(p, "dim", 64))),
+      i(p, "tables", -1), i(p, "bits", -1), i(p, "dim", 64))),
     "a01_knn_brute" -> ((s, d, p) => Ann.knnBrute(
       Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3))),
     "a02_knn_lsh" -> ((s, d, p) => Ann.knnLsh(

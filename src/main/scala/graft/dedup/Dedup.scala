@@ -928,37 +928,68 @@ object Dedup {
     * byte-identical output, honest cost. At t >= 0.7 LSH is
     * exponentially effective and runs here.
     *
-    * Auto-tuning (bits < 0, the default): with T tables, boundary
-    * recall fixes the deepest usable depth — expected boundary miss
-    * e^(-T·p1^bits) <= 1e-3 gives bits = ln(T/6.9)/(-ln p1) (7 at
-    * t=0.7, 14 at t=0.9 with T=64), further capped at log2(n)+2 so
-    * buckets never outnumber vectors pointlessly. Candidate volume on
-    * non-clustered data is ~ T·n²/2^bits — the cap is what keeps the
-    * candidate join from degenerating toward all-pairs-x-T, and it
-    * GROWS with n exactly as the 100 TB posture requires (bits ~ 20+
-    * at 1e9 vectors). Cost of auto-tuning: one count() of the input.
+    * Auto-tuning: the recall constraint couples the two knobs —
+    * expected boundary-pair miss e^(-T·p1^bits) <= 1e-3 means any
+    * depth b needs T(b) = 6.9/p1^b tables. Under that constraint the
+    * cost has two opposing terms: per-vector work (hash + candidate
+    * shuffle) grows as n·T·b while the candidate-verify volume on
+    * non-clustered data shrinks as n²·T/2^b — deeper tables kill
+    * candidates faster (factor 1/2 per bit) than recall forces new
+    * tables (factor 1/p1 per bit, p1 > 1/2 at every t >= 0.7), so
+    * past the balance point adding depth is a strict win and the
+    * optimal depth GROWS with log n. The r12-era formula fixed T and
+    * solved only for the deepest recall-safe b, which STOPS deepening
+    * once T is spent (b=8 at t=0.75 with T=64) — at sf1/40k vectors
+    * that admitted ~22% of all pairs as candidates (T/2^b = 64/256),
+    * brute force with extra steps. Modes:
+    *   - tables < 0, bits < 0 (the default): joint auto-tune — pick
+    *     b in [4, log2(n)+2] minimizing the modeled cost
+    *     n·T(b)·(dim·b + 150) + (n²/2)·T(b)·2^-b·700 (mult-equivalent
+    *     weights: one fused multiply per plane component; ~150 for a
+    *     shuffled+joined (vec_id, 2 ints) row; ~700 for a candidate
+    *     pair's distinct + two joins + dim-float cosine — the argmin
+    *     is flat within ±2 bits of these constants), with
+    *     T(b) = max(8, ceil(6.9/p1^b)). At t=0.75: (b=5, T=26) for
+    *     n=40 → (11, 123) at sf0.1 → (14, 269) at sf1 → ~(24, 3600)
+    *     at 1e9 vectors. Cost: one count() of the input.
+    *   - tables > 0, bits < 0: the legacy fixed-T mode — deepest
+    *     recall-safe depth ln(T/6.9)/(-ln p1), capped at log2(n)+2.
+    *   - bits > 0: recall-sized T (if tables < 0) or both pinned.
     *
     * Scale posture (100 TB): per vector only (vec_id, 2 ints) x tables
     * rows shuffle for the candidate join; the distinct on candidate id
     * PAIRS carries no embeddings — vectors are re-joined only for the
     * per-pair verify. */
   def embedDedupLsh(embeddings: DataFrame, threshold: Double = 0.5,
-                    tables: Int = 64, bits: Int = -1, dim: Int = 64): DataFrame = {
+                    tables: Int = -1, bits: Int = -1, dim: Int = 64): DataFrame = {
     if (threshold < 0.7)
       return embedDedup(embeddings, threshold)
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val b =
-      if (bits > 0) bits
-      else {
-        val p1 = 1.0 - math.acos(threshold) / math.Pi
+    val p1 = 1.0 - math.acos(threshold) / math.Pi
+    // recall constraint: miss e^(-T·p1^b) <= 1e-3 → T(b) = 6.9/p1^b
+    def recallTables(b: Int): Int =
+      math.max(8, math.ceil(6.9 / math.pow(p1, b)).toInt)
+    def sizeCap: Int = (math.log(math.max(embeddings.count(), 2L).toDouble) /
+      math.log(2.0)).toInt + 2
+    val (t, b) =
+      if (tables > 0 && bits > 0) (tables, bits)
+      else if (bits > 0) (recallTables(bits), bits)
+      else if (tables > 0) {
         val recallDepth = (math.log(tables / 6.9) / -math.log(p1)).toInt
-        val sizeCap = (math.log(math.max(embeddings.count(), 2L).toDouble) /
-          math.log(2.0)).toInt + 2
-        math.max(4, math.min(recallDepth, sizeCap))
+        (tables, math.max(4, math.min(recallDepth, sizeCap)))
+      } else {
+        val n = math.max(embeddings.count(), 2L).toDouble
+        val bMax = math.max(4, (math.log(n) / math.log(2.0)).toInt + 2)
+        val bOpt = (4 to bMax).minBy { d =>
+          val tb = recallTables(d).toDouble
+          n * tb * (dim.toDouble * d + 150.0) +
+            (n * n / 2.0) * tb * math.pow(0.5, d) * 700.0
+        }
+        (recallTables(bOpt), bOpt)
       }
     val withB = embeddings
       .select(col("vec_id"), col("embedding"),
-        posexplode(expr(s"graft_hyperplane_buckets(embedding, 42L, $tables, $b, $dim)"))
+        posexplode(expr(s"graft_hyperplane_buckets(embedding, 42L, $t, $b, $dim)"))
           .as(Seq("bt", "bb")))
     // deliberately NOT cached: the duplicated per-side hyperplane
     // projection stays inside whole-stage codegen and measures faster
