@@ -256,6 +256,39 @@ object Oracles {
           AND abs(a.p_retailprice - b.p_retailprice) <= 0.50
          ORDER BY brand, k_a, k_b""",
 
+    // the plain all-pairs edit-distance predicate IS the oracle; the
+    // Spark side runs q-gram blocking + count-bound pruning + exact
+    // verify — same pairs by the Gravano pigeonhole bound
+    "q54_fuzzy_join" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+         SELECT a.name AS name_a, b.name AS name_b,
+                CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+         FROM names a JOIN names b ON a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= 2
+         ORDER BY name_a, name_b""",
+
+    // the global rank SPEC (one window) — the Spark side computes the
+    // same rank hierarchically (t16's prefix-sum formulation); sums
+    // cast away HUGEINT; shares are single IEEE divisions of
+    // integer-exact cents (bit-equal cross-engine)
+    "q55_spend_deciles" ->
+      """WITH cust AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         ranked AS (
+           SELECT cents,
+                  row_number() OVER (ORDER BY cents, o_custkey) AS rnk,
+                  count(*) OVER () AS n_cust,
+                  CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+           FROM cust)
+         SELECT ((rnk - 1) * 10) // n_cust AS tier,
+                count(*) AS n_customers,
+                CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS tier_spend,
+                CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+                  / CAST(total_cents AS DOUBLE) AS spend_share
+         FROM ranked GROUP BY 1, total_cents ORDER BY tier""",
+
     // bucket = how many boundaries x strictly exceeds — spelled as
     // nine explicit comparisons (no list lambda, engine-portable)
     // q52: sum(cnt) casts away HUGEINT; share/skew_ratio are single

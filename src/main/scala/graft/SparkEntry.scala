@@ -103,6 +103,8 @@ object SparkEntry {
       Tables.lineitem(s, d), Tables.orders(s, d))),
     "q52_key_skew" -> ((s, d) => RelationalOps.keySkew(Tables.lineitem(s, d))),
     "q48_price_band" -> ((s, d) => RelationalOps.priceBand(Tables.part(s, d))),
+    "q54_fuzzy_join" -> ((s, d) => RelationalOps.fuzzyJoin(Tables.part(s, d))),
+    "q55_spend_deciles" -> ((s, d) => RelationalOps.spendDeciles(Tables.orders(s, d))),
     "q40_grouping_sets" -> ((s, d) => RelationalOps.groupingSets(Tables.orders(s, d))),
     "q41_graph_rank" -> ((s, d) => TrackAnalytics.graphRank(Tables.events(s, d))),
     "a10_range_search" -> ((s, d) => Ann.rangeSearch(Tables.embeddings(s, d))),
@@ -235,7 +237,13 @@ object SparkEntry {
       .withColumn("embedding", to_json(col("embedding")))),
     "t23_source_upsample" -> ((s, d) => TextStats.sourceUpsample(Tables.documents(s, d))),
     "t24_unigram_surprisal" -> ((s, d) => TextStats.unigramSurprisal(Tables.documents(s, d))),
+    "t25_bigram_surprisal" -> ((s, d) => TextStats.bigramSurprisal(Tables.documents(s, d))),
     "t26_frequent_terms" -> ((s, d) => TextStats.frequentTerms(Tables.documents(s, d))),
+    // threshold 0.5 so the testdata's natural cos>=0.5 pairs (the d05
+    // regime) exercise within-cell drops; output is one verdict row
+    // per vector regardless
+    "d16_semantic_dedup" -> ((s, d) => Dedup.semanticDedup(
+      Tables.embeddings(s, d), threshold = 0.5)),
     "t18_quality_filter" -> ((s, d) => TextStats.qualityFilter(Tables.documents(s, d))),
     "t19_cooccurrence" -> ((s, d) => TextStats.cooccurrence(Tables.documents(s, d))),
     "m01_binary_meta" -> ((s, d) => BinaryPipeline.binaryMeta(Tables.documents(s, d))),

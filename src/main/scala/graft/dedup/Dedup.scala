@@ -1016,4 +1016,61 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), stableRound(col("sim"), 4).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** d16_semantic_dedup — SemDeDup (Abbas et al. 2023,
+    * arXiv:2303.09540): semantic deduplication by CLUSTER-then-dedup
+    * over embeddings, the method the paper shows removing ~50% of web
+    * corpora with no quality loss. Pipeline: (1) coarse k-means cells
+    * (a05's sample-bounded trainer — constant training cost, one
+    * distributed assign pass; ~sqrt(n) cells by default so the
+    * within-cell candidate volume stays ~n^1.5, the a07 contract);
+    * (2) within-cell all-pairs cosine ≥ `threshold` — the join is
+    * CELL-LOCAL, one hash join on the cell key, never a corpus
+    * cartesian; (3) connected components over the pair graph (d07's
+    * size-adaptive resolver: bounded graphs collect into the
+    * primitive union-find, web-scale graphs run distributed min-label
+    * rounds); (4) one verdict row PER VECTOR: its cell, its semantic
+    * group (min vec_id of the component — singletons group as
+    * themselves) and keep = is-the-canonical.
+    *
+    * Contract stated by the paper and inherited here: candidate
+    * recall is WITHIN-CELL by design — a near-dup pair split across a
+    * cell boundary is not considered (the paper accepts this at ~1e8
+    * scale; d06's boundary-free LSH is the alternative when misses
+    * matter). Deterministic end-to-end: seeded sample k-means,
+    * ascending-label tiebreaks, min-id canonicals. Output volume is
+    * exactly n rows — the drop list is `keep = false`. */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.95,
+                    cells: Int = -1,
+                    localEdgeLimit: Long = 1L << 20): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    val kEff =
+      if (cells > 0) cells
+      else math.max(1, math.sqrt(math.max(vecs.count(), 1L).toDouble).toInt)
+    // tracked: the assigned frame feeds both sides of the cell-local
+    // join AND the final verdict projection
+    val assigned = graft.Caches.tracked(
+      graft.ann.Ann.kmeansAssign(vecs, k = kEff)
+        .join(vecs, "vec_id"))
+    val pairs = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("sim", expr("graft_cosine(x.embedding, y.embedding)"))
+      .filter(col("sim") >= threshold)
+      .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"))
+      .persist()
+    val nEdges = pairs.count()
+    val labels =
+      if (nEdges <= localEdgeLimit) localUnionFind(spark, pairs)
+      else distributedMinLabel(pairs, maxIters = 20)
+    pairs.unpersist()
+    assigned.select(col("vec_id"), col("cell"))
+      .join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("cluster_id"), col("vec_id")).as("group_id"))
+      .withColumn("keep", col("group_id") === col("vec_id"))
+      .orderBy("vec_id")
+  }
 }

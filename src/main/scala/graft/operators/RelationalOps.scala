@@ -656,4 +656,117 @@ object RelationalOps {
     graft.functions.GraftFunctions.dropFunction(spark, fname)
     out
   }
+
+  /** q54_fuzzy_join — approximate string self-join (record linkage /
+    * entity resolution / vocabulary reconciliation): all pairs of
+    * DISTINCT part names within Levenshtein distance `maxDist`. The
+    * distinct-value grain is deliberate — fuzzy linkage canonicalizes
+    * the string DOMAIN (vendor names, product titles, URLs), then the
+    * resulting pair mapping broadcasts back onto the rows; joining at
+    * row grain would multiply every domain pair by its row
+    * multiplicity for no information.
+    *
+    * Scale technique — q-gram blocking with the count bound (Gravano
+    * et al., VLDB 2001, the canonical approximate string join): an
+    * edit destroys at most q of a string's positional q-grams, so a
+    * pair within distance k shares at least
+    * max(len)−(q−1)−k·q bag q-grams. Each name explodes into its
+    * character-bigram BAG once (name-domain grain, not corpus grain);
+    * the gram-keyed self-join accumulates the bag intersection
+    * (Σ min(cnt_a, cnt_b)) and the count bound prunes candidates
+    * BEFORE the exact levenshtein verify — the same
+    * block-then-verify shape as d03's bands and q48's buckets, on
+    * edit-distance semantics. Pairs where the bound is vacuous (both
+    * strings shorter than q·(k+1) chars) fall back to a length-banded
+    * short-string block, so recall stays EXACT by pigeonhole — the
+    * oracle is the plain all-pairs predicate. Hot grams inflate only
+    * the candidate join's input volume (never its output — the count
+    * bound caps that); the scale knob is raising q, which thins every
+    * block exponentially. */
+  def fuzzyJoin(part: DataFrame, maxDist: Int = 2): DataFrame = {
+    val q = 2
+    val names = part.select(col("p_name").as("name")).distinct()
+      .withColumn("len", length(col("name")))
+    // positional q-gram BAG per name: (name, gram, cnt); names too
+    // short to hold one full gram contribute no grams (sequence()
+    // would otherwise run DESCENDING for len < q and fabricate grams)
+    val grams = names
+      .select(col("name"), col("len"),
+        explode(when(col("len") >= q,
+          expr(s"transform(sequence(1, len - ${q - 1}), i -> substring(name, i, $q))"))
+          .otherwise(expr("array()"))).as("gram"))
+      .groupBy("name", "len", "gram").agg(count(lit(1)).as("cnt"))
+    val candGram = grams.as("x")
+      .join(grams.as("y"),
+        col("x.gram") === col("y.gram") && col("x.name") < col("y.name"))
+      .groupBy(col("x.name").as("name_a"), col("y.name").as("name_b"),
+        col("x.len").as("len_a"), col("y.len").as("len_b"))
+      .agg(sum(least(col("x.cnt"), col("y.cnt"))).as("shared"))
+      .filter(col("shared") >=
+        greatest(col("len_a"), col("len_b")) - (q - 1) - maxDist * q)
+      .select("name_a", "name_b")
+    // short-string fallback: when max(len) < q·(k+1) the bound above
+    // is < 1 and gram blocking can miss (e.g. "ab"/"cd" at k=2 share
+    // nothing) — those pairs meet in a bounded length-banded block
+    val shortLen = q * (maxDist + 1) - 1
+    val shorts = names.filter(col("len") <= shortLen)
+    val shortPairs = shorts.as("x")
+      .join(shorts.as("y"),
+        col("x.name") < col("y.name") &&
+          abs(col("x.len") - col("y.len")) <= maxDist)
+      .select(col("x.name").as("name_a"), col("y.name").as("name_b"))
+    candGram.unionByName(shortPairs).distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("name_a", "name_b")
+  }
+
+  /** q55_spend_deciles — customer spend concentration (the Pareto /
+    * decile table): customers ranked by lifetime spend, cut into
+    * `tiers` equal-count tiers (tier 0 = lowest spenders), per tier
+    * the customer count, spend total and share of corpus spend — the
+    * "do 10% of customers carry 50% of revenue" report that sits next
+    * to q52's key-skew diagnosis.
+    *
+    * The global spend rank is a HIERARCHICAL prefix sum (t16's
+    * formulation), never one global window: customer cents bucket
+    * into ≤1024 value ranges (one min/max aggregation sizes the
+    * width), per-bucket counts roll into running offsets over the
+    * ≤1024-row bucket table, and each customer ranks only within its
+    * bucket — at 10⁹ customers the only unpartitioned window still
+    * runs over ≤1024 rows. Ties break on custkey so the rank (and
+    * therefore the tier cut) is deterministic in both engines. Money
+    * follows the cents-exact protocol: BIGINT sums, one IEEE division
+    * per output cell. */
+  def spendDeciles(orders: DataFrame, tiers: Int = 10): DataFrame = {
+    val cust = orders
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+    val mm = cust.agg(min("cents").as("lo"), max("cents").as("hi"))
+    val bucketed = cust.crossJoin(broadcast(mm))
+      .withColumn("bucket",
+        expr("(cents - lo) div (((hi - lo) div 1024) + 1)"))
+      .select("o_custkey", "cents", "bucket")
+    val counts = bucketed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    // ≤1024 rows — the bounded unpartitioned window (q44 precedent)
+    val wB = Window.orderBy("bucket")
+    val offsets = counts
+      .withColumn("boff", sum("cnt").over(wB) - col("cnt"))
+      .select("bucket", "boff")
+    val wIn = Window.partitionBy("bucket").orderBy("cents", "o_custkey")
+    val tot = cust.agg(count(lit(1)).as("n_cust"), sum("cents").as("total_cents"))
+    bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("rnk", col("boff") + row_number().over(wIn))
+      .crossJoin(broadcast(tot))
+      .withColumn("tier", expr(s"((rnk - 1) * $tiers) div n_cust"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("tier_cents"),
+        first("total_cents").as("total_cents"))
+      .withColumn("tier_spend", col("tier_cents").cast("double") / 100.0)
+      .withColumn("spend_share",
+        col("tier_cents").cast("double") / col("total_cents").cast("double"))
+      .select("tier", "n_customers", "tier_spend", "spend_share")
+      .orderBy("tier")
+  }
 }

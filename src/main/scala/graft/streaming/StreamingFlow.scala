@@ -593,4 +593,25 @@ object StreamingFlow {
           }
       }
   }
+  /** s21_stream_frequent_terms — live heavy-hitter terms over a
+    * document stream: t26's Misra–Gries typed Aggregator as a
+    * STREAMING aggregation. Structured Streaming keeps the MG buffer
+    * as the aggregation state and merges each micro-batch's
+    * partial sketches into it — so the running sketch covers the
+    * WHOLE stream while per-executor state stays k counters
+    * (however wide the vocabulary grows), the same bound the batch
+    * op guarantees per partition. Complete-mode output re-emits the
+    * current top of the sketch every trigger — a live "what is the
+    * corpus about" board. The MG one-sided bound carries over:
+    * estimates under-count by at most N/(k+1) of the tokens seen so
+    * far, so every term above that share is guaranteed present.
+    * Batch twin: t26_frequent_terms. */
+  def streamFrequentTerms(docs: DataFrame, k: Int = 64): DataFrame = {
+    val sketch = udaf(new graft.functions.TypedAggregators.FreqSketch(k))
+    docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .agg(sketch(col("word")).as("sk"))
+      .select(explode(col("sk")).as(Seq("word", "est_freq")))
+  }
 }

@@ -442,6 +442,57 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** t25_bigram_surprisal — per-document mean BIGRAM surprisal in
+    * bits: t24's perplexity proxy with one token of context — the
+    * KenLM-style n-gram-LM quality signal real curation pipelines
+    * (CCNet, RedPajama) filter on. Each document scores
+    * Σ tf·(−log2 P(w₂|w₁)) / Σ tf over its bigram bag, under the
+    * corpus's own add-α-smoothed bigram model:
+    * P(w₂|w₁) = (c(w₁w₂)+α) / (c(w₁·)+α·V) with c(w₁·) the context
+    * count (bigrams starting with w₁) and V the corpus vocabulary.
+    * Context makes the signal sharper than t24's unigram version:
+    * common words in UNCOMMON orders (word salad, shuffled spam)
+    * score high here while scoring average there.
+    *
+    * Scale posture: tokens cross ONE exchange (doc_id — the lead
+    * window that forms bigrams), then everything is (doc, bigram) /
+    * vocabulary grain, the t14/t24 shape: the per-doc bigram bag
+    * persists once and feeds the corpus bigram counts, the context
+    * counts derive from the bigram table (never a second tokenize),
+    * and both model joins probe with distinct (doc, bigram) pairs so
+    * stopword-pair heat is bounded. Rows-only: −log2 is
+    * transcendental (SURVEY §5); the spec pins a hand-computed twin
+    * and the shuffled-beats-template ordering. Documents with fewer
+    * than 2 tokens carry no bigram and no row. */
+  def bigramSurprisal(documents: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val toks = graft.Scans.spreadIfNarrow(documents, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = toks
+      .withColumn("nxt", lead("tok", 1).over(w))
+      .filter(col("nxt").isNotNull)
+    // tracked: the (doc, bigram) bag feeds the corpus bigram counts
+    // AND the probe side of the model re-join (t14/t24 precedent)
+    val tf = graft.Caches.tracked(
+      bi.groupBy("doc_id", "tok", "nxt").agg(count(lit(1)).as("tf")))
+    val bcf = tf.groupBy("tok", "nxt").agg(sum("tf").as("bcf"))
+    val ccf = bcf.groupBy("tok").agg(sum("bcf").as("ccf"))
+    val vocab = toks.agg(countDistinct("tok").as("v"))
+    tf.join(bcf, Seq("tok", "nxt"))
+      .join(ccf, Seq("tok"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        (sum(col("tf") * -log2((col("bcf") + lit(alpha)) /
+          (col("ccf") + lit(alpha) * col("v"))))
+          / sum("tf")).as("sup"))
+      .select(col("doc_id"), col("n_bigrams"),
+        stableRound(col("sup"), 4).as("surprisal_bits"))
+      .orderBy("doc_id")
+  }
+
   /** t15_source_mix — domain-mixture sampling to a token budget: a
     * training mix wants each source capped at an equal share of
     * `budgetShare · total_tokens`. Two tiny aggregations derive each

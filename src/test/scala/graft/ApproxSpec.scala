@@ -1,8 +1,71 @@
 package graft
 
 import graft.operators.FlowAnalytics
+import org.apache.spark.sql.functions._
 
 class ApproxSpec extends SparkSpecBase {
+
+  test("fuzzyJoin: gram-blocked pairs equal all-pairs levenshtein, incl. the short-string fallback") {
+    import spark.implicits._
+    // ab/cd qualify at dist 2 but share NO bigram — only the
+    // length-banded short block can find them (the exactness seam the
+    // scaladoc documents); platinum gear/gears exercises the
+    // insert-at-the-end case the count bound must keep
+    val part = Seq(
+      (1L, "old bolt"), (2L, "cold bolt"), (3L, "red bolt"),
+      (4L, "ab"), (5L, "cd"), (6L, "abc"),
+      (7L, "platinum gear"), (8L, "platinum gears"), (9L, "titanium gear")
+    ).toDF("p_partkey", "p_name")
+    val out = graft.operators.RelationalOps.fuzzyJoin(part, maxDist = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = part.select("p_name").distinct.as[String].collect()
+    val expect = (for {
+      a <- names; b <- names if a < b
+      dd = lev(a, b) if dd <= 2
+    } yield (a, b, dd.toLong)).toSet
+    assert(out == expect, s"got $out expected $expect")
+    // the fallback case really is in the result set (guards against a
+    // refactor silently narrowing the short block)
+    assert(expect.contains(("ab", "cd", 2L)))
+    assert(expect.contains(("platinum gear", "platinum gears", 1L)))
+  }
+
+  test("spendDeciles: hierarchical rank equals the single-window formulation on a skewed domain") {
+    import spark.implicits._
+    // heavy spend ties across customers so the custkey tiebreak is
+    // load-bearing, plus one hot whale dominating the top tier
+    val orders = ((1L to 97L).map(i => (i % 37, ((i % 5) * 100) + 0.25)) ++
+      Seq((99L, 9999.75), (99L, 9999.75)))
+      .toDF("o_custkey", "o_totalprice")
+    val got = graft.operators.RelationalOps.spendDeciles(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // single-window twin (the oracle's formulation, in Spark)
+    val cust = orders.groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val ranked = cust.withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy("cents", "o_custkey")))
+      .crossJoin(cust.agg(count(lit(1)).as("n_cust"), sum("cents").as("total_cents")))
+      .withColumn("tier", expr("((rnk - 1) * 10) div n_cust"))
+    val expect = ranked.groupBy("tier")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("tier_cents"),
+        first("total_cents").as("total_cents"))
+      .withColumn("tier_spend", col("tier_cents").cast("double") / 100.0)
+      .withColumn("spend_share",
+        col("tier_cents").cast("double") / col("total_cents").cast("double"))
+      .select("tier", "n_customers", "tier_spend", "spend_share")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSet == expect.toSet)
+    assert(got.map(_._2).sum == 38L) // 37 regulars + the whale
+    // top tier carries the whale: its share dominates
+    assert(got.maxBy(_._1)._4 > 0.4)
+  }
 
   test("percentile_approx sketch lands within 2% of the exact percentiles") {
     val d = "/root/testdata/sf0.001"

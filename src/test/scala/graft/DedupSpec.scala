@@ -398,4 +398,31 @@ class DedupSpec extends SparkSpecBase {
     val l2 = Dedup.embedDedupLsh(vecs, threshold = 0.9).collect().toSeq
     assert(b2 == l2 && b2.nonEmpty)
   }
+
+  test("semanticDedup: planted copies collapse to one keep, distinct vectors all keep") {
+    // two well-separated directions; ids 10/11/12 are (near-)copies
+    // along the first, ids 1/2 distinct along each
+    def v(axis: Int, jitter: Float = 0f): Array[Float] =
+      Array.tabulate(8)(i => (if (i == axis) 1f else 0.01f) + (if (i == 7) jitter else 0f))
+    val vecs = Seq(
+      (1L, v(0)), (2L, v(3)),
+      (10L, v(0, 0.3f)), (11L, v(0, 0.3f)), (12L, v(0, 0.301f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, threshold = 0.999, cells = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toList
+    // one verdict row per vector, always
+    assert(out.map(_._1).sorted == List(1L, 2L, 10L, 11L, 12L))
+    val byId = out.map(t => t._1 -> t).toMap
+    // the copies share one group, canonical = min id, only it keeps
+    assert(byId(10L)._2 == 10L && byId(10L)._3)
+    assert(byId(11L)._2 == 10L && !byId(11L)._3)
+    assert(byId(12L)._2 == 10L && !byId(12L)._3)
+    // distinct vectors are their own group and keep
+    assert(byId(1L)._3 && byId(2L)._3)
+    // id 1 is cosine-identical direction to the copies up to jitter but
+    // BELOW the threshold — grouped separately (drop list is exactly
+    // the two shadowed copies)
+    assert(out.count(!_._3) == 2)
+    graft.Caches.release()
+  }
 }

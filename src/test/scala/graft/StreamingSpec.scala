@@ -601,4 +601,39 @@ class StreamingSpec extends SparkSpecBase {
       assert(batch == Map(1 -> 2L, 3 -> 1L), s"batch twin diverged: $batch")
     } finally q.stop()
   }
+
+  test("s21 streaming frequent terms accumulate across triggers; MG bounds hold over the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingFlow.streamFrequentTerms(docs, k = 4).writeStream
+      .format("memory").queryName("freq_out").outputMode("complete").start()
+    try {
+      input.addData((1L, "spark spark flink"), (2L, "spark beam"))
+      q.processAllAvailable()
+      val t1 = spark.table("freq_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // vocab (3) ≤ k: the MG sketch is exact on this prefix
+      assert(t1 == Map("spark" -> 3L, "flink" -> 1L, "beam" -> 1L), s"got $t1")
+      // second trigger MERGES into the standing sketch state
+      input.addData((3L, "spark flink flink arrow"))
+      q.processAllAvailable()
+      val t2 = spark.table("freq_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // 4 distinct terms ≤ k=4 — still exact over BOTH triggers
+      assert(t2 == Map("spark" -> 4L, "flink" -> 3L, "beam" -> 1L, "arrow" -> 1L),
+        s"got $t2")
+      // MG one-sidedness on overflow: stream a wide-vocab trigger and
+      // check every estimate under-counts by ≤ N/(k+1) and the heavy
+      // term survives
+      input.addData((4L, "spark spark spark x1 x2 x3 x4 x5 x6 x7 x8"))
+      q.processAllAvailable()
+      val t3 = spark.table("freq_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = 3 + 2 + 4 + 11 // tokens streamed so far
+      assert(t3.contains("spark"), "guaranteed-heavy term evicted")
+      assert(t3("spark") <= 7L && t3("spark") >= 7L - n / 5,
+        s"spark estimate ${t3("spark")} outside MG bound")
+    } finally q.stop()
+  }
 }

@@ -298,6 +298,24 @@ class TextSpec extends SparkSpecBase {
     assert(out(2L)._2 > out(1L)._2 && out(1L)._2 > out(0L)._2)
   }
 
+  test("bigramSurprisal matches the hand-computed smoothed twin; word salad outscores template") {
+    // corpus bigrams: ab:2, ba:3, bb:1, aa:1; contexts a·:3, b·:4; V=2, α=0.5
+    // P(b|a)=2.5/4, P(a|b)=3.5/5, P(b|b)=1.5/5, P(a|a)=1.5/4
+    val d = Seq(
+      (0L, "a b a b a"), // template: (2·0.678072 + 2·0.514573)/4 = 0.596323
+      (1L, "b b a a"),   // salad — same unigrams, rare ORDER:
+                         // (1.736966 + 0.514573 + 1.415037)/3 = 1.222192
+      (2L, "a")          // no bigram — no row
+    ).toDF("doc_id", "text")
+    val out = TextStats.bigramSurprisal(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(0L, 1L), "sub-2-token doc carries no row")
+    assert(out(0L) == (4L, 0.5963), s"got ${out(0L)}")
+    assert(out(1L) == (3L, 1.2222), s"got ${out(1L)}")
+    // the signal t24 cannot produce: same tokens, surprising order
+    assert(out(1L)._2 > out(0L)._2)
+  }
+
   test("hashEmbed matches a hand-built xxhash64 twin float-for-float") {
     val dim = 8
     val out = TextStats.hashEmbed(
