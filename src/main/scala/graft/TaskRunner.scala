@@ -108,6 +108,13 @@ object TaskRunner {
       Tables.lineitem(s, d), str(p, "keyCol", "l_partkey"),
       i(p, "topK", 20), exact = p.get("exact").forall(_.trim.toBoolean),
       accuracy = i(p, "accuracy", 10000))),
+    "q54_fuzzy_join" -> ((s, d, p) => RelationalOps.fuzzyJoin(
+      Tables.part(s, d), i(p, "maxDist", 2))),
+    "q55_spend_deciles" -> ((s, d, p) => RelationalOps.spendDeciles(
+      Tables.orders(s, d), i(p, "tiers", 10))),
+    "d16_semantic_dedup" -> ((s, d, p) => Dedup.semanticDedup(
+      Tables.embeddings(s, d), dbl(p, "threshold", 0.95),
+      cells = i(p, "cells", -1))),
     "q51_bloom_semi_join" -> ((s, d, p) => RelationalOps.bloomSemiJoin(
       Tables.lineitem(s, d), Tables.orders(s, d),
       minTotal = dbl(p, "minTotal", 350000.0), fpp = dbl(p, "fpp", 0.01))),
@@ -244,6 +251,8 @@ object TaskRunner {
       Tables.documents(s, d), i(p, "topK", 3))),
     "t26_frequent_terms" -> ((s, d, p) => TextStats.frequentTerms(
       Tables.documents(s, d), i(p, "k", 64), i(p, "topN", 20))),
+    "t25_bigram_surprisal" -> ((s, d, p) => TextStats.bigramSurprisal(
+      Tables.documents(s, d), dbl(p, "alpha", 0.5))),
     "t15_source_mix" -> ((s, d, p) => TextStats.sourceMix(
       Tables.documents(s, d), dbl(p, "budgetShare", 0.5))),
     "t16_shard_assign" -> ((s, d, p) => TextStats.shardAssign(

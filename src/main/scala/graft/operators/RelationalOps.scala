@@ -685,17 +685,22 @@ object RelationalOps {
     * block exponentially. */
   def fuzzyJoin(part: DataFrame, maxDist: Int = 2): DataFrame = {
     val q = 2
-    val names = part.select(col("p_name").as("name")).distinct()
-      .withColumn("len", length(col("name")))
+    // tracked: the distinct name domain feeds the gram derivation AND
+    // the short-string block; the gram bag feeds both sides of the
+    // candidate self-join — one corpus scan + one gram pass total
+    // (released by the caller's Caches.release())
+    val names = graft.Caches.tracked(
+      part.select(col("p_name").as("name")).distinct()
+        .withColumn("len", length(col("name"))))
     // positional q-gram BAG per name: (name, gram, cnt); names too
     // short to hold one full gram contribute no grams (sequence()
     // would otherwise run DESCENDING for len < q and fabricate grams)
-    val grams = names
+    val grams = graft.Caches.tracked(names
       .select(col("name"), col("len"),
         explode(when(col("len") >= q,
           expr(s"transform(sequence(1, len - ${q - 1}), i -> substring(name, i, $q))"))
           .otherwise(expr("array()"))).as("gram"))
-      .groupBy("name", "len", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("name", "len", "gram").agg(count(lit(1)).as("cnt")))
     val candGram = grams.as("x")
       .join(grams.as("y"),
         col("x.gram") === col("y.gram") && col("x.name") < col("y.name"))
@@ -739,10 +744,13 @@ object RelationalOps {
     * follows the cents-exact protocol: BIGINT sums, one IEEE division
     * per output cell. */
   def spendDeciles(orders: DataFrame, tiers: Int = 10): DataFrame = {
-    val cust = orders
+    // tracked: the customer-grain aggregate feeds the min/max sizing,
+    // the bucketing AND the totals — one orders scan, not three (q52's
+    // cached-counts precedent); released by the caller's Caches.release()
+    val cust = graft.Caches.tracked(orders
       .select(col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents")))
     val mm = cust.agg(min("cents").as("lo"), max("cents").as("hi"))
     val bucketed = cust.crossJoin(broadcast(mm))
       .withColumn("bucket",

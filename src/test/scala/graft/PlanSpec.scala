@@ -287,4 +287,41 @@ class PlanSpec extends SparkSpecBase {
       "a ts_ns comparison cannot push below the derivation — if this starts " +
         "passing as a pushed filter, the loader contract changed")
   }
+
+  test("q54_fuzzy_join: gram candidates flow through an equi hash join; nest-loop only in the bounded short block") {
+    val p = plan("q54_fuzzy_join")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "no unconditioned cartesian anywhere")
+    // the main candidate path joins on gram EQUALITY — hash-joinable,
+    // bucket-local at scale (the d03-band shape)
+    val gramJoin = p.collect {
+      case j: org.apache.spark.sql.execution.joins.HashJoin => j }
+      .filter(_.leftKeys.exists(_.toString.contains("gram")))
+    assert(gramJoin.nonEmpty, "the gram-keyed equi join must survive planning")
+    // the short-string fallback is the ONLY permitted nested loop, and
+    // both of its inputs are the len-filtered short slice
+    val bnl = p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.size <= 1, s"one short-block nest loop at most, got ${bnl.size}")
+    bnl.foreach { j =>
+      assert(j.left.toString.contains("len#") && j.left.toString.contains("<= 5") &&
+        j.right.toString.contains("len#") && j.right.toString.contains("<= 5"),
+        "nest-loop inputs must be the length-bounded short slices")
+    }
+  }
+
+  test("q55_spend_deciles: the only unpartitioned window runs at bucket grain") {
+    val p = plan("q55_spend_deciles")
+    val wins = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    // exactly one global window — the running bucket offsets — and its
+    // input is the ≤1024-row bucket-count aggregate, never customers
+    assert(unpart.size == 1, s"got ${unpart.size} unpartitioned windows")
+    val aggBelow = unpart.head.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
+    assert(aggBelow.exists(_.groupingExpressions.exists(_.toString.contains("bucket"))),
+      "the global window must consume the bucket-grain aggregate")
+    // the customer-grain rank window stays partitioned (by bucket)
+    assert(wins.exists(_.partitionSpec.nonEmpty), "within-bucket rank window missing")
+  }
 }
