@@ -960,6 +960,28 @@ object Dedup {
     * rows shuffle for the candidate join; the distinct on candidate id
     * PAIRS carries no embeddings — vectors are re-joined only for the
     * per-pair verify. */
+  /** The joint (tables, depth) auto-tune backing [[embedDedupLsh]],
+    * exposed for the spec that pins the scale posture: under the
+    * recall constraint T(b) = 6.9/p1^b (boundary-pair miss <= 1e-3 at
+    * any depth), pick the depth minimizing modeled
+    * hash (n·T·dim·b) + candidate-shuffle (n·T·150) +
+    * verify ((n²/2)·T·2⁻ᵇ·700) cost over b in [4, log2(n)+2] — the
+    * optimum deepens with log n, so candidate volume stays
+    * sub-quadratic at every corpus size. */
+  private[graft] def lshParams(n: Long, threshold: Double, dim: Int): (Int, Int) = {
+    val p1 = 1.0 - math.acos(threshold) / math.Pi
+    def recallTables(b: Int): Int =
+      math.max(8, math.ceil(6.9 / math.pow(p1, b)).toInt)
+    val nn = math.max(n, 2L).toDouble
+    val bMax = math.max(4, (math.log(nn) / math.log(2.0)).toInt + 2)
+    val bOpt = (4 to bMax).minBy { d =>
+      val tb = recallTables(d).toDouble
+      nn * tb * (dim.toDouble * d + 150.0) +
+        (nn * nn / 2.0) * tb * math.pow(0.5, d) * 700.0
+    }
+    (recallTables(bOpt), bOpt)
+  }
+
   def embedDedupLsh(embeddings: DataFrame, threshold: Double = 0.5,
                     tables: Int = -1, bits: Int = -1, dim: Int = 64): DataFrame = {
     if (threshold < 0.7)
@@ -977,16 +999,7 @@ object Dedup {
       else if (tables > 0) {
         val recallDepth = (math.log(tables / 6.9) / -math.log(p1)).toInt
         (tables, math.max(4, math.min(recallDepth, sizeCap)))
-      } else {
-        val n = math.max(embeddings.count(), 2L).toDouble
-        val bMax = math.max(4, (math.log(n) / math.log(2.0)).toInt + 2)
-        val bOpt = (4 to bMax).minBy { d =>
-          val tb = recallTables(d).toDouble
-          n * tb * (dim.toDouble * d + 150.0) +
-            (n * n / 2.0) * tb * math.pow(0.5, d) * 700.0
-        }
-        (recallTables(bOpt), bOpt)
-      }
+      } else lshParams(embeddings.count(), threshold, dim)
     val withB = embeddings
       .select(col("vec_id"), col("embedding"),
         posexplode(expr(s"graft_hyperplane_buckets(embedding, 42L, $t, $b, $dim)"))

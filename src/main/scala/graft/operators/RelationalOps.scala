@@ -720,9 +720,12 @@ object RelationalOps {
         col("x.name") < col("y.name") &&
           abs(col("x.len") - col("y.len")) <= maxDist)
       .select(col("x.name").as("name_a"), col("y.name").as("name_b"))
+    // threshold variant = banded DP: each verify costs O(k·len), not
+    // O(len²); pairs beyond the band report -1 and die in the filter
     candGram.unionByName(shortPairs).distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
       .orderBy("name_a", "name_b")
   }
 

@@ -479,7 +479,12 @@ object TextStats {
       bi.groupBy("doc_id", "tok", "nxt").agg(count(lit(1)).as("tf")))
     val bcf = tf.groupBy("tok", "nxt").agg(sum("tf").as("bcf"))
     val ccf = bcf.groupBy("tok").agg(sum("bcf").as("ccf"))
-    val vocab = toks.agg(countDistinct("tok").as("v"))
+    // the smoothing vocabulary is the BIGRAM model's: every token that
+    // participates in some bigram, derived from the cached bag — no
+    // second tokenize pass over the corpus
+    val vocab = tf
+      .select(explode(array(col("tok"), col("nxt"))).as("t"))
+      .agg(countDistinct("t").as("v"))
     tf.join(bcf, Seq("tok", "nxt"))
       .join(ccf, Seq("tok"))
       .crossJoin(broadcast(vocab))

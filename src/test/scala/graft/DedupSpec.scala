@@ -399,6 +399,29 @@ class DedupSpec extends SparkSpecBase {
     assert(b2 == l2 && b2.nonEmpty)
   }
 
+  test("lshParams: depth grows with n, the recall bound holds at every pick") {
+    for (t <- Seq(0.7, 0.75, 0.9)) {
+      val p1 = 1.0 - math.acos(t) / math.Pi
+      val picks = Seq(1e4.toLong, 1e6.toLong, 1e9.toLong).map(n => Dedup.lshParams(n, t, 64))
+      // recall constraint T >= 6.9/p1^b (miss <= 1e-3) at every scale
+      picks.foreach { case (tables, bits) =>
+        assert(tables * math.pow(p1, bits) >= 6.9 - 1e-9,
+          s"t=$t ($tables, $bits) violates the recall bound")
+      }
+      // the 100 TB posture: depth (and with it candidate thinning)
+      // must GROW with the corpus — the r12-era fixed-T formula's
+      // failure mode was depth stalling at b=8
+      val depths = picks.map(_._2)
+      assert(depths(0) < depths(1) && depths(1) < depths(2),
+        s"t=$t depths $depths not increasing with n")
+      // candidate volume stays sub-quadratic: T/2^b (the admitted pair
+      // fraction on random data) shrinks as n grows
+      val fracs = picks.map { case (tb, b) => tb / math.pow(2.0, b) }
+      assert(fracs(0) > fracs(1) && fracs(1) > fracs(2),
+        s"t=$t admitted-pair fractions $fracs not shrinking")
+    }
+  }
+
   test("semanticDedup: planted copies collapse to one keep, distinct vectors all keep") {
     // two well-separated directions; ids 10/11/12 are (near-)copies
     // along the first, ids 1/2 distinct along each
