@@ -114,7 +114,8 @@ object TaskRunner {
       Tables.orders(s, d), i(p, "tiers", 10))),
     "d16_semantic_dedup" -> ((s, d, p) => Dedup.semanticDedup(
       Tables.embeddings(s, d), dbl(p, "threshold", 0.95),
-      cells = i(p, "cells", -1))),
+      cells = i(p, "cells", -1),
+      keepPolicy = str(p, "keepPolicy", "min_id"))),
     "q51_bloom_semi_join" -> ((s, d, p) => RelationalOps.bloomSemiJoin(
       Tables.lineitem(s, d), Tables.orders(s, d),
       minTotal = dbl(p, "minTotal", 350000.0), fpp = dbl(p, "fpp", 0.01))),

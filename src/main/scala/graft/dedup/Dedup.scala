@@ -1046,26 +1046,39 @@ object Dedup {
     * group (min vec_id of the component — singletons group as
     * themselves) and keep = is-the-canonical.
     *
+    * `keepPolicy` picks the survivor per group: "min_id" (stable,
+    * reproducible joins downstream) or "far_centroid" — the PAPER's
+    * heuristic: keep the member with the LOWEST similarity to its
+    * cell centroid, which maximizes retained diversity (Abbas et al.
+    * §3; ties on the 4-decimal similarity break to min id). Both are
+    * deterministic.
+    *
     * Contract stated by the paper and inherited here: candidate
     * recall is WITHIN-CELL by design — a near-dup pair split across a
     * cell boundary is not considered (the paper accepts this at ~1e8
     * scale; d06's boundary-free LSH is the alternative when misses
     * matter). Deterministic end-to-end: seeded sample k-means,
-    * ascending-label tiebreaks, min-id canonicals. Output volume is
-    * exactly n rows — the drop list is `keep = false`. */
+    * ascending-label tiebreaks, deterministic canonicals. Output
+    * volume is exactly n rows — the drop list is `keep = false`. */
   def semanticDedup(embeddings: DataFrame, threshold: Double = 0.95,
                     cells: Int = -1,
-                    localEdgeLimit: Long = 1L << 20): DataFrame = {
+                    localEdgeLimit: Long = 1L << 20,
+                    keepPolicy: String = "min_id"): DataFrame = {
+    require(Seq("min_id", "far_centroid").contains(keepPolicy),
+      s"semanticDedup: unknown keepPolicy '$keepPolicy' (min_id | far_centroid)")
     val spark = embeddings.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val vecs = embeddings.select(col("vec_id"), col("embedding"))
     val kEff =
       if (cells > 0) cells
       else math.max(1, math.sqrt(math.max(vecs.count(), 1L).toDouble).toInt)
-    // tracked: the assigned frame feeds both sides of the cell-local
-    // join AND the final verdict projection
+    // ONE assign pass yields the cell AND the centroid similarity the
+    // far_centroid policy ranks on; tracked: feeds both sides of the
+    // cell-local join and the final verdict projection
     val assigned = graft.Caches.tracked(
-      graft.ann.Ann.kmeansAssign(vecs, k = kEff)
+      graft.ann.Ann.outlierScore(vecs,
+          centroids = Some(graft.ann.Ann.kmeansCentroids(vecs, k = kEff)))
+        .select(col("vec_id"), col("assigned_label").as("cell"), col("centroid_sim"))
         .join(vecs, "vec_id"))
     val pairs = assigned.as("x")
       .join(assigned.as("y"),
@@ -1079,11 +1092,19 @@ object Dedup {
       if (nEdges <= localEdgeLimit) localUnionFind(spark, pairs)
       else distributedMinLabel(pairs, maxIters = 20)
     pairs.unpersist()
-    assigned.select(col("vec_id"), col("cell"))
+    val grouped = assigned.select(col("vec_id"), col("cell"), col("centroid_sim"))
       .join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left_outer")
-      .select(col("vec_id"), col("cell"),
+      .select(col("vec_id"), col("cell"), col("centroid_sim"),
         coalesce(col("cluster_id"), col("vec_id")).as("group_id"))
-      .withColumn("keep", col("group_id") === col("vec_id"))
-      .orderBy("vec_id")
+    val kept = keepPolicy match {
+      case "min_id" =>
+        grouped.withColumn("keep", col("group_id") === col("vec_id"))
+      case "far_centroid" =>
+        // groups are near-dup components (small); one group_id window
+        val w = Window.partitionBy("group_id")
+          .orderBy(col("centroid_sim"), col("vec_id"))
+        grouped.withColumn("keep", row_number().over(w) === 1)
+    }
+    kept.select("vec_id", "cell", "group_id", "keep").orderBy("vec_id")
   }
 }

@@ -448,4 +448,35 @@ class DedupSpec extends SparkSpecBase {
     assert(out.count(!_._3) == 2)
     graft.Caches.release()
   }
+
+  test("semanticDedup far_centroid keeps the member least similar to its cell centroid") {
+    // group {1, 10, 11}: 1 and 10 sit exactly on axis 0, 11 leans
+    // 0.29 toward axis 1 (cos ~0.96 to them — inside threshold 0.95).
+    // The cell centroid is the member mean, which the two identical
+    // copies pull toward axis 0 — so 11 is the off-center member the
+    // paper's heuristic keeps (diversity), while min_id keeps 1.
+    def v(axis: Int, lean: Float = 0f): Array[Float] =
+      Array.tabulate(8)(i => (if (i == axis) 1f else 0f) + (if (i == 1) lean else 0f))
+    val vecs = Seq(
+      (1L, v(0)), (10L, v(0)), (11L, v(0, 0.29f)),
+      (2L, v(3)), (12L, v(4))
+    ).toDF("vec_id", "embedding")
+    val far = Dedup.semanticDedup(vecs, threshold = 0.95, cells = 2,
+        keepPolicy = "far_centroid")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toList
+    val byId = far.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 == 1L && byId(10L)._2 == 1L && byId(11L)._2 == 1L,
+      s"the trio must group together: $far")
+    assert(byId(11L)._3, "the off-center member survives under far_centroid")
+    assert(!byId(1L)._3 && !byId(10L)._3, "the on-center copies drop")
+    assert(byId(2L)._3 && byId(12L)._3, "singletons keep under any policy")
+    // min_id on the same input keeps 1 instead — the policies differ
+    // exactly on the canonical pick, never on grouping
+    val minId = Dedup.semanticDedup(vecs, threshold = 0.95, cells = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toList
+    assert(minId.find(_._1 == 1L).get._3 && !minId.find(_._1 == 11L).get._3)
+    assert(far.map(t => (t._1, t._2)) == minId.map(t => (t._1, t._2)),
+      "grouping must not depend on the keep policy")
+    graft.Caches.release()
+  }
 }
