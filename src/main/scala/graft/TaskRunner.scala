@@ -158,6 +158,9 @@ object TaskRunner {
       i(p, "tables", -1), i(p, "bits", -1), i(p, "dim", 64))),
     "a01_knn_brute" -> ((s, d, p) => Ann.knnBrute(
       Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3))),
+    "a16_mmr_diversify" -> ((s, d, p) => Ann.mmrDiversify(
+      Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "poolK", 10),
+      i(p, "k", 5), dbl(p, "lambda", 0.7))),
     "a02_knn_lsh" -> ((s, d, p) => Ann.knnLsh(
       Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3),
       i(p, "tables", 4), i(p, "planesPerTable", 6), i(p, "dim", 64))),

@@ -692,6 +692,80 @@ object Ann {
       .orderBy("query_id")
   }
 
+  /** a16_mmr_diversify — diverse top-k selection by Maximal Marginal
+    * Relevance (Carbonell & Goldstein, SIGIR 1998): from each query's
+    * candidate pool, greedily pick `k` results scoring
+    * mmr(d) = λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s) — the
+    * relevance/redundancy trade every retrieval-dedup and
+    * diverse-exemplar-selection pass makes (d16's far_centroid
+    * heuristic at selection grain; λ=1 degenerates to plain top-k).
+    *
+    * Scale posture: candidates come from any index output carrying
+    * (query_id, neighbor_id, cos_sim) — a01 exact by default, a04/a07
+    * at corpus scale (the a13 composition contract). Only each query's
+    * ≤poolK candidate VECTORS group together (poolK·dim floats per
+    * task), and the greedy loop is O(k·poolK·dim) inside that task —
+    * mapGroups is the honest tool (preference (d): bounded per-group
+    * imperative selection no relational operator expresses); queries
+    * parallelize across the cluster. Deterministic: the pool iterates
+    * in neighbor_id order, exact score ties keep the smaller id. */
+  def mmrDiversify(embeddings: DataFrame, nQueries: Int = 10, poolK: Int = 10,
+                   k: Int = 5, lambda: Double = 0.7,
+                   candidates: Option[DataFrame] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cands = candidates.getOrElse(knnBrute(embeddings, nQueries, poolK))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim").cast("double").as("rel"))
+    val pool = cands
+      .join(embeddings.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("embedding"))
+      .as[(Long, Long, Double, Array[Float])]
+    val pickedRows = pool.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val p = it.toArray.sortBy(_._2) // neighbor_id order → deterministic
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val picked = new Array[Boolean](p.length)
+      val maxSim = new Array[Double](p.length) // max sim to the selected set
+      val out = Seq.newBuilder[(Long, Long, Int, Double, Double)]
+      var rank = 1
+      val kEff = math.min(k, p.length)
+      while (rank <= kEff) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < p.length) {
+          if (!picked(i)) {
+            val pen = if (rank == 1) 0.0 else maxSim(i)
+            val s = lambda * p(i)._3 - (1.0 - lambda) * pen
+            if (s > bestScore) { bestScore = s; best = i } // ties keep the earlier (smaller) id
+          }
+          i += 1
+        }
+        picked(best) = true
+        out += ((qid, p(best)._2, rank, p(best)._3, bestScore))
+        var j = 0
+        while (j < p.length) {
+          if (!picked(j)) maxSim(j) = math.max(maxSim(j), cos(p(j)._4, p(best)._4))
+          j += 1
+        }
+        rank += 1
+      }
+      out.result().iterator
+    }.toDF("query_id", "neighbor_id", "mmr_rank", "relevance", "mmr_score")
+    pickedRows
+      .select(col("query_id"), col("neighbor_id"), col("mmr_rank"),
+        stableRound(col("relevance"), 4).as("relevance"),
+        stableRound(col("mmr_score"), 4).as("mmr_score"))
+      .orderBy("query_id", "mmr_rank")
+  }
+
   /** a07_knn_join — full kNN SELF-join: every vector in the corpus
     * gets its top-k neighbours among all the others, via the same IVF
     * index as a04 (storage assignment = nearest cell, query side

@@ -418,4 +418,22 @@ class AnnSpec extends SparkSpecBase {
     val matches = out.count(_.getBoolean(3))
     assert(matches >= 6, s"only $matches/8 matched")
   }
+
+  test("mmrDiversify demotes the redundant duplicate; lambda=1 degenerates to plain top-k") {
+    // query 0 = (1, 0.5); candidates: 1 and 2 are identical (1, 0.8) —
+    // most relevant but mutually redundant — 3 = (1, 0.2) slightly less
+    // relevant but diverse. Plain top-k: (1, 2, 3); MMR at λ=0.5 must
+    // pick the diverse 3 at rank 2 and push the duplicate 2 to rank 3.
+    def v(y: Float): Array[Float] = Array(1f, y, 0f, 0f, 0f, 0f, 0f, 0f)
+    val emb = Seq((0L, v(0.5f)), (1L, v(0.8f)), (2L, v(0.8f)), (3L, v(0.2f)))
+      .toDF("vec_id", "embedding")
+    val mmr = Ann.mmrDiversify(emb, nQueries = 1, poolK = 3, k = 3, lambda = 0.5)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(mmr.toList == List((1L, 1), (3L, 2), (2L, 3)), s"got ${mmr.toList}")
+    // λ=1: pure relevance — identical to the candidate generator's order
+    val top = Ann.mmrDiversify(emb, nQueries = 1, poolK = 3, k = 3, lambda = 1.0)
+      .collect().map(_.getLong(1))
+    val brute = Ann.knnBrute(emb, nQueries = 1, k = 3).collect().map(_.getLong(1))
+    assert(top.toList == brute.toList, s"λ=1 ${top.toList} != top-k ${brute.toList}")
+  }
 }
