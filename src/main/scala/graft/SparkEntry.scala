@@ -245,6 +245,20 @@ object SparkEntry {
     // per vector regardless
     "d16_semantic_dedup" -> ((s, d) => Dedup.semanticDedup(
       Tables.embeddings(s, d), threshold = 0.5)),
+    // every 5th vector plays the new batch (the a12/d11 convention),
+    // plus id-offset copies of every 25th corpus vector (the d06
+    // planting convention — testdata has no natural cross pairs at any
+    // usable threshold, so the copies guarantee driver-visible
+    // corpus_dup verdicts; the held-out fifth exercises admitted)
+    "d17_embed_ingest_admit" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val corpus = e.filter(e("vec_id") % 5 =!= 0)
+      val batch = e.filter(e("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(corpus.filter(e("vec_id") % 25 === 1)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      Dedup.embedIngestAdmit(corpus, batch, threshold = 0.95)
+    }),
     "t18_quality_filter" -> ((s, d) => TextStats.qualityFilter(Tables.documents(s, d))),
     "t19_cooccurrence" -> ((s, d) => TextStats.cooccurrence(Tables.documents(s, d))),
     "m01_binary_meta" -> ((s, d) => BinaryPipeline.binaryMeta(Tables.documents(s, d))),

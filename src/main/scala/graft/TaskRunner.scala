@@ -116,6 +116,12 @@ object TaskRunner {
       Tables.embeddings(s, d), dbl(p, "threshold", 0.95),
       cells = i(p, "cells", -1),
       keepPolicy = str(p, "keepPolicy", "min_id"))),
+    "d17_embed_ingest_admit" -> ((s, d, p) => {
+      val e = Tables.embeddings(s, d)
+      Dedup.embedIngestAdmit(e.filter(e("vec_id") % 5 =!= 0),
+        e.filter(e("vec_id") % 5 === 0), dbl(p, "threshold", 0.9),
+        i(p, "cells", -1), i(p, "nprobe", 2))
+    }),
     "q51_bloom_semi_join" -> ((s, d, p) => RelationalOps.bloomSemiJoin(
       Tables.lineitem(s, d), Tables.orders(s, d),
       minTotal = dbl(p, "minTotal", 350000.0), fpp = dbl(p, "fpp", 0.01))),

@@ -113,7 +113,7 @@ object Ann {
     * centroid table, one ranked window over vec x centroid scores).
     * nprobe=1 is storage assignment (each vector lives in one cell);
     * nprobe>1 is query-side multi-probe. */
-  private[ann] def assignN(vectors: DataFrame, centroids: DataFrame,
+  private[graft] def assignN(vectors: DataFrame, centroids: DataFrame,
                            nprobe: Int): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("c_label"))
     // sim is kept: callers select their own columns, and outlierScore
@@ -126,7 +126,7 @@ object Ann {
   }
 
   /** Nearest-centroid (single-cell) assignment. */
-  private[ann] def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+  private[graft] def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
     assignN(vectors, centroids, 1)
 
   /** a03_centroid_assign — IVF-style coarse quantization: build one

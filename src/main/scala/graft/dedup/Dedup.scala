@@ -1107,4 +1107,79 @@ object Dedup {
     }
     kept.select("vec_id", "cell", "group_id", "keep").orderBy("vec_id")
   }
+
+  /** d17_embed_ingest_admit — the EMBEDDING-side admission step: d12's
+    * per-document verdict loop (corpus_dup / batch_dup / admitted) on
+    * vectors — SemDeDup at INGESTION time, where a nightly batch is
+    * judged against the standing corpus instead of re-deduplicating
+    * everything. Verdicts, first-in-wins like d12:
+    *   - corpus_dup: some corpus vector in the batch vector's probed
+    *     cells has cosine ≥ `threshold`;
+    *   - batch_dup: no corpus match, but an EARLIER-id batch vector
+    *     (sharing a probed cell) has;
+    *   - admitted: neither. Evidence columns carry the best match
+    *     (highest cosine, smallest id on ties; −1/0.0 for admitted).
+    *
+    * Scale posture: the corpus trains a05's sample-bounded quantizer
+    * (~sqrt(n) cells) and stores each vector in its ONE cell; batch
+    * vectors probe their `nprobe` nearest cells — candidate volume is
+    * |batch|·nprobe·avg-cell, never |batch|×|corpus|, and only
+    * (id, cell) pairs + the probed cells' vectors move. Multi-probe is
+    * the cell-boundary mitigation d16 documents (a same-cell guarantee
+    * does not exist for near-dups straddling a centroid boundary;
+    * nprobe ≥ 2 catches the straddlers the paper's single-cell rule
+    * misses). A batch pair meeting in several probed cells collapses
+    * in the per-vector max — verdicts never double-count. The at-rest
+    * composition is immediate: the corpus half is exactly what
+    * sink_ann_index persists (cells + per-cell vectors), so the same
+    * probe runs against the saved layout via ivfKnnIndexed's pruning. */
+  def embedIngestAdmit(corpus: DataFrame, batch: DataFrame,
+                       threshold: Double = 0.9, cells: Int = -1,
+                       nprobe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val cvecs = corpus.select(col("vec_id"), col("embedding"))
+    val bvecs = batch.select(col("vec_id"), col("embedding"))
+    val kEff =
+      if (cells > 0) cells
+      else math.max(1, math.sqrt(math.max(cvecs.count(), 1L).toDouble).toInt)
+    val cents = graft.ann.Ann.kmeansCentroids(cvecs, k = kEff)
+    val corpusCells = graft.Caches.tracked(
+      graft.ann.Ann.assign(cvecs, cents)
+        .select(col("vec_id").as("c_id"), col("c_label").as("cell"),
+          col("embedding").as("ce")))
+    val probes = graft.Caches.tracked(
+      graft.ann.Ann.assignN(bvecs, cents, nprobe)
+        .select(col("vec_id").as("b_id"), col("c_label").as("cell"),
+          col("embedding").as("be")))
+    // best corpus evidence per batch vector: max (sim, then min id)
+    // via lexicographic struct max — one aggregation, no window
+    val corpusHits = probes.join(corpusCells, "cell")
+      .withColumn("s", expr("graft_cosine(be, ce)"))
+      .filter(col("s") >= threshold)
+      .groupBy("b_id")
+      .agg(max(struct(col("s").as("s"), (-col("c_id")).as("nid"))).as("m"))
+      .select(col("b_id"), (-col("m.nid")).as("corpus_id"), col("m.s").as("corpus_sim"))
+    // earlier-id batch evidence (first-in wins): same shape over the
+    // probed-cell self-overlap
+    val batchHits = probes.as("x")
+      .join(probes.as("y"),
+        col("x.cell") === col("y.cell") && col("y.b_id") < col("x.b_id"))
+      .withColumn("s", expr("graft_cosine(x.be, y.be)"))
+      .filter(col("s") >= threshold)
+      .groupBy(col("x.b_id").as("b_id"))
+      .agg(max(struct(col("s").as("s"), (-col("y.b_id")).as("nid"))).as("m"))
+      .select(col("b_id"), (-col("m.nid")).as("batch_id"), col("m.s").as("batch_sim"))
+    bvecs.select(col("vec_id"))
+      .join(corpusHits.withColumnRenamed("b_id", "vec_id"), Seq("vec_id"), "left_outer")
+      .join(batchHits.withColumnRenamed("b_id", "vec_id"), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        when(col("corpus_sim").isNotNull, lit("corpus_dup"))
+          .when(col("batch_sim").isNotNull, lit("batch_dup"))
+          .otherwise(lit("admitted")).as("verdict"),
+        coalesce(col("corpus_id"), col("batch_id"), lit(-1L)).as("evidence_id"),
+        stableRound(coalesce(col("corpus_sim"), col("batch_sim"), lit(0.0)), 4)
+          .as("evidence_sim"))
+      .orderBy("vec_id")
+  }
 }

@@ -479,4 +479,26 @@ class DedupSpec extends SparkSpecBase {
       "grouping must not depend on the keep policy")
     graft.Caches.release()
   }
+
+  test("embedIngestAdmit: corpus copy flags corpus_dup, twin batch vectors split admitted/batch_dup") {
+    def v(axis: Int): Array[Float] = Array.tabulate(8)(i => if (i == axis) 1f else 0.01f)
+    val corpus = Seq((1L, v(0)), (2L, v(3))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, v(0)), // copy of corpus 1 → corpus_dup
+      (11L, v(5)), // new direction, first in → admitted
+      (12L, v(5)), // twin of 11 → batch_dup, evidence 11
+      (13L, v(6))  // distinct → admitted
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embedIngestAdmit(corpus, batch, threshold = 0.95,
+        cells = 2, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L), "one verdict per batch vector")
+    assert(out(10L)._1 == "corpus_dup" && out(10L)._2 == 1L && out(10L)._3 > 0.99,
+      s"got ${out(10L)}")
+    assert(out(11L) == (("admitted", -1L, 0.0)), s"got ${out(11L)}")
+    assert(out(12L)._1 == "batch_dup" && out(12L)._2 == 11L && out(12L)._3 > 0.99,
+      s"got ${out(12L)}")
+    assert(out(13L)._1 == "admitted")
+    graft.Caches.release()
+  }
 }
