@@ -733,7 +733,11 @@ object Ann {
         if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
       }
       val picked = new Array[Boolean](p.length)
-      val maxSim = new Array[Double](p.length) // max sim to the selected set
+      // max sim to the selected set; -inf start so a NEGATIVE max
+      // (anti-correlated candidate) rewards diversity as MMR defines —
+      // a 0.0 floor would clamp the penalty term. rank 1 never reads
+      // it, and every unpicked slot is updated right after that pick.
+      val maxSim = Array.fill(p.length)(Double.NegativeInfinity)
       val out = Seq.newBuilder[(Long, Long, Int, Double, Double)]
       var rank = 1
       val kEff = math.min(k, p.length)
