@@ -289,6 +289,34 @@ object Oracles {
                   / CAST(total_cents AS DOUBLE) AS spend_share
          FROM ranked GROUP BY 1, total_cents ORDER BY tier""",
 
+    // transition counts are exact; prob is one IEEE division of two
+    // exact longs per cell (cast away HUGEINT on the window sum)
+    "q56_transition_matrix" ->
+      """WITH l AS (
+           SELECT user_id, event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS cnt
+               FROM l WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, cnt,
+                CAST(cnt AS DOUBLE) /
+                  CAST(CAST(sum(cnt) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE)
+                  AS prob
+         FROM c ORDER BY from_type, to_type""",
+
+    // the windowed arg-max SPEC — the Spark side computes the same
+    // verdict with a min-of-struct two-stage aggregation (no window)
+    "q57_modal_event" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+         r AS (SELECT user_id, event_type, cnt,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY cnt DESC, event_type) AS rn
+               FROM c)
+         SELECT user_id, event_type AS mode_type, cnt AS mode_cnt
+         FROM r WHERE rn = 1 ORDER BY user_id""",
+
     // bucket = how many boundaries x strictly exceeds — spelled as
     // nine explicit comparisons (no list lambda, engine-portable)
     // q52: sum(cnt) casts away HUGEINT; share/skew_ratio are single
@@ -860,6 +888,31 @@ object Oracles {
 
     "d02_ngram_jaccard" -> ngramJaccardSql,
     "d03_minhash_lsh" -> ngramJaccardSql,
+
+    // d18: directional containment over the same shingle universe as
+    // d02 (shingle STRINGS stand in for Spark's 64-bit hashes — the
+    // d09/d11 equality-only convention); each unordered pair feeds
+    // both directions, filtered at containment >= 0.8 and nsh >= 5
+    "d18_containment" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(toks[i:i+2], ' ')
+                                 for i in range(1, len(toks)-1)]) AS sh
+           FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3),
+         e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM t),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.nsh AS na, b.nsh AS nb, count(*) AS shared
+               FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2, 3, 4),
+         d AS (SELECT id_a AS doc_id, id_b AS in_doc, na AS nsh, shared FROM p
+               UNION ALL
+               SELECT id_b AS doc_id, id_a AS in_doc, nb AS nsh, shared FROM p)
+         SELECT doc_id, in_doc, shared, nsh,
+                floor((shared/nsh)*10000 + 0.5)/10000 AS containment
+         FROM d WHERE nsh >= 5 AND shared/nsh >= 0.8
+         ORDER BY doc_id, in_doc""",
     "d11_dedup_against" -> dedupAgainstSql,
 
     // d12: the same exact cross-side Jaccard as d11 plus a batch-
@@ -1052,6 +1105,24 @@ object Oracles {
          SELECT doc_id, source, n_toks
          FROM toks JOIN rates USING (source)
          WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) < rate * 4294967296.0
+         ORDER BY doc_id""",
+
+    // t27: p is the identical parenthesization of IEEE ops over exact
+    // integer inputs on both engines ((rate·n)·w)/Σw, so the LCG coin
+    // and the kept set are bit-equal; stableRound guards the emitted p
+    "t27_weighted_sample" ->
+      """WITH tot AS (SELECT count(*) AS n_docs,
+                             CAST(sum(n_chars) AS BIGINT) AS sum_w
+                      FROM documents),
+         p AS (SELECT doc_id, source, n_chars,
+                      least(1.0, 0.3 * CAST(n_docs AS DOUBLE)
+                                 * CAST(n_chars AS DOUBLE)
+                                 / CAST(sum_w AS DOUBLE)) AS pk
+               FROM documents CROSS JOIN tot)
+         SELECT doc_id, source, n_chars,
+                floor(pk*1000000 + 0.5)/1000000 AS p_keep
+         FROM p
+         WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) < pk * 4294967296.0
          ORDER BY doc_id""",
 
     "t23_source_upsample" ->

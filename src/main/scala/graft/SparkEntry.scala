@@ -105,6 +105,8 @@ object SparkEntry {
     "q48_price_band" -> ((s, d) => RelationalOps.priceBand(Tables.part(s, d))),
     "q54_fuzzy_join" -> ((s, d) => RelationalOps.fuzzyJoin(Tables.part(s, d))),
     "q55_spend_deciles" -> ((s, d) => RelationalOps.spendDeciles(Tables.orders(s, d))),
+    "q56_transition_matrix" -> ((s, d) => TrackAnalytics.transitionMatrix(Tables.events(s, d))),
+    "q57_modal_event" -> ((s, d) => TrackAnalytics.modalEventType(Tables.events(s, d))),
     "q40_grouping_sets" -> ((s, d) => RelationalOps.groupingSets(Tables.orders(s, d))),
     "q41_graph_rank" -> ((s, d) => TrackAnalytics.graphRank(Tables.events(s, d))),
     "a10_range_search" -> ((s, d) => Ann.rangeSearch(Tables.embeddings(s, d))),
@@ -140,6 +142,7 @@ object SparkEntry {
     // still holds
     "d03_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(Tables.documents(s, d), dfCap = Some(1000L))),
     "d04_simhash" -> ((s, d) => Dedup.simHash(Tables.documents(s, d))),
+    "d18_containment" -> ((s, d) => Dedup.containmentDedup(Tables.documents(s, d), dfCap = Some(1000L))),
     "d05_embed_dedup" -> ((s, d) => Dedup.embedDedup(Tables.embeddings(s, d))),
     // d06 registered IN ITS LSH REGIME (threshold 0.75; < 0.7 delegates
     // to the exact join and is spec-pinned byte-identical). The testdata
@@ -209,6 +212,7 @@ object SparkEntry {
       balanceFactor = 1.2)
       .withColumn("centroid", to_json(col("centroid")))),
     "a08_pq_knn" -> ((s, d) => Ann.pqKnn(Tables.embeddings(s, d))),
+    "a17_sq8_knn" -> ((s, d) => Ann.sq8Knn(Tables.embeddings(s, d))),
     "a09_ivf_pq" -> ((s, d) => Ann.ivfPqKnn(Tables.embeddings(s, d))),
     "t01_token_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) => TextStats.qualityScore(Tables.documents(s, d))),
@@ -240,6 +244,7 @@ object SparkEntry {
     "t24_unigram_surprisal" -> ((s, d) => TextStats.unigramSurprisal(Tables.documents(s, d))),
     "t25_bigram_surprisal" -> ((s, d) => TextStats.bigramSurprisal(Tables.documents(s, d))),
     "t26_frequent_terms" -> ((s, d) => TextStats.frequentTerms(Tables.documents(s, d))),
+    "t27_weighted_sample" -> ((s, d) => TextStats.weightedSample(Tables.documents(s, d))),
     // threshold 0.5 so the testdata's natural cos>=0.5 pairs (the d05
     // regime) exercise within-cell drops; output is one verdict row
     // per vector regardless

@@ -471,6 +471,61 @@ object Ann {
       .orderBy("query_id", "rn")
   }
 
+  /** a17_sq8_knn — 8-bit scalar-quantization ANN (the FAISS SQ8
+    * codec), completing the quantization family between brute floats
+    * (a01) and product codes (a08): train per-dimension (lo, scale)
+    * affine ranges in ONE partial-agg pass (dim-bounded collect),
+    * encode every corpus vector to dim BYTES with the codegen'd
+    * `Sq8Encode` — a 4× cut in scan/index residency with far less
+    * distortion than PQ's m-code compression — then score queries
+    * against codes with `Sq8Cosine` (dequantize-in-loop, no
+    * intermediate float array per row), shortlist top `rerank`, and
+    * re-score exactly. Same broadcast-queries/corpus-scan shape as
+    * a01, so at 100 TB the win is exactly the byte/float ratio of the
+    * scan; compose with IVF cells (a04) when candidate pruning is
+    * also needed. Rows-only: quantized similarity is codec-specific —
+    * the spec bounds recall vs a01 and pins encode/decode fidelity. */
+  def sq8Knn(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
+             rerank: Int = 50, dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    // per-dimension ranges: partial-agg to `dim` rows, driver-bounded
+    val mm = embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(min("v").as("lo"), max("v").as("hi"))
+      .collect()
+    require(mm.nonEmpty, "sq8Knn: embeddings table is empty — nothing to train on")
+    val lo = new Array[Float](dim)
+    val scale = new Array[Float](dim)
+    mm.foreach { r =>
+      val p = r.getInt(0)
+      if (p < dim) {
+        lo(p) = r.getFloat(1)
+        scale(p) = (r.getFloat(2) - lo(p)) / 255f
+      }
+    }
+    val (encF, simF) = GraftFunctions.registerSq8(spark, lo, scale)
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val spark2 = spark
+    import spark2.implicits._
+    val qDf = queries.toSeq.map { case (qid, qv) => (qid, qv) }.toDF("query_id", "qe")
+    val cands = embeddings.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), expr(s"$encF(embedding)").as("codes"))
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val shortlist = broadcast(qDf).crossJoin(cands)
+      .withColumn("approx", expr(s"$simF(qe, codes)"))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= rerank)
+      .select("query_id", "neighbor_id")
+    val out = exactRerank(embeddings, shortlist, queries, k)
+    GraftFunctions.dropFunction(spark, encF) // dependent plans already analyzed
+    GraftFunctions.dropFunction(spark, simF)
+    out
+  }
+
   /** a09_ivf_pq — the composed billion-vector index shape: a05's
     * sample-trained k-means cells bound the CANDIDATE SET (each query
     * scans only its `nprobe` probed cells' posting lists) while a08's

@@ -1182,4 +1182,50 @@ object Dedup {
           .as("evidence_sim"))
       .orderBy("vec_id")
   }
+
+  /** d18_containment — DIRECTIONAL near-dup detection by shingle-set
+    * containment C(a→b) = |Sa∩Sb| / |Sa| (Broder 1997's second
+    * resemblance measure). Jaccard (d02/d03) misses the asymmetric
+    * case a training pipeline cares about most — a document that is a
+    * verbatim SUBSET of a larger one (quote inflation, boilerplate
+    * wrappers, page-plus-chrome crawls): J = |A∩B|/|A∪B| dilutes with
+    * the larger doc while C(a→b) stays at 1.0. Emits one row per
+    * contained direction (doc_id is the smaller/contained side's id,
+    * in_doc the container) at containment >= threshold, with docs
+    * under `minShingles` excluded (tiny shingle sets make containment
+    * vacuous).
+    *
+    * Plan shape = d02's inverted-index join (same `cappedShingleSets`
+    * input, same shuffle_hash hint for the post-explode estimate
+    * skew), but with NO size prefilter: containment is exactly the
+    * regime where sizes legitimately differ, so the only scale guard
+    * is the dfCap on hot shingles. The a<b join enumerates each
+    * unordered pair once; both directions are derived from that one
+    * pair row, so the pair-count shuffle is paid once. */
+  def containmentDedup(documents: DataFrame, threshold: Double = 0.8,
+                       minShingles: Int = 5, dfCap: Option[Long] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1.0,
+      s"containmentDedup: threshold must be in (0,1], got $threshold")
+    val e = cappedShingleSets(documents, dfCap)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("nsh"),
+        explode(col("sh")).as("sh_h"))
+    val pairs = e.as("a")
+      .join(e.as("b").hint("shuffle_hash"),
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+    val dirs = pairs.select(
+        col("id_a").as("doc_id"), col("id_b").as("in_doc"),
+        col("na").as("nsh"), col("shared"))
+      .unionByName(pairs.select(
+        col("id_b").as("doc_id"), col("id_a").as("in_doc"),
+        col("nb").as("nsh"), col("shared")))
+    dirs
+      .filter(col("nsh") >= minShingles &&
+        col("shared") / col("nsh") >= threshold)
+      .select(col("doc_id"), col("in_doc"), col("shared"), col("nsh"),
+        stableRound(col("shared") / col("nsh"), 4).as("containment"))
+      .orderBy("doc_id", "in_doc")
+  }
 }

@@ -174,6 +174,29 @@ object GraftFunctions {
     fname
   }
 
+  private val sq8Seq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Bind TRAINED SQ8 (lo, scale) arrays under unique per-call
+    * function names, [[registerPqEncode]]-style: returns the names of
+    * the encode (array<float> → binary) and asymmetric-cosine
+    * (array<float>, binary → double) functions. Callers drop both
+    * once their plans are analyzed. */
+  def registerSq8(spark: SparkSession, lo: Array[Float],
+                  scale: Array[Float]): (String, String) = {
+    val n = sq8Seq.incrementAndGet()
+    val enc = s"graft_sq8_encode_$n"
+    val sim = s"graft_sq8_cosine_$n"
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(enc),
+      new ExpressionInfo(classOf[Sq8Encode].getName, enc),
+      (children: Seq[Expression]) => Sq8Encode(children.head, lo, scale))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(sim),
+      new ExpressionInfo(classOf[Sq8Cosine].getName, sim),
+      (children: Seq[Expression]) => Sq8Cosine(children.head, children(1), lo, scale))
+    (enc, sim)
+  }
+
   /** Bind a TRAINED PQ codebook under a unique per-call function name
     * (data can't ride in SQL text; the builder closure carries it).
     * Analysis is eager at DataFrame creation, so callers drop the name

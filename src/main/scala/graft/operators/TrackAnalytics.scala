@@ -609,4 +609,55 @@ object TrackAnalytics {
         col("uniq_win_est"), col("uniq_day_est"))
       .orderBy("day")
   }
+
+  /** q56_transition_matrix — first-order Markov transition report over
+    * each entity's time-ordered event sequence: for every (from, to)
+    * event-type pair, how many consecutive-event transitions occur and
+    * what fraction of `from`'s outgoing transitions they are (the
+    * monitor→monitor flow matrix of the reference's one-step analysis,
+    * generalized to the full k×k matrix).
+    *
+    * Scale: the lead window shuffles once on the entity key (same
+    * exchange every sequence operator here pays); the transition rows
+    * then collapse through a map-side partial agg to at most k² keys,
+    * and the probability normalization windows over those k² rows —
+    * nothing downstream of the first exchange grows with the corpus.
+    * `prob` is one IEEE division of two exact longs per output cell
+    * (bit-equal cross-engine). */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(expr("ts_ns div 1000"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ns"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = trans
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val perFrom = Window.partitionBy("from_type")
+    counts
+      .withColumn("prob", col("cnt") / sum(col("cnt")).over(perFrom))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** q57_modal_event — each entity's most frequent event type
+    * (deterministic tie-break: higher count, then lexicographically
+    * smallest type), the reference's "top monitor per car" report.
+    *
+    * Scale: two full partial-agg exchanges and nothing else — the
+    * (entity, type) count, then a min-of-struct fold to one row per
+    * entity. The struct (−cnt, type, cnt) makes min() encode the whole
+    * tie-break ordering, so no per-entity window buffer exists: the
+    * reduction combines map-side and never materializes an entity's
+    * full type histogram in one place. */
+  def modalEventType(events: DataFrame): DataFrame = {
+    events
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(min(struct((-col("cnt")).as("neg_cnt"),
+        col("event_type").as("t"), col("cnt").as("c"))).as("m"))
+      .select(col("user_id"), col("m.t").as("mode_type"), col("m.c").as("mode_cnt"))
+      .orderBy("user_id")
+  }
 }

@@ -614,4 +614,52 @@ object StreamingFlow {
       .agg(sketch(col("word")).as("sk"))
       .select(explode(col("sk")).as(Seq("word", "est_freq")))
   }
+
+  case class TransEv(userId: Long, tsMs: Long, eventId: Long, eventType: String)
+  case class TransState(lastMs: Long, lastId: Long, lastType: String)
+  case class Transition(userId: Long, fromType: String, toType: String)
+
+  /** s22_stream_transition — live transition-edge emission, the
+    * streaming twin of batch q56: per-user state carries only the
+    * LAST event seen ((ts, event_id, type) — constant bytes per user),
+    * and every arriving event emits its (from, to) edge against it.
+    * Events are sorted (ts, event_id) within each micro-batch, so the
+    * stream's edges equal the batch twin's whenever arrival order
+    * respects event order across batches (the q53/s20 contract);
+    * downstream the Append-mode edge stream composes with any
+    * windowed count — the op emits edges, not the matrix, so one
+    * state pass feeds any number of aggregations.
+    *
+    * State is bounded two ways: one fixed-size record per ACTIVE user,
+    * and EventTimeTimeout eviction once the watermark passes the last
+    * event by `idleMs` — a user who returns after eviction re-anchors
+    * fresh (their one cross-eviction edge is the price of not holding
+    * the unbounded user universe, s03's rule). */
+  def transitionFeed(ds: Dataset[TransEv], idleMs: Long = 3600000L,
+                     watermarkDelay: String = "1 hour"): Dataset[Transition] = {
+    import ds.sparkSession.implicits._
+    ds.toDF()
+      .withColumn("ets", timestamp_millis(col("tsMs")))
+      .withWatermark("ets", watermarkDelay)
+      .as[TransEv]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[TransEv], state: GroupState[TransState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[Transition]
+            evs.toSeq.sortBy(e => (e.tsMs, e.eventId)).foreach { e =>
+              if (st != null) out += Transition(uid, st.lastType, e.eventType)
+              st = TransState(e.tsMs, e.eventId, e.eventType)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastMs + idleMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
 }

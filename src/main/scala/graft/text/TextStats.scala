@@ -803,4 +803,36 @@ object TextStats {
           .as("embedding"))
       .orderBy("doc_id")
   }
+
+  /** t27_weighted_sample — weight-proportional Bernoulli (Poisson)
+    * sampling, the primitive behind quality-weighted corpus selection
+    * ("sample documents with probability ∝ score"): each doc is kept
+    * independently with p = min(1, rate·n·w/Σw), so the expected
+    * sample size is rate·n (less the mass clipped at p = 1) and
+    * high-weight docs are proportionally favored. The coin is the
+    * same deterministic Knuth-LCG scramble as t15/t16/t23, so the
+    * sample is reproducible across engines and runs — the property a
+    * training pipeline needs to re-materialize the exact same corpus
+    * cut. Weight here = n_chars (stand-in for a model quality score;
+    * any positive column composes, e.g. t02's score).
+    *
+    * Scale posture: one broadcast single-row aggregate (n, Σw), then a
+    * scan-speed map+filter — no shuffle, no state, no per-group
+    * buffers; the 100 TB plan is the parquet scan itself. p is a
+    * fixed parenthesization of IEEE ops over exact integer inputs, so
+    * the kept set and the emitted p are bit-equal cross-engine. */
+  def weightedSample(documents: DataFrame, rate: Double = 0.3): DataFrame = {
+    require(rate > 0 && rate <= 1.0, s"weightedSample: rate in (0,1], got $rate")
+    val tot = documents.agg(
+      count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_w"))
+    val p = least(lit(1.0),
+      lit(rate) * col("n_docs").cast("double") * col("n_chars").cast("double")
+        / col("sum_w").cast("double"))
+    documents.crossJoin(broadcast(tot))
+      .filter(((col("doc_id") * 2654435761L) % 4294967296L).cast("double")
+        < p * 4294967296.0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        graft.Num.stableRound(p, 6).as("p_keep"))
+      .orderBy("doc_id")
+  }
 }

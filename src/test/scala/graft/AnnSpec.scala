@@ -153,6 +153,36 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"pq recall@3 $recall too low")
   }
 
+  test("sq8Knn matches brute force on the toy set and keeps high recall on real embeddings") {
+    // generous shortlist → the exact re-rank must equal brute outright
+    val brute = Ann.knnBrute(vecs, nQueries = 2, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Ann.sq8Knn(vecs, nQueries = 2, k = 2, rerank = 6, dim = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sq == brute, s"sq8=$sq brute=$brute")
+    // 8-bit affine quantization distorts far less than PQ's m-code
+    // compression: recall@3 vs exact brute force must be near-perfect
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val b = Ann.knnBrute(emb).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s = Ann.sq8Knn(emb).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (s intersect b).size.toDouble / b.size
+    assert(recall >= 0.9, s"sq8 recall@3 $recall too low")
+  }
+
+  test("sq8 encode/cosine round-trip keeps quantized similarity within codec distortion") {
+    // directly pin the codec: encoded+dequantized cosine of a vector
+    // against ITSELF must stay ≈1 (distortion ≤ half a code step per dim)
+    val lo = Array(0.0f, 0.0f, 0.0f, 0.0f)
+    val scale = Array(1f / 255f, 1f / 255f, 1f / 255f, 0f) // dim 3 constant
+    val v = Array(0.3f, 0.7f, 0.25f, 0.0f)
+    val codes = graft.functions.Sq8Encode.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v), lo, scale)
+    assert(codes.length == 4 && codes(3) == 0) // zero-scale dim encodes 0
+    val sim = graft.functions.Sq8Cosine.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v), codes, lo, scale)
+    assert(sim > 0.9999, s"self-similarity through the codec: $sim")
+  }
+
   test("ivfKnnIndexed reproduces ivfKnn from the saved index, reading only probed cells") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cents = Ann.labelCentroids(emb)

@@ -501,4 +501,32 @@ class DedupSpec extends SparkSpecBase {
     assert(out(13L)._1 == "admitted")
     graft.Caches.release()
   }
+
+  test("containmentDedup flags the contained direction Jaccard misses") {
+    // doc 1 is a verbatim PREFIX of doc 0: all 6 of its shingles are in
+    // doc 0's 10, so C(1→0)=1.0 — but J=6/10=0.6 and C(0→1)=0.6 stay
+    // under threshold. The directional report must contain exactly the
+    // 1→0 row; symmetric Jaccard at 0.8 (d02) finds nothing.
+    val big = "a b c d e f g h i j k l"   // 12 toks -> 10 shingles
+    val sub = "a b c d e f g h"           // 8 toks  -> 6 shingles, all in big
+    val d = docs(0L -> big, 1L -> sub,
+      2L -> "completely unrelated words forming another document here")
+    assert(Dedup.ngramJaccard(d, threshold = 0.8).collect().isEmpty)
+    val out = Dedup.containmentDedup(d, threshold = 0.8, minShingles = 5).collect()
+    assert(out.length == 1, s"got ${out.toSeq}")
+    val r = out(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 0L) // doc_id=contained, in_doc=container
+    assert(r.getLong(2) == 6L && r.getLong(3) == 6L) // shared, nsh
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  test("containmentDedup minShingles floor drops vacuous tiny docs") {
+    // a 4-token doc (2 shingles) inside a big one would report C=1.0
+    // on nothing — the floor excludes it in BOTH directions' doc_id side
+    val d = docs(0L -> "a b c d e f g h i j k l", 1L -> "a b c d")
+    assert(Dedup.containmentDedup(d, threshold = 0.8, minShingles = 5)
+      .collect().isEmpty)
+    val loose = Dedup.containmentDedup(d, threshold = 0.8, minShingles = 1).collect()
+    assert(loose.length == 1 && loose(0).getLong(0) == 1L)
+  }
 }

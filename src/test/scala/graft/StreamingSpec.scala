@@ -636,4 +636,44 @@ class StreamingSpec extends SparkSpecBase {
         s"spark estimate ${t3("spark")} outside MG bound")
     } finally q.stop()
   }
+
+  test("s22 emits transition edges across micro-batch boundaries, matching the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingFlow.TransEv
+    val base = 1700000000000L
+    val input = MemoryStream[TransEv]
+    val q = StreamingFlow.transitionFeed(input.toDS()).writeStream
+      .format("memory").queryName("trans_out").outputMode("append").start()
+    try {
+      // batch 1: user 1 click→view (one edge); user 2 lone event (none)
+      input.addData(TransEv(1L, base, 0L, "click"), TransEv(1L, base + 60000, 1L, "view"),
+        TransEv(2L, base, 2L, "view"))
+      q.processAllAvailable()
+      val e1 = spark.table("trans_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(e1 == Set((1L, "click", "view")), s"got $e1")
+      // batch 2: the CROSS-BATCH edge view→purchase must come from state
+      input.addData(TransEv(1L, base + 120000, 3L, "purchase"),
+        TransEv(2L, base + 60000, 4L, "click"))
+      q.processAllAvailable()
+      val e2 = spark.table("trans_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(e2 == Set((1L, "click", "view"), (1L, "view", "purchase"),
+        (2L, "view", "click")), s"got $e2")
+      // the edge multiset equals batch q56's transition counts on the
+      // same rows (before its from/to aggregation)
+      import spark.implicits._
+      val ev = Seq((0L, base, 1L, "click"), (1L, base + 60000, 1L, "view"),
+        (3L, base + 120000, 1L, "purchase"), (2L, base, 2L, "view"),
+        (4L, base + 60000, 2L, "click"))
+        .toDF("event_id", "ts_ms", "user_id", "event_type")
+        .withColumn("ts_ns", col("ts_ms") * 1000000L)
+      val batch = graft.operators.TrackAnalytics.transitionMatrix(ev).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val streamCounts = spark.table("trans_out").collect()
+        .map(r => (r.getString(1), r.getString(2)))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(streamCounts == batch, s"stream=$streamCounts batch=$batch")
+    } finally q.stop()
+  }
 }

@@ -350,4 +350,25 @@ class TextSpec extends SparkSpecBase {
     assert(nn.last.getLong(1) == 2L && nn.last.getDouble(2) < nn.head.getDouble(2))
   }
 
+  test("weightedSample keeps exactly the docs whose LCG coin clears the weighted p") {
+    import spark.implicits._
+    // weights spread 10..1000 over 20 docs; rate 0.5 → p ∝ n_chars,
+    // capped at 1 for the heaviest docs
+    val rows = (1L to 20L).map(i => (i, s"src${i % 3}", i * i * 5L / 2 + 10L))
+    val df = rows.toDF("doc_id", "source", "n_chars")
+    val n = rows.size.toDouble
+    val sumW = rows.map(_._3).sum.toDouble
+    val expectKeep = rows.filter { case (id, _, w) =>
+      val p = math.min(1.0, 0.5 * n * w.toDouble / sumW)
+      ((id * 2654435761L) % 4294967296L).toDouble < p * 4294967296.0
+    }.map(_._1).toSet
+    val out = TextStats.weightedSample(df, rate = 0.5).collect()
+    assert(out.map(_.getLong(0)).toSet == expectKeep, s"got ${out.toSeq}")
+    // p is emitted capped: the heaviest doc's p_keep must be exactly 1.0
+    val heavy = out.find(_.getLong(0) == 20L)
+    assert(heavy.nonEmpty && heavy.get.getDouble(3) == 1.0,
+      s"heaviest doc p_keep: ${heavy.map(_.getDouble(3))}")
+    // deterministic: a second run keeps the identical cut
+    assert(TextStats.weightedSample(df, rate = 0.5).collect().toSeq == out.toSeq)
+  }
 }

@@ -140,4 +140,28 @@ class TrackSpec extends SparkSpecBase {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(out == Map(0 -> 1L, 1 -> 2L, 2 -> 1L, 3 -> 1L), s"got $out")
   }
+
+  test("transitionMatrix counts consecutive transitions with per-from probabilities") {
+    // user 1: click>view>purchase; user 2: view>click — so `view` has
+    // two outgoing transitions splitting 0.5/0.5, `click` one at 1.0,
+    // and no cross-user transition exists
+    val out = TrackAnalytics.transitionMatrix(events).collect()
+    val m = out.map(r =>
+      (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(m.size == 3, s"got $m")
+    assert(m(("click", "view")) == ((1L, 1.0)))
+    assert(m(("view", "purchase")) == ((1L, 0.5)))
+    assert(m(("view", "click")) == ((1L, 0.5)))
+  }
+
+  test("modalEventType breaks count ties toward the lexicographically smaller type") {
+    val ev = Seq(
+      (0L, 0L, 1L, "view"), (1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"),
+      (3L, 0L, 2L, "view"), (4L, 1000L, 2L, "click") // 1-1 tie -> "click"
+    ).toDF("event_id", "ts_ms", "user_id", "event_type")
+      .withColumn("ts_ns", col("ts_ms") * 1000000L)
+    val out = TrackAnalytics.modalEventType(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> (("view", 2L)), 2L -> (("click", 1L))), s"got $out")
+  }
 }
