@@ -913,6 +913,29 @@ object Oracles {
                 floor((shared/nsh)*10000 + 0.5)/10000 AS containment
          FROM d WHERE nsh >= 5 AND shared/nsh >= 0.8
          ORDER BY doc_id, in_doc""",
+
+    // d19 = d18 under prefix filtering — exact recall by the prefix
+    // principle, so the same oracle (the d02/d03 twin convention)
+    "d19_containment_prefix" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(toks[i:i+2], ' ')
+                                 for i in range(1, len(toks)-1)]) AS sh
+           FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3),
+         e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM t),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.nsh AS na, b.nsh AS nb, count(*) AS shared
+               FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2, 3, 4),
+         d AS (SELECT id_a AS doc_id, id_b AS in_doc, na AS nsh, shared FROM p
+               UNION ALL
+               SELECT id_b AS doc_id, id_a AS in_doc, nb AS nsh, shared FROM p)
+         SELECT doc_id, in_doc, shared, nsh,
+                floor((shared/nsh)*10000 + 0.5)/10000 AS containment
+         FROM d WHERE nsh >= 5 AND shared/nsh >= 0.8
+         ORDER BY doc_id, in_doc""",
     "d11_dedup_against" -> dedupAgainstSql,
 
     // d12: the same exact cross-side Jaccard as d11 plus a batch-

@@ -1228,4 +1228,66 @@ object Dedup {
         stableRound(col("shared") / col("nsh"), 4).as("containment"))
       .orderBy("doc_id", "in_doc")
   }
+
+  /** Candidate (contained, container) pairs under prefix filtering —
+    * the shared core of d19, factored out so the spec can pin the
+    * pruning itself. Recall argument (the SSJoin/PPJoin prefix
+    * principle, directional form): C(a→b) ≥ t means a has at most
+    * ⌊(1−t)·|Sa|⌋ shingles OUTSIDE Sb, so among any ⌊(1−t)·|Sa|⌋+1 of
+    * a's shingles at least one is shared with b — probing the join
+    * with only that many of a's RAREST shingles (global-df order,
+    * hash tie-break) cannot miss a qualifying pair. The 1e-9 nudge
+    * under the ceil absorbs IEEE error in t·|Sa| toward the
+    * PERMISSIVE side (a one-larger prefix costs candidates, never
+    * recall). */
+  private[graft] def containmentPrefixCandidates(
+      shingled: DataFrame, threshold: Double): DataFrame = {
+    val e = shingled.select(col("doc_id"),
+      size(col("sh")).cast("long").as("nsh"), explode(col("sh")).as("sh_h"))
+    val dfOrder = e.groupBy("sh_h").agg(count(lit(1)).as("df"))
+    val prefixLen = col("nsh") - ceil(lit(threshold) * col("nsh") - lit(1e-9)) + 1
+    val prefix = e.join(dfOrder, "sh_h")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh_h"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("doc_id"), col("sh_h"))
+    prefix.as("a")
+      .join(e.as("b").hint("shuffle_hash"),
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("in_doc"))
+      .distinct()
+  }
+
+  /** d19_containment_prefix — d18's SCALE PATH: the same directional
+    * containment report via PREFIX FILTERING (SSJoin/PPJoin) instead
+    * of the full inverted-index join. d18 probes every shingle
+    * occurrence into the pair join — candidate volume Σ df(s)² over
+    * the whole shingle universe; here each doc probes only its
+    * ⌊(1−t)·|Sa|⌋+1 RAREST shingles (global document-frequency order),
+    * so candidate volume concentrates exactly where buckets are
+    * smallest, while the prefix principle (see
+    * [[containmentPrefixCandidates]]) keeps recall EXACT — the output
+    * hash-equals d18's, the d02/d03 twin pattern applied to
+    * containment. Candidates verify by one array_intersect over the
+    * cached shingle sets (pair-grain, the d03 verify shape); at 100 TB
+    * the probe side is (1−t)× the corpus shingle volume and every
+    * surviving pair is a real near-container with probability far
+    * higher than an inverted-index bucket pair. */
+  def containmentPrefix(documents: DataFrame, threshold: Double = 0.8,
+                        minShingles: Int = 5, dfCap: Option[Long] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1.0,
+      s"containmentPrefix: threshold must be in (0,1], got $threshold")
+    val shingled = graft.Caches.tracked(cappedShingleSets(documents, dfCap))
+    val sets = shingled.select(col("doc_id"), col("sh"))
+    containmentPrefixCandidates(shingled, threshold)
+      .join(sets.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+      .join(sets.select(col("doc_id").as("in_doc"), col("sh").as("sh_b")), "in_doc")
+      .withColumn("nsh", size(col("sh_a")).cast("long"))
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("nsh") >= minShingles &&
+        col("shared") / col("nsh") >= threshold)
+      .select(col("doc_id"), col("in_doc"), col("shared"), col("nsh"),
+        stableRound(col("shared") / col("nsh"), 4).as("containment"))
+      .orderBy("doc_id", "in_doc")
+  }
 }

@@ -529,4 +529,44 @@ class DedupSpec extends SparkSpecBase {
     val loose = Dedup.containmentDedup(d, threshold = 0.8, minShingles = 1).collect()
     assert(loose.length == 1 && loose(0).getLong(0) == 1L)
   }
+
+  test("containmentPrefix reproduces the exact containment report") {
+    // the d02=d03 twin argument applied to containment: prefix-filtered
+    // candidates must verify to the identical directional report,
+    // including the asymmetric contained-prefix case
+    val big = "a b c d e f g h i j k l"
+    val sub = "a b c d e f g h"
+    val d = docs(0L -> big, 1L -> sub,
+      2L -> "completely unrelated words forming another document here",
+      3L -> (big + " m n o"), 4L -> big)
+    for (t <- Seq(0.8, 0.9)) {
+      val exact = Dedup.containmentDedup(d, threshold = t, minShingles = 5).collect().toSeq
+      val pref = Dedup.containmentPrefix(d, threshold = t, minShingles = 5).collect().toSeq
+      assert(pref == exact, s"threshold $t: prefix=$pref exact=$exact")
+      assert(exact.nonEmpty, s"threshold $t: planted cases must qualify")
+    }
+    graft.Caches.release()
+  }
+
+  test("containmentPrefix prunes hot-shingle candidates the inverted index would enumerate") {
+    // every doc shares one HOT opening trigram; rarest-first prefixes
+    // skip it, so candidate pairs stay confined to the planted dup —
+    // the full inverted index would enumerate all ordered pairs
+    val common = "the quick brown"
+    val d = docs(
+      0L -> s"$common alpha beta gamma delta epsilon",
+      1L -> s"$common zeta eta theta iota kappa",
+      2L -> s"$common lambda mu nu xi omicron",
+      3L -> s"$common alpha beta gamma delta epsilon") // dup of 0
+    val shingled = Dedup.cappedShingleSets(d, None)
+    val cands = Dedup.containmentPrefixCandidates(shingled, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall: both directions of the planted dup are candidates
+    assert(cands.contains((0L, 3L)) && cands.contains((3L, 0L)), s"got $cands")
+    // pruning: nothing pairs through the hot shared opening alone
+    assert(cands.size < 12, s"prefix filtering admitted all ordered pairs: $cands")
+    val out = Dedup.containmentPrefix(d, threshold = 0.8, minShingles = 5).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 3L), (3L, 0L)))
+    graft.Caches.release()
+  }
 }
