@@ -1244,9 +1244,15 @@ object Dedup {
       shingled: DataFrame, threshold: Double): DataFrame = {
     val e = shingled.select(col("doc_id"),
       size(col("sh")).cast("long").as("nsh"), explode(col("sh")).as("sh_h"))
-    val dfOrder = e.groupBy("sh_h").agg(count(lit(1)).as("df"))
     val prefixLen = col("nsh") - ceil(lit(threshold) * col("nsh") - lit(1e-9)) + 1
-    val prefix = e.join(dfOrder, "sh_h")
+    // df attaches via a count window, not a join against the grouped
+    // df table: the post-explode size estimate under-states that table
+    // so badly the planner would broadcast it at any SF (the d02
+    // lesson), while the window is strategy-proof — one sh_h exchange,
+    // per-key buffers bounded by the dfCap that already guards hot
+    // shingles upstream
+    val prefix = e
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh_h")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("sh_h"))))
       .filter(col("rk") <= prefixLen)
