@@ -215,6 +215,10 @@ object SparkEntry {
     "a08_pq_knn" -> ((s, d) => Ann.pqKnn(Tables.embeddings(s, d))),
     "a17_sq8_knn" -> ((s, d) => Ann.sq8Knn(Tables.embeddings(s, d))),
     "a09_ivf_pq" -> ((s, d) => Ann.ivfPqKnn(Tables.embeddings(s, d))),
+    "a18_ivf_sq8" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.ivfSq8Knn(e, centroids = Some(Ann.labelCentroids(e)))
+    }),
     "t01_token_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) => TextStats.qualityScore(Tables.documents(s, d))),
     "t03_langid" -> ((s, d) => TextStats.langId(Tables.documents(s, d))),

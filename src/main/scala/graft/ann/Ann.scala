@@ -485,16 +485,16 @@ object Ann {
     * scan; compose with IVF cells (a04) when candidate pruning is
     * also needed. Rows-only: quantized similarity is codec-specific —
     * the spec bounds recall vs a01 and pins encode/decode fidelity. */
-  def sq8Knn(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
-             rerank: Int = 50, dim: Int = 64): DataFrame = {
-    val spark = embeddings.sparkSession
-    GraftFunctions.register(spark)
-    // per-dimension ranges: partial-agg to `dim` rows, driver-bounded
+  /** Per-dimension SQ8 affine ranges — one partial-agg pass,
+    * dim-bounded collect. Shared by the flat (a17) and IVF (a18)
+    * scalar-quantized variants. */
+  private def trainSq8Ranges(embeddings: DataFrame,
+                             dim: Int): (Array[Float], Array[Float]) = {
     val mm = embeddings
       .select(posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("pos").agg(min("v").as("lo"), max("v").as("hi"))
       .collect()
-    require(mm.nonEmpty, "sq8Knn: embeddings table is empty — nothing to train on")
+    require(mm.nonEmpty, "sq8: embeddings table is empty — nothing to train on")
     val lo = new Array[Float](dim)
     val scale = new Array[Float](dim)
     mm.foreach { r =>
@@ -504,6 +504,14 @@ object Ann {
         scale(p) = (r.getFloat(2) - lo(p)) / 255f
       }
     }
+    (lo, scale)
+  }
+
+  def sq8Knn(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
+             rerank: Int = 50, dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    val (lo, scale) = trainSq8Ranges(embeddings, dim)
     val (encF, simF) = GraftFunctions.registerSq8(spark, lo, scale)
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding")).orderBy("vec_id")
@@ -516,6 +524,49 @@ object Ann {
     val wApprox = Window.partitionBy("query_id")
       .orderBy(col("approx").desc, col("neighbor_id"))
     val shortlist = broadcast(qDf).crossJoin(cands)
+      .withColumn("approx", expr(s"$simF(qe, codes)"))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= rerank)
+      .select("query_id", "neighbor_id")
+    val out = exactRerank(embeddings, shortlist, queries, k)
+    GraftFunctions.dropFunction(spark, encF) // dependent plans already analyzed
+    GraftFunctions.dropFunction(spark, simF)
+    out
+  }
+
+  /** a18_ivf_sq8 — IVF cells over SQ8 codes (the FAISS
+    * `IVF…,SQ8` factory shape), composing a04's candidate pruning
+    * with a17's 4× residency cut: corpus vectors store dim BYTES
+    * inside their nearest-centroid cell, queries probe `nprobe` cells
+    * and score codes with the dequantize-in-loop `Sq8Cosine`, the top
+    * `rerank` per query re-score exactly. The practical
+    * billion-vector default when PQ's distortion is too coarse:
+    * candidate volume is the probed cells' postings (never the
+    * corpus), each posting read is a quarter the bytes of the float
+    * cell scan, and recall folds the two documented regimes — cell
+    * boundaries (a04's nprobe trade) and codec distortion (a17's,
+    * near-lossless). Rows-only: spec pins equality to a04 under a
+    * generous rerank and recall on planted clusters. */
+  def ivfSq8Knn(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
+                nprobe: Int = 2, rerank: Int = 50,
+                centroids: Option[DataFrame] = None, cells: Int = 0,
+                dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    val cents = resolveCentroids(embeddings, centroids, cells)
+    val (lo, scale) = trainSq8Ranges(embeddings, dim)
+    val (encF, simF) = GraftFunctions.registerSq8(spark, lo, scale)
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = assignN(embeddings.filter(col("vec_id") < nQueries), cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("c_label"))
+    val c = assign(embeddings.filter(col("vec_id") >= nQueries), cents)
+      .select(col("vec_id").as("neighbor_id"),
+        expr(s"$encF(embedding)").as("codes"), col("c_label"))
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val shortlist = q.join(c, "c_label")
       .withColumn("approx", expr(s"$simF(qe, codes)"))
       .withColumn("arn", row_number().over(wApprox))
       .filter(col("arn") <= rerank)

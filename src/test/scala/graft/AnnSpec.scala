@@ -183,6 +183,24 @@ class AnnSpec extends SparkSpecBase {
     assert(sim > 0.9999, s"self-similarity through the codec: $sim")
   }
 
+  test("ivfSq8Knn reproduces ivfKnn under a generous rerank — pruning from cells, fidelity from SQ8") {
+    // toy set with label centroids: the SQ8 shortlist covers every cell
+    // candidate, so the exact re-rank must equal the float IVF search
+    val cents = Ann.labelCentroids(vecs)
+    val ivf = Ann.ivfKnn(vecs, nQueries = 2, k = 2, centroids = Some(cents)).collect().toSeq
+    val sq = Ann.ivfSq8Knn(vecs, nQueries = 2, k = 2, rerank = 8,
+      centroids = Some(cents), dim = 4).collect().toSeq
+    assert(sq == ivf, s"sq8=$sq ivf=$ivf")
+    // real embeddings, default knobs: same equality (rerank 50 covers
+    // the probed cells at sf0.001), so the composition loses nothing
+    // beyond a04's own nprobe trade
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val c2 = Ann.labelCentroids(emb)
+    val i2 = Ann.ivfKnn(emb, centroids = Some(c2)).collect().toSeq
+    val s2 = Ann.ivfSq8Knn(emb, centroids = Some(c2)).collect().toSeq
+    assert(s2 == i2, "IVF-SQ8 diverged from float IVF under a covering rerank")
+  }
+
   test("ivfKnnIndexed reproduces ivfKnn from the saved index, reading only probed cells") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cents = Ann.labelCentroids(emb)
