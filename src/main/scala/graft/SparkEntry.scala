@@ -144,6 +144,12 @@ object SparkEntry {
     "d04_simhash" -> ((s, d) => Dedup.simHash(Tables.documents(s, d))),
     "d18_containment" -> ((s, d) => Dedup.containmentDedup(Tables.documents(s, d), dfCap = Some(1000L))),
     "d19_containment_prefix" -> ((s, d) => Dedup.containmentPrefix(Tables.documents(s, d), dfCap = Some(1000L))),
+    // incremental containment: src0 plays the new batch (d11 convention)
+    "d20_containment_against" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.containmentAgainst(docs.filter(docs("source") === "src0"),
+        docs.filter(docs("source") =!= "src0"), dfCap = Some(1000L))
+    }),
     "d05_embed_dedup" -> ((s, d) => Dedup.embedDedup(Tables.embeddings(s, d))),
     // d06 registered IN ITS LSH REGIME (threshold 0.75; < 0.7 delegates
     // to the exact join and is spec-pinned byte-identical). The testdata

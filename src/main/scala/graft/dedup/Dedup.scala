@@ -1296,4 +1296,61 @@ object Dedup {
         stableRound(col("shared") / col("nsh"), 4).as("containment"))
       .orderBy("doc_id", "in_doc")
   }
+
+  /** d20_containment_against — the INCREMENTAL shape of d18/d19 (the
+    * d11 pattern applied to containment): is an arriving doc a
+    * near-SUBSET of anything already in the corpus? This is the
+    * admission check Jaccard-based d11/d12 structurally miss — a
+    * short doc quoted inside a long corpus doc has high containment
+    * but arbitrarily low Jaccard. Directional and one-sided: only
+    * C(new→corpus) is reported (corpus-in-batch containment is the
+    * corpus's own dedup problem, already settled).
+    *
+    * Plan: shingles over batch ∪ corpus (union-wide dfCap, the d11
+    * convention so the capped universe means the same on both sides);
+    * the batch side probes with d19's prefix filter, rarest-first by
+    * CORPUS document frequency — computed as a conditional sum window
+    * over the same sh_h partitioning the candidate join shuffles on
+    * (strategy-proof, the d19 rationale). Batch shingles absent from
+    * the corpus get df 0: probed first, generate no candidates, and
+    * the prefix principle holds for ANY p-subset so recall stays
+    * exact. Candidate volume is |batch|-prefix-proportional; the
+    * corpus never self-pairs. */
+  def containmentAgainst(newDocs: DataFrame, corpus: DataFrame,
+                         threshold: Double = 0.8, minShingles: Int = 5,
+                         dfCap: Option[Long] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1.0,
+      s"containmentAgainst: threshold must be in (0,1], got $threshold")
+    val union = newDocs.select("doc_id", "text")
+      .unionByName(corpus.select("doc_id", "text"))
+    val shingled = graft.Caches.tracked(cappedShingleSets(union, dfCap))
+    val newIds = broadcast(newDocs.select(col("doc_id"), lit(true).as("is_new")))
+    val e = shingled.join(newIds, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("is_new"), lit(false)).as("is_new"),
+        size(col("sh")).cast("long").as("nsh"), explode(col("sh")).as("sh_h"))
+    val withDf = e.withColumn("cdf",
+      sum(when(col("is_new"), 0L).otherwise(1L)).over(Window.partitionBy("sh_h")))
+    val prefixLen = col("nsh") - ceil(lit(threshold) * col("nsh") - lit(1e-9)) + 1
+    val prefix = withDf.filter(col("is_new"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("cdf"), col("sh_h"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("doc_id"), col("sh_h"))
+    val cand = prefix
+      .join(withDf.filter(!col("is_new"))
+        .select(col("doc_id").as("corpus_doc"), col("sh_h")).hint("shuffle_hash"),
+        Seq("sh_h"))
+      .select(col("doc_id"), col("corpus_doc")).distinct()
+    val sets = shingled.select(col("doc_id"), col("sh"))
+    cand
+      .join(sets.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+      .join(sets.select(col("doc_id").as("corpus_doc"), col("sh").as("sh_b")), "corpus_doc")
+      .withColumn("nsh", size(col("sh_a")).cast("long"))
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("nsh") >= minShingles &&
+        col("shared") / col("nsh") >= threshold)
+      .select(col("doc_id").as("new_doc"), col("corpus_doc"), col("shared"), col("nsh"),
+        stableRound(col("shared") / col("nsh"), 4).as("containment"))
+      .orderBy("new_doc", "corpus_doc")
+  }
 }

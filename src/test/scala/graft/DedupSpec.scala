@@ -569,4 +569,24 @@ class DedupSpec extends SparkSpecBase {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 3L), (3L, 0L)))
     graft.Caches.release()
   }
+
+  test("containmentAgainst reports only batch-in-corpus directions, never corpus self-pairs") {
+    val big = "a b c d e f g h i j k l"
+    val sub = "a b c d e f g h"                  // contained in big
+    // batch: doc 0 is a near-subset of corpus doc 10; doc 1 CONTAINS
+    // corpus doc 12 (reverse direction — must NOT be reported); doc 2
+    // matches nothing
+    val batch = docs(0L -> sub, 1L -> (big + " m n o"),
+      2L -> "totally unrelated fresh arrival content words here today")
+    // corpus docs 10/11 are near-dups of each other — must not pair
+    val corpus = docs(10L -> big, 11L -> big, 12L -> big)
+    val out = Dedup.containmentAgainst(batch, corpus,
+      threshold = 0.8, minShingles = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    // doc 0 ⊂ each corpus doc at C=1.0; doc 1 ⊃ corpus (C(1→·)=10/13<0.8)
+    assert(out.map(t => (t._1, t._2)).toSet ==
+      Set((0L, 10L), (0L, 11L), (0L, 12L)), s"got ${out.toSeq}")
+    assert(out.forall(_._3 == 1.0), s"got ${out.toSeq}")
+    graft.Caches.release()
+  }
 }
