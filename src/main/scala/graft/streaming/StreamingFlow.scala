@@ -615,6 +615,65 @@ object StreamingFlow {
       .select(explode(col("sk")).as(Seq("word", "est_freq")))
   }
 
+  /** s23_stream_containment_admit — d20's admission loop made real
+    * (the s14 recipe in the CONTAINMENT regime): every micro-batch
+    * asks "is this arriving doc a near-subset of anything the corpus
+    * already holds" via `Dedup.containmentAgainst`, writes one verdict
+    * row per doc (contained, with best evidence — highest containment,
+    * lowest corpus id — or admitted), and appends the admitted docs to
+    * the corpus so the next trigger's check compounds. This is the
+    * quote-inflation / boilerplate-wrapper gate the Jaccard loops
+    * (s14/s18) structurally miss. Scope matches d20: the corpus leg
+    * only — batch-internal mutual containment composes via
+    * `containmentDedup` on the batch when needed. Same replay protocol
+    * as s14: batch_id-partitioned dynamic overwrites, the replaying
+    * batch's own prior admissions excluded from its corpus snapshot. */
+  def streamContainmentAdmit(stream: DataFrame, corpusPath: String,
+                             verdictPath: String, checkpoint: String,
+                             threshold: Double = 0.8, minShingles: Int = 5,
+                             dfCap: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(containmentAdmitBatch(corpusPath, verdictPath,
+        threshold, minShingles, dfCap))
+      .start()
+
+  private[graft] def containmentAdmitBatch(corpusPath: String, verdictPath: String,
+                                           threshold: Double, minShingles: Int,
+                                           dfCap: Option[Long]
+                                          ): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val docs = batch.select("doc_id", "text").localCheckpoint(true)
+      val corpus = spark.read.parquet(corpusPath)
+        .filter(col("batch_id") =!= batchId) // s14's replay-safety rule
+        .select("doc_id", "text")
+      val verdicts = graft.Caches.scoped {
+        val hits = graft.dedup.Dedup
+          .containmentAgainst(docs, corpus, threshold, minShingles, dfCap)
+          .groupBy(col("new_doc").as("doc_id"))
+          .agg(max(struct(col("containment").as("c"),
+            (-col("corpus_doc")).as("nid"))).as("m"))
+          .select(col("doc_id"), (-col("m.nid")).as("corpus_doc"),
+            col("m.c").as("containment"))
+        docs.select("doc_id").join(hits, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            when(col("corpus_doc").isNotNull, lit("contained"))
+              .otherwise(lit("admitted")).as("verdict"),
+            coalesce(col("corpus_doc"), lit(-1L)).as("evidence_id"),
+            coalesce(col("containment"), lit(0.0)).as("containment"))
+          .localCheckpoint(true)
+      }
+      verdicts.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(verdictPath)
+      docs.join(verdicts.filter(col("verdict") === "admitted").select("doc_id"), "doc_id")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(corpusPath)
+    }
+
   case class TransEv(userId: Long, tsMs: Long, eventId: Long, eventType: String)
   case class TransState(lastMs: Long, lastId: Long, lastType: String)
   case class Transition(userId: Long, fromType: String, toType: String)

@@ -637,6 +637,54 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s23 containment admission gates subset docs the Jaccard loop admits, and compounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("s23").toString
+    val corpusPath = s"$dir/corpus"; val verdictPath = s"$dir/verdicts"
+    val big = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    val sub = "alpha bravo charlie delta echo foxtrot golf hotel" // ⊂ big, J=0.6
+    val fresh = "one two three four five six seven eight nine ten eleven twelve"
+    Seq((100L, big)).toDF("doc_id", "text")
+      .withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id").parquet(corpusPath)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingFlow.streamContainmentAdmit(
+      input.toDF().toDF("doc_id", "text"), corpusPath, verdictPath, s"$dir/ckpt")
+    try {
+      // trigger 1: doc 1 is a verbatim SUBSET of the corpus doc
+      // (C=1.0 but J=6/10 — the Jaccard-0.8 loop would admit it);
+      // doc 2 is fresh
+      input.addData((1L, sub), (2L, fresh))
+      q.processAllAvailable()
+      val v1 = spark.read.parquet(verdictPath).filter(col("batch_id") === 0)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(v1 == Set((1L, "contained", 100L), (2L, "admitted", -1L)), s"got $v1")
+      // the Jaccard admission on the same snapshot admits the subset
+      val jac = graft.dedup.Dedup.ingestAdmit(
+          Seq((1L, sub)).toDF("doc_id", "text"),
+          Seq((100L, big)).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(jac(1L) == "admitted", "premise: Jaccard misses the subset case")
+      // trigger 2: a subset of TRIGGER 1's admitted doc — compounding
+      input.addData((3L, "one two three four five six seven eight nine"))
+      q.processAllAvailable()
+      val v2 = spark.read.parquet(verdictPath).filter(col("batch_id") === 1)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(v2 == Set((3L, "contained", 2L)), s"got $v2")
+      val corpusIds = spark.read.parquet(corpusPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(corpusIds == Set(100L, 2L), s"got $corpusIds")
+      // replay batch 0: idempotent verdicts, no corpus duplication
+      StreamingFlow.containmentAdmitBatch(corpusPath, verdictPath, 0.8, 5, None)(
+        Seq((1L, sub), (2L, fresh)).toDF("doc_id", "text"), 0L)
+      val replayed = spark.read.parquet(verdictPath).filter(col("batch_id") === 0)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(replayed == v1, s"replay must be idempotent: $replayed vs $v1")
+      assert(spark.read.parquet(corpusPath).select("doc_id").collect()
+        .map(_.getLong(0)).toSet == Set(100L, 2L))
+    } finally q.stop()
+  }
+
   test("s22 emits transition edges across micro-batch boundaries, matching the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingFlow.TransEv
