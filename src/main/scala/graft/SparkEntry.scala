@@ -281,6 +281,7 @@ object SparkEntry {
     "m02_chunk_sample" -> ((s, d) => BinaryPipeline.chunkSample(Tables.documents(s, d))),
     "m06_chunk_dedup" -> ((s, d) => BinaryPipeline.chunkDedup(Tables.documents(s, d))),
     "m07_cdc_dedup" -> ((s, d) => BinaryPipeline.cdcDedup(Tables.documents(s, d))),
+    "m10_chunk_containment" -> ((s, d) => BinaryPipeline.chunkContainment(Tables.documents(s, d))),
     "m08_feature_dedup" -> ((s, d) => BinaryPipeline.featureDedup(Tables.documents(s, d))),
     "m09_storage_savings" -> ((s, d) => BinaryPipeline.storageSavings(Tables.documents(s, d)))
   )

@@ -240,6 +240,58 @@ object BinaryPipeline {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** m10_chunk_containment — VERSION-LINEAGE detection over CDC
+    * chunks: the directional d18 measure applied to payloads —
+    * C(a→b) = |chunks(a) ∩ chunks(b)| / |chunks(a)| ≥ threshold flags
+    * payload a as substantially CONTAINED in b (an earlier version, a
+    * truncated upload, a file embedded inside an archive/container),
+    * the asymmetric verdict m07's symmetric shared-count cannot
+    * express: appending a tail to a file leaves the original 100%
+    * contained while the pair's Jaccard and the reverse direction
+    * dilute arbitrarily. CDC boundaries (m07's content-defined cuts)
+    * make the chunk sets shift-robust, so an inserted prefix doesn't
+    * break the containment signal the way fixed-grid chunks (m06)
+    * would.
+    *
+    * Scale posture: m07's exactly — payload bytes never shuffle
+    * (chunking is one compiled `graft_cdc_hashes` pass at the scan),
+    * only (doc_id, 8-byte hash) pairs cross exchanges, hot chunks
+    * df-capped; each unordered pair is enumerated once and both
+    * directions derive from the one pair row (the d18 shape).
+    * Rows-only: CDC boundaries are not ANSI-SQL-expressible; the spec
+    * plants the appended-tail lineage case and pins the direction. */
+  def chunkContainment(documents: DataFrame, threshold: Double = 0.8,
+                       minChunks: Int = 4, minLen: Int = 16, maskBits: Int = 5,
+                       dfCap: Long = 1000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1.0,
+      s"chunkContainment: threshold must be in (0,1], got $threshold")
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val keyed = documents
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        explode(expr(s"graft_cdc_hashes(payload, $minLen, $maskBits)")).as("h"))
+      .distinct()
+    graft.Caches.tracked(keyed) // three readers — see chunkDedup
+    val counts = keyed.groupBy("doc_id").agg(count(lit(1)).as("nch"))
+    val eligible = keyed.groupBy("h")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, dfCap))
+      .select("h")
+    val cand = keyed.join(eligible, "h")
+    val pairs = cand.as("a").join(cand.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    val dirs = pairs.select(col("id_a").as("doc_id"), col("id_b").as("in_doc"), col("shared"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"), col("id_a").as("in_doc"), col("shared")))
+    dirs.join(counts, "doc_id")
+      .filter(col("nch") >= minChunks &&
+        col("shared") / col("nch") >= threshold)
+      .select(col("doc_id"), col("in_doc"), col("shared"), col("nch"),
+        graft.Num.stableRound(col("shared") / col("nch"), 4).as("containment"))
+      .orderBy("doc_id", "in_doc")
+  }
+
   /** m08_feature_dedup — the multimodal near-dup MANIFEST over
     * DECODED features: the missing edge between the decode stub and
     * the dedup/ANN stack. Payloads run through `decodeFeatures` (the

@@ -157,4 +157,24 @@ class MultimodalSpec extends SparkSpecBase {
     val again = BinaryPipeline.decodeFeatures(d, featureDim = 4).collect()
     assert(out(0).getSeq[Float](3) == again(0).getSeq[Float](3))
   }
+
+  test("chunkContainment flags the appended-tail lineage direction m07 cannot express") {
+    import spark.implicits._
+    // doc 1 = doc 0 + a long appended tail: every chunk of 0 except
+    // possibly its FINAL one (whose forced end-cut lands mid-content
+    // once the tail continues) recurs in 1, so C(0→1) ≈ 1 while
+    // C(1→0) dilutes under threshold
+    val rnd = new scala.util.Random(11)
+    val base = Iterator.continually(rnd.alphanumeric.head).take(400).mkString
+    val tail = Iterator.continually(rnd.alphanumeric.head).take(400).mkString
+    val d = Seq(
+      (0L, base), (1L, base + tail),
+      (2L, Iterator.continually(rnd.alphanumeric.head).take(400).mkString)
+    ).toDF("doc_id", "text")
+    val out = BinaryPipeline.chunkContainment(d, threshold = 0.8, minChunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((0L, 1L)), s"got ${out.toSeq}")
+    assert(out(0)._3 >= 0.85, s"contained version must score near 1: ${out.toSeq}")
+    graft.Caches.release()
+  }
 }
