@@ -682,6 +682,30 @@ object Oracles {
   /** d11: the exact cross-side Jaccard (batch = src0 docs, corpus =
     * the rest) — the asymmetric-LSH path must reproduce it exactly,
     * the d02=d03 equality argument applied to the incremental shape. */
+  /** d20/d21: cross-side directional containment (batch = src0);
+    * shingle STRINGS stand in for the 64-bit hashes (d09/d11
+    * convention) and the plain cross join is the oracle — prefix
+    * recall is exact on the live side, and the at-rest probe is
+    * result-identical to it. */
+  private val containmentAgainstSql =
+    """WITH t AS (
+         SELECT doc_id, source,
+                list_distinct([array_to_string(toks[i:i+2], ' ')
+                               for i in range(1, len(toks)-1)]) AS sh
+         FROM (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS toks
+               FROM documents)
+         WHERE len(toks) >= 3),
+       e AS (SELECT doc_id, source, len(sh) AS nsh, unnest(sh) AS shingle FROM t),
+       p AS (SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+                    a.nsh AS nsh, count(*) AS shared
+             FROM e a JOIN e b ON a.shingle = b.shingle
+              AND a.source = 'src0' AND b.source <> 'src0'
+             GROUP BY 1, 2, 3)
+       SELECT new_doc, corpus_doc, shared, nsh,
+              floor((shared/nsh)*10000 + 0.5)/10000 AS containment
+       FROM p WHERE nsh >= 5 AND shared/nsh >= 0.8
+       ORDER BY new_doc, corpus_doc"""
+
   private val dedupAgainstSql =
     """WITH t AS (
          SELECT doc_id, source,
@@ -914,27 +938,15 @@ object Oracles {
          FROM d WHERE nsh >= 5 AND shared/nsh >= 0.8
          ORDER BY doc_id, in_doc""",
 
+    // d21 shares d20's oracle: the at-rest probe is result-identical
+    // to the live containmentAgainst over the same corpus (the
+    // d14/d15 convention)
+    "d21_containment_probe_indexed" -> containmentAgainstSql,
+
     // d20: cross-side directional containment (batch = src0, the d11
     // convention); prefix recall is exact, so the plain cross join of
     // shingle strings IS the oracle
-    "d20_containment_against" ->
-      """WITH t AS (
-           SELECT doc_id, source,
-                  list_distinct([array_to_string(toks[i:i+2], ' ')
-                                 for i in range(1, len(toks)-1)]) AS sh
-           FROM (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS toks
-                 FROM documents)
-           WHERE len(toks) >= 3),
-         e AS (SELECT doc_id, source, len(sh) AS nsh, unnest(sh) AS shingle FROM t),
-         p AS (SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
-                      a.nsh AS nsh, count(*) AS shared
-               FROM e a JOIN e b ON a.shingle = b.shingle
-                AND a.source = 'src0' AND b.source <> 'src0'
-               GROUP BY 1, 2, 3)
-         SELECT new_doc, corpus_doc, shared, nsh,
-                floor((shared/nsh)*10000 + 0.5)/10000 AS containment
-         FROM p WHERE nsh >= 5 AND shared/nsh >= 0.8
-         ORDER BY new_doc, corpus_doc""",
+    "d20_containment_against" -> containmentAgainstSql,
 
     // d19 = d18 under prefix filtering — exact recall by the prefix
     // principle, so the same oracle (the d02/d03 twin convention)

@@ -183,6 +183,15 @@ object SparkEntry {
     // actually calls (build once, probe per batch). Each row builds the
     // index in a fresh temp dir then probes it; result-identical to its
     // live twin (d11/d12), which is what the shared oracle checks.
+    // d20's at-rest twin: the saved containment index (postings +
+    // dfs + sets), probed at |batch|-proportional cost — shares d20's
+    // oracle (result-identical by construction)
+    "d21_containment_probe_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tmp = scratchDir("graft_d21_")
+      Dedup.writeContainmentIndex(docs.filter(docs("source") =!= "src0"), tmp)
+      Dedup.containmentAgainstIndex(docs.filter(docs("source") === "src0"), tmp)
+    }),
     "d14_dedup_probe_indexed" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val tmp = scratchDir("graft_d14_")

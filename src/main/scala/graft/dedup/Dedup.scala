@@ -1353,4 +1353,114 @@ object Dedup {
         stableRound(col("shared") / col("nsh"), 4).as("containment"))
       .orderBy("new_doc", "corpus_doc")
   }
+
+  /** sink_containment_index — PERSIST the corpus half of d20's
+    * derivation (the writeDedupIndex recipe for the containment
+    * regime): [[containmentAgainst]] re-shingles and re-counts the
+    * ENTIRE corpus per batch; this sink runs that once, writing three
+    * relations under `path` — `sets/` (doc_id, sh, nsh — the verify
+    * side), `postings/` (bkt, sh_h, doc_id — the candidate side,
+    * partitioned by shingle-hash bucket so a probe's buckets prune to
+    * their directories) and `dfs/` (bkt, sh_h, df — one row per
+    * DISTINCT corpus shingle, the cheap lookup that lets the probe
+    * choose its prefix BEFORE touching any posting), plus `meta/`
+    * (the bucket modulus — a probe must hash with the sink's exact
+    * modulus, and sparse occupancy makes it non-inferable). df is an
+    * efficiency ordering, not a correctness input (the prefix
+    * principle holds for any p-subset), so batch_id-partitioned
+    * appends leaving per-partition partial dfs can never cost recall
+    * — the probe folds them with one sum. */
+  def writeContainmentIndex(corpus: DataFrame, path: String, nBuckets: Int = 64,
+                            batchId: Option[Long] = None): Unit = {
+    val sets = graft.Caches.tracked(withShingleHashes(corpus)
+      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("nsh")))
+    val post = sets.select(col("doc_id"), explode(col("sh")).as("sh_h"))
+      .withColumn("bkt", pmod(col("sh_h"), lit(nBuckets.toLong)).cast("int"))
+    val dfs = post.groupBy("bkt", "sh_h").agg(count(lit(1)).as("df"))
+    // the bucket MODULUS must be persisted — inferring it from the
+    // occupied bucket ids breaks on sparse occupancy (a small corpus
+    // can leave the top buckets empty), and a probe hashing with the
+    // wrong modulus reads the wrong directories
+    corpus.sparkSession.range(1).select(lit(nBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(path + "/meta")
+    batchId match {
+      case None =>
+        sets.write.mode("overwrite").parquet(path + "/sets")
+        post.write.mode("overwrite").partitionBy("bkt").parquet(path + "/postings")
+        dfs.write.mode("overwrite").partitionBy("bkt").parquet(path + "/dfs")
+      case Some(id) =>
+        sets.withColumn("batch_id", lit(id))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(path + "/sets")
+        post.withColumn("batch_id", lit(id))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "bkt").parquet(path + "/postings")
+        dfs.withColumn("batch_id", lit(id))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "bkt").parquet(path + "/dfs")
+    }
+  }
+
+  /** d21_containment_probe_indexed — d20 against the SAVED index:
+    * result-identical to `containmentAgainst(newDocs, corpus,
+    * dfCap = None)` over the same corpus, at |batch|-proportional
+    * cost with ZERO corpus text reads. The batch shingles fresh, its
+    * bucket set (≤ nBuckets values, driver-bounded) statically prunes
+    * the dfs/postings directories, the df lookup orders the prefix
+    * (absent shingles fold to df 0 — the d20 rule), and only the
+    * prefix shingles probe the postings join; the verify reads
+    * `sets/` rows for surviving candidates only. */
+  def containmentAgainstIndex(newDocs: DataFrame, indexPath: String,
+                              threshold: Double = 0.8, minShingles: Int = 5,
+                              excludeBatchId: Option[Long] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1.0,
+      s"containmentAgainstIndex: threshold must be in (0,1], got $threshold")
+    val spark = newDocs.sparkSession
+    def excl(df: DataFrame) = excludeBatchId match {
+      case None => df
+      case Some(id) => df.filter(col("batch_id") =!= id)
+    }
+    val bsets = graft.Caches.tracked(
+      withShingleHashes(newDocs).select(col("doc_id"), col("sh")))
+    // bucket modulus comes from the index's meta relation (it cannot
+    // be inferred from occupied bucket ids — sparse occupancy leaves
+    // top buckets empty). Partition columns read back as INT
+    // (directory-value inference), so the probe's bucket literals are
+    // Ints too — a cast on the partition column would defeat the
+    // pruning this layout exists for.
+    val postingsRaw = excl(spark.read.parquet(indexPath + "/postings"))
+    val dfsRaw = excl(spark.read.parquet(indexPath + "/dfs"))
+    val nBuckets = spark.read.parquet(indexPath + "/meta")
+      .collect()(0).getAs[Number](0).longValue
+    val be = graft.Caches.tracked(
+      bsets.select(col("doc_id"), size(col("sh")).cast("long").as("nsh"),
+          explode(col("sh")).as("sh_h"))
+        .withColumn("bkt", pmod(col("sh_h"), lit(nBuckets)).cast("int")))
+    val bkts = be.select("bkt").distinct().collect().map(_.getInt(0))
+    val dfs = dfsRaw.filter(col("bkt").isin(bkts: _*))
+      .groupBy("sh_h").agg(sum("df").as("df")) // fold append partitions
+    val prefixLen = col("nsh") - ceil(lit(threshold) * col("nsh") - lit(1e-9)) + 1
+    val prefix = be.join(dfs, Seq("sh_h"), "left_outer")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh_h"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("doc_id"), col("sh_h"))
+    val cand = prefix
+      .join(postingsRaw.filter(col("bkt").isin(bkts: _*))
+        .select(col("sh_h"), col("doc_id").as("corpus_doc")).hint("shuffle_hash"),
+        Seq("sh_h"))
+      .select(col("doc_id"), col("corpus_doc")).distinct()
+    val sets = excl(spark.read.parquet(indexPath + "/sets"))
+    cand
+      .join(bsets.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+      .join(sets.select(col("doc_id").as("corpus_doc"), col("sh").as("sh_b")), "corpus_doc")
+      .withColumn("nsh", size(col("sh_a")).cast("long"))
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("nsh") >= minShingles &&
+        col("shared") / col("nsh") >= threshold)
+      .select(col("doc_id").as("new_doc"), col("corpus_doc"), col("shared"), col("nsh"),
+        stableRound(col("shared") / col("nsh"), 4).as("containment"))
+      .orderBy("new_doc", "corpus_doc")
+  }
 }

@@ -570,6 +570,33 @@ class DedupSpec extends SparkSpecBase {
     graft.Caches.release()
   }
 
+  test("containmentAgainstIndex reproduces live d20 from the saved index with pruned scans") {
+    val big = "a b c d e f g h i j k l"
+    val sub = "a b c d e f g h"
+    val batch = docs(0L -> sub, 1L -> "totally unrelated fresh arrival content words here")
+    val corpus = docs(10L -> big, 11L -> (big + " m n o"), 12L -> "other words entirely distinct here now")
+    val live = Dedup.containmentAgainst(batch, corpus, threshold = 0.8, minShingles = 5)
+      .collect().toSeq
+    assert(live.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont_idx").toString
+    Dedup.writeContainmentIndex(corpus, dir)
+    val probeDf = Dedup.containmentAgainstIndex(batch, dir, threshold = 0.8, minShingles = 5)
+    assert(probeDf.collect().toSeq == live,
+      "saved-index probe must be result-identical to the live containment check")
+    // the postings/dfs reads prune by the probe's bucket set — the
+    // isin over the bkt partition column must land as partition
+    // filters, not row filters (the a15 pin applied here)
+    val scans = probeDf.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(p =>
+          p.toString.contains("postings") || p.toString.contains("dfs")) => f
+    }
+    assert(scans.nonEmpty, "postings/dfs scans missing")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "probe buckets must prune partitions on the postings/dfs reads")
+    graft.Caches.release()
+  }
+
   test("containmentAgainst reports only batch-in-corpus directions, never corpus self-pairs") {
     val big = "a b c d e f g h i j k l"
     val sub = "a b c d e f g h"                  // contained in big
