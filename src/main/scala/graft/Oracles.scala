@@ -943,6 +943,39 @@ object Oracles {
     // d14/d15 convention)
     "d21_containment_probe_indexed" -> containmentAgainstSql,
 
+    // d22: the dominance rule (larger set, then smaller id) is a
+    // strict total order, so the windowed best-dominator spec below
+    // equals Spark's struct-max fold; keep is a plain NULL test
+    "d22_containment_apply" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(toks[i:i+2], ' ')
+                                 for i in range(1, len(toks)-1)]) AS sh
+           FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3),
+         e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM t),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.nsh AS na, b.nsh AS nb, count(*) AS shared
+               FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2, 3, 4),
+         d AS (SELECT id_a AS doc_id, id_b AS in_doc, na AS nsh, nb AS n_in, shared FROM p
+               UNION ALL
+               SELECT id_b AS doc_id, id_a AS in_doc, nb AS nsh, na AS n_in, shared FROM p),
+         q AS (SELECT doc_id, in_doc, shared/nsh AS c FROM d
+               WHERE nsh >= 5 AND shared/nsh >= 0.8
+                 AND (n_in > nsh OR (n_in = nsh AND in_doc < doc_id))),
+         best AS (SELECT doc_id, in_doc, c FROM (
+                    SELECT doc_id, in_doc, c,
+                           row_number() OVER (PARTITION BY doc_id
+                             ORDER BY c DESC, in_doc) AS rn
+                    FROM q) WHERE rn = 1)
+         SELECT docs.doc_id, best.in_doc IS NULL AS keep,
+                coalesce(best.in_doc, -1) AS kept_into,
+                floor(coalesce(best.c, 0.0)*10000 + 0.5)/10000 AS containment
+         FROM documents docs LEFT JOIN best ON docs.doc_id = best.doc_id
+         ORDER BY docs.doc_id""",
+
     // d20: cross-side directional containment (batch = src0, the d11
     // convention); prefix recall is exact, so the plain cross join of
     // shingle strings IS the oracle

@@ -144,6 +144,7 @@ object SparkEntry {
     "d04_simhash" -> ((s, d) => Dedup.simHash(Tables.documents(s, d))),
     "d18_containment" -> ((s, d) => Dedup.containmentDedup(Tables.documents(s, d), dfCap = Some(1000L))),
     "d19_containment_prefix" -> ((s, d) => Dedup.containmentPrefix(Tables.documents(s, d), dfCap = Some(1000L))),
+    "d22_containment_apply" -> ((s, d) => Dedup.containmentApply(Tables.documents(s, d), dfCap = Some(1000L))),
     // incremental containment: src0 plays the new batch (d11 convention)
     "d20_containment_against" -> ((s, d) => {
       val docs = Tables.documents(s, d)

@@ -1202,19 +1202,27 @@ object Dedup {
     * is the dfCap on hot shingles. The a<b join enumerates each
     * unordered pair once; both directions are derived from that one
     * pair row, so the pair-count shuffle is paid once. */
-  def containmentDedup(documents: DataFrame, threshold: Double = 0.8,
-                       minShingles: Int = 5, dfCap: Option[Long] = None): DataFrame = {
-    require(threshold > 0 && threshold <= 1.0,
-      s"containmentDedup: threshold must be in (0,1], got $threshold")
+  /** Unordered-pair intersection counts (id_a < id_b, both set sizes)
+    * over the capped shingle universe — the shared core of d18 and
+    * d22. */
+  private def containmentPairs(documents: DataFrame,
+                               dfCap: Option[Long]): DataFrame = {
     val e = cappedShingleSets(documents, dfCap)
       .select(col("doc_id"), size(col("sh")).cast("long").as("nsh"),
         explode(col("sh")).as("sh_h"))
-    val pairs = e.as("a")
+    e.as("a")
       .join(e.as("b").hint("shuffle_hash"),
         col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.nsh").as("na"), col("b.nsh").as("nb"))
       .agg(count(lit(1)).as("shared"))
+  }
+
+  def containmentDedup(documents: DataFrame, threshold: Double = 0.8,
+                       minShingles: Int = 5, dfCap: Option[Long] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1.0,
+      s"containmentDedup: threshold must be in (0,1], got $threshold")
+    val pairs = containmentPairs(documents, dfCap)
     val dirs = pairs.select(
         col("id_a").as("doc_id"), col("id_b").as("in_doc"),
         col("na").as("nsh"), col("shared"))
@@ -1462,5 +1470,45 @@ object Dedup {
       .select(col("doc_id").as("new_doc"), col("corpus_doc"), col("shared"), col("nsh"),
         stableRound(col("shared") / col("nsh"), 4).as("containment"))
       .orderBy("new_doc", "corpus_doc")
+  }
+
+  /** d22_containment_apply — the APPLY step for the containment
+    * family (d08's role for d18/d19): one verdict row per document —
+    * keep, or drop into a DOMINATING container the doc is contained
+    * in. Dominance (larger shingle set, then smaller doc_id) is a
+    * strict total order, so the drop relation is ACYCLIC by
+    * construction: mutually-contained near-identical twins resolve to
+    * the dominant one, and a version chain a⊂b⊂c drops a and b while
+    * keeping c — no union-find, no fixpoint iteration, ONE pass over
+    * the pair relation (where symmetric-Jaccard apply needs d07's
+    * connected components to break pair cycles). `kept_into` records
+    * the best immediate dominator (highest containment, ties to the
+    * smaller id) — follow it transitively, or compose with d07, when
+    * a canonical chain root is needed. Docs under `minShingles` (and
+    * shingle-less docs) always keep. */
+  def containmentApply(documents: DataFrame, threshold: Double = 0.8,
+                       minShingles: Int = 5, dfCap: Option[Long] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1.0,
+      s"containmentApply: threshold must be in (0,1], got $threshold")
+    val pairs = containmentPairs(documents, dfCap)
+    val dirs = pairs.select(col("id_a").as("doc_id"), col("id_b").as("in_doc"),
+        col("na").as("nsh"), col("nb").as("n_in"), col("shared"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"), col("id_a").as("in_doc"),
+        col("nb").as("nsh"), col("na").as("n_in"), col("shared")))
+    val drops = dirs
+      .filter(col("nsh") >= minShingles &&
+        col("shared") / col("nsh") >= threshold &&
+        (col("n_in") > col("nsh") ||
+          (col("n_in") === col("nsh") && col("in_doc") < col("doc_id"))))
+      .groupBy("doc_id")
+      .agg(max(struct((col("shared") / col("nsh")).as("c"),
+        (-col("in_doc")).as("nid"))).as("m"))
+      .select(col("doc_id"), (-col("m.nid")).as("into"), col("m.c").as("c"))
+    documents.select(col("doc_id"))
+      .join(drops, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("into").isNull.as("keep"),
+        coalesce(col("into"), lit(-1L)).as("kept_into"),
+        stableRound(coalesce(col("c"), lit(0.0)), 4).as("containment"))
+      .orderBy("doc_id")
   }
 }

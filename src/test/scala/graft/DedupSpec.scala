@@ -597,6 +597,25 @@ class DedupSpec extends SparkSpecBase {
     graft.Caches.release()
   }
 
+  test("containmentApply drops version chains into dominators in one acyclic pass") {
+    val big = "a b c d e f g h i j k l"             // 10 shingles
+    val mid = "a b c d e f g h i j"                  // 8, ⊂ big
+    val sml = "a b c d e f g h"                      // 6, ⊂ mid ⊂ big
+    // 3 = identical twin of big: mutual containment, dominance breaks
+    // the tie to the smaller id (0 keeps, 3 drops into 0)
+    val d = docs(0L -> big, 1L -> mid, 2L -> sml, 3L -> big,
+      4L -> "totally different content with no overlap at all here")
+    val out = Dedup.containmentApply(d, threshold = 0.8, minShingles = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((true, -1L)), s"got $out")  // chain root keeps
+    assert(out(4L) == ((true, -1L)))                // unrelated keeps
+    // every dropped doc's dominators all sit at C=1.0, so the evidence
+    // tie-break lands on the smallest dominating id (doc 0)
+    assert(out(1L) == ((false, 0L)), s"got $out")  // mid drops
+    assert(out(2L) == ((false, 0L)), s"got $out")  // sml drops
+    assert(out(3L) == ((false, 0L)), s"got $out")  // twin drops into smaller id
+  }
+
   test("containmentAgainst reports only batch-in-corpus directions, never corpus self-pairs") {
     val big = "a b c d e f g h i j k l"
     val sub = "a b c d e f g h"                  // contained in big
