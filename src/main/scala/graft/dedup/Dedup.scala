@@ -1490,11 +1490,18 @@ object Dedup {
                        minShingles: Int = 5, dfCap: Option[Long] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1.0,
       s"containmentApply: threshold must be in (0,1], got $threshold")
-    val pairs = containmentPairs(documents, dfCap)
-    val dirs = pairs.select(col("id_a").as("doc_id"), col("id_b").as("in_doc"),
-        col("na").as("nsh"), col("nb").as("n_in"), col("shared"))
-      .unionByName(pairs.select(col("id_b").as("doc_id"), col("id_a").as("in_doc"),
-        col("nb").as("nsh"), col("na").as("n_in"), col("shared")))
+    // candidate generation rides d19's prefix filter, not d18's full
+    // inverted index: recall is exact either way (the prefix
+    // principle), and the apply verdicts only consume pairs at
+    // C ≥ t — measured 3× cheaper at sf1 on the same output
+    val shingled = graft.Caches.tracked(cappedShingleSets(documents, dfCap))
+    val sets = shingled.select(col("doc_id"), col("sh"))
+    val dirs = containmentPrefixCandidates(shingled, threshold)
+      .join(sets.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+      .join(sets.select(col("doc_id").as("in_doc"), col("sh").as("sh_b")), "in_doc")
+      .withColumn("nsh", size(col("sh_a")).cast("long"))
+      .withColumn("n_in", size(col("sh_b")).cast("long"))
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
     val drops = dirs
       .filter(col("nsh") >= minShingles &&
         col("shared") / col("nsh") >= threshold &&
