@@ -1380,16 +1380,26 @@ object Dedup {
     * — the probe folds them with one sum. */
   def writeContainmentIndex(corpus: DataFrame, path: String, nBuckets: Int = 64,
                             batchId: Option[Long] = None): Unit = {
+    // an APPEND must hash with the modulus the index was seeded with,
+    // never the caller's default — mixed moduli would scatter one
+    // shingle across buckets and silently lose candidates
+    val effBuckets = batchId match {
+      case Some(_) =>
+        try corpus.sparkSession.read.parquet(path + "/meta")
+          .collect()(0).getAs[Number](0).intValue
+        catch { case _: Throwable => nBuckets } // seeding call: no meta yet
+      case None => nBuckets
+    }
     val sets = graft.Caches.tracked(withShingleHashes(corpus)
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("nsh")))
     val post = sets.select(col("doc_id"), explode(col("sh")).as("sh_h"))
-      .withColumn("bkt", pmod(col("sh_h"), lit(nBuckets.toLong)).cast("int"))
+      .withColumn("bkt", pmod(col("sh_h"), lit(effBuckets.toLong)).cast("int"))
     val dfs = post.groupBy("bkt", "sh_h").agg(count(lit(1)).as("df"))
     // the bucket MODULUS must be persisted — inferring it from the
     // occupied bucket ids breaks on sparse occupancy (a small corpus
     // can leave the top buckets empty), and a probe hashing with the
     // wrong modulus reads the wrong directories
-    corpus.sparkSession.range(1).select(lit(nBuckets).as("n_buckets"))
+    corpus.sparkSession.range(1).select(lit(effBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(path + "/meta")
     batchId match {
       case None =>

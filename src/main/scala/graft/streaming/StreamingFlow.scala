@@ -639,6 +639,25 @@ object StreamingFlow {
         threshold, minShingles, dfCap))
       .start()
 
+  /** One verdict row per batch doc from a (new_doc, corpus_doc, …,
+    * containment) hit relation: contained with best evidence (highest
+    * containment, ties to the smaller corpus id) or admitted. Shared
+    * by the snapshot (s23) and indexed (s24) admission loops. */
+  private def containmentVerdictFrame(docs: DataFrame, hits0: DataFrame): DataFrame = {
+    val hits = hits0
+      .groupBy(col("new_doc").as("doc_id"))
+      .agg(max(struct(col("containment").as("c"),
+        (-col("corpus_doc")).as("nid"))).as("m"))
+      .select(col("doc_id"), (-col("m.nid")).as("corpus_doc"),
+        col("m.c").as("containment"))
+    docs.select("doc_id").join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("corpus_doc").isNotNull, lit("contained"))
+          .otherwise(lit("admitted")).as("verdict"),
+        coalesce(col("corpus_doc"), lit(-1L)).as("evidence_id"),
+        coalesce(col("containment"), lit(0.0)).as("containment"))
+  }
+
   private[graft] def containmentAdmitBatch(corpusPath: String, verdictPath: String,
                                            threshold: Double, minShingles: Int,
                                            dfCap: Option[Long]
@@ -650,19 +669,8 @@ object StreamingFlow {
         .filter(col("batch_id") =!= batchId) // s14's replay-safety rule
         .select("doc_id", "text")
       val verdicts = graft.Caches.scoped {
-        val hits = graft.dedup.Dedup
-          .containmentAgainst(docs, corpus, threshold, minShingles, dfCap)
-          .groupBy(col("new_doc").as("doc_id"))
-          .agg(max(struct(col("containment").as("c"),
-            (-col("corpus_doc")).as("nid"))).as("m"))
-          .select(col("doc_id"), (-col("m.nid")).as("corpus_doc"),
-            col("m.c").as("containment"))
-        docs.select("doc_id").join(hits, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"),
-            when(col("corpus_doc").isNotNull, lit("contained"))
-              .otherwise(lit("admitted")).as("verdict"),
-            coalesce(col("corpus_doc"), lit(-1L)).as("evidence_id"),
-            coalesce(col("containment"), lit(0.0)).as("containment"))
+        containmentVerdictFrame(docs, graft.dedup.Dedup
+          .containmentAgainst(docs, corpus, threshold, minShingles, dfCap))
           .localCheckpoint(true)
       }
       verdicts.withColumn("batch_id", lit(batchId))
@@ -672,6 +680,52 @@ object StreamingFlow {
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(corpusPath)
+    }
+
+  /** s24_stream_containment_admit_indexed — s23's admission loop on
+    * the PERSISTED containment index (the s18 cost model applied to
+    * the containment regime): where s23 re-shingles the whole corpus
+    * snapshot per trigger (the corpus compounds, so trigger N pays
+    * O(corpus_N)), this probes `containmentAgainstIndex` — batch
+    * shingles fresh, bucket-pruned dfs/postings reads, ZERO corpus
+    * text scans — and folds admissions back with the same sink under
+    * the trigger's batch_id. Per-trigger cost is |batch|-proportional
+    * plus the pruned parquet joins — the 24/7 shape. Seed the index
+    * with `writeContainmentIndex(corpus, path, batchId = Some(-1))`;
+    * replay follows the s18 protocol (the replaying batch's own
+    * partitions are excluded from its probe, writes are dynamic
+    * partition overwrites keyed by batch_id). */
+  def streamContainmentAdmitIndexed(stream: DataFrame, indexPath: String,
+                                    verdictPath: String, checkpoint: String,
+                                    threshold: Double = 0.8, minShingles: Int = 5
+                                   ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(containmentAdmitIndexedBatch(indexPath, verdictPath,
+        threshold, minShingles))
+      .start()
+
+  private[graft] def containmentAdmitIndexedBatch(indexPath: String, verdictPath: String,
+                                                  threshold: Double, minShingles: Int
+                                                 ): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val docs = batch.select("doc_id", "text").localCheckpoint(true)
+      val verdicts = graft.Caches.scoped {
+        containmentVerdictFrame(docs, graft.dedup.Dedup
+          .containmentAgainstIndex(docs, indexPath, threshold, minShingles,
+            excludeBatchId = Some(batchId)))
+          .localCheckpoint(true)
+      }
+      verdicts.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(verdictPath)
+      val admitted = docs.join(
+        verdicts.filter(col("verdict") === "admitted").select("doc_id"), "doc_id")
+      graft.Caches.scoped {
+        graft.dedup.Dedup.writeContainmentIndex(admitted, indexPath,
+          batchId = Some(batchId))
+      }
     }
 
   case class TransEv(userId: Long, tsMs: Long, eventId: Long, eventType: String)

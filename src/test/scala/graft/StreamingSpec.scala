@@ -685,6 +685,47 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s24 indexed containment admission: s23 verdicts at batch-proportional cost, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("s24").toString
+    val indexPath = s"$dir/idx"; val verdictPath = s"$dir/verdicts"
+    val big = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    val sub = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val fresh = "one two three four five six seven eight nine ten eleven twelve"
+    // seed the index with the sentinel batch_id (the s18 recipe)
+    graft.dedup.Dedup.writeContainmentIndex(
+      Seq((100L, big)).toDF("doc_id", "text"), indexPath, batchId = Some(-1L))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingFlow.streamContainmentAdmitIndexed(
+      input.toDF().toDF("doc_id", "text"), indexPath, verdictPath, s"$dir/ckpt")
+    try {
+      input.addData((1L, sub), (2L, fresh))
+      q.processAllAvailable()
+      val r1 = spark.read.parquet(verdictPath).filter(col("batch_id") === 0)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(r1 == Set((1L, "contained", 100L), (2L, "admitted", -1L)), s"got $r1")
+      // compounding THROUGH THE INDEX: a subset of trigger 1's
+      // admission is contained without any corpus text re-scan
+      input.addData((3L, "one two three four five six seven eight nine"))
+      q.processAllAvailable()
+      val r2 = spark.read.parquet(verdictPath).filter(col("batch_id") === 1)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(r2 == Set((3L, "contained", 2L)), s"got $r2")
+      // the index now holds the seed + exactly the admitted doc
+      val idxIds = spark.read.parquet(indexPath + "/sets")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(idxIds == Set(100L, 2L), s"got $idxIds")
+      // replay batch 0: same verdicts, no index duplication
+      StreamingFlow.containmentAdmitIndexedBatch(indexPath, verdictPath, 0.8, 5)(
+        Seq((1L, sub), (2L, fresh)).toDF("doc_id", "text"), 0L)
+      val replayed = spark.read.parquet(verdictPath).filter(col("batch_id") === 0)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(replayed == r1, s"replay must be idempotent: $replayed vs $r1")
+      assert(spark.read.parquet(indexPath + "/sets").select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(100L, 2L))
+    } finally q.stop()
+  }
+
   test("s22 emits transition edges across micro-batch boundaries, matching the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingFlow.TransEv
