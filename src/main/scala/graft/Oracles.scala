@@ -305,6 +305,33 @@ object Oracles {
                   AS prob
          FROM c ORDER BY from_type, to_type""",
 
+    // q58: q56 with the lead window partitioned on (user, session) —
+    // the session derivation mirrors q53's oracle exactly
+    "q58_session_transitions" ->
+      """WITH l AS (
+           SELECT user_id, event_id, event_type,
+                  epoch_ms(ts) AS cur_ms, epoch_us(ts) AS cur_us,
+                  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, event_type, cur_us,
+                  sum(CASE WHEN prev_ms IS NULL OR cur_ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY cur_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM l),
+         tr AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id, session_id
+                    ORDER BY cur_us, event_id) AS to_type
+           FROM s),
+         c AS (SELECT from_type, to_type, count(*) AS cnt
+               FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, cnt,
+                CAST(cnt AS DOUBLE) /
+                  CAST(CAST(sum(cnt) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE)
+                  AS prob
+         FROM c ORDER BY from_type, to_type""",
+
     // the windowed arg-max SPEC — the Spark side computes the same
     // verdict with a min-of-struct two-stage aggregation (no window)
     "q57_modal_event" ->

@@ -640,6 +640,31 @@ object TrackAnalytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** q58_session_transitions — q56's transition matrix restricted to
+    * WITHIN-SESSION edges: the lead window partitions on (entity,
+    * session) instead of entity alone, so a transition spanning the
+    * 30-minute session gap (overnight returns, cross-visit noise)
+    * contributes nothing — the matrix then measures in-journey
+    * behavior, which is what a conversion analysis actually wants.
+    * The sessionizer is the SHARED `withSessionIds` derivation (q11/
+    * q34/q53's), so the gap rule exists once; the session windows and
+    * the lead window stack on the same user_id exchange — still ONE
+    * shuffle before the k²-grain aggregation. */
+  def sessionTransitions(events: DataFrame, gapMs: Long = 1800000L): DataFrame = {
+    val w = Window.partitionBy("user_id", "session_id")
+      .orderBy(expr("ts_ns div 1000"), col("event_id"))
+    val trans = withSessionIds(events, gapMs)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = trans
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val perFrom = Window.partitionBy("from_type")
+    counts
+      .withColumn("prob", col("cnt") / sum(col("cnt")).over(perFrom))
+      .orderBy("from_type", "to_type")
+  }
+
   /** q57_modal_event — each entity's most frequent event type
     * (deterministic tie-break: higher count, then lexicographically
     * smallest type), the reference's "top monitor per car" report.

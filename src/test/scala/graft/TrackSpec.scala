@@ -154,6 +154,20 @@ class TrackSpec extends SparkSpecBase {
     assert(m(("view", "click")) == ((1L, 0.5)))
   }
 
+  test("sessionTransitions drops the gap-spanning edge q56 counts") {
+    // user 1: click>view then (2h gap) purchase — the view>purchase
+    // edge spans the session boundary and must vanish; user 2's
+    // within-session view>click stays
+    val full = TrackAnalytics.transitionMatrix(events).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(full.contains(("view", "purchase")), "premise: q56 counts the cross-gap edge")
+    val out = TrackAnalytics.sessionTransitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(("click", "view"), ("view", "click")), s"got $out")
+    assert(out(("click", "view")) == ((1L, 1.0)))
+    assert(out(("view", "click")) == ((1L, 1.0)))
+  }
+
   test("modalEventType breaks count ties toward the lexicographically smaller type") {
     val ev = Seq(
       (0L, 0L, 1L, "view"), (1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"),
