@@ -236,6 +236,15 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Ann.ivfSq8Knn(e, centroids = Some(Ann.labelCentroids(e)))
     }),
+    // a18's at-rest twin over the codes-only index (a15's shape at a
+    // quarter the bytes); rows-only — quantized sims are codec-native
+    "a19_ivf_sq8_indexed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val tmp = scratchDir("graft_a19_")
+      val nQ = 10
+      Ann.writeAnnIndexSq8(e.filter(e("vec_id") >= nQ), Ann.labelCentroids(e), tmp)
+      Ann.ivfSq8KnnIndexed(e.filter(e("vec_id") < nQ), tmp)
+    }),
     "t01_token_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) => TextStats.qualityScore(Tables.documents(s, d))),
     "t03_langid" -> ((s, d) => TextStats.langId(Tables.documents(s, d))),

@@ -1145,4 +1145,86 @@ object Ann {
         stableRound(col("sim"), 4).as("cos_sim"), col("rn"))
       .orderBy("query_id", "rn")
   }
+
+  /** sink_ann_index_sq8 — the CODES-ONLY saved index (`writeAnnIndex`
+    * at a quarter the bytes): cells store each vector as dim BYTES of
+    * SQ8 codes, never floats — at 1e9+ vectors this is the layout
+    * that decides whether the index fits hot storage at all. The
+    * trained (lo, scale) ranges persist in `meta/` (the probe must
+    * dequantize with the sink's exact ranges — the
+    * sink_containment_index modulus lesson applies verbatim).
+    * Downstream scoring is SQ8-native: there are no floats at rest to
+    * exact-rerank against, which is the honest trade vs
+    * [[writeAnnIndex]] — near-lossless codec distortion
+    * (spec-bounded) in exchange for 4× residency. */
+  def writeAnnIndexSq8(corpus: DataFrame, centroids: DataFrame, path: String,
+                       dim: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    centroids.write.mode("overwrite").parquet(path + "/centroids")
+    val (lo, scale) = trainSq8Ranges(corpus, dim)
+    Seq((lo.toSeq, scale.toSeq)).toDF("lo", "scale")
+      .write.mode("overwrite").parquet(path + "/meta")
+    val (encF, _) = GraftFunctions.registerSq8(spark, lo, scale)
+    assign(corpus, centroids)
+      .select(col("vec_id"), expr(s"$encF(embedding)").as("codes"), col("c_label"))
+      .write.mode("overwrite").partitionBy("c_label").parquet(path + "/codes")
+    GraftFunctions.dropFunction(spark, encF)
+  }
+
+  /** Append a batch to a saved SQ8 index: assign under the SAVED
+    * centroids, encode under the SAVED ranges (both read back from
+    * the index — a batch encoded with retrained ranges would be
+    * incomparable with the resident codes), parquet-append the cells
+    * (the a12/appendAnnIndex contract). */
+  def appendAnnIndexSq8(batch: DataFrame, indexPath: String): Unit = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(indexPath + "/centroids")
+    val m = spark.read.parquet(indexPath + "/meta").collect()(0)
+    val (encF, _) = GraftFunctions.registerSq8(spark,
+      m.getSeq[Float](0).toArray, m.getSeq[Float](1).toArray)
+    assign(batch, cents)
+      .select(col("vec_id"), expr(s"$encF(embedding)").as("codes"), col("c_label"))
+      .write.mode("append").partitionBy("c_label").parquet(indexPath + "/codes")
+    GraftFunctions.dropFunction(spark, encF)
+  }
+
+  /** a19_ivf_sq8_indexed — a18's search against the CODES-ONLY saved
+    * index: queries assign fresh under the saved centroids, the
+    * probed-label set prunes the codes read to those cell DIRECTORIES
+    * (the a15 pin), and scoring is `Sq8Cosine` over dim-byte postings
+    * dequantized with the saved ranges. Top-k comes from the
+    * quantized similarity directly — no float re-rank exists at rest,
+    * by design (see [[writeAnnIndexSq8]]); the spec bounds the codec
+    * regime by neighbor-set agreement with the float IVF search. */
+  def ivfSq8KnnIndexed(queries: DataFrame, indexPath: String,
+                       k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(indexPath + "/centroids")
+    val m = spark.read.parquet(indexPath + "/meta").collect()(0)
+    val (_, simF) = GraftFunctions.registerSq8(spark,
+      m.getSeq[Float](0).toArray, m.getSeq[Float](1).toArray)
+    val q = graft.Caches.tracked(
+      assignN(queries, cents, nprobe)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("c_label")))
+    val probed = q.select("c_label").distinct().collect().map(_.get(0))
+    val c = spark.read.parquet(indexPath + "/codes")
+      .filter(col("c_label").isin(probed: _*))
+      .select(col("vec_id").as("neighbor_id"), col("codes"), col("c_label"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    val out = q.join(c, "c_label")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", expr(s"$simF(qe, codes)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        stableRound(col("sim"), 4).as("cos_sim"), col("rn"))
+      .orderBy("query_id", "rn")
+    GraftFunctions.dropFunction(spark, simF) // dependent plans already analyzed
+    out
+  }
 }

@@ -201,6 +201,42 @@ class AnnSpec extends SparkSpecBase {
     assert(s2 == i2, "IVF-SQ8 diverged from float IVF under a covering rerank")
   }
 
+  test("SQ8 saved index: probe agrees with float IVF, prunes to probed cells, appends with saved ranges") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Ann.labelCentroids(emb)
+    val nQ = 10
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8_idx").toString
+    Ann.writeAnnIndexSq8(emb.filter(emb("vec_id") >= nQ), cents, dir)
+    val queries = emb.filter(emb("vec_id") < nQ)
+    val probeDf = Ann.ivfSq8KnnIndexed(queries, dir)
+    val probe = probeDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // codec distortion is near-lossless: neighbor sets agree with the
+    // float IVF search under the same centroids
+    val fl = Ann.ivfKnn(emb, nQueries = nQ, centroids = Some(cents)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (probe intersect fl).size.toDouble / fl.size
+    assert(recall >= 0.9, s"SQ8-at-rest recall $recall vs float IVF")
+    // the codes read is cell-pruned (the a15 pin on the codes/ scan)
+    val scans = probeDf.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("codes")) => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "probed labels must prune the codes directories")
+    // append encodes with the SAVED ranges: planted copies of the
+    // queries land as each query's top-1 at quantized cos ≈ 1
+    Ann.appendAnnIndexSq8(
+      queries.select((queries("vec_id") + 1000000L).as("vec_id"), queries("embedding")), dir)
+    val after = Ann.ivfSq8KnnIndexed(queries, dir).collect()
+      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    for (qid <- 0L until nQ.toLong) {
+      val (nid, sim) = after(qid)
+      assert(nid == qid + 1000000L && sim >= 0.99,
+        s"query $qid: appended copy not top-1 (got $nid at $sim)")
+    }
+    graft.Caches.release()
+  }
+
   test("ivfKnnIndexed reproduces ivfKnn from the saved index, reading only probed cells") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cents = Ann.labelCentroids(emb)
