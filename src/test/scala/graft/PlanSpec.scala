@@ -324,4 +324,55 @@ class PlanSpec extends SparkSpecBase {
     // the customer-grain rank window stays partitioned (by bucket)
     assert(wins.exists(_.partitionSpec.nonEmpty), "within-bucket rank window missing")
   }
+
+  test("q56_transition_matrix: one entity-grain exchange; events scan pruned to 4 columns") {
+    val ss = scans(plan("q56_transition_matrix"))
+    assert(ss.nonEmpty && ss.forall(
+      _.requiredSchema.fieldNames.toSet == Set("event_id", "ts", "user_id", "event_type")),
+      ss.map(_.requiredSchema.fieldNames.mkString(",")).mkString("; "))
+    // user_id lead window, (from,to) agg, k²-row prob window, final
+    // sort — only the FIRST moves event-grain rows
+    val shuffles = executedShuffles("q56_transition_matrix")
+    val entityGrain = shuffles.filter(_.outputPartitioning.toString.contains("user_id"))
+    assert(entityGrain.size == 1,
+      s"exactly one event-grain exchange, got ${entityGrain.size}")
+  }
+
+  test("d19_containment_prefix: df attaches via a window, never a broadcast of the df table") {
+    // the grouped df relation's post-explode size estimate would make
+    // the planner broadcast it at ANY SF (the d02 lesson) — the
+    // count-window formulation must keep the candidate join the only
+    // join in the prefix subtree, planned shuffle-hash
+    val p = SparkEntry.queries("d19_containment_prefix")(spark, sfDir)
+      .queryExecution.executedPlan
+    def all(q: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (q +: q.children.flatMap(all)) ++ (q match {
+        case a: AdaptiveSparkPlanExec => all(a.initialPlan)
+        case i: InMemoryTableScanExec => all(i.relation.cachedPlan)
+        case _ => Seq.empty
+      })
+    val nodes = all(p)
+    val shj = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j }
+    assert(shj.nonEmpty, "the prefix candidate probe must plan as a shuffled hash join")
+    // the only permitted broadcasts carry the per-doc set relations of
+    // the verify (sets by id); no broadcast may MATERIALIZE a df
+    // column — that would mean the shingle-grain df table got built on
+    // the driver after all
+    val bx = nodes.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b }
+    assert(!bx.exists(_.output.exists(_.name == "df")),
+      s"df table must never broadcast:\n${bx.map(_.output).mkString("\n")}")
+  }
+
+  test("t27_weighted_sample: scan-speed map+filter — no shuffle before the presentational sort") {
+    val shuffles = executedShuffles("t27_weighted_sample")
+    // one tiny single-row aggregate exchange (n, Σw) + the output
+    // sort; the corpus itself never hash-partitions
+    assert(shuffles.size <= 2, s"got ${shuffles.size} exchanges")
+    // the output ORDER BY range-partitions — fine; what must never
+    // appear is a HASH repartitioning of the corpus
+    assert(!shuffles.exists(_.outputPartitioning.toString.contains("hashpartitioning(doc_id")),
+      "the corpus scan must not hash-shuffle on doc_id")
+  }
 }
