@@ -194,6 +194,14 @@ object SparkEntry {
       Dedup.writeContainmentIndex(docs.filter(docs("source") =!= "src0"), tmp)
       Dedup.containmentAgainstIndex(docs.filter(docs("source") === "src0"), tmp)
     }),
+    // the constant-bytes containment tier: sig-only index, estimated
+    // scores (rows-only — MinHash is not SQL-expressible)
+    "d23_containment_sig_estimate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tmp = scratchDir("graft_d23_")
+      Dedup.writeDedupSignatureIndex(docs.filter(docs("source") =!= "src0"), tmp)
+      Dedup.containmentAgainstSignatureIndex(docs.filter(docs("source") === "src0"), tmp)
+    }),
     "d14_dedup_probe_indexed" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val tmp = scratchDir("graft_d14_")

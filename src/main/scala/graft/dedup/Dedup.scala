@@ -363,6 +363,70 @@ object Dedup {
       .orderBy("new_doc", "corpus_doc")
   }
 
+  /** d23_containment_sig_estimate — containment EVIDENCE from the
+    * signature-only index, at constant corpus bytes: the stored exact
+    * set sizes turn the MinHash Jaccard estimate into a containment
+    * estimate via the identity |A∩B| = J/(1+J)·(|A|+|B|), so
+    * Ĉ(a→b) = Ĵ·(na+nb)/((1+Ĵ)·na) — no shingle storage, no exact
+    * intersection, ±few-percent scores (error propagates from Ĵ's
+    * σ = √(J(1−J)/numHashes); the spec bounds it end-to-end).
+    *
+    * REGIME, stated honestly: candidates come from the same
+    * Jaccard-banded buckets as [[dedupAgainstSignatureIndex]], so a
+    * contained doc at an EXTREME size ratio (high C, vanishing J)
+    * can fall below the band regime and be missed — that blind spot
+    * is structural to Jaccard banding, and d20/d21 are the shipped
+    * exact-recall containment paths. This tier exists for the
+    * deployment where the corpus is too large to store shingle sets
+    * at all: within the banded regime (J within reach of the band
+    * curve) it surfaces the asymmetric verdict the Jaccard score
+    * itself hides — a contained doc scores Ĉ ≈ 1 while its
+    * est_jaccard sits far below any dedup threshold. `minJaccard`
+    * (default 0.35 — p_collide ≈ 0.5 at 16×4 bands) names the
+    * candidate regime instead of pretending full recall. */
+  def containmentAgainstSignatureIndex(newDocs: DataFrame, indexPath: String,
+                                       threshold: Double = 0.8,
+                                       minJaccard: Double = 0.35,
+                                       minShingles: Int = 5,
+                                       numHashes: Int = 64,
+                                       bands: Int = 16): DataFrame = {
+    require(threshold > 0 && threshold <= 1.0,
+      s"containmentAgainstSignatureIndex: threshold in (0,1], got $threshold")
+    val spark = newDocs.sparkSession
+    val (batchSets, batchSig) = batchPipeline(newDocs, numHashes, bands)
+    val batchSigT = graft.Caches.tracked(batchSig)
+    val idxSig = spark.read.parquet(indexPath + "/sig")
+    // NO sizeOk prefilter: size mismatch is exactly the containment
+    // regime (the d18 rationale); the band equality itself encodes
+    // the minJaccard candidate contract
+    val cand = batchSigT.as("x")
+      .join(idxSig.as("y").hint("shuffle_hash"),
+        col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("new_doc"), col("x.nsh").as("na"),
+        col("y.doc_id").as("corpus_doc"), col("y.nsh").as("nb"))
+      .distinct()
+    val batchMsig = batchSets.select(col("doc_id").as("new_doc"),
+      expr(s"graft_minhash_bands(sh, $numHashes, $numHashes)").as("sig_a"))
+    val idxMsig = spark.read.parquet(indexPath + "/minsig")
+      .select(col("doc_id").as("corpus_doc"), col("msig").as("sig_b"))
+    val j = col("est_jaccard")
+    cand
+      .join(batchMsig, "new_doc")
+      .join(idxMsig, "corpus_doc")
+      .withColumn("est_jaccard",
+        expr(s"aggregate(zip_with(sig_a, sig_b, (a, b) -> IF(a = b, 1, 0)), 0, (acc, v) -> acc + v)")
+          .cast("double") / numHashes)
+      .withColumn("est_containment",
+        least(lit(1.0), j * (col("na") + col("nb")).cast("double")
+          / ((lit(1.0) + j) * col("na").cast("double"))))
+      .filter(col("na") >= minShingles && j >= minJaccard &&
+        col("est_containment") >= threshold)
+      .select(col("new_doc"), col("corpus_doc"),
+        stableRound(col("est_containment"), 4).as("est_containment"),
+        stableRound(j, 4).as("est_jaccard"))
+      .orderBy("new_doc", "corpus_doc")
+  }
+
   /** APPEND a batch (its admitted docs) to a saved dedup index — the
     * write that closes the incremental loop: tomorrow's admission
     * probes today's admissions without any rebuild. Same derivation

@@ -616,6 +616,34 @@ class DedupSpec extends SparkSpecBase {
     assert(out(3L) == ((false, 0L)), s"got $out")  // twin drops into smaller id
   }
 
+  test("containmentAgainstSignatureIndex estimates the asymmetric verdict the Jaccard score hides") {
+    // sub = first 10 of big's 12 tokens: C(sub→big)=1.0 while
+    // J=8/10=0.8 — inside the band regime, so the sig tier must
+    // surface it, with the estimate near the true containment and the
+    // est_jaccard column showing why the Jaccard loops would shrug
+    val big = "a b c d e f g h i j k l"
+    val sub = "a b c d e f g h i j"
+    val batch = docs(0L -> sub,
+      1L -> "totally unrelated fresh arrival content words here today")
+    val corpus = docs(10L -> big,
+      11L -> "other entirely different corpus words forming one more document")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigc").toString
+    Dedup.writeDedupSignatureIndex(corpus, dir)
+    val out = Dedup.containmentAgainstSignatureIndex(batch, dir, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((0L, 10L)), s"got ${out.toSeq}")
+    val (_, _, estC, estJ) = out(0)
+    // exact C = 1.0, exact J = 0.8; the 64-hash estimator sits within
+    // a generous 4σ band (σ_J ≈ 0.05 → σ_C ≲ 0.08 through the identity)
+    assert(math.abs(estC - 1.0) <= 0.2, s"est_containment $estC far from 1.0")
+    assert(math.abs(estJ - 0.8) <= 0.2, s"est_jaccard $estJ far from 0.8")
+    assert(estC > estJ, "the whole point: containment evidence above the Jaccard score")
+    // deterministic: a second probe reproduces the same estimates
+    assert(Dedup.containmentAgainstSignatureIndex(batch, dir, threshold = 0.8)
+      .collect().map(_.toSeq).toSeq == out.map(t => Seq(t._1, t._2, t._3, t._4)).toSeq)
+    graft.Caches.release()
+  }
+
   test("containmentAgainst reports only batch-in-corpus directions, never corpus self-pairs") {
     val big = "a b c d e f g h i j k l"
     val sub = "a b c d e f g h"                  // contained in big
