@@ -332,6 +332,21 @@ object Oracles {
                   AS prob
          FROM c ORDER BY from_type, to_type""",
 
+    // q59: exact integer-micros dwell sums; the mean is the identical
+    // fixed-parenthesization division chain on both engines
+    "q59_dwell_time" ->
+      """WITH l AS (
+           SELECT event_type, epoch_us(ts) AS us,
+                  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next_us
+           FROM events)
+         SELECT event_type, count(*) AS n_stays,
+                CAST(sum(next_us - us) AS BIGINT) AS total_dwell_us,
+                CAST(CAST(sum(next_us - us) AS BIGINT) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) / 1000000.0 AS avg_dwell_s
+         FROM l WHERE next_us IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
+
     // the windowed arg-max SPEC — the Spark side computes the same
     // verdict with a min-of-struct two-stage aggregation (no window)
     "q57_modal_event" ->

@@ -108,6 +108,7 @@ object SparkEntry {
     "q56_transition_matrix" -> ((s, d) => TrackAnalytics.transitionMatrix(Tables.events(s, d))),
     "q57_modal_event" -> ((s, d) => TrackAnalytics.modalEventType(Tables.events(s, d))),
     "q58_session_transitions" -> ((s, d) => TrackAnalytics.sessionTransitions(Tables.events(s, d))),
+    "q59_dwell_time" -> ((s, d) => TrackAnalytics.dwellTime(Tables.events(s, d))),
     "q40_grouping_sets" -> ((s, d) => RelationalOps.groupingSets(Tables.orders(s, d))),
     "q41_graph_rank" -> ((s, d) => TrackAnalytics.graphRank(Tables.events(s, d))),
     "a10_range_search" -> ((s, d) => Ann.rangeSearch(Tables.embeddings(s, d))),

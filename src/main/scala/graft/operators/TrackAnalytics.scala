@@ -665,6 +665,30 @@ object TrackAnalytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** q59_dwell_time — time-in-state attribution: each event owns the
+    * interval until its entity's NEXT event (the standard "time spent
+    * per road segment / per page" attribution; an entity's last event
+    * owns nothing — its closing interval is unobserved, not zero).
+    * Per event type: stay count, total dwell (exact integer micros)
+    * and mean dwell seconds (ONE fixed-parenthesization IEEE division
+    * chain per output row). Same single entity-key exchange as every
+    * sequence operator here, then a k-grain partial agg. */
+  def dwellTime(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("us"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_stays"),
+        sum(col("next_us") - col("us")).as("total_dwell_us"))
+      .withColumn("avg_dwell_s",
+        col("total_dwell_us").cast("double") / col("n_stays").cast("double")
+          / lit(1000000.0))
+      .orderBy("event_type")
+  }
+
   /** q57_modal_event — each entity's most frequent event type
     * (deterministic tie-break: higher count, then lexicographically
     * smallest type), the reference's "top monitor per car" report.

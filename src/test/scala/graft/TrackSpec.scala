@@ -168,6 +168,18 @@ class TrackSpec extends SparkSpecBase {
     assert(out(("view", "click")) == ((1L, 1.0)))
   }
 
+  test("dwellTime attributes each interval to the event that opened it; last events own nothing") {
+    // user 1: click(0s)→view(60s)→purchase(2h) — click owns 60 s, view
+    // owns 7140 s, purchase (last) owns nothing; user 2:
+    // view(30s)→click(90s) — view owns 60 s
+    val out = TrackAnalytics.dwellTime(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set("click", "view"), s"got $out")
+    assert(out("click") == ((1L, 60000000L, 60.0)))
+    // view: two stays totalling 7140 + 60 = 7200 s → mean 3600 s
+    assert(out("view") == ((2L, 7200000000L, 3600.0)), s"got $out")
+  }
+
   test("modalEventType breaks count ties toward the lexicographically smaller type") {
     val ev = Seq(
       (0L, 0L, 1L, "view"), (1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"),
