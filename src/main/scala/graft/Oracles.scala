@@ -606,6 +606,26 @@ object Oracles {
                       LEFT JOIN s3 USING (user_id))
          SELECT level, count(*) AS n_users FROM l GROUP BY level ORDER BY level""",
 
+    "q60_event_anomaly" ->
+      """WITH d AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         m AS (SELECT event_type, quantile_cont(n_events, 0.5) AS med
+               FROM d GROUP BY event_type),
+         dv AS (SELECT d.*, med, abs(n_events - med) AS adev
+                FROM d JOIN m USING (event_type)),
+         md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+                FROM dv GROUP BY event_type)
+         SELECT dv.event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+                med, mad,
+                CASE WHEN mad > 0 THEN
+                  floor(((n_events - med)/(1.4826*mad))*10000 + 0.5)/10000
+                END AS robust_z,
+                CASE WHEN mad > 0 THEN abs((n_events - med)/(1.4826*mad)) > 3.0
+                     ELSE n_events <> med END AS is_anomaly
+         FROM dv JOIN md USING (event_type)
+         ORDER BY event_type, day""",
+
     "q43_period_delta" ->
       """WITH d AS (
            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
@@ -1256,6 +1276,29 @@ object Oracles {
          FROM p
          WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) < pk * 4294967296.0
          ORDER BY doc_id""",
+
+    "t30_chunk_split" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, toks, len(toks) AS n_toks,
+                  CASE WHEN len(toks) <= 64 THEN 1
+                       ELSE 1 + CAST(floor((len(toks) - 64 + 47)/48.0) AS BIGINT)
+                  END AS n_chunks
+           FROM t WHERE len(toks) > 0),
+         c AS (
+           SELECT doc_id, toks, n_toks,
+                  unnest(range(0, n_chunks)) AS chunk_id
+           FROM s)
+         SELECT doc_id, chunk_id, chunk_id*48 AS start_tok,
+                len(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64))
+                  AS n_chunk_toks,
+                array_to_string(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64), ' ')
+                  AS chunk_text
+         FROM c ORDER BY doc_id, chunk_id""",
 
     "t23_source_upsample" ->
       """WITH toks AS (

@@ -109,6 +109,7 @@ object SparkEntry {
     "q57_modal_event" -> ((s, d) => TrackAnalytics.modalEventType(Tables.events(s, d))),
     "q58_session_transitions" -> ((s, d) => TrackAnalytics.sessionTransitions(Tables.events(s, d))),
     "q59_dwell_time" -> ((s, d) => TrackAnalytics.dwellTime(Tables.events(s, d))),
+    "q60_event_anomaly" -> ((s, d) => TrackAnalytics.eventAnomaly(Tables.events(s, d))),
     "q40_grouping_sets" -> ((s, d) => RelationalOps.groupingSets(Tables.orders(s, d))),
     "q41_graph_rank" -> ((s, d) => TrackAnalytics.graphRank(Tables.events(s, d))),
     "a10_range_search" -> ((s, d) => Ann.rangeSearch(Tables.embeddings(s, d))),
@@ -285,6 +286,20 @@ object SparkEntry {
     "t25_bigram_surprisal" -> ((s, d) => TextStats.bigramSurprisal(Tables.documents(s, d))),
     "t26_frequent_terms" -> ((s, d) => TextStats.frequentTerms(Tables.documents(s, d))),
     "t27_weighted_sample" -> ((s, d) => TextStats.weightedSample(Tables.documents(s, d))),
+    // BM25 keyword retrieval (rows-only: ln is transcendental). The
+    // query set derives from the corpus deterministically; t29 probes
+    // the SAVED inverted index and is spec-pinned result-identical
+    "t28_bm25_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextStats.bm25Search(docs, TextStats.sampleQueries(docs))
+    }),
+    "t29_bm25_probe_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tmp = scratchDir("graft_t29_")
+      TextStats.writeTextIndex(docs, tmp)
+      TextStats.bm25SearchIndexed(TextStats.sampleQueries(docs), tmp)
+    }),
+    "t30_chunk_split" -> ((s, d) => TextStats.chunkSplit(Tables.documents(s, d))),
     // threshold 0.5 so the testdata's natural cos>=0.5 pairs (the d05
     // regime) exercise within-cell drops; output is one verdict row
     // per vector regardless

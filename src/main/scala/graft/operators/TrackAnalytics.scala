@@ -709,4 +709,56 @@ object TrackAnalytics {
       .select(col("user_id"), col("m.t").as("mode_type"), col("m.c").as("mode_cnt"))
       .orderBy("user_id")
   }
+
+  /** q60_event_anomaly — robust daily-volume anomaly report per event
+    * type (the monitoring question every ingest pipeline asks of its
+    * event stream): for each (event_type, day) the day's event count,
+    * the type's exact median and MAD over its observed days, and the
+    * robust z-score z = (cnt − med)/(1.4826·mad) with |z| > k flagged
+    * — q46's median/MAD machinery turned into a time-series monitor,
+    * where mean/stddev would be dragged by the very spike days it
+    * exists to flag. Days with zero events carry no row (the median
+    * is over OBSERVED days; at 100 TB the observed grid is dense).
+    *
+    * A type whose MAD is 0 (more than half its days share the median
+    * count) has no finite z; those rows emit a null z and flag ANY
+    * deviation from the median — the conservative reading.
+    *
+    * Exactness: counts are integers, the interpolated medians are
+    * exact (middle-pair averages stay on the binary 0.25 grid), and z
+    * is a fixed IEEE op sequence both engines evaluate identically →
+    * full hash oracle. Scale: one partial-agg exchange to (type, day)
+    * grain — ~types×days rows — and the median windows run at that
+    * aggregated grain, so the raw events never shuffle anywhere. */
+  def eventAnomaly(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val daily = graft.Caches.tracked(
+      events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events")))
+    // exact interpolated median at (type, day) grain: position-pick
+    // the middle pair with one window, average it. (n+1) div 2 and
+    // (n+2) div 2 coincide for odd n — quantile_cont(0.5) semantics.
+    def medianOf(df: DataFrame, valueCol: String, as: String): DataFrame =
+      df.withColumn("rn", row_number().over(Window.partitionBy("event_type")
+          .orderBy(col(valueCol), col("day"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(col("rn") === expr("(n+1) div 2") ||
+          col("rn") === expr("(n+2) div 2"))
+        .groupBy("event_type").agg(avg(valueCol).as(as))
+    val med = medianOf(daily, "n_events", "med")
+    val devs = graft.Caches.tracked(
+      daily.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("n_events") - col("med"))))
+    val mad = medianOf(devs, "adev", "mad")
+    devs.join(broadcast(mad), "event_type")
+      .withColumn("z", when(col("mad") > 0,
+        graft.Num.stableRound(
+          (col("n_events") - col("med")) / (lit(1.4826) * col("mad")), 4)))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_events"),
+        col("med"), col("mad"), col("z").as("robust_z"),
+        when(col("mad") > 0,
+            abs((col("n_events") - col("med")) / (lit(1.4826) * col("mad"))) > lit(k))
+          .otherwise(col("n_events") =!= col("med")).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
 }

@@ -835,4 +835,215 @@ object TextStats {
         graft.Num.stableRound(p, 6).as("p_keep"))
       .orderBy("doc_id")
   }
+
+  // ------------------------------------------------------------------
+  // Full-text retrieval (BM25) — the keyword-search complement to the
+  // embedding ANN family (a01–a19): eval-set decontamination by query
+  // match, targeted corpus inspection, and hybrid (lexical+vector)
+  // candidate generation all start from a BM25 top-k over the corpus.
+  // ------------------------------------------------------------------
+
+  /** The shared tokenizer for the retrieval family: lowercase
+    * whitespace terms (t01's convention). */
+  private def termsOf(documents: DataFrame): DataFrame =
+    graft.Scans.spreadIfNarrow(documents, col("doc_id"))
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+
+  /** Deterministic corpus-derived query set for the t28/t29 inventory
+    * rows: every `every`-th document (bounded to `maxQueries` ids so
+    * the query count never scales with the corpus) contributes its
+    * first `qTerms` DISTINCT terms in document order — a "more like
+    * this" keyword query whose source doc should rank at or near the
+    * top. Output grain: (query_id, term). */
+  def sampleQueries(documents: DataFrame, every: Long = 97,
+                    maxQueries: Int = 32, qTerms: Int = 4): DataFrame =
+    documents
+      .filter(col("doc_id") % every === 0 && col("doc_id") < every * maxQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(array_distinct(filter(
+          split(lower(trim(col("text"))), "\\s+"), t => t =!= lit(""))),
+          1, qTerms)).as("term"))
+
+  /** The scoring tail shared by the live search and the index probe:
+    * `cand` is the candidate relation at (query_id, doc_id, term, tf,
+    * df, dl) grain, `stats` a single-row (n_docs, sum_dl) relation.
+    * BM25 (Robertson/Lucene non-negative idf):
+    *   idf(t)  = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *   s(q,d)  = Σ_t idf·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * The per-term contributions are IEEE-deterministic per row; the
+    * per-document sum folds them in SORTED TERM ORDER (array_sort +
+    * aggregate) so the float total — and therefore the top-k cut —
+    * is reproducible run to run regardless of aggregation order.
+    * Ranking ties break by doc_id. */
+  private def bm25Score(cand: DataFrame, stats: DataFrame, topK: Int,
+                        k1: Double, b: Double): DataFrame = {
+    val contrib = cand.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib", col("idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("dl").cast("double") / col("avgdl"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    contrib.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hit_terms"),
+        aggregate(array_sort(collect_list(struct(col("term"), col("contrib")))),
+          lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_hit_terms"), stableRound(col("score"), 4).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** t28_bm25_search — BM25 top-k keyword retrieval over the corpus.
+    * `queries` is a (query_id, term) relation (see [[sampleQueries]]).
+    *
+    * Plan shape (the 100 TB posture): ONE tokenize pass persisted at
+    * (doc, term) tf grain feeds the document lengths, the corpus dfs
+    * AND the candidate probe (the t14/t24 precedent). The query side
+    * stays tiny by construction, so it BROADCASTS twice: first into
+    * the vocabulary-grain df relation (→ a ≤|query-terms| qdf table),
+    * then qdf broadcasts into the tf scan — the corpus never
+    * hash-shuffles against the queries, and the candidate volume is
+    * exactly the postings of the query terms. Only candidates join
+    * doc lengths. Rows-only (ln is transcendental — SURVEY §5); the
+    * spec pins a hand-computed twin float-for-float and the
+    * self-retrieval property. */
+  def bm25Search(documents: DataFrame, queries: DataFrame, topK: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = graft.Caches.tracked(
+      termsOf(documents).groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val dls = graft.Caches.tracked(
+      tf.groupBy("doc_id").agg(sum("tf").as("dl")))
+    val stats = dls.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qt = queries.select("query_id", "term").distinct()
+    // query terms absent from the corpus have no postings and
+    // contribute 0 — the inner joins drop them, semantics unchanged
+    val qdf = dfs.join(broadcast(qt), Seq("term"))
+    val cand = tf.join(broadcast(qdf), Seq("term"))
+      .join(dls, Seq("doc_id"))
+      .select("query_id", "doc_id", "term", "tf", "df", "dl")
+    bm25Score(cand, stats, topK, k1, b)
+  }
+
+  /** sink_text_index — PERSIST the corpus half of t28's derivation
+    * (the writeContainmentIndex recipe for the retrieval regime):
+    * one tokenize pass writes four relations under `path` —
+    * `postings/` (bkt, term, doc_id, tf — the candidate side,
+    * partitioned by term-hash bucket so a probe's query terms prune
+    * to their directories), `dfs/` (bkt, term, df — the per-term
+    * document frequency, same pruning), `doclens/` (doc_id, dl) and
+    * `stats/` (n_docs, sum_dl), plus `meta/` (the bucket modulus — a
+    * probe must hash with the sink's exact modulus). Appends
+    * (batchId) land as dynamic partitions; per-batch partial dfs and
+    * stats fold with one sum at probe time, so append order can never
+    * change a score. */
+  def writeTextIndex(corpus: DataFrame, path: String, nBuckets: Int = 64,
+                     batchId: Option[Long] = None): Unit = {
+    val effBuckets = batchId match {
+      case Some(_) =>
+        try corpus.sparkSession.read.parquet(path + "/meta")
+          .collect()(0).getAs[Number](0).intValue
+        catch { case _: Throwable => nBuckets } // seeding call: no meta yet
+      case None => nBuckets
+    }
+    val tf = graft.Caches.tracked(
+      termsOf(corpus).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("bkt",
+          pmod(xxhash64(col("term")), lit(effBuckets.toLong)).cast("int")))
+    val dls = graft.Caches.tracked(tf.groupBy("doc_id").agg(sum("tf").as("dl")))
+    val dfs = tf.groupBy("bkt", "term").agg(count(lit(1)).as("df"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    corpus.sparkSession.range(1).select(lit(effBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(path + "/meta")
+    batchId match {
+      case None =>
+        tf.select("bkt", "term", "doc_id", "tf")
+          .write.mode("overwrite").partitionBy("bkt").parquet(path + "/postings")
+        dfs.write.mode("overwrite").partitionBy("bkt").parquet(path + "/dfs")
+        dls.write.mode("overwrite").parquet(path + "/doclens")
+        stats.write.mode("overwrite").parquet(path + "/stats")
+      case Some(id) =>
+        def app(df: DataFrame, sub: String, parts: String*): Unit =
+          df.withColumn("batch_id", lit(id))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id" +: parts: _*).parquet(path + "/" + sub)
+        app(tf.select("bkt", "term", "doc_id", "tf"), "postings", "bkt")
+        app(dfs, "dfs", "bkt")
+        app(dls, "doclens")
+        app(stats, "stats")
+    }
+  }
+
+  /** t29_bm25_probe_indexed — t28 against the SAVED index:
+    * result-identical to `bm25Search(corpus, queries)` over the same
+    * corpus, with ZERO corpus text reads. The query terms' bucket set
+    * (driver-bounded ≤ |query terms|) statically prunes the dfs and
+    * postings directories; dfs/stats fold across append partitions
+    * with one sum; only candidate docs join `doclens/`. */
+  def bm25SearchIndexed(queries: DataFrame, indexPath: String, topK: Int = 10,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = queries.sparkSession
+    val nBuckets = spark.read.parquet(indexPath + "/meta")
+      .collect()(0).getAs[Number](0).longValue
+    val qt = graft.Caches.tracked(
+      queries.select("query_id", "term").distinct()
+        .withColumn("bkt", pmod(xxhash64(col("term")), lit(nBuckets)).cast("int")))
+    // partition columns read back as INT (directory-value inference);
+    // the probe's literals are Ints too — a cast on the partition
+    // column would defeat the directory pruning this layout exists for
+    val bkts = qt.select("bkt").distinct().collect().map(_.getInt(0))
+    val dfs = spark.read.parquet(indexPath + "/dfs")
+      .filter(col("bkt").isin(bkts: _*))
+      .groupBy("term").agg(sum("df").as("df")) // fold append partitions
+    val qdf = dfs.join(broadcast(qt.select("query_id", "term")), Seq("term"))
+    val stats = spark.read.parquet(indexPath + "/stats")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+    val cand = spark.read.parquet(indexPath + "/postings")
+      .filter(col("bkt").isin(bkts: _*))
+      .join(broadcast(qdf), Seq("term"))
+      .join(spark.read.parquet(indexPath + "/doclens"), Seq("doc_id"))
+      .select("query_id", "doc_id", "term", "tf", "df", "dl")
+    bm25Score(cand, stats, topK, k1, b)
+  }
+
+  /** t30_chunk_split — fixed-token chunking with overlap (the RAG /
+    * context-window splitting primitive, t10 seqPack's inverse): each
+    * document's whitespace tokens split into `chunkTokens`-token
+    * windows advancing by `chunkTokens − overlap`, the last chunk
+    * keeping the tail remainder; a doc at or under one window emits
+    * exactly one chunk. chunk_text is the token slice re-joined with
+    * single spaces (normalized whitespace — the tokenizer's inverse),
+    * so downstream embedding/dedup stages consume a canonical form.
+    * Scale: scan-speed narrow generate (split → sequence → explode →
+    * slice), no shuffle before the presentational sort; exact string
+    * and integer arithmetic end to end → full hash oracle. */
+  def chunkSplit(documents: DataFrame, chunkTokens: Int = 64,
+                 overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"chunkSplit: need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
+    val stride = chunkTokens - overlap
+    documents
+      .withColumn("toks", filter(
+        split(trim(col("text")), "\\s+"), t => t =!= lit("")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .filter(col("n_toks") > 0)
+      .withColumn("n_chunks", when(col("n_toks") <= chunkTokens, lit(1L))
+        .otherwise(lit(1L) + floor(
+          (col("n_toks") - lit(chunkTokens) + lit(stride - 1))
+            / lit(stride.toDouble)).cast("long")))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("chunk_toks",
+        slice(col("toks"), (col("start_tok") + 1).cast("int"), lit(chunkTokens)))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("chunk_toks")).cast("long").as("n_chunk_toks"),
+        array_join(col("chunk_toks"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
 }

@@ -375,4 +375,42 @@ class PlanSpec extends SparkSpecBase {
     assert(!shuffles.exists(_.outputPartitioning.toString.contains("hashpartitioning(doc_id")),
       "the corpus scan must not hash-shuffle on doc_id")
   }
+
+  test("t28_bm25_search: every term-keyed join broadcasts the query side") {
+    // the corpus-side tf relation must never hash-shuffle against the
+    // queries: qt broadcasts into the df relation, the resulting qdf
+    // broadcasts into the tf scan. Only the candidate↔doclens join
+    // (doc_id) and the partial aggs may exchange.
+    val p = plan("t28_bm25_search")
+    val termJoins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.leftKeys.exists(_.references.exists(_.name == "term")) => j }
+    assert(termJoins.nonEmpty, "the term-keyed candidate joins must survive planning")
+    assert(termJoins.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"term joins must broadcast the query side:\n${termJoins.map(_.nodeName)}")
+    graft.Caches.release()
+  }
+
+  test("t30_chunk_split: scan-speed narrow generate — only the output sort exchanges") {
+    val shuffles = executedShuffles("t30_chunk_split")
+    assert(shuffles.size <= 1, s"got ${shuffles.size} exchanges")
+    assert(!shuffles.exists(_.outputPartitioning.toString.contains("hashpartitioning")),
+      "chunking must not hash-shuffle the corpus")
+  }
+
+  test("q60_event_anomaly: events scan pruned to (ts, event_type); windows run at day grain") {
+    val ss = scans(plan("q60_event_anomaly"))
+    assert(ss.nonEmpty)
+    assert(ss.forall(_.requiredSchema.fieldNames.toSet == Set("ts", "event_type")),
+      ss.map(_.requiredSchema.fieldNames.mkString(",")).mkString("; "))
+    // the raw events cross exactly one exchange (the (type, day)
+    // partial agg); every later exchange moves type/day-grain rows
+    val shuffles = executedShuffles("q60_event_anomaly")
+    val eventGrain = shuffles.filter(
+      _.outputPartitioning.toString.contains("hashpartitioning(event_type, day"))
+    assert(eventGrain.size <= 1,
+      s"only the daily partial agg may shuffle event-grain rows, got ${shuffles.size} total")
+    graft.Caches.release()
+  }
 }

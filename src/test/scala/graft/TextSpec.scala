@@ -371,4 +371,151 @@ class TextSpec extends SparkSpecBase {
     // deterministic: a second run keeps the identical cut
     assert(TextStats.weightedSample(df, rate = 0.5).collect().toSeq == out.toSeq)
   }
+
+  // ----------------------------------------------------------- BM25
+
+  /** The operator's exact float recipe, replicated op-for-op: per-term
+    * contribution, then a left-to-right fold in sorted term order. */
+  private def bm25Twin(hits: Seq[(String, Long, Long, Long)], // (term, tf, df, dl)
+                       n: Long, sumDl: Long,
+                       k1: Double = 1.2, b: Double = 0.75): Double = {
+    val avgdl = sumDl.toDouble / n
+    val score = hits.sortBy(_._1).foldLeft(0.0) { case (acc, (_, tf, df, dl)) =>
+      val idf = math.log(1.0 + ((n - df) + 0.5) / (df + 0.5))
+      acc + idf * (tf * (k1 + 1.0)) /
+        (tf + k1 * ((1.0 - b) + (b * dl.toDouble) / avgdl))
+    }
+    math.floor(score * 10000.0 + 0.5) / 10000.0
+  }
+
+  test("bm25Search matches the hand-computed twin float-for-float") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "apple banana apple cherry"),
+      (1L, "apple fig grape"),
+      (2L, "banana banana kiwi melon plum"),
+      (3L, "quince rose straw tulip")
+    ).toDF("doc_id", "text")
+    val queries = Seq((10L, "apple"), (10L, "banana"), (11L, "zzz"))
+      .toDF("query_id", "term")
+    val out = TextStats.bm25Search(corpus, queries, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getInt(1), r.getLong(3), r.getDouble(4))).toMap
+    graft.Caches.release()
+    // N=4, Σdl=16; dfs: apple 2, banana 2
+    val s0 = bm25Twin(Seq(("apple", 2L, 2L, 4L), ("banana", 1L, 2L, 4L)), 4L, 16L)
+    val s1 = bm25Twin(Seq(("apple", 1L, 2L, 3L)), 4L, 16L)
+    val s2 = bm25Twin(Seq(("banana", 2L, 2L, 5L)), 4L, 16L)
+    assert(out((10L, 0L))._3 == s0, s"doc0: ${out((10L, 0L))} vs $s0")
+    assert(out((10L, 1L))._3 == s1)
+    assert(out((10L, 2L))._3 == s2)
+    assert(out((10L, 0L))._2 == 2L && out((10L, 1L))._2 == 1L) // n_hit_terms
+    // doc3 shares no term — absent; query 11's term is off-vocabulary
+    assert(!out.contains((10L, 3L)) && !out.keys.exists(_._1 == 11L))
+    // the two-term doc outranks the single-term docs
+    assert(out((10L, 0L))._1 == 1)
+  }
+
+  test("bm25 index probe is result-identical to the live search (incl. split appends)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val queries = TextStats.sampleQueries(docs)
+    assert(queries.count() > 0, "sample query set must be non-empty")
+    // topK wide enough to keep every candidate: the identity check
+    // then covers the full scored relation, and the source doc — a
+    // guaranteed candidate, it contains all its query's terms — must
+    // surface with a full term-hit count (at topK=10 it can honestly
+    // be outranked by shorter docs sharing the same boilerplate terms)
+    val wide = 100000
+    val live = TextStats.bm25Search(docs, queries, topK = wide).collect().toSeq
+    graft.Caches.release()
+    assert(live.nonEmpty)
+    val qids = queries.select("query_id").distinct().as[Long].collect()
+    val nTerms = queries.groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hitsByQ = live.groupBy(_.getLong(0))
+    qids.foreach { q =>
+      val self = hitsByQ(q).find(_.getLong(2) == q)
+      assert(self.exists(_.getLong(3) == nTerms(q)),
+        s"query $q must retrieve its source doc with all ${nTerms(q)} terms hit")
+    }
+    // single-shot index
+    val d1 = java.nio.file.Files.createTempDirectory("graft_text_idx").toString
+    TextStats.writeTextIndex(docs, d1)
+    graft.Caches.release()
+    val probed = TextStats.bm25SearchIndexed(TextStats.sampleQueries(docs), d1,
+      topK = wide)
+    val probeRows = probed.collect().toSeq
+    assert(probeRows == live, "saved-index probe must equal the live search")
+    // the postings/dfs reads prune by the query terms' bucket set
+    val scans = probed.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(p =>
+          p.toString.contains("postings") || p.toString.contains("dfs")) => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "query buckets must prune partitions on the postings/dfs reads")
+    graft.Caches.release()
+    // two-batch append: per-batch partial dfs/doclens/stats must fold
+    // to the same scores (df is additive across disjoint doc batches)
+    val d2 = java.nio.file.Files.createTempDirectory("graft_text_idx2").toString
+    TextStats.writeTextIndex(docs.filter($"doc_id" % 2 === 0), d2, batchId = Some(0L))
+    graft.Caches.release()
+    TextStats.writeTextIndex(docs.filter($"doc_id" % 2 =!= 0), d2, batchId = Some(1L))
+    graft.Caches.release()
+    val appended = TextStats.bm25SearchIndexed(TextStats.sampleQueries(docs), d2,
+      topK = wide).collect().toSeq
+    assert(appended == live, "append-partitioned index must fold to the live scores")
+    graft.Caches.release()
+  }
+
+  test("sampleQueries is bounded, deterministic and takes leading distinct terms") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "alpha beta alpha gamma delta"),
+      (97L, "one two three four five six"),
+      (5L, "not sampled"),
+      (97L * 40, "beyond the query cap")
+    ).toDF("doc_id", "text")
+    val out = TextStats.sampleQueries(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // docs 0 and 97 qualify; 5 (off-grid) and 97*40 (past cap) do not
+    assert(out.map(_._1).toSet == Set(0L, 97L))
+    assert(out.filter(_._1 == 0L).map(_._2).toSeq ==
+      Seq("alpha", "beta", "gamma", "delta")) // distinct, document order
+    assert(out.filter(_._1 == 97L).map(_._2).toSeq ==
+      Seq("one", "two", "three", "four"))     // first qTerms only
+  }
+
+  // ---------------------------------------------------- chunk split
+
+  test("chunkSplit windows tokens with overlap and keeps the tail") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 toks
+      (1L, "a b c"),                          // under one window
+      (2L, "   "),                            // whitespace-only: no rows
+      (3L, (1 to 11).map(i => s"x$i").mkString(" ")) // 11 toks: short tail
+    ).toDF("doc_id", "text")
+    val out = TextStats.chunkSplit(d, chunkTokens = 4, overlap = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // doc0: stride 3 → starts 0,3,6 cover 10 toks exactly
+    assert(out((0L, 0L)) == ((0L, 4L, "t1 t2 t3 t4")))
+    assert(out((0L, 1L)) == ((3L, 4L, "t4 t5 t6 t7")))
+    assert(out((0L, 2L)) == ((6L, 4L, "t7 t8 t9 t10")))
+    assert(!out.contains((0L, 3L)))
+    // overlap: each chunk's first token repeats the previous chunk's last
+    assert(out((0L, 1L))._3.startsWith(out((0L, 0L))._3.split(" ").last))
+    // doc1: a single whole-doc chunk
+    assert(out((1L, 0L)) == ((0L, 3L, "a b c")) && !out.contains((1L, 1L)))
+    // doc2: no tokens, no rows
+    assert(!out.keys.exists(_._1 == 2L))
+    // doc3: 11 toks → 4 chunks, tail keeps the remainder (2 toks)
+    assert(out((3L, 3L)) == ((9L, 2L, "x10 x11")))
+    // non-overlapped prefixes + the last chunk reconstruct the doc
+    val rebuilt = (0L to 2L).map(c => out((0L, c))._3.split(" ").take(3))
+      .flatten ++ out((0L, 2L))._3.split(" ").drop(3)
+    assert(rebuilt.mkString(" ") == "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")
+  }
 }

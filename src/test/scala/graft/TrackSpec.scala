@@ -190,4 +190,37 @@ class TrackSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(out == Map(1L -> (("view", 2L)), 2L -> (("click", 1L))), s"got $out")
   }
+
+  test("eventAnomaly flags the spike day by robust z; mad=0 types flag any deviation") {
+    val day = 86400000L
+    // "click": daily counts 4,5,6,5,7,5,100 → med 5, mad 1;
+    // "view": 5,5,5,5,6 → med 5, mad 0 (conservative branch);
+    // "buy": 2 days of 2,4 → even-count interpolated med 3, mad 1
+    def burst(t: String, d: Int, n: Int): Seq[(String, Long)] =
+      (0 until n).map(i => (t, d * day + i * 1000L))
+    val rows = burst("click", 0, 4) ++ burst("click", 1, 5) ++
+      burst("click", 2, 6) ++ burst("click", 3, 5) ++ burst("click", 4, 7) ++
+      burst("click", 5, 5) ++ burst("click", 6, 100) ++
+      (0 until 4).flatMap(d => burst("view", d, 5)) ++ burst("view", 4, 6) ++
+      burst("buy", 0, 2) ++ burst("buy", 1, 4)
+    val ev = rows.toDF("event_type", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val out = TrackAnalytics.eventAnomaly(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double]), r.getBoolean(6)))).toMap
+    graft.Caches.release()
+    val spike = out(("click", "1970-01-07"))
+    assert(spike._1 == 100L && spike._2 == 5.0 && spike._3 == 1.0)
+    assert(spike._4.get == math.floor((95.0 / 1.4826) * 10000 + 0.5) / 10000)
+    assert(spike._5, "the 20x day must flag")
+    // a 2-count deviation at mad 1 is |z| 1.35 — quiet
+    assert(!out(("click", "1970-01-05"))._5)
+    // mad=0: z is null; the deviating day flags, the median days don't
+    assert(out(("view", "1970-01-05")) == ((6L, 5.0, 0.0, None, true)))
+    assert(out(("view", "1970-01-01")) == ((5L, 5.0, 0.0, None, false)))
+    // even day count: interpolated median 3.0, both days |z| < 3
+    assert(out(("buy", "1970-01-01"))._2 == 3.0 &&
+      out(("buy", "1970-01-01"))._3 == 1.0 && !out(("buy", "1970-01-02"))._5)
+  }
 }
