@@ -255,6 +255,22 @@ object SparkEntry {
       Ann.writeAnnIndexSq8(e.filter(e("vec_id") >= nQ), Ann.labelCentroids(e), tmp)
       Ann.ivfSq8KnnIndexed(e.filter(e("vec_id") < nQ), tmp)
     }),
+    // hybrid retrieval: BM25 lexical run fused with a semantic run
+    // over the model-free hash embeddings (t22), rank-space RRF —
+    // rows-only (both legs are float-scored)
+    "a20_rrf_fusion" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lex = TextStats.bm25Search(docs, TextStats.sampleQueries(docs))
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = TextStats.hashEmbed(docs)
+      val qe = emb.filter(col("doc_id") % 97 === 0 && col("doc_id") < 97L * 32)
+        .select(col("doc_id").as("query_id"), col("embedding"))
+      val sem = Ann.knnFor(
+          emb.select(col("doc_id").as("vec_id"), col("embedding")), qe)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rn").as("rank"))
+      Ann.rrfFuse(Seq(lex, sem))
+    }),
     "t01_token_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) => TextStats.qualityScore(Tables.documents(s, d))),
     "t03_langid" -> ((s, d) => TextStats.langId(Tables.documents(s, d))),

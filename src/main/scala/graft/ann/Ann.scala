@@ -36,6 +36,60 @@ object Ann {
       .orderBy("query_id", "rn")
   }
 
+  /** a01's shape with an EXPLICIT query relation — `queries` is
+    * (query_id, embedding), `corpus` is (vec_id, embedding); same
+    * broadcast-scan plan, same deterministic ordering. The composition
+    * entry point for callers whose query ids are not a dense prefix
+    * (a20's hybrid fusion, cross-table retrieval). */
+  def knnFor(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val q = queries.select(col("query_id"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(q).crossJoin(c)
+      .withColumn("sim", expr("graft_cosine(qe, ce)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        stableRound(col("sim"), 4).as("cos_sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** a20_rrf_fusion — hybrid retrieval by Reciprocal Rank Fusion
+    * (Cormack/Clarke/Buettcher 2009, the standard lexical+vector
+    * fusion): each input run is a ranked (query_id, doc_id, rank)
+    * relation; a document's fused score is Σ_runs 1/(kRrf + rank),
+    * summed over the runs that retrieved it. Rank-space fusion needs
+    * no score calibration between runs — BM25 logs and cosine floats
+    * fuse without normalization, which is exactly why RRF is the
+    * production default for hybrid search.
+    *
+    * Determinism: each contribution is one IEEE division of exact
+    * integers; the per-document sum folds in RUN-INDEX ORDER (the t28
+    * sorted-fold recipe), ties break by doc_id. Scale: the runs are
+    * top-k relations — queries×k rows each — so the whole fusion is
+    * post-retrieval small; one union, one partial agg, one window. */
+  def rrfFuse(runs: Seq[DataFrame], kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse: need at least one run")
+    val tagged = runs.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank"), lit(i).as("run"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    tagged
+      .withColumn("contrib", lit(1.0) / (lit(kRrf) + col("rank")))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_runs"),
+        aggregate(array_sort(collect_list(struct(col("run"), col("contrib")))),
+          lit(0.0), (acc, x) => acc + x.getField("contrib")).as("rrf_score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_runs"),
+        stableRound(col("rrf_score"), 6).as("rrf_score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** a10_range_search — radius search (the FAISS `range_search` API):
     * every corpus vector within cosine ≥ `tau` of each query vector,
     * not a fixed top-k. For a bounded query set the scalable plan IS

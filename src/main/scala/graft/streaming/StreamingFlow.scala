@@ -728,6 +728,39 @@ object StreamingFlow {
       }
     }
 
+  /** s25_stream_bm25_probe_indexed — live keyword search over the
+    * saved inverted index (`sink_text_index`): each micro-batch of
+    * (query_id, term) rows probes the at-rest corpus via t29's
+    * bucket-pruned bm25SearchIndexed and lands its top-k result
+    * pages under `resultPath`, partitioned by batch_id so a replayed
+    * trigger OVERWRITES its own results instead of duplicating them
+    * (the s18/s24 idempotence convention). The index is read-only
+    * here — per-trigger cost is query-proportional and constant in
+    * stream lifetime, the property that makes a continuously-serving
+    * search endpoint viable: nothing compounds. Batch twin: t28 on
+    * the same corpus (spec-pinned identical pages). */
+  def streamBm25Indexed(queryStream: DataFrame, indexPath: String,
+                        resultPath: String, checkpoint: String, topK: Int = 10
+                       ): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(bm25IndexedBatch(indexPath, resultPath, topK))
+      .start()
+
+  private[graft] def bm25IndexedBatch(indexPath: String, resultPath: String,
+                                      topK: Int): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val queries = batch.select("query_id", "term").localCheckpoint(true)
+      val pages = graft.Caches.scoped {
+        graft.text.TextStats.bm25SearchIndexed(queries, indexPath, topK)
+          .localCheckpoint(true)
+      }
+      pages.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(resultPath)
+    }
+
   case class TransEv(userId: Long, tsMs: Long, eventId: Long, eventType: String)
   case class TransState(lastMs: Long, lastId: Long, lastType: String)
   case class Transition(userId: Long, fromType: String, toType: String)

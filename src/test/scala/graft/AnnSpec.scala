@@ -520,4 +520,44 @@ class AnnSpec extends SparkSpecBase {
     val brute = Ann.knnBrute(emb, nQueries = 1, k = 3).collect().map(_.getLong(1))
     assert(top.toList == brute.toList, s"λ=1 ${top.toList} != top-k ${brute.toList}")
   }
+
+  test("knnFor with an explicit query relation reproduces knnBrute's prefix convention") {
+    import org.apache.spark.sql.functions.col
+    val queries = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = vecs.filter(col("vec_id") >= 2)
+    val explicit = Ann.knnFor(corpus, queries, k = 3).collect().toSeq
+    val prefix = Ann.knnBrute(vecs, nQueries = 2, k = 3).collect().toSeq
+    assert(explicit == prefix, s"$explicit vs $prefix")
+    // non-prefix ids work: shifting the query ids only relabels the rows
+    val shifted = Ann.knnFor(corpus,
+        queries.select((col("query_id") + 500L).as("query_id"), col("embedding")), k = 3)
+      .collect().map(r => (r.getLong(0) - 500L, r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(shifted.toSeq == prefix.map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq)
+  }
+
+  test("rrfFuse scores exact reciprocal-rank sums; both-runs docs outrank single-run peers") {
+    // run A: docs 10,11,12 at ranks 1..3; run B: 11,10,13
+    val runA = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val runB = Seq((0L, 11L, 1), (0L, 10L, 2), (0L, 13L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Ann.rrfFuse(Seq(runA, runB), kRrf = 60, topK = 10).collect()
+      .map(r => r.getLong(2) -> ((r.getInt(1), r.getLong(3), r.getDouble(4)))).toMap
+    def rrf(ranks: Seq[Int]): Double = {
+      val s = ranks.foldLeft(0.0)((acc, r) => acc + 1.0 / (60 + r))
+      math.floor(s * 1000000.0 + 0.5) / 1000000.0
+    }
+    // 10: 1/61+1/62; 11: 1/62+1/61 — identical sums, but the fold is
+    // run-index ordered so both sum 1/61 then 1/62... 10 ties 11 and
+    // doc_id breaks the tie
+    assert(out(10L)._3 == rrf(Seq(1, 2)) && out(11L)._3 == rrf(Seq(2, 1)))
+    assert(out(10L)._1 == 1 && out(11L)._1 == 2, s"tie must break by doc_id: $out")
+    assert(out(10L)._2 == 2L && out(12L)._2 == 1L) // n_runs
+    assert(out(12L)._3 == rrf(Seq(3)) && out(13L)._3 == rrf(Seq(3)))
+    // a doc in both runs outranks same-rank single-run docs
+    assert(out(10L)._1 < out(12L)._1 && out(11L)._1 < out(13L)._1)
+    graft.Caches.release()
+  }
 }

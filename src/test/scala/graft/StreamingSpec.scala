@@ -765,4 +765,46 @@ class StreamingSpec extends SparkSpecBase {
       assert(streamCounts == batch, s"stream=$streamCounts batch=$batch")
     } finally q.stop()
   }
+
+  test("s25 streaming bm25 pages equal the live batch search; replay overwrites its pages") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "apple fig grape"),
+      (3L, "banana banana kiwi melon plum"),
+      (4L, "quince rose straw tulip")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_s25").toString
+    val idxPath = s"$dir/idx"; val resPath = s"$dir/res"
+    graft.Caches.scoped { graft.text.TextStats.writeTextIndex(corpus, idxPath) }
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingFlow.streamBm25Indexed(
+      input.toDF().toDF("query_id", "term"), idxPath, resPath, s"$dir/ckpt")
+    try {
+      input.addData((10L, "apple"), (10L, "banana"))
+      q.processAllAvailable()
+      val p1 = spark.read.parquet(resPath).filter(col("batch_id") === 0)
+        .drop("batch_id").collect().toSeq.sortBy(_.getLong(2))
+      val live = graft.Caches.scoped {
+        graft.text.TextStats.bm25Search(corpus,
+          Seq((10L, "apple"), (10L, "banana")).toDF("query_id", "term"))
+          .collect().toSeq
+      }.sortBy(_.getLong(2))
+      assert(p1.nonEmpty && p1 == live, s"stream $p1 vs live $live")
+      // a later trigger lands under its own batch_id; earlier pages stay
+      input.addData((11L, "kiwi"))
+      q.processAllAvailable()
+      val p2 = spark.read.parquet(resPath).filter(col("batch_id") === 1).collect()
+      assert(p2.length == 1 && p2.head.getLong(2) == 3L, s"got ${p2.toSeq}")
+      assert(spark.read.parquet(resPath).filter(col("batch_id") === 0)
+        .count() == p1.size.toLong)
+      // replaying trigger 0 overwrites its partition, never duplicates
+      StreamingFlow.bm25IndexedBatch(idxPath, resPath, 10)(
+        Seq((10L, "apple"), (10L, "banana")).toDF("query_id", "term"), 0L)
+      val replayed = spark.read.parquet(resPath).filter(col("batch_id") === 0)
+        .drop("batch_id").collect().toSeq.sortBy(_.getLong(2))
+      assert(replayed == p1, s"replay must be idempotent: $replayed vs $p1")
+    } finally q.stop()
+  }
 }
