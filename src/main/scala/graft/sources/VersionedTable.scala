@@ -565,6 +565,43 @@ object VersionedTable {
     * lack the new columns on disk; every later read plans with the
     * commit's schema, so those rows surface the additions as NULL.
     * Time travel to pre-evolution versions keeps their own schema. */
+  /** sink_restore — roll the table back to an earlier version as a
+    * NEW commit (the Delta RESTORE verb): `toVersion`'s complete file
+    * list and schema re-commit at latest+1. History is preserved —
+    * the rolled-back commits stay time-travelable until vacuum — and
+    * a downstream change feed sees the restore as one ordinary delta
+    * between latest and latest+1, so incremental consumers converge
+    * without special-casing. Zero data movement: the commit is a
+    * file-list pointer, whatever the table size — the undo path for
+    * a bad merge at 100 TB costs one log write.
+    *
+    * The target must still be materializable: every file it
+    * references must exist (vacuum may have pruned beyond the
+    * retention horizon) — checked up front so a restore can never
+    * commit dangling references. CAS-raced like every commit: a
+    * concurrent writer advances the version, the restore retries on
+    * top (last-writer-wins, standard restore semantics). */
+  def restore(path: String, toVersion: Long, maxRetries: Int = 10): Long = {
+    val latest = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"restore: $path is not a versioned table"))
+    require(hasVersion(path, toVersion),
+      s"restore: version $toVersion is not in the log (vacuumed or never committed)")
+    val files = filesOf(path, toVersion)
+    val missing = files.filterNot(f => Files.exists(Paths.get(path, f)))
+    require(missing.isEmpty,
+      s"restore: version $toVersion references vacuumed files: ${missing.take(3).mkString(", ")}")
+    val schema = schemaOf(path, toVersion).map(_.json)
+    var v = latest + 1
+    var tries = 0
+    while (!tryCommit(path, v, files, dataChange = true, schemaJson = schema)) {
+      tries += 1
+      if (tries > maxRetries)
+        throw new IllegalStateException(s"restore: lost the commit race $maxRetries times")
+      v = latestVersion(path).getOrElse(v) + 1
+    }
+    v
+  }
+
   def upsert(spark: SparkSession, path: String, keyCols: Seq[String],
              updates: DataFrame, maxRetries: Int = 10): Long = {
     require(keyCols.nonEmpty, "upsert: need at least one key column")

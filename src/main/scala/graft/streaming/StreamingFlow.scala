@@ -748,6 +748,34 @@ object StreamingFlow {
       .foreachBatch(bm25IndexedBatch(indexPath, resultPath, topK))
       .start()
 
+  /** s26_stream_text_index_ingest — the CORPUS side of the live
+    * search endpoint (s25's complement, closing the lifecycle the way
+    * s18 closes d15's): each micro-batch of (doc_id, text) documents
+    * appends its postings/dfs/doclens/stats under the trigger's
+    * batch_id via the sink's append protocol — partial relations fold
+    * at probe time, so a query sees every ingested batch without any
+    * rebuild, and a replayed trigger overwrites its own partitions
+    * (idempotent). Appends hash with the SEEDED bucket modulus
+    * (meta-read inside writeTextIndex), never a caller default. */
+  def streamTextIndexIngest(docStream: DataFrame, indexPath: String,
+                            checkpoint: String
+                           ): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(textIndexIngestBatch(indexPath))
+      .start()
+
+  private[graft] def textIndexIngestBatch(indexPath: String
+                                         ): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val docs = batch.select("doc_id", "text").localCheckpoint(true)
+      graft.Caches.scoped {
+        graft.text.TextStats.writeTextIndex(docs, indexPath,
+          batchId = Some(batchId))
+      }
+    }
+
   private[graft] def bm25IndexedBatch(indexPath: String, resultPath: String,
                                       topK: Int): (DataFrame, Long) => Unit =
     (batch, batchId) => {

@@ -232,6 +232,41 @@ class SourcesSpec extends SparkSpecBase {
     assert(v1.size == 100 && v1(7L) == "name7")
   }
 
+  test("versioned table: restore rolls back as a new commit; history and CDC survive") {
+    import graft.sources.VersionedTable
+    val dir = Files.createTempDirectory("graft_vt_restore").toString + "/t"
+    val base = (0L until 20L).map(i => (i, s"name$i")).toDF("id", "name")
+    VersionedTable.create(base, dir)
+    VersionedTable.upsert(spark, dir, Seq("id"),
+      Seq((3L, "BAD"), (100L, "junk")).toDF("id", "name"))      // v2: the bad merge
+    VersionedTable.upsert(spark, dir, Seq("id"),
+      Seq((5L, "WORSE")).toDF("id", "name"))                    // v3: more damage
+    val v4 = VersionedTable.restore(dir, 1L)
+    assert(v4 == 4L, s"restore must commit at latest+1, got $v4")
+    // the live table IS v1 again — zero data movement, same files
+    val now = VersionedTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now.size == 20 && now(3L) == "name3" && now(5L) == "name5" &&
+      !now.contains(100L))
+    assert(VersionedTable.filesOf(dir, 4L).toSet ==
+      VersionedTable.filesOf(dir, 1L).toSet,
+      "restore must re-point at the target's files, not rewrite them")
+    // the rolled-back history stays time-travelable
+    val v3 = VersionedTable.read(spark, dir, asOf = Some(3L)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v3(3L) == "BAD" && v3(5L) == "WORSE" && v3(100L) == "junk")
+    // a change-feed consumer synced at v3 sees the rollback as one
+    // ordinary delta: the bad rows revert, the junk insert deletes
+    val cdc = VersionedTable.changesBetween(spark, dir, Seq("id"), 3L, 4L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cdc.get(3L).contains("update") && cdc.get(5L).contains("update") &&
+      cdc.get(100L).contains("delete"), s"got $cdc")
+    // restoring a version whose log entry is gone fails loudly
+    intercept[IllegalArgumentException] {
+      VersionedTable.restore(dir, 99L)
+    }
+  }
+
   test("versioned table: commits are CAS — one winner, losers retry into the next version") {
     import graft.sources.VersionedTable
     val dir = Files.createTempDirectory("graft_vt_cas").toString + "/t"

@@ -807,4 +807,38 @@ class StreamingSpec extends SparkSpecBase {
       assert(replayed == p1, s"replay must be idempotent: $replayed vs $p1")
     } finally q.stop()
   }
+
+  test("s26 streamed corpus ingest serves pages identical to a single-shot index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val b1 = Seq((1L, "apple banana apple cherry"), (2L, "apple fig grape"))
+    val b2 = Seq((3L, "banana banana kiwi melon plum"), (4L, "quince rose straw tulip"))
+    val queries = Seq((10L, "apple"), (10L, "banana"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_s26").toString
+    val idxPath = s"$dir/idx"
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingFlow.streamTextIndexIngest(
+      input.toDF().toDF("doc_id", "text"), idxPath, s"$dir/ckpt")
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      def probe() = graft.Caches.scoped {
+        graft.text.TextStats.bm25SearchIndexed(
+          queries.toDF("query_id", "term"), idxPath).collect().toSeq
+      }
+      val live = graft.Caches.scoped {
+        graft.text.TextStats.bm25Search((b1 ++ b2).toDF("doc_id", "text"),
+          queries.toDF("query_id", "term")).collect().toSeq
+      }
+      val streamed = probe()
+      assert(streamed.nonEmpty && streamed == live,
+        s"streamed-index pages $streamed vs live $live")
+      // replaying trigger 0 overwrites its partitions — scores unchanged
+      StreamingFlow.textIndexIngestBatch(idxPath)(b1.toDF("doc_id", "text"), 0L)
+      assert(probe() == live, "replayed ingest must not change any score")
+      // compaction preserves the probe (the staged-swap contract)
+      graft.sources.Sources.optimizeIndex(spark, idxPath)
+      assert(probe() == live, "compacted index must serve identical pages")
+    } finally q.stop()
+  }
 }
