@@ -282,6 +282,17 @@ object TaskRunner {
     "t18_quality_filter" -> ((s, d, p) => TextStats.qualityFilter(
       Tables.documents(s, d), i(p, "minTokens", 20), i(p, "maxTokens", 2048),
       dbl(p, "minQuality", 0.6), dbl(p, "maxRepetition", 0.1))),
+    "t28_bm25_search" -> ((s, d, p) => {
+      val docs = Tables.documents(s, d)
+      TextStats.bm25Search(docs,
+        TextStats.sampleQueries(docs, l(p, "queryEvery", 97L),
+          i(p, "maxQueries", 32), i(p, "qTerms", 4)),
+        i(p, "topK", 10), dbl(p, "k1", 1.2), dbl(p, "b", 0.75))
+    }),
+    "t30_chunk_split" -> ((s, d, p) => TextStats.chunkSplit(
+      Tables.documents(s, d), i(p, "chunkTokens", 64), i(p, "overlap", 16))),
+    "q60_event_anomaly" -> ((s, d, p) => TrackAnalytics.eventAnomaly(
+      eventsIn(s, d, p), dbl(p, "k", 3.0))),
     "q41_graph_rank" -> ((s, d, p) => TrackAnalytics.graphRank(
       eventsIn(s, d, p), i(p, "iterations", 10), dbl(p, "damping", 0.85),
       l(p, "maxLocalEdges", 4000000L))),
