@@ -606,6 +606,18 @@ object Oracles {
                       LEFT JOIN s3 USING (user_id))
          SELECT level, count(*) AS n_users FROM l GROUP BY level ORDER BY level""",
 
+    "q61_hourly_profile" ->
+      """WITH h AS (
+           SELECT event_type, hour(ts) AS hour, count(*) AS n_events
+           FROM events GROUP BY event_type, hour(ts))
+         SELECT event_type, hour, n_events,
+                floor((n_events*1.0
+                       / sum(n_events) OVER (PARTITION BY event_type))*10000 + 0.5)/10000
+                  AS share,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY n_events DESC, hour) AS rnk
+         FROM h ORDER BY event_type, hour""",
+
     "q60_event_anomaly" ->
       """WITH d AS (
            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
@@ -1299,6 +1311,36 @@ object Oracles {
                 array_to_string(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64), ' ')
                   AS chunk_text
          FROM c ORDER BY doc_id, chunk_id""",
+
+    "t31_percolate" ->
+      """WITH qd AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 97 = 0 AND doc_id < 97*32),
+         qterm AS (
+           SELECT query_id, term FROM (
+             SELECT doc_id AS query_id, term,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY list_position(toks, term)) AS rk
+             FROM (SELECT doc_id, toks, unnest(list_distinct(toks)) AS term
+                   FROM qd))
+           WHERE rk <= 4),
+         qsize AS (SELECT query_id, count(*) AS n_query_terms
+                   FROM qterm GROUP BY query_id),
+         dt AS (
+           SELECT DISTINCT doc_id, term FROM (
+             SELECT doc_id,
+                    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                       x -> x <> '')) AS term
+             FROM documents)),
+         hits AS (
+           SELECT dt.doc_id, qterm.query_id, count(*) AS n_hit_terms
+           FROM dt JOIN qterm USING (term) GROUP BY dt.doc_id, qterm.query_id)
+         SELECT doc_id, query_id, n_hit_terms, n_query_terms
+         FROM hits JOIN qsize USING (query_id)
+         WHERE n_hit_terms >= ceil(1.0 * n_query_terms - 0.000000001)
+         ORDER BY doc_id, query_id""",
 
     "t23_source_upsample" ->
       """WITH toks AS (

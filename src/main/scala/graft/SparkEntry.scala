@@ -110,6 +110,11 @@ object SparkEntry {
     "q58_session_transitions" -> ((s, d) => TrackAnalytics.sessionTransitions(Tables.events(s, d))),
     "q59_dwell_time" -> ((s, d) => TrackAnalytics.dwellTime(Tables.events(s, d))),
     "q60_event_anomaly" -> ((s, d) => TrackAnalytics.eventAnomaly(Tables.events(s, d))),
+    "q61_hourly_profile" -> ((s, d) => TrackAnalytics.hourlyProfile(Tables.events(s, d))),
+    "t31_percolate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextStats.percolate(docs, TextStats.sampleQueries(docs))
+    }),
     "q40_grouping_sets" -> ((s, d) => RelationalOps.groupingSets(Tables.orders(s, d))),
     "q41_graph_rank" -> ((s, d) => TrackAnalytics.graphRank(Tables.events(s, d))),
     "a10_range_search" -> ((s, d) => Ann.rangeSearch(Tables.embeddings(s, d))),

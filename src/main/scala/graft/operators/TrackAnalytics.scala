@@ -710,6 +710,31 @@ object TrackAnalytics {
       .orderBy("user_id")
   }
 
+  /** q61_hourly_profile — the seasonal time-slot profile per event
+    * type (the reference's flow-by-time-slot report, hour grain):
+    * per (type, hour-of-day) the event count, the hour's share of the
+    * type's total, and the hour's rank within the type (busiest
+    * first, ties to the earlier hour) — the shape capacity planning
+    * and staffing reads hang off. One partial-agg exchange to the
+    * ≤ types×24-row grain; the share and rank windows run there, so
+    * raw events shuffle exactly once. Counts are exact; share is one
+    * IEEE division under stableRound → full hash oracle. */
+  def hourlyProfile(events: DataFrame): DataFrame = {
+    val byHour = events
+      .groupBy(col("event_type"), hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val wTot = Window.partitionBy("event_type")
+    val wRnk = Window.partitionBy("event_type")
+      .orderBy(col("n_events").desc, col("hour"))
+    byHour
+      .withColumn("share", graft.Num.stableRound(
+        col("n_events").cast("double") / sum("n_events").over(wTot), 4))
+      .withColumn("rnk", row_number().over(wRnk))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("share"), col("rnk"))
+      .orderBy("event_type", "hour")
+  }
+
   /** q60_event_anomaly — robust daily-volume anomaly report per event
     * type (the monitoring question every ingest pipeline asks of its
     * event stream): for each (event_type, day) the day's event count,

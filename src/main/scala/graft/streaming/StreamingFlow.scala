@@ -748,6 +748,38 @@ object StreamingFlow {
       .foreachBatch(bm25IndexedBatch(indexPath, resultPath, topK))
       .start()
 
+  /** s27_stream_percolate — live reverse search (the percolator /
+    * alerting pattern, t31's streaming twin): STANDING queries are a
+    * static (query_id, term) relation; every arriving document
+    * micro-batch is matched against all of them and the match rows
+    * land under the trigger's batch_id (replay overwrites — the
+    * s18/s24 convention). The standing queries broadcast into each
+    * batch's tokenize pass, so per-trigger cost is batch-proportional
+    * and constant in stream lifetime: the continuously-armed alert
+    * rail next to s25's ad-hoc search endpoint. */
+  def streamPercolate(docStream: DataFrame, queries: DataFrame,
+                      resultPath: String, checkpoint: String,
+                      minFrac: Double = 1.0
+                     ): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(percolateBatch(queries, resultPath, minFrac))
+      .start()
+
+  private[graft] def percolateBatch(queries: DataFrame, resultPath: String,
+                                    minFrac: Double): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val docs = batch.select("doc_id", "text").localCheckpoint(true)
+      val matches = graft.Caches.scoped {
+        graft.text.TextStats.percolate(docs, queries, minFrac)
+          .localCheckpoint(true)
+      }
+      matches.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(resultPath)
+    }
+
   /** s26_stream_text_index_ingest — the CORPUS side of the live
     * search endpoint (s25's complement, closing the lifecycle the way
     * s18 closes d15's): each micro-batch of (doc_id, text) documents

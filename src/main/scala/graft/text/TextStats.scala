@@ -1012,6 +1012,40 @@ object TextStats {
     bm25Score(cand, stats, topK, k1, b)
   }
 
+  /** t31_percolate — reverse search (the percolator pattern):
+    * STANDING queries are stored as (query_id, term) sets and every
+    * document is checked against all of them — the alerting /
+    * routing primitive (notify when a doc matching this keyword set
+    * arrives), the exact inverse of t28's ad-hoc search. A query
+    * matches a document when at least ceil(minFrac · |query terms|)
+    * of its DISTINCT terms appear in the document (default 1.0 =
+    * every term present).
+    *
+    * Plan: one tokenize pass to distinct (doc, term) pairs, the tiny
+    * standing-query relation broadcasts into it (t28's discipline —
+    * the corpus never hash-shuffles against the queries), hit counts
+    * partial-aggregate at (doc, query) grain, the per-query size
+    * broadcasts for the threshold. Exact integer logic end to end →
+    * full hash oracle (which also pins the sampleQueries derivation
+    * cross-engine for the whole retrieval family). */
+  def percolate(documents: DataFrame, queries: DataFrame,
+                minFrac: Double = 1.0): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1.0,
+      s"percolate: minFrac in (0,1], got $minFrac")
+    val dterms = termsOf(documents).distinct()
+    val qt = queries.select("query_id", "term").distinct()
+    val qsize = qt.groupBy("query_id").agg(count(lit(1)).as("n_query_terms"))
+    dterms.join(broadcast(qt), Seq("term"))
+      .groupBy("doc_id", "query_id")
+      .agg(count(lit(1)).as("n_hit_terms"))
+      .join(broadcast(qsize), Seq("query_id"))
+      .filter(col("n_hit_terms") >=
+        ceil(lit(minFrac) * col("n_query_terms") - lit(1e-9)))
+      .select(col("doc_id"), col("query_id"),
+        col("n_hit_terms"), col("n_query_terms"))
+      .orderBy("doc_id", "query_id")
+  }
+
   /** t30_chunk_split — fixed-token chunking with overlap (the RAG /
     * context-window splitting primitive, t10 seqPack's inverse): each
     * document's whitespace tokens split into `chunkTokens`-token

@@ -808,6 +808,43 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s27 streaming percolation matches batch t31 per trigger; replay overwrites") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val queries = Seq((100L, "alpha"), (100L, "beta"), (101L, "delta"))
+      .toDF("query_id", "term")
+    val dir = java.nio.file.Files.createTempDirectory("graft_s27").toString
+    val resPath = s"$dir/res"
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingFlow.streamPercolate(
+      input.toDF().toDF("doc_id", "text"), queries, resPath, s"$dir/ckpt")
+    try {
+      val b1 = Seq((0L, "alpha beta gamma delta"), (1L, "alpha only"))
+      input.addData(b1: _*); q.processAllAvailable()
+      val p1 = spark.read.parquet(resPath).filter(col("batch_id") === 0)
+        .select("doc_id", "query_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batchTwin = graft.Caches.scoped {
+        graft.text.TextStats.percolate(b1.toDF("doc_id", "text"), queries)
+          .select("doc_id", "query_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(p1 == batchTwin && p1 == Set((0L, 100L), (0L, 101L)), s"got $p1")
+      // a doc arriving later fires the standing query in ITS trigger
+      input.addData((2L, "beta alpha")); q.processAllAvailable()
+      val p2 = spark.read.parquet(resPath).filter(col("batch_id") === 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p2 == Set((2L, 100L)), s"got $p2")
+      // replayed trigger overwrites its own partition
+      StreamingFlow.percolateBatch(queries, resPath, 1.0)(
+        b1.toDF("doc_id", "text"), 0L)
+      val replayed = spark.read.parquet(resPath).filter(col("batch_id") === 0)
+        .select("doc_id", "query_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(replayed == p1, s"replay must be idempotent: $replayed")
+    } finally q.stop()
+  }
+
   test("s26 streamed corpus ingest serves pages identical to a single-shot index") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -487,6 +487,33 @@ class TextSpec extends SparkSpecBase {
       Seq("one", "two", "three", "four"))     // first qTerms only
   }
 
+  test("percolate fires standing queries on all-terms presence; minFrac relaxes it") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta unrelated words here"),
+      (2L, "alpha only here"),
+      (3L, "nothing shared at all")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "alpha"), (100L, "beta"), (101L, "delta"))
+      .toDF("query_id", "term")
+    val strict = TextStats.percolate(docs, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // all-terms: q100 fires on docs 0,1 (alpha+beta); q101 on doc 0 only
+    assert(strict.keySet == Set((0L, 100L), (1L, 100L), (0L, 101L)), s"got $strict")
+    assert(strict((0L, 100L)) == ((2L, 2L)) && strict((0L, 101L)) == ((1L, 1L)))
+    // minFrac 0.5: one of q100's two terms suffices → doc 2 joins
+    val relaxed = TextStats.percolate(docs, queries, minFrac = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(relaxed == Set((0L, 100L), (1L, 100L), (2L, 100L), (0L, 101L)),
+      s"got $relaxed")
+    // repeated terms in a doc count once (distinct semantics)
+    val rep = TextStats.percolate(
+      Seq((9L, "alpha alpha alpha")).toDF("doc_id", "text"),
+      Seq((5L, "alpha")).toDF("query_id", "term")).collect()
+    assert(rep.length == 1 && rep.head.getLong(2) == 1L)
+  }
+
   // ---------------------------------------------------- chunk split
 
   test("chunkSplit windows tokens with overlap and keeps the tail") {

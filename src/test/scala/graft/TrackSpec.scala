@@ -191,6 +191,24 @@ class TrackSpec extends SparkSpecBase {
     assert(out == Map(1L -> (("view", 2L)), 2L -> (("click", 1L))), s"got $out")
   }
 
+  test("hourlyProfile shares sum to 1 per type; rank is busiest-first with earlier-hour ties") {
+    val hour = 3600000L
+    val rows = Seq.fill(3)(("click", 9L)) ++ Seq.fill(6)(("click", 12L)) ++
+      Seq.fill(3)(("click", 18L)) ++ Seq.fill(2)(("view", 0L)) ++
+      Seq.fill(2)(("view", 23L))
+    val ev = rows.zipWithIndex.map { case ((t, h), i) => (t, h * hour + i) }
+      .toDF("event_type", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val out = TrackAnalytics.hourlyProfile(ev).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(out(("click", 12)) == ((6L, 0.5, 1)))
+    // 3-count tie at hours 9 and 18: earlier hour ranks first
+    assert(out(("click", 9))._3 == 2 && out(("click", 18))._3 == 3)
+    assert(out(("view", 0)) == ((2L, 0.5, 1)) && out(("view", 23))._3 == 2)
+    assert(out.keys.count(_._1 == "click") == 3)
+  }
+
   test("eventAnomaly flags the spike day by robust z; mad=0 types flag any deviation") {
     val day = 86400000L
     // "click": daily counts 4,5,6,5,7,5,100 → med 5, mad 1;
