@@ -606,6 +606,30 @@ object Oracles {
                       LEFT JOIN s3 USING (user_id))
          SELECT level, count(*) AS n_users FROM l GROUP BY level ORDER BY level""",
 
+    "q62_ohlc_downsample" ->
+      """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                first(value ORDER BY ts, event_id) AS open,
+                max(value) AS high, min(value) AS low,
+                last(value ORDER BY ts, event_id) AS close,
+                count(*) AS volume
+         FROM events GROUP BY event_type, CAST(ts AS DATE)
+         ORDER BY event_type, day""",
+
+    "q63_conversion_lag" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(ts)) AS t_from
+                    FROM events WHERE event_type = 'click' GROUP BY user_id),
+         t AS (SELECT user_id, min(epoch_us(ts)) AS t_to
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         l AS (SELECT t_to - t_from AS lag_us
+               FROM f JOIN t USING (user_id) WHERE t_to > t_from)
+         SELECT count(*) AS n_converted,
+                floor(quantile_cont(lag_us, 0.5)*100 + 0.5)/100 AS p50_lag_us,
+                floor(quantile_cont(lag_us, 0.9)*100 + 0.5)/100 AS p90_lag_us,
+                floor(quantile_cont(lag_us, 0.99)*100 + 0.5)/100 AS p99_lag_us,
+                floor((CAST(sum(lag_us) AS DOUBLE)/CAST(count(*) AS DOUBLE))*10000 + 0.5)/10000
+                  AS mean_lag_us
+         FROM l""",
+
     "q61_hourly_profile" ->
       """WITH h AS (
            SELECT event_type, hour(ts) AS hour, count(*) AS n_events

@@ -111,6 +111,8 @@ object SparkEntry {
     "q59_dwell_time" -> ((s, d) => TrackAnalytics.dwellTime(Tables.events(s, d))),
     "q60_event_anomaly" -> ((s, d) => TrackAnalytics.eventAnomaly(Tables.events(s, d))),
     "q61_hourly_profile" -> ((s, d) => TrackAnalytics.hourlyProfile(Tables.events(s, d))),
+    "q62_ohlc_downsample" -> ((s, d) => TrackAnalytics.ohlcDownsample(Tables.events(s, d))),
+    "q63_conversion_lag" -> ((s, d) => TrackAnalytics.conversionLag(Tables.events(s, d))),
     "t31_percolate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       TextStats.percolate(docs, TextStats.sampleQueries(docs))

@@ -244,9 +244,9 @@ object RelationalOps {
     * built-in's exact formula `lo + (hi − lo)·frac` — bit-equal to
     * `percentile` / DuckDB `quantile_cont` (oracle-proven at sf0.01
     * and sf1). Returns `group, __p0, __p1, …` in `ps` order. */
-  private def exactGroupPercentiles(df: DataFrame, groupCol: String,
-                                    valueCol: String,
-                                    ps: Seq[Double]): DataFrame = {
+  private[graft] def exactGroupPercentiles(df: DataFrame, groupCol: String,
+                                           valueCol: String,
+                                           ps: Seq[Double]): DataFrame = {
     val counts = df.groupBy(col(groupCol), col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(groupCol).orderBy("__v")

@@ -710,6 +710,75 @@ object TrackAnalytics {
       .orderBy("user_id")
   }
 
+  /** q62_ohlc_downsample — per (event_type, day) OHLC bars over the
+    * event value (the standard time-series downsample: open/high/low/
+    * close/volume): open and close are the value of the day's FIRST
+    * and LAST event under the (ts_ns, event_id) total order — picked
+    * with min/max-of-struct folds (the q57 recipe), so no per-group
+    * window buffer exists and the aggregation combines map-side.
+    * Every output is an exact PICK or an exact count — no float
+    * arithmetic at all (a value SUM would be order-nondeterministic
+    * over arbitrary doubles and is deliberately absent) → full hash
+    * oracle. One partial-agg exchange at (type, day) grain. */
+  def ohlcDownsample(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("ts_ns"), col("event_id"), col("value"))
+      .groupBy("event_type", "day")
+      .agg(
+        min(struct(col("ts_ns").as("t"), col("event_id").as("e"),
+          col("value").as("v"))).as("of"),
+        max(struct(col("ts_ns").as("t"), col("event_id").as("e"),
+          col("value").as("v"))).as("cf"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("volume"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("of.v").as("open"), col("high"), col("low"),
+        col("cf.v").as("close"), col("volume"))
+      .orderBy("event_type", "day")
+
+  /** q63_conversion_lag — time-to-convert distribution: for every
+    * entity whose first `fromType` event precedes its first `toType`
+    * event, the lag between them, reported as exact interpolated
+    * p50/p90/p99 (q21's distributed percentile machinery — value-
+    * grain partial agg, no holistic buffer) plus the exact-integer
+    * mean; the "how long does the funnel take" read next to q09/q39's
+    * "how many convert". Lags are exact integer micros; the
+    * percentile interpolation and the one mean division are the same
+    * IEEE op sequences DuckDB's quantile_cont/division run → full
+    * hash oracle. Scale: two first-event partial aggs on the entity
+    * key, then everything is at converting-entity grain. */
+  def conversionLag(events: DataFrame, fromType: String = "click",
+                    toType: String = "purchase"): DataFrame = {
+    val f = events.filter(col("event_type") === fromType)
+      .groupBy("user_id").agg(min("ts_ns").as("t_from"))
+    val t = events.filter(col("event_type") === toType)
+      .groupBy("user_id").agg(min("ts_ns").as("t_to"))
+    val lags = f.join(t, "user_id")
+      .filter(col("t_to") > col("t_from"))
+      .select(lit("all").as("__g"),
+        expr("(t_to - t_from) div 1000").as("lag_us"))
+    val pcts = RelationalOps.exactGroupPercentiles(
+      lags, "__g", "lag_us", Seq(0.5, 0.9, 0.99))
+    val sums = lags.groupBy("__g").agg(
+      count(lit(1)).as("n_converted"), sum("lag_us").as("sum_us"))
+    // percentiles round at 2 decimals — the scale where the true
+    // decimal value terminates (two-decimal fraction × integer
+    // micros): at ~1e12 magnitudes the two engines' interpolation op
+    // orders can differ by one ulp (~1e-4), which the terminating-
+    // scale round absorbs (SURVEY §5)
+    sums.join(pcts, "__g")
+      .select(col("n_converted"),
+        graft.Num.stableRound(col("__p0"), 2).as("p50_lag_us"),
+        graft.Num.stableRound(col("__p1"), 2).as("p90_lag_us"),
+        graft.Num.stableRound(col("__p2"), 2).as("p99_lag_us"),
+        graft.Num.stableRound(
+          col("sum_us").cast("double") / col("n_converted"), 4)
+          .as("mean_lag_us"))
+  }
+
   /** q61_hourly_profile — the seasonal time-slot profile per event
     * type (the reference's flow-by-time-slot report, hour grain):
     * per (type, hour-of-day) the event count, the hour's share of the

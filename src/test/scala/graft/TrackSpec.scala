@@ -191,6 +191,47 @@ class TrackSpec extends SparkSpecBase {
     assert(out == Map(1L -> (("view", 2L)), 2L -> (("click", 1L))), s"got $out")
   }
 
+  test("ohlcDownsample picks first/last by time then id; no float arithmetic in the bar") {
+    val ev = Seq(
+      // day 1, "px": open 10.5 (t=0), close 7.25 (t=3000), high 99.125, low 1.5
+      (0L, 0L, "px", 10.5), (1L, 1000L, "px", 99.125),
+      (2L, 2000L, "px", 1.5), (3L, 3000L, "px", 7.25),
+      // same-ms tie at t=0 on day 2: event_id breaks it — open 5.0, close 6.0
+      (10L, 86400000L, "px", 5.0), (11L, 86400000L, "px", 6.0)
+    ).toDF("event_id", "ts_ms", "event_type", "value")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withColumn("ts_ns", col("ts_ms") * 1000000L)
+    val out = TrackAnalytics.ohlcDownsample(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))).toMap
+    assert(out(("px", "1970-01-01")) == ((10.5, 99.125, 1.5, 7.25, 4L)), s"got $out")
+    assert(out(("px", "1970-01-02")) == ((5.0, 6.0, 5.0, 6.0, 2L)))
+  }
+
+  test("conversionLag reports exact percentiles and mean over first-click→first-purchase lags") {
+    // users 1..5 convert with lags 10s,20s,30s,40s,100s; user 6 buys
+    // BEFORE clicking (excluded); user 7 never buys
+    val rows = (1 to 5).flatMap { u =>
+      Seq((u * 10L, 1000L, u.toLong, "click"),
+        (u * 10 + 1L, 1000L + Seq(10, 20, 30, 40, 100)(u - 1) * 1000L, u.toLong, "purchase"))
+    } ++ Seq((60L, 5000L, 6L, "purchase"), (61L, 9000L, 6L, "click"),
+      (70L, 1000L, 7L, "click"))
+    val ev = rows.toDF("event_id", "ts_ms", "user_id", "event_type")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withColumn("ts_ns", col("ts_ms") * 1000000L)
+    val out = TrackAnalytics.conversionLag(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 5L)
+    // lags (us): 1e7, 2e7, 3e7, 4e7, 1e8 → p50 = 3e7; p90 = r=3.6 →
+    // 4e7 + 0.6*(1e8-4e7) = 7.6e7; p99 → r=3.96 → 4e7+0.96*6e7
+    def r2(x: Double) = math.floor(x * 100 + 0.5) / 100
+    assert(r.getDouble(1) == 3e7)
+    assert(r.getDouble(2) == r2(4e7 + (1e8 - 4e7) * (3.6 - 3)))
+    assert(r.getDouble(3) == r2(4e7 + (1e8 - 4e7) * (3.96 - 3)))
+    assert(r.getDouble(4) == 4e7) // mean = 2e8/5
+  }
+
   test("hourlyProfile shares sum to 1 per type; rank is busiest-first with earlier-hour ties") {
     val hour = 3600000L
     val rows = Seq.fill(3)(("click", 9L)) ++ Seq.fill(6)(("click", 12L)) ++
