@@ -29,6 +29,32 @@ object StreamingFlow {
         unix_millis(col("window.start")).as("hour_ms"),
         col("n_events"), col("sum_value"))
 
+  /** s28_stream_ohlc — live per-day OHLC bars (q62's streaming twin):
+    * event-time tumbling daily windows with a watermark bounding
+    * state; open/close are the q62 min/max-of-struct folds over
+    * (ts_ns, event_id, value) — order-insensitive aggregation state,
+    * so they merge correctly across triggers however events arrive
+    * within the watermark, which is exactly why first/last PICKS
+    * stream where a value SUM over doubles would not even be
+    * deterministic in batch. Append mode emits each bar once, when
+    * its window expires past the watermark. */
+  def streamOhlc(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), "1 day"))
+      .agg(
+        min(struct(col("ts_ns").as("t"), col("event_id").as("e"),
+          col("value").as("v"))).as("of"),
+        max(struct(col("ts_ns").as("t"), col("event_id").as("e"),
+          col("value").as("v"))).as("cf"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("volume"))
+      .select(col("event_type"),
+        unix_millis(col("window.start")).as("day_ms"),
+        col("of.v").as("open"), col("high"), col("low"),
+        col("cf.v").as("close"), col("volume"))
+
   /** s02_stream_blacklist — dynamic blacklist: stream x static
     * broadcast anti join (the reference rebuilds its blacklist RDD per
     * batch; here the static side can be swapped per trigger). */

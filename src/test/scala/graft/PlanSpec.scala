@@ -399,6 +399,34 @@ class PlanSpec extends SparkSpecBase {
       "chunking must not hash-shuffle the corpus")
   }
 
+  test("t31_percolate: standing queries broadcast; the corpus never hash-shuffles against them") {
+    val p = plan("t31_percolate")
+    val termJoins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.leftKeys.exists(_.references.exists(_.name == "term")) => j }
+    assert(termJoins.nonEmpty)
+    assert(termJoins.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"term joins must broadcast the standing-query side:\n${termJoins.map(_.nodeName)}")
+    graft.Caches.release()
+  }
+
+  test("q61/q62: events scan pruned; one event-grain exchange to the aggregated grain") {
+    Seq("q61_hourly_profile" -> Set("ts", "event_type"),
+        "q62_ohlc_downsample" -> Set("ts", "event_type", "event_id", "value")).foreach {
+      case (name, cols) =>
+        val ss = scans(plan(name))
+        assert(ss.nonEmpty && ss.forall(_.requiredSchema.fieldNames.toSet == cols),
+          s"$name: ${ss.map(_.requiredSchema.fieldNames.mkString(","))}")
+    }
+    // q62: the (type, day) partial agg is the ONLY exchange before the
+    // output sort — open/close fold as aggregation state, no window
+    val shuffles = executedShuffles("q62_ohlc_downsample")
+    assert(shuffles.size <= 2, s"agg + sort only, got ${shuffles.size}")
+    assert(!plan("q62_ohlc_downsample").toString.contains("Window"),
+      "OHLC picks must fold in the aggregate, never via a window buffer")
+  }
+
   test("q60_event_anomaly: events scan pruned to (ts, event_type); windows run at day grain") {
     val ss = scans(plan("q60_event_anomaly"))
     assert(ss.nonEmpty)

@@ -33,6 +33,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s28 streaming OHLC bars equal batch q62 however events arrive across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "event_type", "value")
+      .withColumn("ts_ns", unix_millis(col("ts")) * 1000000L)
+    val q = StreamingFlow.streamOhlc(df).writeStream
+      .format("memory").queryName("ohlc_out").outputMode("complete").start()
+    // day-1 events arrive OUT OF ORDER and split across two triggers:
+    // the struct-fold state must still pick open by earliest (ts, id)
+    def t(ms: Long) = new Timestamp(ms)
+    try {
+      input.addData((2L, t(7200000), "px", 1.5), (3L, t(10800000), "px", 7.25))
+      q.processAllAvailable()
+      input.addData((0L, t(0), "px", 10.5), (1L, t(3600000), "px", 99.125))
+      q.processAllAvailable()
+      val bar = spark.table("ohlc_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))))
+        .toMap
+      assert(bar(("px", 0L)) == ((10.5, 99.125, 1.5, 7.25, 4L)), s"got $bar")
+      // the batch twin computes the identical bar on the same rows
+      val ev = Seq((0L, 0L, "px", 10.5), (1L, 3600000L, "px", 99.125),
+        (2L, 7200000L, "px", 1.5), (3L, 10800000L, "px", 7.25))
+        .toDF("event_id", "ts_ms", "event_type", "value")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .withColumn("ts_ns", col("ts_ms") * 1000000L)
+      val batch = graft.operators.TrackAnalytics.ohlcDownsample(ev).collect()
+        .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      assert(batch.head == bar(("px", 0L)), s"stream ${bar(("px", 0L))} vs batch ${batch.head}")
+    } finally q.stop()
+  }
+
   test("s02 blacklist filters stream rows by the static side") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
