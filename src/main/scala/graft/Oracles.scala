@@ -606,6 +606,22 @@ object Oracles {
                       LEFT JOIN s3 USING (user_id))
          SELECT level, count(*) AS n_users FROM l GROUP BY level ORDER BY level""",
 
+    "q64_type_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+         s AS (SELECT event_type, count(*) AS n FROM tu GROUP BY event_type),
+         p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                      count(*) AS n_users_both
+               FROM tu a JOIN tu b USING (user_id)
+               WHERE a.event_type < b.event_type
+               GROUP BY a.event_type, b.event_type)
+         SELECT type_a, type_b, sa.n AS n_users_a, sb.n AS n_users_b,
+                n_users_both,
+                floor((n_users_both*1.0/(sa.n + sb.n - n_users_both))*10000 + 0.5)/10000
+                  AS jaccard
+         FROM p JOIN s sa ON sa.event_type = type_a
+                JOIN s sb ON sb.event_type = type_b
+         ORDER BY type_a, type_b""",
+
     "q62_ohlc_downsample" ->
       """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                 first(value ORDER BY ts, event_id) AS open,

@@ -112,6 +112,9 @@ object SparkEntry {
     "q60_event_anomaly" -> ((s, d) => TrackAnalytics.eventAnomaly(Tables.events(s, d))),
     "q61_hourly_profile" -> ((s, d) => TrackAnalytics.hourlyProfile(Tables.events(s, d))),
     "q62_ohlc_downsample" -> ((s, d) => TrackAnalytics.ohlcDownsample(Tables.events(s, d))),
+    "q64_type_overlap" -> ((s, d) => TrackAnalytics.typeOverlap(Tables.events(s, d))),
+    // q64's sketch path: KMV estimates, rows-only (spec-bounded vs exact)
+    "q65_kmv_overlap" -> ((s, d) => TrackAnalytics.kmvOverlap(Tables.events(s, d))),
     "q63_conversion_lag" -> ((s, d) => TrackAnalytics.conversionLag(Tables.events(s, d))),
     "t31_percolate" -> ((s, d) => {
       val docs = Tables.documents(s, d)

@@ -86,11 +86,40 @@ object TypedAggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
 
+  /** KMV (k-minimum-values / bottom-k theta) distinct sketch: the
+    * buffer is the k SMALLEST distinct hash values seen — a uniform
+    * sample of the distinct hash space whose kth value estimates the
+    * domain density. Unlike HLL it supports SET ALGEBRA: the union
+    * sketch is the merged bottom-k, and the Jaccard of two sets is
+    * estimated by the fraction of the union's bottom-k present in
+    * both inputs' sketches — which is what audience-overlap questions
+    * (how many users did BOTH) need and HLL structurally can't give.
+    * Merge = distinct-sort-take(k): associative, commutative,
+    * idempotent, so estimates are merge-order-independent (unlike MG
+    * counts) — the buffer is exact while the domain fits in k and
+    * O(k) forever after. Inputs are pre-hashed longs whose NATURAL
+    * order must equal the uniform order (callers XOR-shift
+    * xxhash64 by Long.MinValue). */
+  class KmvSketch(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    require(k >= 2, s"KmvSketch: k must be >= 2, got $k")
+    override def zero: Seq[Long] = Vector.empty
+    override def reduce(b: Seq[Long], a: Long): Seq[Long] =
+      if (b.length == k && a >= b.last) b
+      else (b :+ a).distinct.sorted.take(k)
+    override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+      (b1 ++ b2).distinct.sorted.take(k)
+    override def finish(r: Seq[Long]): Seq[Long] = r
+    override def bufferEncoder: Encoder[Seq[Long]] = Encoders.kryo[Seq[Long]]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Register as SQL functions (mirrors the reference's
     * sqlContext.udf.register of its UDAF). */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("group_concat_distinct", udaf(GroupConcatDistinct))
     spark.udf.register("top_k_values", udaf(new TopK(3)))
     spark.udf.register("freq_sketch", udaf(new FreqSketch(64)))
+    spark.udf.register("kmv_sketch", udaf(new KmvSketch(256)))
   }
 }

@@ -779,6 +779,81 @@ object TrackAnalytics {
           .as("mean_lag_us"))
   }
 
+  /** q64_type_overlap — exact audience overlap between event types:
+    * for every type pair (a < b) the distinct-entity counts, the
+    * count of entities that did BOTH, and the Jaccard — the
+    * cross-feature / cross-segment audience question (q10's two-set
+    * collision generalized to all pairs). Pairs sharing no entity
+    * carry no row. Scale: one exchange to distinct (type, entity),
+    * then a user-grain self-join whose fan-out per entity is bounded
+    * by the type vocabulary (≤ #types rows per user) — output is
+    * k²-grain. The sketch path at unbounded cardinality is q65. */
+  def typeOverlap(events: DataFrame): DataFrame = {
+    val tu = graft.Caches.tracked(
+      events.select("event_type", "user_id").distinct())
+    val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val a = tu.select(col("event_type").as("type_a"), col("user_id"))
+    val b = tu.select(col("event_type").as("type_b"), col("user_id"))
+    a.join(b, Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_users_both"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n").as("n_users_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n").as("n_users_b"))), Seq("type_b"))
+      .withColumn("jaccard", graft.Num.stableRound(
+        col("n_users_both").cast("double") /
+          (col("n_users_a") + col("n_users_b") - col("n_users_both")), 4))
+      .select(col("type_a"), col("type_b"), col("n_users_a"),
+        col("n_users_b"), col("n_users_both"), col("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** q65_kmv_overlap — q64's SKETCH path: per-type KMV (bottom-k /
+    * theta) sketches of the entity hash space, pairwise set algebra
+    * over the sketch table. Per type the state is k longs however
+    * many entities exist — the property that lets one pass over
+    * 100 TB of events answer every pairwise audience question — and
+    * the estimates are merge-order-independent (the KMV buffer is a
+    * deterministic function of the input SET). est_union comes from
+    * the union sketch's kth-min density ((k−1)/θ, exact when the
+    * union still fits in k); est_jaccard is the fraction of the
+    * union's bottom-k present in both sketches; est_both their
+    * product. Rows-only (estimates); the spec bounds them against
+    * exact q64 and pins the merge laws. */
+  def kmvOverlap(events: DataFrame, k: Int = 256): DataFrame = {
+    val kmv = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TypedAggregators.KmvSketch(k))
+    val sk = events
+      .select(col("event_type"),
+        xxhash64(col("user_id")).bitwiseXOR(lit(Long.MinValue)).as("h"))
+      .groupBy("event_type").agg(kmv(col("h")).as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("type_a") < col("type_b"))
+      .withColumn("u",
+        slice(array_sort(array_distinct(concat(col("sk_a"), col("sk_b")))), 1, k))
+      .withColumn("ku", size(col("u")))
+      // hash → uniform fraction: the sketch space is XOR-shifted so
+      // natural long order is uniform order; +2^63 then /2^64
+      .withColumn("theta",
+        (element_at(col("u"), col("ku")).cast("double") + lit(9.223372036854776E18))
+          / lit(1.8446744073709552E19))
+      .withColumn("est_union", when(col("ku") < k, col("ku").cast("double"))
+        .otherwise(lit((k - 1).toDouble) / col("theta")))
+      .withColumn("n_common_mins", size(array_intersect(col("u"),
+        array_intersect(col("sk_a"), col("sk_b")))))
+      .withColumn("est_jaccard",
+        col("n_common_mins").cast("double") / col("ku"))
+      .select(col("type_a"), col("type_b"),
+        graft.Num.stableRound(col("est_union"), 2).as("est_users_union"),
+        graft.Num.stableRound(col("est_jaccard") * col("est_union"), 2)
+          .as("est_users_both"),
+        graft.Num.stableRound(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** q61_hourly_profile — the seasonal time-slot profile per event
     * type (the reference's flow-by-time-slot report, hour grain):
     * per (type, hour-of-day) the event count, the hour's share of the

@@ -60,4 +60,23 @@ class AggregatorSpec extends SparkSpecBase {
     assert(out("a") == Seq(9.0, 5.0, 3.0))
     assert(out("b") == Seq(2.0))
   }
+
+  test("KmvSketch: merge-order independence, exact below k, bounded at k") {
+    val kmv = new graft.functions.TypedAggregators.KmvSketch(8)
+    val values = (1L to 100L).map(v => v * 7919L % 1000L).distinct
+    // any partitioning + merge order yields the same buffer
+    def fold(vs: Seq[Long]) = vs.foldLeft(kmv.zero)(kmv.reduce)
+    val whole = fold(values)
+    val split = kmv.merge(fold(values.take(30)), fold(values.drop(30)))
+    val reversed = kmv.merge(fold(values.drop(30).reverse), fold(values.take(30).reverse))
+    assert(whole == split && split == reversed,
+      "KMV buffer must be a function of the input SET")
+    assert(whole == values.distinct.sorted.take(8))
+    // idempotent: merging a sketch with itself changes nothing
+    assert(kmv.merge(whole, whole) == whole)
+    // below k the sketch IS the set
+    val small = fold(Seq(5L, 3L, 9L, 3L))
+    assert(small == Seq(3L, 5L, 9L))
+    assert(whole.length == 8)
+  }
 }

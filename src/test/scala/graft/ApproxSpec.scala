@@ -205,4 +205,38 @@ class ApproxSpec extends SparkSpecBase {
       assert(math.abs(a - n).toDouble / n < 0.1, s"$seg: approx $a vs exact $n")
     }
   }
+
+  test("kmvOverlap estimates track exact typeOverlap on planted partial overlaps") {
+    import spark.implicits._
+    import graft.operators.TrackAnalytics
+    // planted audiences well above k=64: A = 0..4999, B = 2500..7499
+    // (J = 1/3), C = 0..499 (C ⊂ A, J(A,C) = 0.1); each user one event
+    val rows = (0L until 5000L).map(u => ("A", u)) ++
+      (2500L until 7500L).map(u => ("B", u)) ++
+      (0L until 500L).map(u => ("C", u))
+    val ev = rows.toDF("event_type", "user_id")
+    val exact = TrackAnalytics.typeOverlap(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    graft.Caches.release()
+    assert(exact(("A", "B")) == ((5000L, 5000L, 2500L, 0.3333)))
+    assert(exact(("A", "C"))._3 == 500L)
+    assert(!exact.contains(("B", "C")), "disjoint pair must carry no exact row")
+    val est = TrackAnalytics.kmvOverlap(ev, k = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // k=64 → ~12.5% union stderr, ~0.06 jaccard stderr; 3σ-generous
+    val (abU, abBoth, abJ) = est(("A", "B"))
+    assert(math.abs(abU - 7500) / 7500.0 < 0.4, s"union est $abU")
+    assert(math.abs(abJ - 1.0 / 3) < 0.2, s"jaccard est $abJ")
+    assert(math.abs(abBoth - 2500) / 2500.0 < 0.6, s"both est $abBoth")
+    val (_, _, bcJ) = est(("B", "C"))
+    assert(bcJ == 0.0, "disjoint sketches must estimate J = 0 exactly")
+    assert(est(("A", "C"))._3 > 0.0, "the contained audience must register overlap")
+    // determinism: the sketch table is a function of the input set
+    val again = TrackAnalytics.kmvOverlap(ev, k = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(again == est)
+  }
 }
