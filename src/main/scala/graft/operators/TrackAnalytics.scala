@@ -821,13 +821,22 @@ object TrackAnalytics {
     * union's bottom-k present in both sketches; est_both their
     * product. Rows-only (estimates); the spec bounds them against
     * exact q64 and pins the merge laws. */
-  def kmvOverlap(events: DataFrame, k: Int = 256): DataFrame = {
+  def kmvOverlap(events: DataFrame, k: Int = 256): DataFrame =
+    kmvPairs(kmvSketches(events, k), k)
+
+  /** The per-type KMV sketch table behind q65/s29: one row per type,
+    * k XOR-shifted bottom-k hashes. */
+  def kmvSketches(events: DataFrame, k: Int = 256): DataFrame = {
     val kmv = org.apache.spark.sql.functions.udaf(
       new graft.functions.TypedAggregators.KmvSketch(k))
-    val sk = events
+    events
       .select(col("event_type"),
         xxhash64(col("user_id")).bitwiseXOR(lit(Long.MinValue)).as("h"))
       .groupBy("event_type").agg(kmv(col("h")).as("sk"))
+  }
+
+  /** Pairwise KMV set-algebra estimates over a sketch table. */
+  def kmvPairs(sk: DataFrame, k: Int): DataFrame = {
     val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
     val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
     a.crossJoin(broadcast(b))

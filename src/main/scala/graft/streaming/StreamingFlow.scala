@@ -774,6 +774,53 @@ object StreamingFlow {
       .foreachBatch(bm25IndexedBatch(indexPath, resultPath, topK))
       .start()
 
+  /** s29_stream_audience_overlap — live cross-type audience overlap
+    * (q64/q65's streaming form): a persisted per-type KMV sketch
+    * table accumulates across triggers — each batch's sketches merge
+    * into the saved ones by exploding to (type, hash) and
+    * re-aggregating (k·types rows, trivial) — and every trigger
+    * emits the pairwise overlap estimates as of that point,
+    * partitioned by batch_id. The KMV merge is IDEMPOTENT and
+    * order-independent, so a REPLAYED trigger re-merging its own
+    * hashes changes nothing: replay safety falls out of the sketch
+    * algebra itself, with none of the batch-exclusion bookkeeping
+    * the admission loops (s18/s24) need. State is k longs per type
+    * forever, whatever the stream's entity cardinality. */
+  def streamAudienceOverlap(eventStream: DataFrame, statePath: String,
+                            resultPath: String, checkpoint: String,
+                            k: Int = 256
+                           ): org.apache.spark.sql.streaming.StreamingQuery =
+    eventStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(audienceOverlapBatch(statePath, resultPath, k))
+      .start()
+
+  private[graft] def audienceOverlapBatch(statePath: String, resultPath: String,
+                                          k: Int): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      import graft.operators.TrackAnalytics
+      val spark = batch.sparkSession
+      val bsk = TrackAnalytics.kmvSketches(
+        batch.select("event_type", "user_id"), k)
+      val prev =
+        try spark.read.parquet(statePath)
+        catch { case _: Throwable => bsk.limit(0) } // first trigger: no state
+      // merge by re-aggregating the exploded union — k·types rows;
+      // localCheckpoint breaks the read-own-input cycle on statePath
+      val kmv = org.apache.spark.sql.functions.udaf(
+        new graft.functions.TypedAggregators.KmvSketch(k))
+      val merged = bsk.unionByName(prev)
+        .select(col("event_type"), explode(col("sk")).as("h"))
+        .groupBy("event_type").agg(kmv(col("h")).as("sk"))
+        .localCheckpoint(true)
+      merged.write.mode("overwrite").parquet(statePath)
+      TrackAnalytics.kmvPairs(merged, k)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(resultPath)
+    }
+
   /** s27_stream_percolate — live reverse search (the percolator /
     * alerting pattern, t31's streaming twin): STANDING queries are a
     * static (query_id, term) relation; every arriving document

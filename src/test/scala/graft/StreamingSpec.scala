@@ -841,6 +841,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s29 streaming audience overlap accumulates sketches; replay is a no-op by algebra") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TrackAnalytics
+    val dir = java.nio.file.Files.createTempDirectory("graft_s29").toString
+    val statePath = s"$dir/state"; val resPath = s"$dir/res"
+    val input = MemoryStream[(String, Long)]
+    val q = StreamingFlow.streamAudienceOverlap(
+      input.toDF().toDF("event_type", "user_id"), statePath, resPath,
+      s"$dir/ckpt", k = 16)
+    val b1 = (0L until 30L).map(u => ("A", u)) ++ (10L until 40L).map(u => ("B", u))
+    val b2 = (100L until 120L).map(u => ("A", u)) // A grows later
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // the trigger-2 estimates equal the batch q65 over ALL events so far
+      val stream2 = spark.read.parquet(resPath).filter(col("batch_id") === 1)
+        .drop("batch_id").collect().toSeq.sortBy(_.getString(0))
+      val batchTwin = graft.Caches.scoped {
+        TrackAnalytics.kmvOverlap((b1 ++ b2).toDF("event_type", "user_id"), k = 16)
+          .collect().toSeq.sortBy(_.getString(0))
+      }
+      assert(stream2.nonEmpty && stream2 == batchTwin,
+        s"stream $stream2 vs batch $batchTwin")
+      // REPLAY trigger 0: re-merging its own hashes must leave the
+      // state bit-identical — idempotence of the KMV algebra
+      val stateBefore = spark.read.parquet(statePath).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      StreamingFlow.audienceOverlapBatch(statePath, resPath, 16)(
+        b1.toDF("event_type", "user_id"), 0L)
+      val stateAfter = spark.read.parquet(statePath).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(stateAfter == stateBefore, "replayed merge must be a no-op")
+    } finally q.stop()
+  }
+
   test("s27 streaming percolation matches batch t31 per trigger; replay overwrites") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
