@@ -606,6 +606,58 @@ object Oracles {
                       LEFT JOIN s3 USING (user_id))
          SELECT level, count(*) AS n_users FROM l GROUP BY level ORDER BY level""",
 
+    "q66_bounce_rate" ->
+      """WITH l AS (
+           SELECT user_id, event_id, event_type,
+                  epoch_ms(ts) AS cur_ms, epoch_us(ts) AS cur_us,
+                  lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev_ms
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, event_type, cur_us,
+                  sum(CASE WHEN prev_ms IS NULL OR cur_ms - prev_ms > 1800000
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY cur_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM l),
+         g AS (
+           SELECT user_id, session_id,
+                  first(event_type ORDER BY cur_us, event_id) AS entry_type,
+                  count(*) AS n_ev
+           FROM s GROUP BY user_id, session_id)
+         SELECT entry_type, count(*) AS n_sessions,
+                CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_bounced,
+                floor((sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)*1.0/count(*))*10000 + 0.5)/10000
+                  AS bounce_rate
+         FROM g GROUP BY entry_type ORDER BY entry_type""",
+
+    "q67_volume_autocorr" ->
+      """WITH d AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         p AS (
+           SELECT a.event_type, a.n AS x, b.n AS y
+           FROM d a JOIN d b
+             ON a.event_type = b.event_type AND b.day = a.day + 1),
+         g AS (
+           SELECT event_type, count(*) AS n_pairs,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x*y) AS BIGINT) AS sxy,
+                  CAST(sum(x*x) AS BIGINT) AS sxx,
+                  CAST(sum(y*y) AS BIGINT) AS syy
+           FROM p GROUP BY event_type)
+         SELECT event_type, n_pairs,
+                CASE WHEN n_pairs >= 3 AND (n_pairs*sxx - sx*sx) > 0
+                          AND (n_pairs*syy - sy*sy) > 0 THEN
+                  floor((sign(CAST(n_pairs*sxy - sx*sy AS DOUBLE)) *
+                         (CAST(n_pairs*sxy - sx*sy AS DOUBLE)
+                          * CAST(n_pairs*sxy - sx*sy AS DOUBLE))
+                         / (CAST(n_pairs*sxx - sx*sx AS DOUBLE)
+                            * CAST(n_pairs*syy - sy*sy AS DOUBLE)))*10000 + 0.5)/10000
+                END AS r2_lag1
+         FROM g ORDER BY event_type""",
+
     "q64_type_overlap" ->
       """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
          s AS (SELECT event_type, count(*) AS n FROM tu GROUP BY event_type),

@@ -779,6 +779,69 @@ object TrackAnalytics {
           .as("mean_lag_us"))
   }
 
+  /** q66_bounce_rate — per-entry-type session bounce report (the
+    * classic engagement read): sessions group by the type of their
+    * FIRST event; a session bounces when it contains exactly one
+    * event. Reports session count, bounce count and rate per entry
+    * type. Sessionization is the SHARED withSessionIds derivation
+    * (q11/q34/q53's single gap rule), so everything stacks on the one
+    * user_id exchange; the entry pick is a min-of-struct fold at
+    * (user, session) grain — no second window. Counts exact, rate one
+    * IEEE division under stableRound → full hash oracle. */
+  def bounceRate(events: DataFrame, gapMs: Long = 1800000L): DataFrame =
+    withSessionIds(events, gapMs)
+      .groupBy("user_id", "session_id")
+      .agg(
+        min(struct(expr("ts_ns div 1000").as("us"), col("event_id").as("e"),
+          col("event_type").as("t"))).as("entry"),
+        count(lit(1)).as("n_ev"))
+      .groupBy(col("entry.t").as("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounced"))
+      .withColumn("bounce_rate", graft.Num.stableRound(
+        col("n_bounced").cast("double") / col("n_sessions"), 4))
+      .orderBy("entry_type")
+
+  /** q67_volume_autocorr — lag-1 autocorrelation of each type's daily
+    * event volume (the "is traffic momentum real" diagnostic q43's
+    * day-over-day deltas feed): over consecutive-day pairs (x = day
+    * d's count, y = day d+1's) the signed r² =
+    * sign(cov)·cov²/(varx·vary) with cov/var the n-scaled integer
+    * forms (n·Σxy − Σx·Σy etc.) — EXACT integer cross-products all
+    * the way (the t21 discipline), one IEEE division at the end under
+    * stableRound → full hash oracle. Pairs join at (type, day+1) ON
+    * the aggregated daily relation, so raw events shuffle once.
+    * Types with < 3 day pairs or zero variance emit null r². */
+  def volumeAutocorr(events: DataFrame): DataFrame = {
+    val daily = graft.Caches.tracked(
+      events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")))
+    val pairs = daily.select(col("event_type"), col("day"), col("n").as("x"))
+      .join(daily.select(col("event_type"), date_sub(col("day"), 1).as("day"),
+        col("n").as("y")), Seq("event_type", "day"))
+    pairs.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("cov", col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("varx", col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vary", col("n_pairs") * col("syy") - col("sy") * col("sy"))
+      // cov/varx/vary are exact longs well under 2^53 (so the double
+      // casts are exact); the SQUARES happen in double — cov² would
+      // overflow long at large SFs — as the same fixed IEEE op
+      // sequence the oracle runs
+      .withColumn("r2_lag1",
+        when(col("n_pairs") >= 3 && col("varx") > 0 && col("vary") > 0,
+          graft.Num.stableRound(
+            signum(col("cov").cast("double")) *
+              (col("cov").cast("double") * col("cov").cast("double"))
+              / (col("varx").cast("double") * col("vary").cast("double")), 4)))
+      .select(col("event_type"), col("n_pairs"), col("r2_lag1"))
+      .orderBy("event_type")
+  }
+
   /** q64_type_overlap — exact audience overlap between event types:
     * for every type pair (a < b) the distinct-entity counts, the
     * count of entities that did BOTH, and the Jaccard — the

@@ -191,6 +191,46 @@ class TrackSpec extends SparkSpecBase {
     assert(out == Map(1L -> (("view", 2L)), 2L -> (("click", 1L))), s"got $out")
   }
 
+  test("bounceRate keys sessions by entry type and counts single-event sessions") {
+    val m = 60000L
+    val ev = Seq(
+      // user 1: session A (view, click) then after a 2h gap session B (view) — bounce
+      (0L, 0L, 1L, "view"), (1L, m, 1L, "click"),
+      (2L, 3 * 3600000L, 1L, "view"),
+      // user 2: one session entered by click with 3 events
+      (3L, 0L, 2L, "click"), (4L, m, 2L, "view"), (5L, 2 * m, 2L, "purchase"),
+      // user 3: a lone purchase — bounce entered by purchase
+      (6L, 0L, 3L, "purchase")
+    ).toDF("event_id", "ts_ms", "user_id", "event_type")
+      .withColumn("ts_ns", col("ts_ms") * 1000000L)
+    val out = TrackAnalytics.bounceRate(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      "view" -> ((2L, 1L, 0.5)),      // sessions A (no bounce) + B (bounce)
+      "click" -> ((1L, 0L, 0.0)),
+      "purchase" -> ((1L, 1L, 1.0))), s"got $out")
+  }
+
+  test("volumeAutocorr: alternating volume scores r2 = -1, trend +1, short/flat series null") {
+    val day = 86400000L
+    def counts(t: String, cs: Seq[Int]): Seq[(String, Long)] =
+      cs.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(i => (t, d * day + i * 1000L)) }
+    val rows = counts("alt", Seq(10, 20, 10, 20, 10, 20)) ++ // perfect alternation
+      counts("up", Seq(10, 20, 30, 40, 50)) ++               // perfect linear trend
+      counts("flat", Seq(5, 5, 5, 5)) ++                     // zero variance
+      counts("short", Seq(1, 2, 3))                          // only 2 pairs
+    val ev = rows.toDF("event_type", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val out = TrackAnalytics.volumeAutocorr(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    graft.Caches.release()
+    assert(out(("alt")) == ((5L, Some(-1.0))), s"got $out")
+    assert(out(("up")) == ((4L, Some(1.0))))
+    assert(out(("flat")) == ((3L, None)) && out(("short")) == ((2L, None)))
+  }
+
   test("ohlcDownsample picks first/last by time then id; no float arithmetic in the bar") {
     val ev = Seq(
       // day 1, "px": open 10.5 (t=0), close 7.25 (t=3000), high 99.125, low 1.5
