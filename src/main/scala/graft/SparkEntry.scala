@@ -355,6 +355,8 @@ object SparkEntry {
     "m07_cdc_dedup" -> ((s, d) => BinaryPipeline.cdcDedup(Tables.documents(s, d))),
     "m10_chunk_containment" -> ((s, d) => BinaryPipeline.chunkContainment(Tables.documents(s, d))),
     "m08_feature_dedup" -> ((s, d) => BinaryPipeline.featureDedup(Tables.documents(s, d))),
+    // rows-only: Shannon entropy is transcendental (spec twin)
+    "m11_payload_entropy" -> ((s, d) => BinaryPipeline.payloadEntropy(Tables.documents(s, d))),
     "m09_storage_savings" -> ((s, d) => BinaryPipeline.storageSavings(Tables.documents(s, d)))
   )
 

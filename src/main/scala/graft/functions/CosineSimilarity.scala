@@ -144,6 +144,11 @@ object GraftFunctions {
         (children: Seq[Expression]) => CdcChunkHashes(children.head,
           children(1).eval().asInstanceOf[Number].intValue(),
           children(2).eval().asInstanceOf[Number].intValue()))
+    if (!reg.functionExists(FunctionIdentifier("graft_byte_entropy")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_byte_entropy"),
+        new ExpressionInfo(classOf[ByteEntropy].getName, "graft_byte_entropy"),
+        (children: Seq[Expression]) => ByteEntropy(children.head))
   }
 
   private val pqSeq = new java.util.concurrent.atomic.AtomicLong()
@@ -277,5 +282,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         (children: Seq[Expression]) => CdcChunkHashes(children.head,
           children(1).eval().asInstanceOf[Number].intValue(),
           children(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_byte_entropy"),
+        new ExpressionInfo(classOf[ByteEntropy].getName, "graft_byte_entropy"),
+        (children: Seq[Expression]) => ByteEntropy(children.head)))
   }
 }

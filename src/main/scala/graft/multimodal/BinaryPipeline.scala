@@ -362,4 +362,30 @@ object BinaryPipeline {
       }
     spark.createDataFrame(rdd, featureSchema).orderBy("doc_id")
   }
+
+  /** m11_payload_entropy — per-payload Shannon entropy (bits/byte)
+    * via the compiled `graft_byte_entropy` histogram pass, plus the
+    * storage-routing verdict m09's capacity math wants: payloads near
+    * 8 bits/byte are already compressed/encrypted/media — recompressing
+    * them in the block store burns CPU for ~zero savings — while
+    * structured text (~4–5) and low-entropy padding are the
+    * compression wins. Thresholds are the standard file-carving
+    * heuristics (≥ 7.2 high, < 2.0 degenerate). Scan-speed narrow
+    * pass, payload bytes never shuffle; rows-only (log is
+    * transcendental — SURVEY §5), spec pins a float-for-float twin
+    * and the exact power-of-two cases. */
+  def payloadEntropy(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .withColumn("payload", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        graft.Num.stableRound(expr("graft_byte_entropy(payload)"), 4)
+          .as("entropy_bits"),
+        when(expr("graft_byte_entropy(payload)") >= 7.2, "store_raw")
+          .when(expr("graft_byte_entropy(payload)") < 2.0, "degenerate")
+          .otherwise("compress").as("route"))
+      .orderBy("doc_id")
+  }
 }

@@ -177,4 +177,42 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(0)._3 >= 0.85, s"contained version must score near 1: ${out.toSeq}")
     graft.Caches.release()
   }
+
+  test("payloadEntropy matches the hand twin; power-of-two cases are exact; routing thresholds") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "aaaaaaaa"),          // one symbol → exactly 0 bits
+      (1L, "abababab"),          // two equal symbols → exactly 1 bit
+      (2L, "abcd"),              // four equal → exactly 2 bits
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "")                   // empty → 0, degenerate
+    ).toDF("doc_id", "text")
+    val out = BinaryPipeline.payloadEntropy(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getString(3)))).toMap
+    assert(out(0L) == ((8, 0.0, "degenerate")))
+    assert(out(1L) == ((8, 1.0, "degenerate")))
+    assert(out(2L) == ((4, 2.0, "compress")))
+    assert(out(4L)._2 == 0.0 && out(4L)._3 == "degenerate")
+    // float-for-float twin of the compiled loop on real text
+    val text3 = "the quick brown fox jumps over the lazy dog"
+    val twin = {
+      val bytes = text3.getBytes("UTF-8")
+      val hist = new Array[Long](256)
+      bytes.foreach(b => hist(b & 0xff) += 1)
+      var h = 0.0
+      (0 until 256).foreach { b =>
+        if (hist(b) > 0) {
+          val p = hist(b) / bytes.length.toDouble
+          h -= p * (math.log(p) / math.log(2.0))
+        }
+      }
+      math.floor(h * 10000 + 0.5) / 10000
+    }
+    assert(out(3L)._2 == twin && out(3L)._3 == "compress", s"got ${out(3L)} vs $twin")
+    assert(out(3L)._2 > 3.5 && out(3L)._2 < 5.0, "english text sits near 4 bits/byte")
+    // a uniform 256-symbol payload scores exactly 8 (the max)
+    val uniform = (0 until 256).map(_.toByte).toArray
+    assert(graft.functions.ByteEntropy.compute(uniform) == 8.0)
+    assert(graft.functions.ByteEntropy.compute(Array.empty[Byte]) == 0.0)
+  }
 }
