@@ -606,6 +606,20 @@ object Oracles {
                       LEFT JOIN s3 USING (user_id))
          SELECT level, count(*) AS n_users FROM l GROUP BY level ORDER BY level""",
 
+    "q68_dwell_percentiles" ->
+      """WITH l AS (
+           SELECT event_type, epoch_us(ts) AS us,
+                  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next_us
+           FROM events),
+         g AS (SELECT event_type, next_us - us AS dwell_us
+               FROM l WHERE next_us IS NOT NULL)
+         SELECT event_type, count(*) AS n_stays,
+                floor(quantile_cont(dwell_us, 0.5)*100 + 0.5)/100 AS p50_dwell_us,
+                floor(quantile_cont(dwell_us, 0.9)*100 + 0.5)/100 AS p90_dwell_us,
+                floor(quantile_cont(dwell_us, 0.99)*100 + 0.5)/100 AS p99_dwell_us
+         FROM g GROUP BY event_type ORDER BY event_type""",
+
     "q66_bounce_rate" ->
       """WITH l AS (
            SELECT user_id, event_id, event_type,

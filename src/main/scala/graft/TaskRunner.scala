@@ -291,8 +291,21 @@ object TaskRunner {
     }),
     "t30_chunk_split" -> ((s, d, p) => TextStats.chunkSplit(
       Tables.documents(s, d), i(p, "chunkTokens", 64), i(p, "overlap", 16))),
+    "t31_percolate" -> ((s, d, p) => {
+      val docs = Tables.documents(s, d)
+      TextStats.percolate(docs,
+        TextStats.sampleQueries(docs, l(p, "queryEvery", 97L),
+          i(p, "maxQueries", 32), i(p, "qTerms", 4)),
+        dbl(p, "minFrac", 1.0))
+    }),
     "q60_event_anomaly" -> ((s, d, p) => TrackAnalytics.eventAnomaly(
       eventsIn(s, d, p), dbl(p, "k", 3.0))),
+    "q63_conversion_lag" -> ((s, d, p) => TrackAnalytics.conversionLag(
+      eventsIn(s, d, p), str(p, "fromType", "click"), str(p, "toType", "purchase"))),
+    "q65_kmv_overlap" -> ((s, d, p) => TrackAnalytics.kmvOverlap(
+      eventsIn(s, d, p), i(p, "k", 256))),
+    "q66_bounce_rate" -> ((s, d, p) => TrackAnalytics.bounceRate(
+      eventsIn(s, d, p), l(p, "gapMs", 1800000L))),
     "q41_graph_rank" -> ((s, d, p) => TrackAnalytics.graphRank(
       eventsIn(s, d, p), i(p, "iterations", 10), dbl(p, "damping", 0.85),
       l(p, "maxLocalEdges", 4000000L))),

@@ -779,6 +779,35 @@ object TrackAnalytics {
           .as("mean_lag_us"))
   }
 
+  /** q68_dwell_percentiles — the DISTRIBUTION q59's mean dwell hides:
+    * per event type the exact interpolated p50/p90/p99 of the
+    * interval each event owns (to its entity's next event, q59's
+    * derivation verbatim) — the tail-latency read of time-in-state,
+    * where a long-tail p99 and a modest mean tell opposite staffing
+    * stories. q21's distributed percentile machinery at (type,
+    * dwell) value grain — no holistic buffer; intervals are exact
+    * integer micros and the percentile columns round at 2 decimals,
+    * the q63 terminating-scale protocol. */
+  def dwellPercentiles(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val lags = graft.Caches.tracked(
+      events
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_ns div 1000").as("us"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .select(col("event_type"), (col("next_us") - col("us")).as("dwell_us")))
+    val pcts = RelationalOps.exactGroupPercentiles(
+      lags, "event_type", "dwell_us", Seq(0.5, 0.9, 0.99))
+    lags.groupBy("event_type").agg(count(lit(1)).as("n_stays"))
+      .join(pcts, "event_type")
+      .select(col("event_type"), col("n_stays"),
+        graft.Num.stableRound(col("__p0"), 2).as("p50_dwell_us"),
+        graft.Num.stableRound(col("__p1"), 2).as("p90_dwell_us"),
+        graft.Num.stableRound(col("__p2"), 2).as("p99_dwell_us"))
+      .orderBy("event_type")
+  }
+
   /** q66_bounce_rate — per-entry-type session bounce report (the
     * classic engagement read): sessions group by the type of their
     * FIRST event; a session bounces when it contains exactly one

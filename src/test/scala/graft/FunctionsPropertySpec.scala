@@ -135,4 +135,22 @@ class FunctionsPropertySpec extends SparkSpecBase {
       assert(b1.forall(b => b >= 0 && b < 8), s"bucket outside [0, 2^3): $b1")
     }
   }
+
+  test("byte entropy: bounded to [0,8], permutation-invariant, monotone under uniformization") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Arbitrary, Gen, Test => PropTest}
+    val gen = Gen.nonEmptyListOf(Arbitrary.arbitrary[Byte]).map(_.toArray)
+    val prop = forAll(gen) { bytes =>
+      val h = graft.functions.ByteEntropy.compute(bytes)
+      // range bound and the info-theory ceiling: H <= log2(#distinct)
+      val distinct = bytes.distinct.length
+      val shuffled = scala.util.Random.shuffle(bytes.toSeq).toArray
+      h >= 0.0 && h <= 8.0 + 1e-12 &&
+        h <= math.log(distinct.toDouble) / math.log(2.0) + 1e-9 &&
+        // a histogram property: byte ORDER cannot matter
+        graft.functions.ByteEntropy.compute(shuffled) == h
+    }
+    val res = PropTest.check(PropTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -191,6 +191,25 @@ class TrackSpec extends SparkSpecBase {
     assert(out == Map(1L -> (("view", 2L)), 2L -> (("click", 1L))), s"got $out")
   }
 
+  test("dwellPercentiles reports exact interpolated tails of q59's intervals") {
+    // user 1: "view" owns gaps 10s,20s,30s,40s; the last event owns none
+    val rows = Seq((0L, 0L), (1L, 10000L), (2L, 30000L), (3L, 60000L), (4L, 100000L))
+    val ev = rows.map { case (id, ms) => (id, ms, 1L, "view") }
+      .toDF("event_id", "ts_ms", "user_id", "event_type")
+      .withColumn("ts_ns", col("ts_ms") * 1000000L)
+    val out = TrackAnalytics.dwellPercentiles(ev).collect()
+    graft.Caches.release()
+    assert(out.length == 1)
+    val r = out.head
+    def r2(x: Double) = math.floor(x * 100 + 0.5) / 100
+    // gaps (us): 1e7, 2e7, 3e7, 4e7 → p50 = 2.5e7 (midpoint),
+    // p90 r=2.7 → 3e7+0.7*1e7, p99 r=2.97
+    assert(r.getString(0) == "view" && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 2.5e7)
+    assert(r.getDouble(3) == r2(3e7 + (4e7 - 3e7) * (2.7 - 2)))
+    assert(r.getDouble(4) == r2(3e7 + (4e7 - 3e7) * (2.97 - 2)))
+  }
+
   test("bounceRate keys sessions by entry type and counts single-event sessions") {
     val m = 60000L
     val ev = Seq(
