@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked stdout through UNWRAPPED: sbt's default LoggedOutput
+// strategy routes each forked line through its logger, which clips
+// multi-kB lines — that is how the Bench JSON line kept arriving
+// truncated to downstream log captures. StdoutOutput writes the
+// child's bytes straight through.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   * (query/batch size fixed here), not the corpus.
   */
 object BenchProbe {
+  // elapsed is captured BEFORE the cache release: unpersisting tracked
+  // caches is suite bookkeeping, not probe cost, and folding it into
+  // every repetition inflated the probe minima this report isolates
   private def time[T](body: => T): Double = {
     val t0 = System.nanoTime()
-    try { body; () } finally Caches.release()
-    (System.nanoTime() - t0) / 1e9
+    try { body; (System.nanoTime() - t0) / 1e9 }
+    finally Caches.release()
   }
 
   def main(args: Array[String]): Unit = {

@@ -1446,13 +1446,27 @@ object Dedup {
                             batchId: Option[Long] = None): Unit = {
     // an APPEND must hash with the modulus the index was seeded with,
     // never the caller's default — mixed moduli would scatter one
-    // shingle across buckets and silently lose candidates
+    // shingle across buckets and silently lose candidates. ONLY a
+    // genuinely absent meta/ means "seeding call": a transient read
+    // error on an existing meta must propagate (falling back to the
+    // caller's default would scatter this batch across wrong buckets
+    // with no error — the writeTextIndex lesson, applied here too)
     val effBuckets = batchId match {
-      case Some(_) =>
-        try corpus.sparkSession.read.parquet(path + "/meta")
+      case Some(_) if graft.Fs.exists(corpus.sparkSession, path + "/meta") =>
+        corpus.sparkSession.read.parquet(path + "/meta")
           .collect()(0).getAs[Number](0).intValue
-        catch { case _: Throwable => nBuckets } // seeding call: no meta yet
-      case None => nBuckets
+      case _ => nBuckets // seeding call: no meta yet
+    }
+    // batch appends need a batch-seeded layout (postings/batch_id=...);
+    // mixing with a single-shot postings/bkt=... root is rejected by
+    // partition discovery at probe time — refuse loudly at write time
+    batchId.foreach { _ =>
+      if (graft.Fs.exists(corpus.sparkSession, path + "/postings") &&
+          !graft.Fs.hasChildDir(corpus.sparkSession, path + "/postings", "batch_id="))
+        throw new IllegalArgumentException(
+          s"writeContainmentIndex: $path was seeded without batchId " +
+            "(single-shot layout); seed with batchId = Some(...) to " +
+            "support appends")
     }
     val sets = graft.Caches.tracked(withShingleHashes(corpus)
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("nsh")))

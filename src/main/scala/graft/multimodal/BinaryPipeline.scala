@@ -378,13 +378,19 @@ object BinaryPipeline {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     documents
       .withColumn("payload", col("text").cast("binary"))
+      // compute the histogram pass ONCE per row, and route on the SAME
+      // 4-dp value entropy_bits shows — a payload at 7.19996 must not
+      // display 7.2 while routing "compress" (threshold-margin rows
+      // would look inconsistent, and the triple evaluation was 3x the
+      // scan cost for nothing)
+      .withColumn("entropy_bits",
+        graft.Num.stableRound(expr("graft_byte_entropy(payload)"), 4))
       .select(
         col("doc_id"),
         length(col("payload")).as("n_bytes"),
-        graft.Num.stableRound(expr("graft_byte_entropy(payload)"), 4)
-          .as("entropy_bits"),
-        when(expr("graft_byte_entropy(payload)") >= 7.2, "store_raw")
-          .when(expr("graft_byte_entropy(payload)") < 2.0, "degenerate")
+        col("entropy_bits"),
+        when(col("entropy_bits") >= 7.2, "store_raw")
+          .when(col("entropy_bits") < 2.0, "degenerate")
           .otherwise("compress").as("route"))
       .orderBy("doc_id")
   }

@@ -803,9 +803,13 @@ object StreamingFlow {
       val spark = batch.sparkSession
       val bsk = TrackAnalytics.kmvSketches(
         batch.select("event_type", "user_id"), k)
+      // empty state ONLY when the path genuinely does not exist (first
+      // trigger); a read error on EXISTING state must fail the batch —
+      // falling back would merge into an empty sketch table and the
+      // overwrite below would persist the loss forever
       val prev =
-        try spark.read.parquet(statePath)
-        catch { case _: Throwable => bsk.limit(0) } // first trigger: no state
+        if (graft.Fs.exists(spark, statePath)) spark.read.parquet(statePath)
+        else bsk.limit(0) // first trigger: no state yet
       // merge by re-aggregating the exploded union — k·types rows;
       // localCheckpoint breaks the read-own-input cycle on statePath
       val kmv = org.apache.spark.sql.functions.udaf(

@@ -942,15 +942,38 @@ object TextStats {
     * probe must hash with the sink's exact modulus). Appends
     * (batchId) land as dynamic partitions; per-batch partial dfs and
     * stats fold with one sum at probe time, so append order can never
-    * change a score. */
+    * change a score. CONTRACT: appended doc batches must be DISJOINT
+    * in doc_id — a re-ingested doc would double-count its df/dl and
+    * fan out the doclens join (the admission loops s26/s14 guarantee
+    * this by construction; replays overwrite their own batch_id
+    * partition, which is why replay is safe but re-ingestion is not).
+    * Appends require a batch-seeded index (seed with batchId =
+    * Some(...)); appending onto a single-shot layout is refused. */
   def writeTextIndex(corpus: DataFrame, path: String, nBuckets: Int = 64,
                      batchId: Option[Long] = None): Unit = {
+    val spark = corpus.sparkSession
+    // an APPEND must hash with the modulus the index was seeded with —
+    // and ONLY a genuinely absent meta/ means "seeding call": a read
+    // error on an existing meta must propagate, or this batch's
+    // postings/dfs would hash into wrong buckets and the probe's
+    // bucket pruning would silently miss them
     val effBuckets = batchId match {
-      case Some(_) =>
-        try corpus.sparkSession.read.parquet(path + "/meta")
+      case Some(_) if graft.Fs.exists(spark, path + "/meta") =>
+        spark.read.parquet(path + "/meta")
           .collect()(0).getAs[Number](0).intValue
-        catch { case _: Throwable => nBuckets } // seeding call: no meta yet
-      case None => nBuckets
+      case _ => nBuckets // seeding call: no meta yet
+    }
+    // batch appends are only well-formed onto a batch-seeded layout
+    // (postings/batch_id=.../bkt=...); appending under a single-shot
+    // postings/bkt=... root would mix partition schemes, which Spark's
+    // partition discovery rejects at probe time — refuse loudly here
+    batchId.foreach { _ =>
+      if (graft.Fs.exists(spark, path + "/postings") &&
+          !graft.Fs.hasChildDir(spark, path + "/postings", "batch_id="))
+        throw new IllegalArgumentException(
+          s"writeTextIndex: $path was seeded without batchId (single-shot " +
+            "layout); batch appends need a batch-seeded index — seed with " +
+            "writeTextIndex(batchId = Some(...)) to support appends")
     }
     val tf = graft.Caches.tracked(
       termsOf(corpus).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
