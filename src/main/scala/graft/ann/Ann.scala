@@ -1142,12 +1142,49 @@ object Ann {
     * without retrain = assign the new batch under the saved quantizer
     * and parquet-append its cells (the a12 pattern); re-split hot
     * cells with a14 then rewrite only the split cells' directories. */
-  def writeAnnIndex(corpus: DataFrame, centroids: DataFrame, path: String): Unit = {
+  def writeAnnIndex(corpus: DataFrame, centroids: DataFrame, path: String,
+                    batchId: Option[Long] = None): Unit = {
     GraftFunctions.register(corpus.sparkSession)
     centroids.write.mode("overwrite").parquet(path + "/centroids")
-    assign(corpus, centroids)
-      .select(col("vec_id"), col("embedding"), col("c_label"))
-      .write.mode("overwrite").partitionBy("c_label").parquet(path + "/vectors")
+    writeCells(assign(corpus, centroids)
+      .select(col("vec_id"), col("embedding"), col("c_label")),
+      path + "/vectors", batchId, seeding = true)
+  }
+
+  /** Shared cell-directory writer for the saved ANN indexes. Two
+    * layouts, never mixed (partition discovery would reject the mix —
+    * the writeTextIndex lesson): single-shot `cells/c_label=...`
+    * (batchId = None; appends are plain parquet appends), or
+    * batch-rooted `cells/batch_id=.../c_label=...` (batchId = Some —
+    * the STREAMING ingest layout: every write is a dynamic partition
+    * overwrite of its own trigger's partitions, so a replayed trigger
+    * lands exactly once). Seeding a batch-rooted index uses
+    * batchId = Some(-1); the probes prune on c_label either way
+    * (second-level directories prune the same as first-level). */
+  private def writeCells(cells: DataFrame, dir: String, batchId: Option[Long],
+                         seeding: Boolean): Unit = {
+    val spark = cells.sparkSession
+    if (!seeding && graft.Fs.exists(spark, dir)) {
+      val batchRooted = graft.Fs.hasChildDir(spark, dir, "batch_id=")
+      if (batchId.isDefined && !batchRooted)
+        throw new IllegalArgumentException(
+          s"$dir was seeded without batchId (single-shot layout); seed " +
+            "with batchId = Some(...) to support batch appends")
+      if (batchId.isEmpty && batchRooted)
+        throw new IllegalArgumentException(
+          s"$dir is batch-rooted; append with batchId = Some(...)")
+    }
+    batchId match {
+      case None =>
+        cells.write.mode(if (seeding) "overwrite" else "append")
+          .partitionBy("c_label").parquet(dir)
+      case Some(id) =>
+        // seeding replaces the whole directory (static overwrite);
+        // appends overwrite only their own trigger's partitions
+        val w = cells.withColumn("batch_id", lit(id)).write.mode("overwrite")
+        (if (seeding) w else w.option("partitionOverwriteMode", "dynamic"))
+          .partitionBy("batch_id", "c_label").parquet(dir)
+    }
   }
 
   /** Append a batch to a saved ANN index WITHOUT retraining (a12's
@@ -1155,14 +1192,37 @@ object Ann {
     * — batch-proportional, one broadcast of the centroid table — and
     * parquet-append into their cells' directories. Quantization drift
     * is the documented price (a12's needs_split flags + a14's
-    * re-split are the repair loop; only split directories rewrite). */
-  def appendAnnIndex(batch: DataFrame, indexPath: String): Unit = {
+    * re-split are the repair loop; only split directories rewrite).
+    * With `batchId` (the streaming ingest path, s30) the batch lands
+    * as a dynamic overwrite of its own `batch_id` partitions —
+    * replay-idempotent — and requires a batch-seeded index. */
+  def appendAnnIndex(batch: DataFrame, indexPath: String,
+                     batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     GraftFunctions.register(spark)
     val cents = spark.read.parquet(indexPath + "/centroids")
-    assign(batch, cents)
-      .select(col("vec_id"), col("embedding"), col("c_label"))
-      .write.mode("append").partitionBy("c_label").parquet(indexPath + "/vectors")
+    writeCells(assign(batch, cents)
+      .select(col("vec_id"), col("embedding"), col("c_label")),
+      indexPath + "/vectors", batchId, seeding = false)
+  }
+
+  /** Per-cell occupancy + needs_split over a SAVED index — a12's
+    * growth report read off the layout itself: c_label (and batch_id)
+    * are partition columns, so the count scan reads directory
+    * metadata, not vector payloads. The streaming ingest loop (s30)
+    * emits this per trigger so re-split scheduling (a14) still fires
+    * without the in-memory ivfAppend derivation. */
+  def annIndexGrowthStats(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, balanceFactor: Double = 2.0,
+                          cellsDir: String = "vectors"): DataFrame = {
+    val occ = spark.read.parquet(indexPath + "/" + cellsDir)
+      .groupBy("c_label").agg(count(lit(1)).as("n_total"))
+    val mean = occ.agg(avg("n_total").as("mean_total"))
+    occ.crossJoin(broadcast(mean))
+      .select(col("c_label").as("cell"), col("n_total"),
+        stableRound(col("n_total") / col("mean_total"), 4).as("load_ratio"),
+        (col("n_total") > col("mean_total") * balanceFactor).as("needs_split"))
+      .orderBy("cell")
   }
 
   /** a04's search against the SAVED index: queries assign fresh under
@@ -1212,7 +1272,7 @@ object Ann {
     * [[writeAnnIndex]] — near-lossless codec distortion
     * (spec-bounded) in exchange for 4× residency. */
   def writeAnnIndexSq8(corpus: DataFrame, centroids: DataFrame, path: String,
-                       dim: Int = 64): Unit = {
+                       dim: Int = 64, batchId: Option[Long] = None): Unit = {
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
     import spark.implicits._
@@ -1221,9 +1281,9 @@ object Ann {
     Seq((lo.toSeq, scale.toSeq)).toDF("lo", "scale")
       .write.mode("overwrite").parquet(path + "/meta")
     val (encF, _) = GraftFunctions.registerSq8(spark, lo, scale)
-    assign(corpus, centroids)
-      .select(col("vec_id"), expr(s"$encF(embedding)").as("codes"), col("c_label"))
-      .write.mode("overwrite").partitionBy("c_label").parquet(path + "/codes")
+    writeCells(assign(corpus, centroids)
+      .select(col("vec_id"), expr(s"$encF(embedding)").as("codes"), col("c_label")),
+      path + "/codes", batchId, seeding = true)
     GraftFunctions.dropFunction(spark, encF)
   }
 
@@ -1231,17 +1291,20 @@ object Ann {
     * centroids, encode under the SAVED ranges (both read back from
     * the index — a batch encoded with retrained ranges would be
     * incomparable with the resident codes), parquet-append the cells
-    * (the a12/appendAnnIndex contract). */
-  def appendAnnIndexSq8(batch: DataFrame, indexPath: String): Unit = {
+    * (the a12/appendAnnIndex contract). With `batchId` (the streaming
+    * ingest path, s31) the batch lands as a dynamic overwrite of its
+    * own `batch_id` partitions — replay-idempotent. */
+  def appendAnnIndexSq8(batch: DataFrame, indexPath: String,
+                        batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     GraftFunctions.register(spark)
     val cents = spark.read.parquet(indexPath + "/centroids")
     val m = spark.read.parquet(indexPath + "/meta").collect()(0)
     val (encF, _) = GraftFunctions.registerSq8(spark,
       m.getSeq[Float](0).toArray, m.getSeq[Float](1).toArray)
-    assign(batch, cents)
-      .select(col("vec_id"), expr(s"$encF(embedding)").as("codes"), col("c_label"))
-      .write.mode("append").partitionBy("c_label").parquet(indexPath + "/codes")
+    writeCells(assign(batch, cents)
+      .select(col("vec_id"), expr(s"$encF(embedding)").as("codes"), col("c_label")),
+      indexPath + "/codes", batchId, seeding = false)
     GraftFunctions.dropFunction(spark, encF)
   }
 

@@ -885,6 +885,68 @@ object StreamingFlow {
       }
     }
 
+  /** s30_stream_ann_index_ingest — the ANN side of the live-index
+    * lifecycle (what s26 is to sink_text_index, closing the one index
+    * family that had no streaming ingest loop): each micro-batch of
+    * (vec_id, embedding) rows — a live embedding pipeline, the m08
+    * decode edge — assigns under the index's SAVED quantizer and lands
+    * in its cells as a dynamic overwrite of the trigger's own
+    * `batch_id` partitions (the s26 replay protocol: a re-fired
+    * trigger overwrites itself, never duplicates). The index must be
+    * batch-seeded (`writeAnnIndex(..., batchId = Some(-1))`); probes
+    * (`ivfKnnIndexed`) prune on c_label identically under the
+    * batch-rooted layout. After each append the per-cell growth
+    * report (a12's needs_split signal, read off the partition layout
+    * — no vector payloads scanned) lands under the same batch_id, so
+    * re-split scheduling (a14) keeps firing against a live index. */
+  def streamAnnIndexIngest(vecStream: DataFrame, indexPath: String,
+                           statsPath: String, checkpoint: String,
+                           balanceFactor: Double = 2.0
+                          ): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(annIndexIngestBatch(indexPath, statsPath, balanceFactor,
+        sq8 = false))
+      .start()
+
+  /** s31_stream_ann_index_ingest_sq8 — s30 over the CODES-ONLY index
+    * (`sink_ann_index_sq8`): each trigger's vectors assign under the
+    * saved centroids and encode under the saved (lo, scale) ranges —
+    * never retrained per batch — landing as dim-byte codes in their
+    * batch_id partitions. Same replay protocol, same growth report;
+    * the streaming path inherits the 4× residency cut that decides
+    * billion-vector hot storage. */
+  def streamAnnIndexIngestSq8(vecStream: DataFrame, indexPath: String,
+                              statsPath: String, checkpoint: String,
+                              balanceFactor: Double = 2.0
+                             ): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(annIndexIngestBatch(indexPath, statsPath, balanceFactor,
+        sq8 = true))
+      .start()
+
+  private[graft] def annIndexIngestBatch(indexPath: String, statsPath: String,
+                                         balanceFactor: Double, sq8: Boolean
+                                        ): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val vecs = batch.select("vec_id", "embedding").localCheckpoint(true)
+      graft.Caches.scoped {
+        if (sq8)
+          graft.ann.Ann.appendAnnIndexSq8(vecs, indexPath, batchId = Some(batchId))
+        else
+          graft.ann.Ann.appendAnnIndex(vecs, indexPath, batchId = Some(batchId))
+      }
+      graft.ann.Ann.annIndexGrowthStats(spark, indexPath, balanceFactor,
+          cellsDir = if (sq8) "codes" else "vectors")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(statsPath)
+    }
+
   private[graft] def bm25IndexedBatch(indexPath: String, resultPath: String,
                                       topK: Int): (DataFrame, Long) => Unit =
     (batch, batchId) => {

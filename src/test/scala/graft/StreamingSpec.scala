@@ -947,4 +947,131 @@ class StreamingSpec extends SparkSpecBase {
       assert(probe() == live, "compacted index must serve identical pages")
     } finally q.stop()
   }
+
+  // orthogonal-axis planted vectors (the AnnSpec construction): cluster
+  // c's members sit on axis c with a small deterministic spread
+  private def axisVec(c: Int, j: Int): Array[Float] = {
+    val a = Array.fill(4)(0.0f); a(c) = 1.0f; a((c + 1) % 4) = 0.02f * j; a
+  }
+
+  test("s30 streaming ANN ingest: streamed index probe equals single-shot; replay idempotent; growth stats fire") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ann.Ann
+    val dir = java.nio.file.Files.createTempDirectory("graft_s30").toString
+    val idxPath = s"$dir/idx"; val statsPath = s"$dir/stats"
+    val cents = (0 until 4).map { c =>
+      val a = Array.fill(4)(0.0f); a(c) = 1.0f; (c, a)
+    }.toDF("c_label", "centroid")
+    val seed = (for { c <- 0 until 4; j <- 0 until 5 }
+      yield ((c * 10 + j).toLong, axisVec(c, j))).toDF("vec_id", "embedding")
+    Ann.writeAnnIndex(seed, cents, idxPath, batchId = Some(-1L))
+    // trigger 1: balanced growth; trigger 2: a twin of seed vec 20
+    // (c=2, j=0) plus a planted hot load on cell 2
+    val b1 = for { c <- 0 until 4; j <- 5 until 8 }
+      yield ((100 + c * 10 + j).toLong, axisVec(c, j))
+    val b2 = Seq((999L, axisVec(2, 0))) ++
+      (0 until 30).map(j => ((2000 + j).toLong, axisVec(2, j % 10)))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingFlow.streamAnnIndexIngest(
+      input.toDF().toDF("vec_id", "embedding"), idxPath, statsPath, s"$dir/ckpt")
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val queries = Seq((9000L, axisVec(2, 0)), (9001L, axisVec(0, 6)))
+        .toDF("vec_id", "embedding")
+      def page(ix: String) = graft.Caches.scoped {
+        Ann.ivfKnnIndexed(queries, ix, k = 3).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+      }
+      val streamed = page(idxPath)
+      // single-shot twin: the same corpus written in one shot under the
+      // same quantizer must serve the identical page
+      val oneShot = s"$dir/oneshot"
+      Ann.writeAnnIndex(
+        seed.unionByName(b1.toDF("vec_id", "embedding"))
+          .unionByName(b2.toDF("vec_id", "embedding")), cents, oneShot)
+      assert(streamed.nonEmpty && streamed == page(oneShot),
+        s"streamed-index page $streamed differs from single-shot")
+      // the appended twin is retrieved at cos 1.0
+      val q9000 = streamed.filter(_._1 == 9000L)
+      assert(q9000.exists(t => t._2 == 999L && t._3 == 1.0),
+        s"appended twin must be retrieved at cos 1.0: $q9000")
+      // growth stats: the planted hot cell flags needs_split
+      val st = spark.read.parquet(statsPath).filter(col("batch_id") === 1)
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+      assert(st(2)._1 == 39L && st(2)._2, s"hot cell must flag: $st")
+      assert(!st(0)._2 && !st(1)._2 && !st(3)._2, s"balanced cells must not flag: $st")
+      // replaying trigger 1 overwrites its own partitions — no duplicates
+      val before = spark.read.parquet(idxPath + "/vectors").count()
+      StreamingFlow.annIndexIngestBatch(idxPath, statsPath, 2.0, sq8 = false)(
+        b2.toDF("vec_id", "embedding"), 1L)
+      assert(spark.read.parquet(idxPath + "/vectors").count() == before,
+        "replayed trigger must not duplicate index rows")
+      assert(page(idxPath) == streamed, "replayed trigger must not change the page")
+    } finally q.stop()
+  }
+
+  test("s31 streaming SQ8 ANN ingest: codes-only index serves appended twins; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ann.Ann
+    val dir = java.nio.file.Files.createTempDirectory("graft_s31").toString
+    val idxPath = s"$dir/idx"; val statsPath = s"$dir/stats"
+    val cents = (0 until 4).map { c =>
+      val a = Array.fill(4)(0.0f); a(c) = 1.0f; (c, a)
+    }.toDF("c_label", "centroid")
+    val seed = (for { c <- 0 until 4; j <- 0 until 5 }
+      yield ((c * 10 + j).toLong, axisVec(c, j))).toDF("vec_id", "embedding")
+    Ann.writeAnnIndexSq8(seed, cents, idxPath, dim = 4, batchId = Some(-1L))
+    val b1 = Seq((999L, axisVec(1, 0))) // twin of seed vec 10 (c=1, j=0)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingFlow.streamAnnIndexIngestSq8(
+      input.toDF().toDF("vec_id", "embedding"), idxPath, statsPath, s"$dir/ckpt")
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      val queries = Seq((9000L, axisVec(1, 0))).toDF("vec_id", "embedding")
+      def page() = graft.Caches.scoped {
+        Ann.ivfSq8KnnIndexed(queries, idxPath, k = 3).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      }
+      val p1 = page()
+      // the appended twin scores at the top alongside its seed twin —
+      // SQ8 codes are near-lossless on the planted axis vectors
+      assert(p1.exists(t => t._2 == 999L && t._3 >= 0.99),
+        s"appended twin must be retrieved near cos 1.0: $p1")
+      assert(p1.exists(t => t._2 == 10L && t._3 >= 0.99),
+        s"the seed twin must also surface: $p1")
+      // growth stats land under the trigger's batch_id
+      val st = spark.read.parquet(statsPath).filter(col("batch_id") === 0)
+      assert(st.count() == 4, "one stats row per occupied cell")
+      // replay: same batch_id overwrites its own partitions
+      val before = spark.read.parquet(idxPath + "/codes").count()
+      StreamingFlow.annIndexIngestBatch(idxPath, statsPath, 2.0, sq8 = true)(
+        b1.toDF("vec_id", "embedding"), 0L)
+      assert(spark.read.parquet(idxPath + "/codes").count() == before,
+        "replayed trigger must not duplicate code rows")
+      assert(page() == p1, "replayed trigger must not change the page")
+    } finally q.stop()
+  }
+
+  test("ANN index layout guard: batch append onto a single-shot layout is refused") {
+    import graft.ann.Ann
+    val dir = java.nio.file.Files.createTempDirectory("graft_s30g").toString
+    val cents = Seq((0, Array(1.0f, 0f, 0f, 0f))).toDF("c_label", "centroid")
+    val seed = Seq((0L, Array(1.0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    Ann.writeAnnIndex(seed, cents, s"$dir/idx") // single-shot layout
+    val e = intercept[IllegalArgumentException] {
+      Ann.appendAnnIndex(Seq((1L, Array(1.0f, 0f, 0f, 0f)))
+        .toDF("vec_id", "embedding"), s"$dir/idx", batchId = Some(0L))
+    }
+    assert(e.getMessage.contains("single-shot layout"))
+    // and the reverse: a plain append onto a batch-rooted layout
+    Ann.writeAnnIndex(seed, cents, s"$dir/idx2", batchId = Some(-1L))
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.appendAnnIndex(Seq((1L, Array(1.0f, 0f, 0f, 0f)))
+        .toDF("vec_id", "embedding"), s"$dir/idx2")
+    }
+    assert(e2.getMessage.contains("batch-rooted"))
+  }
 }
