@@ -284,6 +284,22 @@ object SparkEntry {
           col("rn").as("rank"))
       Ann.rrfFuse(Seq(lex, sem))
     }),
+    // a20's AT-REST twin: both runs probe SAVED indexes — BM25 over
+    // sink_text_index, semantic over sink_ann_index built on the t22
+    // hash embeddings — so hybrid retrieval is |queries|-proportional
+    // at rest (the deployment shape); rows-only like a20
+    "a21_rrf_fusion_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tmpT = scratchDir("graft_a21t_")
+      val tmpA = scratchDir("graft_a21a_")
+      TextStats.writeTextIndex(docs, tmpT)
+      val emb = TextStats.hashEmbed(docs)
+      val corpusVec = emb.select(col("doc_id").as("vec_id"), col("embedding"))
+      Ann.writeAnnIndex(corpusVec, Ann.kmeansCentroids(corpusVec), tmpA)
+      val qe = emb.filter(col("doc_id") % 97 === 0 && col("doc_id") < 97L * 32)
+        .select(col("doc_id").as("query_id"), col("embedding"))
+      Ann.rrfFuseIndexed(TextStats.sampleQueries(docs), qe, tmpT, tmpA)
+    }),
     "t01_token_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) => TextStats.qualityScore(Tables.documents(s, d))),
     "t03_langid" -> ((s, d) => TextStats.langId(Tables.documents(s, d))),

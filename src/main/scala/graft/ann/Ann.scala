@@ -90,6 +90,35 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** a21_rrf_fusion_indexed — a20's AT-REST twin (the d14/a15/t29
+    * convention applied to HYBRID retrieval): the lexical run probes
+    * the saved inverted index (`sink_text_index` via
+    * bm25SearchIndexed — bucket-pruned, zero corpus text reads) and
+    * the semantic run probes the saved ANN index (`sink_ann_index`
+    * via ivfKnnIndexed — cell-directory-pruned, excludeSelf=false so
+    * the self-hit anchors rank 1 exactly as a20's brute knnFor leg),
+    * then the same rank-space RRF folds them. This is the deployment
+    * shape: per-call cost is |queries|-proportional against both
+    * indexes, where live a20 re-scores the whole corpus per call
+    * (BM25 tokenize pass + brute-force scan). Fusion equality with
+    * the live a20 holds whenever the ANN leg retrieves the same
+    * top-k (spec-pinned under full-recall probes; at production
+    * nprobe the ANN leg is the standard recall trade a11 measures). */
+  def rrfFuseIndexed(queryTerms: DataFrame, queryVecs: DataFrame,
+                     textIndexPath: String, annIndexPath: String,
+                     kRun: Int = 10, kRrf: Int = 60, topK: Int = 10,
+                     nprobe: Int = 2): DataFrame = {
+    val lex = graft.text.TextStats
+      .bm25SearchIndexed(queryTerms, textIndexPath, topK = kRun)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val sem = ivfKnnIndexed(
+        queryVecs.select(col("query_id").as("vec_id"), col("embedding")),
+        annIndexPath, k = kRun, nprobe = nprobe, excludeSelf = false)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rn").as("rank"))
+    rrfFuse(Seq(lex, sem), kRrf, topK)
+  }
+
   /** a10_range_search — radius search (the FAISS `range_search` API):
     * every corpus vector within cosine ≥ `tau` of each query vector,
     * not a fixed top-k. For a bounded query set the scalable plan IS
@@ -1236,7 +1265,8 @@ object Ann {
     * sqrt(n) cells and nprobe=2, that is ~2·|queries|/sqrt(n) of the
     * corpus instead of all of it. */
   def ivfKnnIndexed(queries: DataFrame, indexPath: String,
-                    k: Int = 3, nprobe: Int = 2): DataFrame = {
+                    k: Int = 3, nprobe: Int = 2,
+                    excludeSelf: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     GraftFunctions.register(spark)
     val cents = spark.read.parquet(indexPath + "/centroids")
@@ -1251,7 +1281,10 @@ object Ann {
         col("c_label"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     q.join(c, "c_label")
-      .filter(col("query_id") =!= col("neighbor_id"))
+      // excludeSelf=false is the knnFor convention (a20/a21: query docs
+      // ARE corpus docs, the self-hit is the rank-1 anchor both runs
+      // share); the default keeps a15's self-excluding search
+      .filter(!lit(excludeSelf) || col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", expr("graft_cosine(qe, ce)"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

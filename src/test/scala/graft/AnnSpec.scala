@@ -560,4 +560,45 @@ class AnnSpec extends SparkSpecBase {
     assert(out(10L)._1 < out(12L)._1 && out(11L)._1 < out(13L)._1)
     graft.Caches.release()
   }
+
+  test("a21 indexed RRF fusion equals the live a20 composition under a full-recall probe") {
+    import org.apache.spark.sql.functions.col
+    import graft.text.TextStats
+    val docs = Seq(
+      (0L, "spark shuffle exchange partition plan"),
+      (1L, "spark broadcast join plan cost"),
+      (2L, "parquet scan pruning column filter"),
+      (3L, "shuffle partition skew salt key"),
+      (4L, "unrelated prose about gardens and rain"),
+      (5L, "filter pushdown scan parquet footer")
+    ).toDF("doc_id", "text")
+    val qt = TextStats.sampleQueries(docs, every = 3, maxQueries = 2)
+    val emb = graft.Caches.tracked(TextStats.hashEmbed(docs))
+    val corpusVec = emb.select(col("doc_id").as("vec_id"), col("embedding"))
+    val qe = emb.filter(col("doc_id") % 3 === 0 && col("doc_id") < 6)
+      .select(col("doc_id").as("query_id"), col("embedding"))
+    // live a20 composition (brute semantic leg, full tokenize lexical leg)
+    val lex = TextStats.bm25Search(docs, qt)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val sem = Ann.knnFor(corpusVec, qe)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rn").as("rank"))
+    val live = Ann.rrfFuse(Seq(lex, sem)).collect().toSeq
+    // at-rest twin: single-cell quantizer → the IVF probe has full
+    // recall, so the fused pages must be IDENTICAL row for row
+    val dir = java.nio.file.Files.createTempDirectory("graft_a21_").toString
+    TextStats.writeTextIndex(docs, s"$dir/text")
+    val oneCell = Seq((1, Array.fill(64)(1.0f))).toDF("c_label", "centroid")
+    Ann.writeAnnIndex(corpusVec, oneCell, s"$dir/ann")
+    val indexed = Ann.rrfFuseIndexed(qt, qe, s"$dir/text", s"$dir/ann",
+      nprobe = 1).collect().toSeq
+    assert(live.nonEmpty && indexed == live,
+      s"indexed fusion must equal live a20: $indexed vs $live")
+    // each query's own doc anchors rank 1 in both (the self-hit both
+    // legs share under excludeSelf=false)
+    val top = indexed.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top == Map(0L -> 0L, 3L -> 3L), s"self-hit must anchor: $top")
+    graft.Caches.release()
+  }
 }
