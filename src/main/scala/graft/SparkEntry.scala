@@ -16,7 +16,7 @@ object SparkEntry {
   /** Temp dir for the at-rest index rows (a15/d14/d15), deleted on JVM
     * exit: under SPARK_GRAFT_REPS each rep rebuilds its index, and
     * without cleanup every rep leaked a full index copy in /tmp. */
-  private def scratchDir(prefix: String): String = {
+  private[graft] def scratchDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {

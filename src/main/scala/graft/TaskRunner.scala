@@ -331,7 +331,210 @@ object TaskRunner {
       eventsIn(s, d, p),
       str(p, "steps", "view,click,signup,purchase").split(",").map(_.trim).toSeq,
       l(p, "windowMicros", 43200000000L))),
-    "q43_period_delta" -> ((s, d, p) => TrackAnalytics.periodDelta(eventsIn(s, d, p)))
+    "q43_period_delta" -> ((s, d, p) => TrackAnalytics.periodDelta(eventsIn(s, d, p))),
+    // ----- full-inventory binding (the remaining ids; every
+    // SparkEntry.queries key resolves to a param runner — the
+    // TaskRunnerSpec sync guard pins 100% coverage). Events-driven
+    // analyses honor the task date range via eventsIn; fixed-shape
+    // reports bind their default tables.
+    "q01_flow_agg" -> ((s, d, _) => FlowAnalytics.flowAgg(Tables.lineitem(s, d))),
+    "q03_speed_buckets" -> ((s, d, _) => FlowAnalytics.speedBuckets(Tables.lineitem(s, d))),
+    "q05_star_join_flow" -> ((s, d, _) => FlowAnalytics.starJoinFlow(
+      Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+      Tables.nation(s, d), Tables.region(s, d))),
+    "q06_group_concat" -> ((s, d, _) => FlowAnalytics.groupConcat(
+      Tables.customer(s, d), Tables.nation(s, d))),
+    "q07_distinct_count" -> ((s, d, _) => FlowAnalytics.distinctCount(
+      Tables.orders(s, d), Tables.customer(s, d))),
+    "q12_rollup" -> ((s, d, _) => RelationalOps.rollupAgg(
+      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q13_running_total" -> ((s, d, _) => RelationalOps.runningTotal(Tables.orders(s, d))),
+    "q15_pivot" -> ((s, d, _) => RelationalOps.pivotStatus(
+      Tables.orders(s, d), Tables.customer(s, d))),
+    "q18_set_ops" -> ((s, d, _) => RelationalOps.setOps(
+      Tables.orders(s, d), Tables.customer(s, d))),
+    "q21_percentile" -> ((s, d, _) => RelationalOps.percentiles(Tables.lineitem(s, d))),
+    "q22_orders_histogram" -> ((s, d, _) => RelationalOps.ordersHistogram(
+      Tables.customer(s, d), Tables.orders(s, d))),
+    "q23_broadcast_dim" -> ((s, d, _) => FlowAnalytics.broadcastDim(
+      Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "q26_json_extract" -> ((s, d, p) => FlowAnalytics.jsonExtract(eventsIn(s, d, p))),
+    "q30_asof_join" -> ((s, d, p) => TrackAnalytics.asofJoin(eventsIn(s, d, p))),
+    "q31_cube" -> ((s, d, _) => RelationalOps.cubeAgg(Tables.orders(s, d))),
+    "q32_moving_window" -> ((s, d, p) => RelationalOps.movingWindow(
+      Tables.orders(s, d), i(p, "frame", 5))),
+    "q37_streaks" -> ((s, d, p) => TrackAnalytics.activityStreaks(eventsIn(s, d, p))),
+    "q40_grouping_sets" -> ((s, d, _) => RelationalOps.groupingSets(Tables.orders(s, d))),
+    "q56_transition_matrix" -> ((s, d, p) => TrackAnalytics.transitionMatrix(eventsIn(s, d, p))),
+    "q57_modal_event" -> ((s, d, p) => TrackAnalytics.modalEventType(eventsIn(s, d, p))),
+    "q58_session_transitions" -> ((s, d, p) => TrackAnalytics.sessionTransitions(
+      eventsIn(s, d, p), l(p, "gapMs", 1800000L))),
+    "q59_dwell_time" -> ((s, d, p) => TrackAnalytics.dwellTime(eventsIn(s, d, p))),
+    "q61_hourly_profile" -> ((s, d, p) => TrackAnalytics.hourlyProfile(eventsIn(s, d, p))),
+    "q62_ohlc_downsample" -> ((s, d, p) => TrackAnalytics.ohlcDownsample(eventsIn(s, d, p))),
+    "q64_type_overlap" -> ((s, d, p) => TrackAnalytics.typeOverlap(eventsIn(s, d, p))),
+    "q67_volume_autocorr" -> ((s, d, p) => TrackAnalytics.volumeAutocorr(eventsIn(s, d, p))),
+    "q68_dwell_percentiles" -> ((s, d, p) => TrackAnalytics.dwellPercentiles(eventsIn(s, d, p))),
+    "t01_token_stats" -> ((s, d, _) => TextStats.tokenStats(Tables.documents(s, d))),
+    "t02_quality_score" -> ((s, d, _) => TextStats.qualityScore(Tables.documents(s, d))),
+    "t03_langid" -> ((s, d, _) => TextStats.langId(Tables.documents(s, d))),
+    "t04_fingerprint" -> ((s, d, _) => TextStats.fingerprint(Tables.documents(s, d))),
+    "t05_stopword_ratio" -> ((s, d, p) => TextStats.stopwordRatio(
+      Tables.documents(s, d),
+      p.get("stopwords").map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Seq("the", "a", "of", "and", "is")))),
+    "t07_repetition" -> ((s, d, _) => TextStats.repetition(Tables.documents(s, d))),
+    "t08_pii_scrub" -> ((s, d, _) => TextStats.piiScrub(Tables.documents(s, d))),
+    "t12_bpe_tokens" -> ((s, d, _) => TextStats.bpeTokens(Tables.documents(s, d))),
+    "t24_unigram_surprisal" -> ((s, d, _) => TextStats.unigramSurprisal(Tables.documents(s, d))),
+    "t27_weighted_sample" -> ((s, d, p) => TextStats.weightedSample(
+      Tables.documents(s, d), dbl(p, "rate", 0.3))),
+    "t29_bm25_probe_indexed" -> ((s, d, p) => {
+      val docs = Tables.documents(s, d)
+      val tmp = SparkEntry.scratchDir("graft_t29p_")
+      TextStats.writeTextIndex(docs, tmp, i(p, "nBuckets", 64))
+      TextStats.bm25SearchIndexed(
+        TextStats.sampleQueries(docs, l(p, "queryEvery", 97L),
+          i(p, "maxQueries", 32), i(p, "qTerms", 4)),
+        tmp, i(p, "topK", 10), dbl(p, "k1", 1.2), dbl(p, "b", 0.75))
+    }),
+    "d01_exact_dedup" -> ((s, d, _) => Dedup.exactDedup(Tables.documents(s, d))),
+    "d04_simhash" -> ((s, d, p) => Dedup.simHash(
+      Tables.documents(s, d), i(p, "maxHamming", 3))),
+    "d14_dedup_probe_indexed" -> ((s, d, p) => {
+      val docs = Tables.documents(s, d)
+      val src = str(p, "batchSource", "src0")
+      val tmp = SparkEntry.scratchDir("graft_d14p_")
+      Dedup.writeDedupIndex(docs.filter(docs("source") =!= src), tmp,
+        i(p, "numHashes", 64), i(p, "bands", 16))
+      Dedup.dedupAgainstIndex(docs.filter(docs("source") === src), tmp,
+        dbl(p, "threshold", 0.8), i(p, "numHashes", 64), i(p, "bands", 16))
+    }),
+    "d15_ingest_admit_indexed" -> ((s, d, p) => {
+      val docs = Tables.documents(s, d)
+      val src = str(p, "batchSource", "src0")
+      val tmp = SparkEntry.scratchDir("graft_d15p_")
+      Dedup.writeDedupIndex(docs.filter(docs("source") =!= src), tmp,
+        i(p, "numHashes", 64), i(p, "bands", 16))
+      Dedup.ingestAdmitIndexed(docs.filter(docs("source") === src), tmp,
+        dbl(p, "threshold", 0.8), i(p, "numHashes", 64), i(p, "bands", 16))
+    }),
+    "d18_containment" -> ((s, d, p) => Dedup.containmentDedup(
+      Tables.documents(s, d), dbl(p, "threshold", 0.8),
+      i(p, "minShingles", 5), capL(p, "dfCap", 1000L))),
+    "d19_containment_prefix" -> ((s, d, p) => Dedup.containmentPrefix(
+      Tables.documents(s, d), dbl(p, "threshold", 0.8),
+      i(p, "minShingles", 5), capL(p, "dfCap", 1000L))),
+    "d20_containment_against" -> ((s, d, p) => {
+      val docs = Tables.documents(s, d)
+      val src = str(p, "batchSource", "src0")
+      Dedup.containmentAgainst(docs.filter(docs("source") === src),
+        docs.filter(docs("source") =!= src), dbl(p, "threshold", 0.8),
+        i(p, "minShingles", 5), capL(p, "dfCap", 1000L))
+    }),
+    "d21_containment_probe_indexed" -> ((s, d, p) => {
+      val docs = Tables.documents(s, d)
+      val src = str(p, "batchSource", "src0")
+      val tmp = SparkEntry.scratchDir("graft_d21p_")
+      Dedup.writeContainmentIndex(docs.filter(docs("source") =!= src), tmp,
+        i(p, "nBuckets", 64))
+      Dedup.containmentAgainstIndex(docs.filter(docs("source") === src), tmp,
+        dbl(p, "threshold", 0.8), i(p, "minShingles", 5))
+    }),
+    "d22_containment_apply" -> ((s, d, p) => Dedup.containmentApply(
+      Tables.documents(s, d), dbl(p, "threshold", 0.8),
+      i(p, "minShingles", 5), capL(p, "dfCap", 1000L))),
+    "d23_containment_sig_estimate" -> ((s, d, p) => {
+      val docs = Tables.documents(s, d)
+      val src = str(p, "batchSource", "src0")
+      val tmp = SparkEntry.scratchDir("graft_d23p_")
+      Dedup.writeDedupSignatureIndex(docs.filter(docs("source") =!= src), tmp,
+        i(p, "numHashes", 64), i(p, "bands", 16))
+      Dedup.containmentAgainstSignatureIndex(docs.filter(docs("source") === src),
+        tmp, dbl(p, "threshold", 0.8), dbl(p, "minJaccard", 0.35),
+        i(p, "minShingles", 5), i(p, "numHashes", 64), i(p, "bands", 16))
+    }),
+    "m01_binary_meta" -> ((s, d, _) => graft.multimodal.BinaryPipeline.binaryMeta(
+      Tables.documents(s, d))),
+    "m02_chunk_sample" -> ((s, d, p) => graft.multimodal.BinaryPipeline.chunkSample(
+      Tables.documents(s, d), i(p, "chunkBytes", 64), i(p, "stride", 4))),
+    "m03_media_manifest" -> ((s, d, _) => graft.multimodal.BinaryPipeline.mediaManifest(
+      Tables.documents(s, d))),
+    "m04_modality_route" -> ((s, d, _) => graft.multimodal.BinaryPipeline.modalityRoute(
+      Tables.documents(s, d))),
+    "m05_payload_dedup" -> ((s, d, _) => graft.multimodal.BinaryPipeline.payloadDedup(
+      Tables.documents(s, d))),
+    "m10_chunk_containment" -> ((s, d, p) => graft.multimodal.BinaryPipeline.chunkContainment(
+      Tables.documents(s, d), dbl(p, "threshold", 0.8), i(p, "minChunks", 4),
+      i(p, "minLen", 16), i(p, "maskBits", 5), l(p, "dfCap", 1000L))),
+    "m11_payload_entropy" -> ((s, d, _) => graft.multimodal.BinaryPipeline.payloadEntropy(
+      Tables.documents(s, d))),
+    "a03_centroid_assign" -> ((s, d, _) => Ann.centroidAssign(Tables.embeddings(s, d))),
+    "a15_ivf_probe_indexed" -> ((s, d, p) => {
+      val e = Tables.embeddings(s, d)
+      val nQ = i(p, "nQueries", 10)
+      val tmp = SparkEntry.scratchDir("graft_a15p_")
+      Ann.writeAnnIndex(e.filter(e("vec_id") >= nQ), Ann.labelCentroids(e), tmp)
+      Ann.ivfKnnIndexed(e.filter(e("vec_id") < nQ), tmp,
+        i(p, "k", 3), i(p, "nprobe", 2))
+    }),
+    "a17_sq8_knn" -> ((s, d, p) => Ann.sq8Knn(
+      Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3),
+      i(p, "rerank", 50), i(p, "dim", 64))),
+    "a18_ivf_sq8" -> ((s, d, p) => {
+      val e = Tables.embeddings(s, d)
+      Ann.ivfSq8Knn(e, i(p, "nQueries", 10), i(p, "k", 3),
+        i(p, "nprobe", 2), i(p, "rerank", 50),
+        centroids = if (p.get("labelCells").forall(_.trim.toBoolean))
+          Some(Ann.labelCentroids(e)) else None,
+        cells = i(p, "cells", 0), dim = i(p, "dim", 64))
+    }),
+    "a19_ivf_sq8_indexed" -> ((s, d, p) => {
+      val e = Tables.embeddings(s, d)
+      val nQ = i(p, "nQueries", 10)
+      val tmp = SparkEntry.scratchDir("graft_a19p_")
+      Ann.writeAnnIndexSq8(e.filter(e("vec_id") >= nQ), Ann.labelCentroids(e),
+        tmp, i(p, "dim", 64))
+      Ann.ivfSq8KnnIndexed(e.filter(e("vec_id") < nQ), tmp,
+        i(p, "k", 3), i(p, "nprobe", 2))
+    }),
+    "a20_rrf_fusion" -> ((s, d, p) => {
+      val docs = Tables.documents(s, d)
+      val kRun = i(p, "kRun", 10)
+      val lex = TextStats.bm25Search(docs,
+          TextStats.sampleQueries(docs, l(p, "queryEvery", 97L),
+            i(p, "maxQueries", 32), i(p, "qTerms", 4)), topK = kRun)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = TextStats.hashEmbed(docs)
+      val every = l(p, "queryEvery", 97L)
+      val qe = emb.filter(col("doc_id") % every === 0 &&
+          col("doc_id") < every * i(p, "maxQueries", 32))
+        .select(col("doc_id").as("query_id"), col("embedding"))
+      val sem = Ann.knnFor(
+          emb.select(col("doc_id").as("vec_id"), col("embedding")), qe, k = kRun)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rn").as("rank"))
+      Ann.rrfFuse(Seq(lex, sem), i(p, "kRrf", 60), i(p, "topK", 10))
+    }),
+    "a21_rrf_fusion_indexed" -> ((s, d, p) => {
+      val docs = Tables.documents(s, d)
+      val tmpT = SparkEntry.scratchDir("graft_a21tp_")
+      val tmpA = SparkEntry.scratchDir("graft_a21ap_")
+      TextStats.writeTextIndex(docs, tmpT, i(p, "nBuckets", 64))
+      val emb = TextStats.hashEmbed(docs)
+      val corpusVec = emb.select(col("doc_id").as("vec_id"), col("embedding"))
+      Ann.writeAnnIndex(corpusVec,
+        Ann.kmeansCentroids(corpusVec, i(p, "cells", 10)), tmpA)
+      val every = l(p, "queryEvery", 97L)
+      val qe = emb.filter(col("doc_id") % every === 0 &&
+          col("doc_id") < every * i(p, "maxQueries", 32))
+        .select(col("doc_id").as("query_id"), col("embedding"))
+      Ann.rrfFuseIndexed(
+        TextStats.sampleQueries(docs, every, i(p, "maxQueries", 32),
+          i(p, "qTerms", 4)),
+        qe, tmpT, tmpA, i(p, "kRun", 10), i(p, "kRrf", 60),
+        i(p, "topK", 10), i(p, "nprobe", 2))
+    })
   )
 
   /** Run any inventory query under a param set; unknown params are

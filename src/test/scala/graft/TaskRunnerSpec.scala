@@ -180,10 +180,41 @@ class TaskRunnerSpec extends SparkSpecBase {
     assert(orphans.isEmpty, s"runners with no inventory query: $orphans")
   }
 
-  test("queries without a param binding fall back to SparkEntry defaults") {
-    assert(TaskRunner.run(spark, d, "q01_flow_agg").count() > 0)
+  test("FULL-COVERAGE sync guard: every inventory query resolves to a param-aware runner") {
+    // the task table is the deployment entry point — an inventory id
+    // without a runner can only run with compiled-in defaults
+    val unbound = SparkEntry.queries.keySet -- TaskRunner.runners.keySet
+    assert(unbound.isEmpty, s"${unbound.size} inventory ids have no param runner: $unbound")
+  }
+
+  test("unknown query names are refused") {
     intercept[IllegalArgumentException] {
       TaskRunner.run(spark, d, "no_such_query")
     }
+  }
+
+  test("round-17 runner params take effect: q65 k, t27 rate, d18 threshold, a15 k, m02 chunking") {
+    // q65: the KMV accuracy/state knob is task-tunable end to end;
+    // estimates stay well-formed at a coarse k
+    val kmv = TaskRunner.run(spark, d, "q65_kmv_overlap", Map("k" -> "16")).collect()
+    assert(kmv.nonEmpty && kmv.forall { r =>
+      val j = r.getDouble(r.fieldIndex("est_jaccard")); j >= 0.0 && j <= 1.0
+    })
+    // t27: the deterministic LCG coin makes the keep set monotone in rate
+    def kept(rate: String) = TaskRunner.run(spark, d, "t27_weighted_sample",
+      Map("rate" -> rate)).count()
+    assert(kept("0.9") >= kept("0.05"))
+    // d18: a higher containment threshold can only report fewer directions
+    def dirs(t: String) = TaskRunner.run(spark, d, "d18_containment",
+      Map("threshold" -> t)).count()
+    assert(dirs("0.95") <= dirs("0.5"))
+    // a15: k bounds the page size per query on the saved-index probe
+    val page = TaskRunner.run(spark, d, "a15_ivf_probe_indexed", Map("k" -> "2"))
+      .collect().groupBy(_.getLong(0))
+    assert(page.nonEmpty && page.values.forall(_.length <= 2))
+    // m02: a finer stride can only sample more chunks
+    def chunks(p: Map[String, String]) =
+      TaskRunner.run(spark, d, "m02_chunk_sample", p).count()
+    assert(chunks(Map("stride" -> "2")) >= chunks(Map("stride" -> "8")))
   }
 }
