@@ -1046,24 +1046,15 @@ object Dedup {
     (recallTables(bOpt), bOpt)
   }
 
-  def embedDedupLsh(embeddings: DataFrame, threshold: Double = 0.5,
-                    tables: Int = -1, bits: Int = -1, dim: Int = 64): DataFrame = {
-    if (threshold < 0.7)
-      return embedDedup(embeddings, threshold)
+  /** The banded candidate relation behind [[embedDedupLsh]], factored
+    * out so the growth diagnostics (PLANS.md d06 attribution) can
+    * measure candidate volume separately from verify cost. Resolves
+    * (tables, bits) exactly as embedDedupLsh does. */
+  private[graft] def embedLshCandidates(embeddings: DataFrame, threshold: Double,
+                                        tables: Int = -1, bits: Int = -1,
+                                        dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val p1 = 1.0 - math.acos(threshold) / math.Pi
-    // recall constraint: miss e^(-T·p1^b) <= 1e-3 → T(b) = 6.9/p1^b
-    def recallTables(b: Int): Int =
-      math.max(8, math.ceil(6.9 / math.pow(p1, b)).toInt)
-    def sizeCap: Int = (math.log(math.max(embeddings.count(), 2L).toDouble) /
-      math.log(2.0)).toInt + 2
-    val (t, b) =
-      if (tables > 0 && bits > 0) (tables, bits)
-      else if (bits > 0) (recallTables(bits), bits)
-      else if (tables > 0) {
-        val recallDepth = (math.log(tables / 6.9) / -math.log(p1)).toInt
-        (tables, math.max(4, math.min(recallDepth, sizeCap)))
-      } else lshParams(embeddings.count(), threshold, dim)
+    val (t, b) = resolveLshParams(embeddings, threshold, tables, bits, dim)
     val withB = embeddings
       .select(col("vec_id"), col("embedding"),
         posexplode(expr(s"graft_hyperplane_buckets(embedding, 42L, $t, $b, $dim)"))
@@ -1078,12 +1069,38 @@ object Dedup {
     // to a bucket-key / vec_id-partitioned shuffle join at corpus
     // scale on its own (verified cheaper locally than pinning
     // shuffle_hash, which costs three extra exchanges here)
-    val cand = ids.as("x")
+    ids.as("x")
       .join(ids.as("y"),
         col("x.bt") === col("y.bt") && col("x.bb") === col("y.bb") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
+  }
+
+  /** The (tables, bits) resolution shared by embedLshCandidates and
+    * the growth diagnostics: explicit knobs win; a lone knob derives
+    * its partner from the e^(-T·p1^b) ≤ 1e-3 recall constraint; both
+    * absent → the lshParams cost model over n. */
+  private[graft] def resolveLshParams(embeddings: DataFrame, threshold: Double,
+                                      tables: Int, bits: Int, dim: Int): (Int, Int) = {
+    val p1 = 1.0 - math.acos(threshold) / math.Pi
+    def recallTables(b: Int): Int =
+      math.max(8, math.ceil(6.9 / math.pow(p1, b)).toInt)
+    def sizeCap: Int = (math.log(math.max(embeddings.count(), 2L).toDouble) /
+      math.log(2.0)).toInt + 2
+    if (tables > 0 && bits > 0) (tables, bits)
+    else if (bits > 0) (recallTables(bits), bits)
+    else if (tables > 0) {
+      val recallDepth = (math.log(tables / 6.9) / -math.log(p1)).toInt
+      (tables, math.max(4, math.min(recallDepth, sizeCap)))
+    } else lshParams(embeddings.count(), threshold, dim)
+  }
+
+  def embedDedupLsh(embeddings: DataFrame, threshold: Double = 0.5,
+                    tables: Int = -1, bits: Int = -1, dim: Int = 64): DataFrame = {
+    if (threshold < 0.7)
+      return embedDedup(embeddings, threshold)
+    val cand = embedLshCandidates(embeddings, threshold, tables, bits, dim)
     val vecs = embeddings.select(col("vec_id"), col("embedding"))
     cand
       .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")

@@ -115,6 +115,45 @@ class DedupSpec extends SparkSpecBase {
     assert(cands < n / 20, s"candidate volume $cands degenerated for n=$n")
   }
 
+  test("d06 auto-params bound expected candidate mass sub-quadratically at scale") {
+    // the recall-driven auto-params trade candidate mass for guaranteed
+    // recall: bits grow ~log2(n) (halving per-table random collisions
+    // per doubling) while tables grow to hold the e^(-T·p1^b) <= 1e-3
+    // recall floor. The 100 TB contract is on the COST MODEL itself (a
+    // pure function of n): expected random-collision mass
+    // m(n) = C(n,2)·T(n)·0.5^b(n) grows ~27x per DECADE (n^1.44) —
+    // sub-quadratic (100x) because every ~3.3 added bits per decade
+    // claw back 10x of the n² term, but NOT linear: sign-LSH at
+    // cos 0.75 (rho ≈ 0.44/0.67) cannot do better, which is exactly
+    // why the corpus-scale default for embedding dedup is d16
+    // (SemDeDup, ~n^1.5 cell-local with constant training) and d06 is
+    // the boundary-free path for the >= 0.7 regime. Measured on real
+    // embeddings at sf1→sf2: 2.8x candidates per 2x corpus = n^1.49,
+    // matching the model (between bit steps the local ratio can touch
+    // 4x — the discrete-bit artifact).
+    val decades = (4 to 9).map(e => math.pow(10, e).toLong)
+    val mass = decades.map { n =>
+      val (t, b) = Dedup.lshParams(n, 0.75, 64)
+      n -> (n.toDouble * (n - 1) / 2.0) * t * math.pow(0.5, b)
+    }
+    mass.sliding(2).foreach { case Seq((n1, m1), (n2, m2)) =>
+      val ratio = m2 / m1
+      assert(ratio < 30.0,
+        s"collision mass grew ${ratio}x from n=$n1 to n=$n2 (quadratic would be 100x)")
+    }
+    // and the planted-pair side stays fully recalled at a real size
+    // (the d06 oracle re-checks this corpus-wide at every SF)
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val planted = e.select(col("vec_id"), col("embedding")).unionByName(
+      e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val n = e.count()
+    val twins = Dedup.embedDedupLsh(planted, 0.75).collect()
+      .count(r => r.getLong(1) == r.getLong(0) + 1000000L && r.getDouble(2) == 1.0)
+    assert(twins == n, s"banded recall lost planted twins: $twins of $n")
+    graft.Caches.release()
+  }
+
   test("sourceOverlap rolls near-dup pairs into an unordered source matrix") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val near = "the quick brown fox jumps over the lazy dog again and again tonight"
