@@ -620,6 +620,53 @@ object Oracles {
                 floor(quantile_cont(dwell_us, 0.99)*100 + 0.5)/100 AS p99_dwell_us
          FROM g GROUP BY event_type ORDER BY event_type""",
 
+    "q69_ewma_volume" ->
+      """WITH d AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         w AS (
+           SELECT a.event_type, a.day,
+                  CAST(sum(b.n_events *
+                    (CAST(1 AS BIGINT) << (15 - date_diff('day', b.day, a.day))))
+                    AS BIGINT) AS wsum
+           FROM d a JOIN d b
+             ON a.event_type = b.event_type
+            AND b.day <= a.day AND b.day >= a.day - 15
+           GROUP BY a.event_type, a.day)
+         SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n_events,
+                floor((w.wsum / 65535.0)*10000 + 0.5)/10000 AS ewma
+         FROM d JOIN w ON d.event_type = w.event_type AND d.day = w.day
+         ORDER BY d.event_type, d.day""",
+
+    "q70_touch_attribution" ->
+      """WITH p AS (
+           SELECT event_id AS pid, user_id, epoch_us(ts) AS p_us,
+                  CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT user_id, epoch_us(ts) AS t_us, event_id AS tid, event_type
+               FROM events WHERE event_type <> 'purchase'),
+         j AS (SELECT p.pid, p.cents, t.event_type, t.t_us, t.tid
+               FROM p JOIN t ON p.user_id = t.user_id
+                AND t.t_us < p.p_us AND t.t_us >= p.p_us - 604800000000),
+         per AS (
+           SELECT pid, cents,
+                  first(event_type ORDER BY t_us, tid) AS first_tt,
+                  last(event_type ORDER BY t_us, tid) AS last_tt
+           FROM j GROUP BY pid, cents),
+         f AS (SELECT first_tt AS touch_type, count(*) AS n_first,
+                      CAST(sum(cents) AS BIGINT) AS rev_first_cents
+               FROM per GROUP BY first_tt),
+         l AS (SELECT last_tt AS touch_type, count(*) AS n_last,
+                      CAST(sum(cents) AS BIGINT) AS rev_last_cents
+               FROM per GROUP BY last_tt)
+         SELECT touch_type,
+                coalesce(n_first, 0) AS n_first,
+                coalesce(rev_first_cents, 0) AS rev_first_cents,
+                coalesce(n_last, 0) AS n_last,
+                coalesce(rev_last_cents, 0) AS rev_last_cents
+         FROM f FULL OUTER JOIN l USING (touch_type)
+         ORDER BY touch_type""",
+
     "q66_bounce_rate" ->
       """WITH l AS (
            SELECT user_id, event_id, event_type,

@@ -375,6 +375,10 @@ object TaskRunner {
     "q64_type_overlap" -> ((s, d, p) => TrackAnalytics.typeOverlap(eventsIn(s, d, p))),
     "q67_volume_autocorr" -> ((s, d, p) => TrackAnalytics.volumeAutocorr(eventsIn(s, d, p))),
     "q68_dwell_percentiles" -> ((s, d, p) => TrackAnalytics.dwellPercentiles(eventsIn(s, d, p))),
+    "q69_ewma_volume" -> ((s, d, p) => TrackAnalytics.ewmaVolume(
+      eventsIn(s, d, p), i(p, "horizon", 16))),
+    "q70_touch_attribution" -> ((s, d, p) => TrackAnalytics.touchAttribution(
+      eventsIn(s, d, p), i(p, "lookbackDays", 7))),
     "t01_token_stats" -> ((s, d, _) => TextStats.tokenStats(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d, _) => TextStats.qualityScore(Tables.documents(s, d))),
     "t03_langid" -> ((s, d, _) => TextStats.langId(Tables.documents(s, d))),

@@ -1031,4 +1031,91 @@ object TrackAnalytics {
           .otherwise(col("n_events") =!= col("med")).as("is_anomaly"))
       .orderBy("event_type", "day")
   }
+
+  /** q69_ewma_volume — dyadic-decay EWMA smoothing of each type's
+    * daily event volume (the trend line q60's anomaly z-scores are
+    * read against, and the denominator a "is today 2x normal?" alert
+    * wants): per (event_type, day) the day's count and the
+    * exponentially-weighted average over the trailing `horizon` days
+    * with decay 1/2 per day, absent days zero-filled.
+    *
+    * The decay is DYADIC on purpose: weight(lag) = 2^(horizon-1-lag)
+    * is an exact long, so the weighted sum is EXACT integer
+    * arithmetic end to end — ewma = wsum / (2^horizon - 1) is the
+    * only IEEE op, under stableRound → full hash oracle (a pow(0.9,
+    * lag) decay would hit libm cross-engine drift and order-dependent
+    * float summation). Zero-filling means the first horizon-1 days of
+    * a series read damped (cold-start reads low, by definition, not
+    * by accident); absent MIDDLE days damp the same way — an EWMA of
+    * the true daily series, not of the observed subsequence.
+    *
+    * Scale: one partial-agg exchange to (type, day) grain, then each
+    * daily row fans out to its `horizon` target days via posexplode
+    * AT THAT GRAIN (≤ types x days x horizon rows — trivial next to
+    * the raw events, which never shuffle again). Overflow: horizon
+    * ≤ 32 keeps weight ≤ 2^31, so wsum stays in long for daily
+    * counts up to ~2^31 per (type, day) — 100 TB headroom. */
+  def ewmaVolume(events: DataFrame, horizon: Int = 16): DataFrame = {
+    require(horizon >= 1 && horizon <= 32,
+      s"ewmaVolume: horizon $horizon outside [1,32] — dyadic weights must stay in long")
+    val daily = graft.Caches.tracked(
+      events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events")))
+    // source day s contributes n·2^(h-1-lag) to target days s..s+h-1;
+    // posexplode's pos IS the lag, so no join-side datediff is needed
+    val contrib = daily
+      .select(col("event_type"), col("n_events").as("n"),
+        posexplode(expr(s"sequence(day, date_add(day, ${horizon - 1}))"))
+          .as(Seq("lag", "day")))
+      .groupBy("event_type", "day")
+      .agg(sum(expr(s"n * shiftleft(CAST(1 AS BIGINT), ${horizon - 1} - lag)"))
+        .as("wsum"))
+    val denom = (1L << horizon) - 1L
+    daily.join(contrib, Seq("event_type", "day"))
+      .withColumn("ewma", graft.Num.stableRound(
+        col("wsum").cast("double") / lit(denom.toDouble), 4))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  /** q70_touch_attribution — first-/last-touch conversion attribution
+    * (the marketing-analytics question sessionization feeds): each
+    * purchase is attributed to the same user's earliest (first-touch)
+    * and latest (last-touch) preceding non-purchase event within a
+    * `lookbackDays` window, and the report rolls attributed
+    * conversions and revenue up per touch type. Revenue is cents-exact
+    * (the q01/q05 discipline); purchases with no in-window touch fall
+    * out (unattributable — direct conversions).
+    *
+    * Determinism: the touch pick is max/min of struct(ts_us,
+    * event_id, type) — event_id is unique, so ties on the timestamp
+    * break identically in both engines. Scale: one user_id exchange;
+    * the purchase x touch fan-out is bounded by per-user activity in
+    * the window (user-grain, never corpus-grain), and the rollup
+    * output is ≤ #types rows per leg. */
+  def touchAttribution(events: DataFrame, lookbackDays: Int = 7): DataFrame = {
+    val us = expr("ts_ns div 1000")
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), us.as("p_us"),
+        expr("CAST(floor(value*100 + 0.5) AS BIGINT)").as("cents"))
+    val t = events.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), us.as("t_us"), col("event_id").as("tid"),
+        col("event_type"))
+    val win = lit(lookbackDays * 86400000000L)
+    val per = p.join(t, Seq("user_id"))
+      .filter(col("t_us") < col("p_us") && col("t_us") >= col("p_us") - win)
+      .groupBy("pid", "cents")
+      .agg(
+        min(struct(col("t_us"), col("tid"), col("event_type").as("tt"))).as("first"),
+        max(struct(col("t_us"), col("tid"), col("event_type").as("tt"))).as("last"))
+    def leg(field: String, n: String, rev: String): DataFrame = per
+      .groupBy(col(s"$field.tt").as("touch_type"))
+      .agg(count(lit(1)).as(n), sum("cents").as(rev))
+    leg("first", "n_first", "rev_first_cents")
+      .join(leg("last", "n_last", "rev_last_cents"), Seq("touch_type"), "full_outer")
+      .na.fill(0L, Seq("n_first", "rev_first_cents", "n_last", "rev_last_cents"))
+      .orderBy("touch_type")
+  }
 }

@@ -250,6 +250,57 @@ class TrackSpec extends SparkSpecBase {
     assert(out(("flat")) == ((3L, None)) && out(("short")) == ((2L, None)))
   }
 
+  test("ewmaVolume: dyadic weights, zero-filled gaps, constant series converges exactly") {
+    val day = 86400000L
+    def burst(t: String, d: Int, c: Int): Seq[(String, Long)] =
+      (0 until c).map(i => (t, d * day + i * 1000L))
+    // "x": counts 1,2,_,4 with a gap on day 2; horizon 2 → weights (2,1), denom 3
+    val rows = burst("x", 0, 1) ++ burst("x", 1, 2) ++ burst("x", 3, 4) ++
+      // "c": constant 3/day for 20 days — past warm-up the EWMA is exactly 3
+      (0 until 20).flatMap(d => burst("c", d, 3))
+    val ev = rows.toDF("event_type", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val h2 = TrackAnalytics.ewmaVolume(ev.filter(col("event_type") === "x"), horizon = 2)
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    graft.Caches.release()
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(h2 == Map(
+      "1970-01-01" -> ((1L, r4(2.0 / 3))),        // 1*2 / 3
+      "1970-01-02" -> ((2L, r4(5.0 / 3))),        // 2*2 + 1*1
+      "1970-01-04" -> ((4L, r4(8.0 / 3)))),       // 4*2 + 0*1 — day-2 zero-fill
+      s"got $h2")
+    val c = TrackAnalytics.ewmaVolume(ev.filter(col("event_type") === "c"))
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    graft.Caches.release()
+    assert(c("1970-01-20") == 3.0 && c("1970-01-16") == 3.0) // full window: 3·(2^16−1)/(2^16−1)
+    assert(c("1970-01-01") == 1.5)                           // cold start: 3·2^15/65535 rounds to 1.5
+  }
+
+  test("touchAttribution: window bounds, struct tie-break, direct conversions fall out") {
+    val s = 1000L
+    val ev = Seq(
+      // u1: click → view → purchase: first=click, last=view
+      (1L, 1L, "click", 0.0, 0L), (2L, 1L, "view", 0.0, 10 * s),
+      (3L, 1L, "purchase", 1.00, 20 * s),
+      // u2: direct purchase, no touches — unattributed
+      (4L, 2L, "purchase", 2.00, 0L),
+      // u3: signup 8 days before (outside 7d lookback), view exactly 7d before (in)
+      (5L, 3L, "signup", 0.0, 0L), (6L, 3L, "view", 0.0, 86400 * s),
+      (7L, 3L, "purchase", 0.50, 8 * 86400 * s),
+      // u4: two touches at the SAME ts — event_id splits first (8=click) from last (9=view)
+      (8L, 4L, "click", 0.0, 100 * s), (9L, 4L, "view", 0.0, 100 * s),
+      (10L, 4L, "purchase", 3.00, 200 * s)
+    ).toDF("event_id", "user_id", "event_type", "value", "ts_ms")
+      .withColumn("ts_ns", col("ts_ms") * 1000000L)
+    val out = TrackAnalytics.touchAttribution(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      "click" -> ((2L, 400L, 0L, 0L)),   // first for u1+u4; never last
+      "view" -> ((1L, 50L, 3L, 450L))),  // first for u3; last for all three
+      s"got $out")
+  }
+
   test("ohlcDownsample picks first/last by time then id; no float arithmetic in the bar") {
     val ev = Seq(
       // day 1, "px": open 10.5 (t=0), close 7.25 (t=3000), high 99.125, low 1.5
