@@ -164,6 +164,8 @@ object TaskRunner {
       i(p, "tables", -1), i(p, "bits", -1), i(p, "dim", 64))),
     "a01_knn_brute" -> ((s, d, p) => Ann.knnBrute(
       Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3))),
+    "a22_pca_reduce" -> ((s, d, p) => Ann.pcaReduce(
+      Tables.embeddings(s, d), i(p, "k", 8))),
     "a16_mmr_diversify" -> ((s, d, p) => Ann.mmrDiversify(
       Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "poolK", 10),
       i(p, "k", 5), dbl(p, "lambda", 0.7))),

@@ -827,6 +827,172 @@ object Ann {
     * searches, each with its own documented scale shape. Rows-only op:
     * recall of a sampled-training index is not ANSI-SQL-expressible;
     * the measurement itself is spec-pinned with a planted recall. */
+  /** Trained PCA basis: corpus size, dimension, mean vector, top-k
+    * eigenvalues of the covariance, total variance (trace), and the
+    * k×dim row-major component matrix (orthonormal rows, sign
+    * canonicalized so each row's largest-|x| coordinate is positive). */
+  private[graft] case class PcaModel(n: Long, dim: Int, mean: Array[Float],
+                                     eigenvalues: Array[Double], trace: Double,
+                                     comps: Array[Float])
+
+  /** One corpus pass + a driver-side d×d eigensolve: the
+    * [[graft.functions.TypedAggregators.MomentMatrix]] aggregator
+    * folds count/sums/upper-tri second moments map-side (only the
+    * O(d²) buffer crosses the exchange — vectors never shuffle), the
+    * covariance assembles on the driver, and power iteration with
+    * deflation extracts the top-k eigenpairs. d ≤ 1024 keeps the
+    * buffer broadcast-tiny and the d³-ish driver solve trivial — the
+    * honest contract for embedding dims, which are 64–4096 in
+    * practice, never corpus-sized. Deterministic: fixed iteration
+    * count, argmax-diagonal start vector, canonical sign. */
+  private[graft] def pcaTrain(embeddings: DataFrame, k: Int): PcaModel = {
+    val spark = embeddings.sparkSession
+    val d = embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
+    val kEff = math.min(k, d)
+    val mm = udaf(new graft.functions.TypedAggregators.MomentMatrix(d),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    val buf = embeddings.select(mm(col("embedding")).as("m"))
+      .head.getSeq[Double](0).toArray
+    val n = buf(0).toLong
+    require(n > 0, "pcaTrain: embeddings table is empty — nothing to train on")
+    val mean = Array.tabulate(d)(i => buf(1 + i) / n)
+    // cov(i,j) = m_ij/n − mean_i·mean_j (population form)
+    val cov = Array.ofDim[Double](d, d)
+    var t = 1 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = buf(t) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1; t += 1
+      }
+      i += 1
+    }
+    val trace = (0 until d).map(p => math.max(cov(p)(p), 0.0)).sum
+    def matvec(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
+      Array.tabulate(d) { r =>
+        var s = 0.0; var c = 0
+        while (c < d) { s += m(r)(c) * v(c); c += 1 }
+        s
+      }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var p = 0
+      while (p < d) { s += a(p) * b(p); p += 1 }
+      s
+    }
+    val eigs = new Array[Double](kEff)
+    val comps = new Array[Float](kEff * d)
+    val found = new Array[Array[Double]](kEff)
+    val c = cov.map(_.clone())
+    var e = 0
+    while (e < kEff) {
+      // strip any component along the already-found basis — power
+      // iteration on an EXHAUSTED residual (c ≈ 0 past the data's
+      // intrinsic rank) otherwise parks on the start vector, which may
+      // overlap earlier components and break orthonormality
+      def orth(v: Array[Double]): Array[Double] = {
+        val w = v.clone()
+        var f = 0
+        while (f < e) {
+          val pr = dot(w, found(f))
+          var q = 0
+          while (q < d) { w(q) -= pr * found(f)(q); q += 1 }
+          f += 1
+        }
+        w
+      }
+      // deterministic start: the first basis vector with a usable
+      // orthogonal remainder, preferring the deflated matrix's largest
+      // diagonal (never orthogonal to the dominant remaining direction)
+      var bestDiag = 0; var bd = Double.NegativeInfinity
+      var p = 0
+      while (p < d) { if (c(p)(p) > bd) { bd = c(p)(p); bestDiag = p }; p += 1 }
+      var v: Array[Double] = null
+      var cand = 0
+      while (v == null && cand <= d) {
+        val basis = if (cand == 0) bestDiag else cand - 1
+        val w = orth(Array.tabulate(d)(q => if (q == basis) 1.0 else 0.0))
+        val nw = math.sqrt(dot(w, w))
+        if (nw > 0.1) v = w.map(_ / nw)
+        cand += 1
+      }
+      require(v != null, s"pcaTrain: no start vector orthogonal to the first $e components")
+      var it = 0
+      while (it < 300) {
+        val w = orth(matvec(c, v))
+        val nw = math.sqrt(dot(w, w))
+        if (nw > 1e-12) v = w.map(_ / nw)
+        it += 1
+      }
+      val lambda = math.max(dot(v, matvec(c, v)), 0.0)
+      // canonical sign: largest-|x| coordinate positive (first on ties)
+      var big = 0; var bx = 0.0
+      p = 0
+      while (p < d) { if (math.abs(v(p)) > bx) { bx = math.abs(v(p)); big = p }; p += 1 }
+      if (v(big) < 0) v = v.map(-_)
+      eigs(e) = lambda
+      found(e) = v
+      p = 0
+      while (p < d) { comps(e * d + p) = v(p).toFloat; p += 1 }
+      // deflate: c ← c − λ v vᵀ
+      var r = 0
+      while (r < d) {
+        var q = 0
+        while (q < d) { c(r)(q) -= lambda * v(r) * v(q); q += 1 }
+        r += 1
+      }
+      e += 1
+    }
+    PcaModel(n, d, mean.map(_.toFloat), eigs, trace, comps)
+  }
+
+  /** a22_pca_reduce — the variance report of a trained PCA basis (the
+    * dimensionality-reduction pre-step of every large ANN deployment:
+    * project 64–4096-dim embeddings to the k directions that carry
+    * the variance, cut index residency k/d-fold, rerank survivors in
+    * float — [[pcaProject]] is the projection, recallEval("pca")
+    * measures what the cut costs). Per component: eigenvalue,
+    * explained variance fraction and the cumulative fraction — the
+    * curve that picks k. Rows-only: the moment sums fold in partition
+    * order, so eigenvalues carry order-of-summation float noise;
+    * AnnSpec pins planted-direction alignment, orthonormality and
+    * monotone explained fractions. */
+  def pcaReduce(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val m = pcaTrain(embeddings.select(col("vec_id"), col("embedding")), k)
+    val denom = if (m.trace > 0) m.trace else 1.0
+    var cum = 0.0
+    m.eigenvalues.zipWithIndex.map { case (ev, j) =>
+      cum += ev / denom
+      (j + 1, math.floor(ev * 10000 + 0.5) / 10000,
+        math.floor(ev / denom * 10000 + 0.5) / 10000,
+        math.floor(cum * 10000 + 0.5) / 10000)
+    }.toSeq.toDF("component", "eigenvalue", "explained_frac", "cum_frac")
+      .orderBy("component")
+  }
+
+  /** Project the corpus onto a trained top-k PCA basis: (vec_id,
+    * reduced array<float> of length k) via the compiled
+    * [[graft.functions.PcaProject]] expression — one codegen loop per
+    * row, mean and components as reference objects, no shuffle at all
+    * (train is one aggregate pass; projection is map-side). The
+    * reduced table is what a08/a15-style indexes ingest when d is the
+    * residency bottleneck. */
+  def pcaProject(embeddings: DataFrame, k: Int = 8,
+                 model: Option[PcaModel] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val m = model.getOrElse(
+      pcaTrain(embeddings.select(col("vec_id"), col("embedding")), k))
+    val kEff = math.min(k, m.dim)
+    val fname = GraftFunctions.registerPcaProject(spark, m.mean, m.comps, kEff)
+    val out = embeddings.select(col("vec_id"),
+      expr(s"$fname(embedding)").as("reduced"))
+    GraftFunctions.dropFunction(spark, fname) // analysis was eager
+    out
+  }
+
   def recallEval(embeddings: DataFrame, variant: String = "lsh",
                  nQueries: Int = 10, k: Int = 3,
                  approx: Option[DataFrame] = None): DataFrame = {
@@ -838,8 +1004,12 @@ object Ann {
       case "ivf"   => ivfKnn(embeddings, nQueries, k)
       case "pq"    => pqKnn(embeddings, nQueries, k)
       case "ivfpq" => ivfPqKnn(embeddings, nQueries, k)
+      case "pca"   =>
+        // brute search in the REDUCED space: what the k-dim cut costs
+        knnBrute(pcaProject(embeddings)
+          .withColumnRenamed("reduced", "embedding"), nQueries, k)
       case other => throw new IllegalArgumentException(
-        s"recallEval: unknown variant '$other' (lsh|ivf|pq|ivfpq)")
+        s"recallEval: unknown variant '$other' (lsh|ivf|pq|ivfpq|pca)")
     }).select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(approxPairs, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))

@@ -202,6 +202,22 @@ object GraftFunctions {
     (enc, sim)
   }
 
+  private val pcaSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Bind a TRAINED PCA basis (mean + k×dim row-major components)
+    * under a unique per-call function name — the [[registerSq8]]
+    * protocol: analysis is eager at DataFrame creation, so callers
+    * drop the name via [[dropFunction]] once their plans are built. */
+  def registerPcaProject(spark: SparkSession, mean: Array[Float],
+                         components: Array[Float], k: Int): String = {
+    val fname = s"graft_pca_project_${pcaSeq.incrementAndGet()}"
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(fname),
+      new ExpressionInfo(classOf[PcaProject].getName, fname),
+      (children: Seq[Expression]) => PcaProject(children.head, mean, components, k))
+    fname
+  }
+
   /** Bind a TRAINED PQ codebook under a unique per-call function name
     * (data can't ride in SQL text; the builder closure carries it).
     * Analysis is eager at DataFrame creation, so callers drop the name

@@ -114,6 +114,48 @@ object TypedAggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Second-moment accumulator backing PCA (a22): one pass over the
+    * corpus folding count, per-dimension sums and the upper-triangular
+    * raw second moments into one flat double buffer — mergeable
+    * (element-wise add), so map-side partial aggregation holds and
+    * the only thing that crosses the exchange is the O(d²) buffer
+    * (d=64 → 2145 doubles), never the vectors themselves. Layout:
+    * [n, sum_0..d-1, m_{0,0}, m_{0,1}, …, m_{d-1,d-1}] with the
+    * second moments upper-triangle row-major. Vectors shorter than d
+    * are zero-padded by construction of the loop bound. */
+  class MomentMatrix(d: Int) extends Aggregator[Seq[Float], Array[Double], Array[Double]] {
+    require(d >= 1 && d <= 1024,
+      s"MomentMatrix: dim $d outside [1,1024] — the O(d²) buffer must stay broadcast-tiny")
+    private val len = 1 + d + d * (d + 1) / 2
+    override def zero: Array[Double] = new Array[Double](len)
+    override def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = {
+      if (v == null) return b
+      val x = new Array[Double](d)
+      val n = math.min(d, v.length)
+      var p = 0
+      while (p < n) { x(p) = v(p).toDouble; p += 1 }
+      b(0) += 1
+      var i = 0; var t = 1 + d
+      while (i < d) {
+        b(1 + i) += x(i)
+        var j = i
+        while (j < d) { b(t) += x(i) * x(j); j += 1; t += 1 }
+        i += 1
+      }
+      b
+    }
+    override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < len) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+    override def finish(r: Array[Double]): Array[Double] = r
+    override def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
   /** Register as SQL functions (mirrors the reference's
     * sqlContext.udf.register of its UDAF). */
   def register(spark: SparkSession): Unit = {

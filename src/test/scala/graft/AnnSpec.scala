@@ -368,6 +368,78 @@ class AnnSpec extends SparkSpecBase {
     assert(rep.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
 
+  // 240 vectors in 6-d planted along three orthogonal non-axis
+  // directions with variances ~100 : 9 : 1 (LCG coefficients in
+  // [-1,1], mean ~0) — the anisotropy PCA must recover
+  private def planted6d = {
+    val dirs = Seq(
+      (10.0, Array(1.0, 1.0, 0.0, 0.0, 0.0, 0.0).map(_ / math.sqrt(2))),
+      (3.0, Array(0.0, 0.0, 1.0, 1.0, 0.0, 0.0).map(_ / math.sqrt(2))),
+      (1.0, Array(0.0, 0.0, 0.0, 0.0, 1.0, 1.0).map(_ / math.sqrt(2))))
+    def lcg(s: Long): Long = s * 6364136223846793005L + 1442695040888963407L
+    val rows = (0 until 240).map { i =>
+      var s = lcg(i.toLong + 17)
+      val v = Array.fill(6)(0.0)
+      dirs.foreach { case (sigma, u) =>
+        s = lcg(s)
+        val a = (s >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+        var p = 0
+        while (p < 6) { v(p) += sigma * a * u(p); p += 1 }
+      }
+      (i.toLong, v.map(_.toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("pcaReduce recovers the planted variance directions; basis orthonormal") {
+    val rep = Ann.pcaReduce(planted6d, k = 3).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rep.length == 3)
+    // dominant direction carries ~100/110 of the variance
+    assert(rep(0)._3 > 0.8, s"pc1 explained ${rep(0)._3}")
+    // explained fractions non-increasing, cumulative bounded by 1
+    assert(rep.sliding(2).forall(w => w(0)._3 >= w(1)._3 - 1e-9))
+    assert(rep.last._4 <= 1.0001 && rep.last._4 > 0.99) // 3 dirs = all variance
+    assert(rep.forall(_._2 >= 0.0))
+
+    val m = Ann.pcaTrain(planted6d, 3)
+    def row(j: Int): Array[Double] =
+      Array.tabulate(6)(i => m.comps(j * 6 + i).toDouble)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val u1 = Array(1.0, 1.0, 0.0, 0.0, 0.0, 0.0).map(_ / math.sqrt(2))
+    val u2 = Array(0.0, 0.0, 1.0, 1.0, 0.0, 0.0).map(_ / math.sqrt(2))
+    assert(math.abs(dot(row(0), u1)) > 0.99, s"pc1 misaligned: ${row(0).toSeq}")
+    assert(math.abs(dot(row(1), u2)) > 0.99, s"pc2 misaligned: ${row(1).toSeq}")
+    for (a <- 0 until 3; b <- 0 until 3)
+      assert(math.abs(dot(row(a), row(b)) - (if (a == b) 1.0 else 0.0)) < 1e-4,
+        s"basis not orthonormal at ($a,$b)")
+  }
+
+  test("pcaProject at full rank preserves pairwise distances; pca recall variant high") {
+    val proj = Ann.pcaProject(planted6d, k = 6).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(proj.values.forall(_.length == 6))
+    val orig = planted6d.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    // a full-rank orthonormal projection is a rotation of the centered
+    // data — pairwise distances survive exactly (up to float casts)
+    for (pair <- Seq((0L, 1L), (5L, 100L), (42L, 239L))) {
+      val (x, y) = pair
+      val d0 = dist(orig(x), orig(y)); val d1 = dist(proj(x), proj(y))
+      assert(math.abs(d0 - d1) <= 1e-2 * math.max(d0, 1.0), s"pair $pair: $d0 vs $d1")
+    }
+    // reduced-space brute search vs float brute: the variant's default
+    // k=8 caps at d=6 (full rank) and the planted mean is ~0, so the
+    // centered rotation barely moves the cosine ordering
+    val rec = Ann.recallEval(planted6d, variant = "pca", nQueries = 5, k = 3)
+      .collect()
+    assert(rec.forall(r => r.getDouble(3) >= 0.7), // mean_recall column
+      s"pca mean recall ${rec.headOption.map(_.getDouble(3))}")
+  }
+
   test("ivfAppend: appended batch is retrieved at full-rebuild recall, growth flagged") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
