@@ -1055,12 +1055,17 @@ object TrackAnalytics {
     * the raw events, which never shuffle again). Overflow: horizon
     * ≤ 32 keeps weight ≤ 2^31, so wsum stays in long for daily
     * counts up to ~2^31 per (type, day) — 100 TB headroom. */
-  def ewmaVolume(events: DataFrame, horizon: Int = 16): DataFrame = {
+  def ewmaVolume(events: DataFrame, horizon: Int = 16): DataFrame =
+    ewmaFromDaily(graft.Caches.tracked(
+      events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))), horizon)
+
+  /** q69's tiny-grain core over an already-aggregated (event_type,
+    * day DATE, n_events) relation — shared with the streaming twin
+    * (s32), whose state is exactly this grain. */
+  private[graft] def ewmaFromDaily(daily: DataFrame, horizon: Int): DataFrame = {
     require(horizon >= 1 && horizon <= 32,
       s"ewmaVolume: horizon $horizon outside [1,32] — dyadic weights must stay in long")
-    val daily = graft.Caches.tracked(
-      events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n_events")))
     // source day s contributes n·2^(h-1-lag) to target days s..s+h-1;
     // posexplode's pos IS the lag, so no join-side datediff is needed
     val contrib = daily

@@ -786,6 +786,43 @@ object StreamingFlow {
     * algebra itself, with none of the batch-exclusion bookkeeping
     * the admission loops (s18/s24) need. State is k longs per type
     * forever, whatever the stream's entity cardinality. */
+  /** s32_stream_ewma — q69's streaming twin: each trigger lands its
+    * per-(type, day) event counts under its batch_id partition
+    * (replay OVERWRITES the partition — the s18/s24 idempotence
+    * convention; an ADDITIVE state merge would double-count replayed
+    * triggers), then the dyadic EWMA rebuilds over the re-aggregated
+    * daily grain. Per-trigger cost = one partial-agg pass over the
+    * batch plus a types×days-grain rebuild — constant in stream
+    * lifetime; late or out-of-order events for ANY day fold in
+    * exactly, because every trigger re-aggregates all batch
+    * partitions at the tiny grain before the fan-out. */
+  def streamEwma(eventStream: DataFrame, statePath: String,
+                 resultPath: String, checkpoint: String, horizon: Int = 16
+                ): org.apache.spark.sql.streaming.StreamingQuery =
+    eventStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(ewmaBatch(statePath, resultPath, horizon))
+      .start()
+
+  private[graft] def ewmaBatch(statePath: String, resultPath: String,
+                               horizon: Int): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      import graft.operators.TrackAnalytics
+      val spark = batch.sparkSession
+      batch.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(statePath)
+      val daily = spark.read.parquet(statePath)
+        .groupBy("event_type", "day").agg(sum("n_events").as("n_events"))
+      TrackAnalytics.ewmaFromDaily(daily, horizon)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(resultPath)
+    }
+
   def streamAudienceOverlap(eventStream: DataFrame, statePath: String,
                             resultPath: String, checkpoint: String,
                             k: Int = 256

@@ -877,6 +877,51 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s32 streaming EWMA folds late days exactly; replayed trigger leaves counts unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_millis
+    import graft.operators.TrackAnalytics
+    val day = 86400000L
+    def ev(t: String, d: Int, c: Int): Seq[(String, Long)] =
+      (0 until c).map(i => (t, d * day + i * 1000L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_s32").toString
+    val statePath = s"$dir/state"; val resPath = s"$dir/res"
+    val input = MemoryStream[(String, Long)]
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = StreamingFlow.streamEwma(
+      withTs(input.toDF().toDF("event_type", "ts_ms")),
+      statePath, resPath, s"$dir/ckpt", horizon = 4)
+    val b1 = ev("A", 0, 2) ++ ev("A", 1, 3) ++ ev("B", 0, 1)
+    val b2 = ev("A", 1, 1) ++ ev("A", 2, 5) // a LATE day-1 event + a new day
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // trigger-2 EWMA equals batch q69 over ALL events so far — the
+      // late day-1 arrival re-weighted day 1 and its successors
+      val stream2 = spark.read.parquet(resPath).filter(col("batch_id") === 1)
+        .drop("batch_id").collect().toSeq
+        .sortBy(r => (r.getString(0), r.getString(1)))
+      val batchTwin = graft.Caches.scoped {
+        TrackAnalytics.ewmaVolume(
+          withTs((b1 ++ b2).toDF("event_type", "ts_ms")), horizon = 4)
+          .collect().toSeq.sortBy(r => (r.getString(0), r.getString(1)))
+      }
+      assert(stream2.nonEmpty && stream2 == batchTwin,
+        s"stream $stream2 vs batch $batchTwin")
+      // replaying trigger 0 overwrites its state partition — total
+      // daily counts stay exact, never double-counted
+      def totals = spark.read.parquet(statePath)
+        .groupBy("event_type", "day").sum("n_events").collect()
+        .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+      val before = totals
+      StreamingFlow.ewmaBatch(statePath, resPath, 4)(
+        withTs(b1.toDF("event_type", "ts_ms")), 0L)
+      assert(totals == before, "replayed trigger must not double-count")
+    } finally q.stop()
+  }
+
   test("s27 streaming percolation matches batch t31 per trigger; replay overwrites") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
