@@ -115,6 +115,27 @@ class DedupSpec extends SparkSpecBase {
     assert(cands < n / 20, s"candidate volume $cands degenerated for n=$n")
   }
 
+  test("d04 at vocabulary saturation is output-bound: candidate overhead a small constant") {
+    import org.apache.spark.sql.functions._
+    // PLANS.md d04 attribution: on the saturated synthetic corpus the
+    // hamming<=3 ANSWER is pair-density quadratic (4x per 2x corpus at
+    // sf1→sf2), and the 6-block join's raw candidate volume tracks it
+    // at a ~3–10x constant — the blocking stays efficient relative to
+    // the irreducible answer (per-output-pair cost falls 20.7→12.2 us
+    // with scale). Pin the selectivity bound on the real docs table.
+    graft.functions.GraftFunctions.register(spark)
+    val fp = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("toks", array_distinct(split(lower(col("text")), "\\s+")))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), expr("graft_simhash(toks)").as("simhash"))
+      .localCheckpoint(true)
+    val cands = Dedup.simHashCandidates(fp).count()
+    val out = Dedup.simHashCandidates(fp).filter(col("hamming") <= 3).count()
+    assert(out > 0, "saturated corpus must produce hamming<=3 pairs")
+    assert(cands <= 20 * out,
+      s"candidate volume $cands degenerated vs output $out — blocking no longer answer-bound")
+  }
+
   test("d06 auto-params bound expected candidate mass sub-quadratically at scale") {
     // the recall-driven auto-params trade candidate mass for guaranteed
     // recall: bits grow ~log2(n) (halving per-table random collisions
