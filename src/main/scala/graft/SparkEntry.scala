@@ -239,6 +239,7 @@ object SparkEntry {
     "a13_knn_classify" -> ((s, d) => Ann.knnClassify(Tables.embeddings(s, d))),
     "a16_mmr_diversify" -> ((s, d) => Ann.mmrDiversify(Tables.embeddings(s, d))),
     "a22_pca_reduce" -> ((s, d) => Ann.pcaReduce(Tables.embeddings(s, d))),
+    "a23_pca_knn" -> ((s, d) => Ann.pcaKnn(Tables.embeddings(s, d))),
     // incremental shape: every 5th vector plays the new batch, the
     // rest the already-indexed corpus (the d11 convention)
     "a12_ivf_append" -> ((s, d) => {

@@ -166,6 +166,9 @@ object TaskRunner {
       Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3))),
     "a22_pca_reduce" -> ((s, d, p) => Ann.pcaReduce(
       Tables.embeddings(s, d), i(p, "k", 8))),
+    "a23_pca_knn" -> ((s, d, p) => Ann.pcaKnn(
+      Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3),
+      i(p, "pcaK", 8), i(p, "rerank", 50))),
     "a16_mmr_diversify" -> ((s, d, p) => Ann.mmrDiversify(
       Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "poolK", 10),
       i(p, "k", 5), dbl(p, "lambda", 0.7))),

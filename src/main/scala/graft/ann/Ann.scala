@@ -993,6 +993,33 @@ object Ann {
     out
   }
 
+  /** a23_pca_knn — PCA shortlist + exact rerank (the deployment chain
+    * a22's variance curve picks k for, completing the codec family:
+    * SQ8 cuts bytes-per-DIMENSION, PCA cuts DIMENSIONS — they
+    * compose): corpus and queries project onto the trained top-pcaK
+    * basis with the compiled [[graft.functions.PcaProject]]
+    * expression (map-side, no shuffle beyond the one moment pass),
+    * the reduced-space brute scan shortlists `rerank` candidates per
+    * query at pcaK/dim of the float-scan bytes (8/64 = 8× fewer at
+    * defaults), and survivors re-score exactly in float — a17's
+    * shortlist+rerank shape with the PCA codec instead of SQ8.
+    * Rows-only: centered-projection cosine is codec-specific; the
+    * spec pins recall vs a01 on planted clusters and exact equality
+    * at full rank. */
+  def pcaKnn(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
+             pcaK: Int = 8, rerank: Int = 50): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val model = pcaTrain(embeddings.select(col("vec_id"), col("embedding")), pcaK)
+    val shortlist = knnBrute(
+      pcaProject(embeddings, pcaK, Some(model))
+        .withColumnRenamed("reduced", "embedding"), nQueries, rerank)
+      .select("query_id", "neighbor_id")
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    exactRerank(embeddings, shortlist, queries, k)
+  }
+
   def recallEval(embeddings: DataFrame, variant: String = "lsh",
                  nQueries: Int = 10, k: Int = 3,
                  approx: Option[DataFrame] = None): DataFrame = {

@@ -440,6 +440,23 @@ class AnnSpec extends SparkSpecBase {
       s"pca mean recall ${rec.headOption.map(_.getDouble(3))}")
   }
 
+  test("pcaKnn: exhaustive shortlist equals brute exactly; tight shortlist keeps recall") {
+    // rerank >= corpus: the reduced-space scan only ORDERS the
+    // shortlist, exact rerank then reproduces a01 row for row
+    val brute = Ann.knnBrute(planted6d, nQueries = 5, k = 3).collect().toSeq
+    val exhaustive = Ann.pcaKnn(planted6d, nQueries = 5, k = 3,
+      pcaK = 3, rerank = 300).collect().toSeq
+    assert(exhaustive == brute, s"exhaustive pcaKnn must equal brute")
+    // the deployment shape: 3-of-6 dims (99.5% variance), 20-deep
+    // shortlist — planted anisotropy keeps the true neighbours inside
+    val tight = Ann.pcaKnn(planted6d, nQueries = 5, k = 3,
+      pcaK = 3, rerank = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (tight intersect bruteSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.8, s"pca shortlist recall $recall")
+  }
+
   test("ivfAppend: appended batch is retrieved at full-rebuild recall, growth flagged") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
