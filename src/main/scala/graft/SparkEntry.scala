@@ -265,6 +265,13 @@ object SparkEntry {
     }),
     // a18's at-rest twin over the codes-only index (a15's shape at a
     // quarter the bytes); rows-only — quantized sims are codec-native
+    "a24_ivf_pq_indexed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val tmp = scratchDir("graft_a24_")
+      val nQ = 10
+      Ann.writeAnnIndexPq(e.filter(e("vec_id") >= nQ), Ann.labelCentroids(e), tmp)
+      Ann.ivfPqKnnIndexed(e.filter(e("vec_id") < nQ), tmp)
+    }),
     "a19_ivf_sq8_indexed" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val tmp = scratchDir("graft_a19_")

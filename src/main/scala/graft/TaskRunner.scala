@@ -498,6 +498,16 @@ object TaskRunner {
           Some(Ann.labelCentroids(e)) else None,
         cells = i(p, "cells", 0), dim = i(p, "dim", 64))
     }),
+    "a24_ivf_pq_indexed" -> ((s, d, p) => {
+      val e = Tables.embeddings(s, d)
+      val nQ = i(p, "nQueries", 10)
+      val tmp = SparkEntry.scratchDir("graft_a24p_")
+      Ann.writeAnnIndexPq(e.filter(e("vec_id") >= nQ), Ann.labelCentroids(e),
+        tmp, i(p, "m", 8), i(p, "ksub", 256), i(p, "iters", 5),
+        i(p, "trainSample", 4096), i(p, "dim", 64))
+      Ann.ivfPqKnnIndexed(e.filter(e("vec_id") < nQ), tmp,
+        i(p, "k", 3), i(p, "nprobe", 2))
+    }),
     "a19_ivf_sq8_indexed" -> ((s, d, p) => {
       val e = Tables.embeddings(s, d)
       val nQ = i(p, "nQueries", 10)

@@ -1574,4 +1574,120 @@ object Ann {
     GraftFunctions.dropFunction(spark, simF) // dependent plans already analyzed
     out
   }
+
+  /** sink_ann_index_pq — the M-CODES saved index, the cold tier below
+    * SQ8 (m=8 code ids per vector vs 64 SQ8 bytes vs 256 float bytes;
+    * with ksub ≤ 256 each code carries one byte of information, a 32×
+    * residency cut vs floats): cells store (vec_id, codes array<int>)
+    * under the [[writeCells]] layout/replay protocol, and the
+    * codebook — trained with a08's deterministic sample recipe —
+    * persists in `meta/`, because the probe must decode with the
+    * sink's EXACT codebook (the SQ8-ranges / containment-modulus
+    * lesson; a retrained codebook would make resident codes
+    * incomparable). At rest there are no floats to rerank against:
+    * scoring is ADC-native and PQ's codec distortion (coarser than
+    * SQ8 — the a08 spec regime) is the documented price. */
+  def writeAnnIndexPq(corpus: DataFrame, centroids: DataFrame, path: String,
+                      m: Int = 8, ksub: Int = 256, iters: Int = 5,
+                      trainSample: Int = 4096, dim: Int = 64,
+                      batchId: Option[Long] = None): Unit = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    centroids.write.mode("overwrite").parquet(path + "/centroids")
+    val sample: Array[Array[Float]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(trainSample)
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(sample.length >= ksub,
+      s"writeAnnIndexPq: training sample (${sample.length}) must cover ksub=$ksub seeds")
+    val codebook = trainPqCodebook(sample, m, ksub, subDim, iters)
+    Seq((codebook.toSeq, m, ksub, subDim))
+      .toDF("codebook", "m", "ksub", "sub_dim")
+      .write.mode("overwrite").parquet(path + "/meta")
+    val fname = GraftFunctions.registerPqEncode(spark, codebook, m, ksub, subDim)
+    writeCells(assign(corpus, centroids)
+      .select(col("vec_id"), expr(s"$fname(embedding)").as("codes"), col("c_label")),
+      path + "/codes", batchId, seeding = true)
+    GraftFunctions.dropFunction(spark, fname)
+  }
+
+  /** Append a batch to a saved PQ index: assign under the SAVED
+    * centroids, encode under the SAVED codebook (both read back from
+    * the index), land under the writeCells layout — replay-idempotent
+    * with `batchId`, the appendAnnIndexSq8 contract verbatim. */
+  def appendAnnIndexPq(batch: DataFrame, indexPath: String,
+                       batchId: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(indexPath + "/centroids")
+    val meta = spark.read.parquet(indexPath + "/meta").collect()(0)
+    val fname = GraftFunctions.registerPqEncode(spark,
+      meta.getSeq[Float](0).toArray, meta.getInt(1), meta.getInt(2), meta.getInt(3))
+    writeCells(assign(batch, cents)
+      .select(col("vec_id"), expr(s"$fname(embedding)").as("codes"), col("c_label")),
+      indexPath + "/codes", batchId, seeding = false)
+    GraftFunctions.dropFunction(spark, fname)
+  }
+
+  /** a24_ivf_pq_indexed — a09's search against the CODES-ONLY saved
+    * PQ index: queries assign fresh under the saved centroids, the
+    * probed-label set prunes the codes read to those cell DIRECTORIES
+    * (the a15 pin), each surviving code row explodes to its m
+    * (sub, cid) pairs and joins the broadcast ADC table built from
+    * the query floats and the SAVED codebook — the pqKnn cellPairs
+    * shape with the posting list coming off disk. Top-k comes from
+    * the ADC similarity directly (no floats at rest to rerank, the
+    * a19 trade at 8× less residency); the spec bounds the distortion
+    * by neighbor agreement with the float IVF search. */
+  def ivfPqKnnIndexed(queries: DataFrame, indexPath: String,
+                      k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cents = spark.read.parquet(indexPath + "/centroids")
+    val meta = spark.read.parquet(indexPath + "/meta").collect()(0)
+    val codebook = meta.getSeq[Float](0).toArray
+    val (m, ksub, subDim) = (meta.getInt(1), meta.getInt(2), meta.getInt(3))
+    val q = graft.Caches.tracked(
+      assignN(queries, cents, nprobe)
+        .select(col("vec_id").as("query_id"), col("c_label")))
+    val probed = q.select("c_label").distinct().collect().map(_.get(0))
+    val qv = queries.select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // ADC tables: |queries| x m x ksub rows — tiny, broadcast (the a08 build)
+    val tables = for {
+      (qid, v) <- qv.toSeq
+      sub <- 0 until m
+      cid <- 0 until ksub
+    } yield {
+      val base = (sub * ksub + cid) * subDim
+      var pdot = 0.0; var ndot = 0.0
+      var d = 0
+      while (d < subDim) {
+        pdot += v(sub * subDim + d).toDouble * codebook(base + d)
+        ndot += codebook(base + d).toDouble * codebook(base + d)
+        d += 1
+      }
+      (qid, sub, cid, pdot, ndot, math.sqrt(v.map(x => x.toDouble * x).sum))
+    }
+    val tablesDf = tables.toDF("query_id", "sub", "cid", "pdot", "ndot", "qnorm")
+    val cands = spark.read.parquet(indexPath + "/codes")
+      .filter(col("c_label").isin(probed: _*))
+      .select(col("vec_id").as("neighbor_id"), col("c_label"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(cands, "c_label")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(tablesDf), Seq("query_id", "sub", "cid"))
+      .groupBy("query_id", "neighbor_id")
+      .agg((sum(col("pdot")) / (max(col("qnorm")) * sqrt(sum(col("ndot"))))).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        stableRound(col("sim"), 4).as("adc_sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
 }

@@ -237,6 +237,44 @@ class AnnSpec extends SparkSpecBase {
     graft.Caches.release()
   }
 
+  test("PQ index at rest: probed ADC recall vs float IVF, pruned codes scan, saved-codebook append") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Ann.labelCentroids(emb)
+    val nQ = 10
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    Ann.writeAnnIndexPq(emb.filter(emb("vec_id") >= nQ), cents, dir)
+    val queries = emb.filter(emb("vec_id") < nQ)
+    val probeDf = Ann.ivfPqKnnIndexed(queries, dir)
+    val probe = probeDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the ADC-only a08 distortion regime: agreement with the float IVF
+    // search under the same centroids stays in the PQ class bound
+    val fl = Ann.ivfKnn(emb, nQueries = nQ, centroids = Some(cents)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (probe intersect fl).size.toDouble / fl.size
+    assert(recall >= 0.5, s"PQ-at-rest recall $recall vs float IVF")
+    // determinism: a second probe reproduces the pages exactly
+    assert(Ann.ivfPqKnnIndexed(queries, dir).collect().toSeq ==
+      probeDf.collect().toSeq)
+    // the codes read is cell-pruned (the a15 pin on the codes/ scan)
+    val scans = probeDf.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("codes")) => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "probed labels must prune the codes directories")
+    // append encodes with the SAVED codebook: planted copies of the
+    // queries encode to identical codes, so each lands in its query's
+    // top-k with the query's own quantization score
+    Ann.appendAnnIndexPq(
+      queries.select((queries("vec_id") + 1000000L).as("vec_id"), queries("embedding")), dir)
+    val after = Ann.ivfPqKnnIndexed(queries, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (qid <- 0L until nQ.toLong)
+      assert(after.contains((qid, qid + 1000000L)),
+        s"query $qid: appended identical-code twin missing from top-k")
+    graft.Caches.release()
+  }
+
   test("ivfKnnIndexed reproduces ivfKnn from the saved index, reading only probed cells") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cents = Ann.labelCentroids(emb)
