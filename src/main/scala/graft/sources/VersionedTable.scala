@@ -168,6 +168,39 @@ object VersionedTable {
   def hasVersion(path: String, v: Long): Boolean =
     Files.exists(versionFile(path, v))
 
+  /** The largest committed version published at or before wall-clock
+    * `tsMillis` — Delta's `timestampAsOf` contract, resolved from the
+    * commit files' MODIFICATION TIMES: the log publishes each version
+    * with one atomic link, so the entry's mtime IS the commit
+    * instant, and versions' mtimes are monotone because a version
+    * only commits after its predecessor exists. None when the table
+    * has no version that old (asking for "before the table existed"
+    * must be an error at the caller, not silently-latest). Versions
+    * whose log entry vacuum pruned are skipped — their snapshots are
+    * gone, so they are not addressable by timestamp either. */
+  def versionAsOf(path: String, tsMillis: Long): Option[Long] = {
+    latestVersion(path).flatMap { latest =>
+      var best: Option[Long] = None
+      var v = latest
+      while (v >= 1 && best.isEmpty) {
+        val f = versionFile(path, v)
+        if (Files.exists(f) &&
+            Files.getLastModifiedTime(f).toMillis <= tsMillis)
+          best = Some(v)
+        v -= 1
+      }
+      best
+    }
+  }
+
+  /** [[read]] addressed by wall-clock instant instead of version
+    * number (the "what did the table look like yesterday 18:00" read
+    * an audit or a reproducible-training-run wants). */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    read(spark, path, Some(versionAsOf(path, tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no version committed at or before $tsMillis"))))
+
   /** The file list of a version (paths relative to the table root).
     * Three payload shapes resolve here: a checkpoint at exactly `v`
     * (fast path), a complete `files` entry (v1 / legacy logs), or a

@@ -267,6 +267,30 @@ class SourcesSpec extends SparkSpecBase {
     }
   }
 
+  test("versioned table: timestamp time-travel resolves commit instants, refuses pre-history") {
+    import graft.sources.VersionedTable
+    val dir = Files.createTempDirectory("graft_vt_asof").toString + "/t"
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "name"), dir)
+    Thread.sleep(20) // commit instants must be separable at ms grain
+    val betweenV1V2 = System.currentTimeMillis()
+    Thread.sleep(20)
+    VersionedTable.upsert(spark, dir, Seq("id"),
+      Seq((1L, "A2"), (2L, "b")).toDF("id", "name"))
+    // an instant between the publishes addresses v1; "now" addresses v2
+    assert(VersionedTable.versionAsOf(dir, betweenV1V2).contains(1L))
+    val old = VersionedTable.readAsOf(spark, dir, betweenV1V2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(old == Map(1L -> "a"), s"got $old")
+    val now = VersionedTable.readAsOf(spark, dir, System.currentTimeMillis())
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now == Map(1L -> "A2", 2L -> "b"), s"got $now")
+    // before the table existed: an error, never silently-latest
+    assert(VersionedTable.versionAsOf(dir, 0L).isEmpty)
+    intercept[IllegalArgumentException] {
+      VersionedTable.readAsOf(spark, dir, 0L)
+    }
+  }
+
   test("versioned table: commits are CAS — one winner, losers retry into the next version") {
     import graft.sources.VersionedTable
     val dir = Files.createTempDirectory("graft_vt_cas").toString + "/t"
