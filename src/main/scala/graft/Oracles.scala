@@ -667,6 +667,42 @@ object Oracles {
          FROM f FULL OUTER JOIN l USING (touch_type)
          ORDER BY touch_type""",
 
+    "q71_rfm_segments" ->
+      """WITH p AS (
+           SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+                  count(*) AS frequency,
+                  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                    AS monetary_cents
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         b AS (
+           SELECT user_id,
+                  CAST(date_diff('day', last_day,
+                    (SELECT max(last_day) FROM p)) AS BIGINT) AS recency_days,
+                  frequency, monetary_cents
+           FROM p),
+         r AS (
+           SELECT b.*,
+                  row_number() OVER (ORDER BY recency_days, user_id) AS rr,
+                  row_number() OVER (ORDER BY frequency, user_id) AS rf,
+                  row_number() OVER (ORDER BY monetary_cents, user_id) AS rm,
+                  count(*) OVER () AS n FROM b),
+         s AS (
+           SELECT user_id, recency_days, frequency, monetary_cents,
+                  5 - ((rr - 1) * 5) // n AS r_score,
+                  1 + ((rf - 1) * 5) // n AS f_score,
+                  1 + ((rm - 1) * 5) // n AS m_score
+           FROM r)
+         SELECT user_id, recency_days, frequency, monetary_cents,
+                CAST(r_score AS BIGINT) AS r_score,
+                CAST(f_score AS BIGINT) AS f_score,
+                CAST(m_score AS BIGINT) AS m_score,
+                CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                     WHEN r_score >= 4 THEN 'recent'
+                     WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                     WHEN r_score <= 2 AND f_score <= 2 THEN 'lost'
+                     ELSE 'regular' END AS segment
+         FROM s ORDER BY user_id""",
+
     "q66_bounce_rate" ->
       """WITH l AS (
            SELECT user_id, event_id, event_type,

@@ -1123,4 +1123,69 @@ object TrackAnalytics {
       .na.fill(0L, Seq("n_first", "rev_first_cents", "n_last", "rev_last_cents"))
       .orderBy("touch_type")
   }
+
+  /** q71_rfm_segments — RFM customer segmentation (the classic
+    * marketing read over purchase behavior, and the scoring step q70's
+    * attribution feeds): per purchasing user the recency (days from
+    * the user's last purchase to the corpus's latest purchase day),
+    * frequency (purchase count) and monetary value (cents-exact sum),
+    * each quintile-scored 1..5 by EXACT global rank, plus the derived
+    * segment label. Higher is better on every score (r_score 5 = most
+    * recent).
+    *
+    * The three global ranks use q55's hierarchical recipe — range
+    * buckets, a ≤1024-row prefix-sum window, within-bucket
+    * row_number — so NO user-grain global window exists (the q55/q44
+    * precedent; an ntile over all users would single-partition the
+    * sort at 100 TB). Ties break by user_id in both engines, so ranks
+    * — and therefore boundary-adjacent scores — are deterministic.
+    * Scale: raw events shuffle once to user grain; everything after
+    * runs at that grain with broadcast-tiny sizing tables. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val p = graft.Caches.tracked(
+      events.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(
+          max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("frequency"),
+          sum(expr("CAST(floor(value*100 + 0.5) AS BIGINT)")).as("monetary_cents")))
+    val mx = p.agg(max("last_day").as("corpus_day"))
+    val base = graft.Caches.tracked(p.crossJoin(broadcast(mx))
+      .withColumn("recency_days",
+        datediff(col("corpus_day"), col("last_day")).cast("long"))
+      .select("user_id", "recency_days", "frequency", "monetary_cents"))
+    // q55's global-window-free exact rank of one metric at user grain
+    def rankOf(valueCol: String, out: String): DataFrame = {
+      val mm = base.agg(min(valueCol).cast("long").as("lo"),
+        max(valueCol).cast("long").as("hi"))
+      val b = base.select(col("user_id"), col(valueCol).cast("long").as("v"))
+        .crossJoin(broadcast(mm))
+        .withColumn("bucket", expr("(v - lo) div (((hi - lo) div 1024) + 1)"))
+      val offsets = b.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .withColumn("boff",
+          sum("cnt").over(Window.orderBy("bucket")) - col("cnt"))
+        .select("bucket", "boff")
+      val wIn = Window.partitionBy("bucket").orderBy("v", "user_id")
+      b.join(broadcast(offsets), "bucket")
+        .withColumn(out, col("boff") + row_number().over(wIn))
+        .select("user_id", out)
+    }
+    base
+      .join(rankOf("recency_days", "rr"), "user_id")
+      .join(rankOf("frequency", "rf"), "user_id")
+      .join(rankOf("monetary_cents", "rm"), "user_id")
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n_users"))))
+      .withColumn("r_score", expr("5 - ((rr - 1) * 5) div n_users")) // recent = low days = high score
+      .withColumn("f_score", expr("1 + ((rf - 1) * 5) div n_users"))
+      .withColumn("m_score", expr("1 + ((rm - 1) * 5) div n_users"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+          .when(col("r_score") >= 4, "recent")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "lost")
+          .otherwise("regular"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"),
+        col("m_score"), col("segment"))
+      .orderBy("user_id")
+  }
 }

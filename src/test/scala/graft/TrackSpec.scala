@@ -301,6 +301,28 @@ class TrackSpec extends SparkSpecBase {
       s"got $out")
   }
 
+  test("rfmSegments: exact quintile scores from hierarchical ranks, segment mapping") {
+    val day = 86400000L
+    // user k: purchases on days 0..k of $1 each → frequency k+1,
+    // monetary (k+1)·100 cents, recency 9−k days. All three metrics
+    // rank users identically EXCEPT recency, which reverses.
+    val rows = for { k <- 0 until 10; d <- 0 to k } yield
+      ((k * 100 + d).toLong, k.toLong, "purchase", 1.0, d * day)
+    val ev = rows.toDF("event_id", "user_id", "event_type", "value", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val out = TrackAnalytics.rfmSegments(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    graft.Caches.release()
+    assert(out.size == 10)
+    // most recent + most frequent + highest spend → 5/5/5 champion
+    assert(out(9L) == ((0L, 10L, 1000L, 5L, 5L, 5L, "champion")), s"got ${out(9L)}")
+    // stale, one purchase, lowest spend → 1/1/1 lost
+    assert(out(0L) == ((9L, 1L, 100L, 1L, 1L, 1L, "lost")), s"got ${out(0L)}")
+    // the middle: rank 5 of 10 on recency (r=3), rank 6 on f/m (3/3)
+    assert(out(5L) == ((4L, 6L, 600L, 3L, 3L, 3L, "regular")), s"got ${out(5L)}")
+  }
+
   test("ohlcDownsample picks first/last by time then id; no float arithmetic in the bar") {
     val ev = Seq(
       // day 1, "px": open 10.5 (t=0), close 7.25 (t=3000), high 99.125, low 1.5
