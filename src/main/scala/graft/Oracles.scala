@@ -667,6 +667,29 @@ object Oracles {
          FROM f FULL OUTER JOIN l USING (touch_type)
          ORDER BY touch_type""",
 
+    "q72_basket_affinity" ->
+      """WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM bk),
+         pc AS (SELECT l_partkey, count(*) AS n_part FROM bk GROUP BY l_partkey),
+         pr AS (
+           SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                  count(*) AS n_both
+           FROM bk a JOIN bk b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+           GROUP BY a.l_partkey, b.l_partkey
+           HAVING count(*) >= 3)
+         SELECT part_a, part_b, n_both,
+                pa.n_part AS n_a, pb.n_part AS n_b,
+                floor((n_both*1.0 / n.n_orders)*1000000 + 0.5)/1000000 AS support,
+                floor((n_both*1.0 / pa.n_part)*10000 + 0.5)/10000 AS conf_a_to_b,
+                floor((n_both*1.0 / pb.n_part)*10000 + 0.5)/10000 AS conf_b_to_a,
+                floor(((n_both*1.0*n.n_orders) / (pa.n_part*1.0*pb.n_part))*10000 + 0.5)/10000
+                  AS lift
+         FROM pr JOIN pc pa ON pa.l_partkey = part_a
+                 JOIN pc pb ON pb.l_partkey = part_b
+                 CROSS JOIN n
+         ORDER BY part_a, part_b""",
+
     "q71_rfm_segments" ->
       """WITH p AS (
            SELECT user_id, max(CAST(ts AS DATE)) AS last_day,

@@ -119,6 +119,7 @@ object SparkEntry {
     "q69_ewma_volume" -> ((s, d) => TrackAnalytics.ewmaVolume(Tables.events(s, d))),
     "q70_touch_attribution" -> ((s, d) => TrackAnalytics.touchAttribution(Tables.events(s, d))),
     "q71_rfm_segments" -> ((s, d) => TrackAnalytics.rfmSegments(Tables.events(s, d))),
+    "q72_basket_affinity" -> ((s, d) => RelationalOps.basketAffinity(Tables.lineitem(s, d))),
     // q64's sketch path: KMV estimates, rows-only (spec-bounded vs exact)
     "q65_kmv_overlap" -> ((s, d) => TrackAnalytics.kmvOverlap(Tables.events(s, d))),
     "q63_conversion_lag" -> ((s, d) => TrackAnalytics.conversionLag(Tables.events(s, d))),

@@ -385,6 +385,8 @@ object TaskRunner {
     "q70_touch_attribution" -> ((s, d, p) => TrackAnalytics.touchAttribution(
       eventsIn(s, d, p), i(p, "lookbackDays", 7))),
     "q71_rfm_segments" -> ((s, d, p) => TrackAnalytics.rfmSegments(eventsIn(s, d, p))),
+    "q72_basket_affinity" -> ((s, d, p) => RelationalOps.basketAffinity(
+      Tables.lineitem(s, d), l(p, "minCount", 3L))),
     "t01_token_stats" -> ((s, d, _) => TextStats.tokenStats(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d, _) => TextStats.qualityScore(Tables.documents(s, d))),
     "t03_langid" -> ((s, d, _) => TextStats.langId(Tables.documents(s, d))),

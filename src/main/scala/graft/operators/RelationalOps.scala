@@ -780,4 +780,48 @@ object RelationalOps {
       .select("tier", "n_customers", "tier_spend", "spend_share")
       .orderBy("tier")
   }
+
+  /** q72_basket_affinity — market-basket association rules over the
+    * order line items (the retail "bought together" read): for every
+    * part pair co-occurring in ≥ `minCount` orders, the exact
+    * co-order count, each part's own order count, the pair support,
+    * both directed confidences and the lift — the
+    * support/confidence/lift triple of classic association mining.
+    *
+    * Scale: the pair fan-out is ORDER-LOCAL — the self-join runs on
+    * the basket key, so each order contributes C(|basket|, 2) rows
+    * (baskets are bounded by order size, never corpus size) and only
+    * (order, part) pairs cross the one exchange; part counts join at
+    * the pair grain, which minCount keeps sparse. Counts exact; the
+    * three ratios are fixed IEEE op sequences under stableRound →
+    * full hash oracle. */
+  def basketAffinity(lineitem: DataFrame, minCount: Long = 3L): DataFrame = {
+    val baskets = graft.Caches.tracked(
+      lineitem.select(col("l_orderkey"), col("l_partkey")).distinct())
+    val nOrders = baskets.select("l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val partN = baskets.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
+    val a = baskets.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = baskets.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minCount)
+      .join(partN.select(col("l_partkey").as("part_a"), col("n_part").as("n_a")), "part_a")
+      .join(partN.select(col("l_partkey").as("part_b"), col("n_part").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("support", graft.Num.stableRound(
+        col("n_both").cast("double") / col("n_orders"), 6))
+      .withColumn("conf_a_to_b", graft.Num.stableRound(
+        col("n_both").cast("double") / col("n_a"), 4))
+      .withColumn("conf_b_to_a", graft.Num.stableRound(
+        col("n_both").cast("double") / col("n_b"), 4))
+      .withColumn("lift", graft.Num.stableRound(
+        (col("n_both").cast("double") * col("n_orders"))
+          / (col("n_a").cast("double") * col("n_b")), 4))
+      .select(col("part_a"), col("part_b"), col("n_both"), col("n_a"),
+        col("n_b"), col("support"), col("conf_a_to_b"),
+        col("conf_b_to_a"), col("lift"))
+      .orderBy("part_a", "part_b")
+  }
 }

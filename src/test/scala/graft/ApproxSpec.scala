@@ -37,6 +37,28 @@ class ApproxSpec extends SparkSpecBase {
     assert(expect.contains(("platinum gear", "platinum gears", 1L)))
   }
 
+  test("basketAffinity: hand-computed support/confidence/lift on planted baskets") {
+    import spark.implicits._
+    // 4 orders: {1,2} x3 co-orders, part 3 alone in one basket, and a
+    // duplicate line (same order+part twice) that distinct() must fold
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 2L),
+      (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L), (12L, 3L),
+      (13L, 3L)
+    ).toDF("l_orderkey", "l_partkey")
+    val out = graft.operators.RelationalOps.basketAffinity(li, minCount = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8)))).toMap
+    graft.Caches.release()
+    // only {1,2} clears minCount=2: n_both=3, n_1=3, n_2=3, N=4
+    // support 3/4, conf both 1.0, lift 3*4/(3*3) = 1.3333
+    assert(out.keySet == Set((1L, 2L)), s"got ${out.keySet}")
+    assert(out((1L, 2L)) == ((3L, 3L, 3L, 0.75, 1.0, 1.0, 1.3333)),
+      s"got ${out((1L, 2L))}")
+  }
+
   test("spendDeciles: hierarchical rank equals the single-window formulation on a skewed domain") {
     import spark.implicits._
     // heavy spend ties across customers so the custkey tiebreak is
