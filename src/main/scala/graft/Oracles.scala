@@ -667,6 +667,50 @@ object Oracles {
          FROM f FULL OUTER JOIN l USING (touch_type)
          ORDER BY touch_type""",
 
+    "t32_rake_keyphrases" ->
+      """WITH d AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents
+           WHERE len(string_split_regex(lower(trim(text)), '\s+')) > 0),
+         tk AS (
+           SELECT doc_id,
+                  unnest(generate_series(1, len(toks))) AS pos,
+                  unnest(toks) AS w
+           FROM d),
+         sg AS (
+           SELECT doc_id, pos, w,
+                  (w IN ('the','a','of','and','is')) AS is_stop,
+                  sum(CASE WHEN w IN ('the','a','of','and','is')
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS phrase_id
+           FROM tk),
+         ph AS (
+           SELECT doc_id, phrase_id,
+                  string_agg(w, ' ' ORDER BY pos) AS phrase,
+                  list(w ORDER BY pos) AS words,
+                  count(*) AS len
+           FROM sg WHERE NOT is_stop GROUP BY doc_id, phrase_id),
+         ws AS (
+           SELECT w, count(*) AS freq, CAST(sum(len) AS BIGINT) AS degree
+           FROM (SELECT unnest(words) AS w, len FROM ph)
+           GROUP BY w),
+         sc AS (
+           SELECT pw.doc_id, pw.phrase_id, pw.phrase,
+                  floor(sum(CAST(ws.degree AS DOUBLE) / ws.freq
+                            ORDER BY ws.w)*10000 + 0.5)/10000 AS score
+           FROM (SELECT doc_id, phrase_id, phrase, unnest(words) AS pw_w
+                 FROM ph) pw
+           JOIN ws ON ws.w = pw.pw_w
+           GROUP BY pw.doc_id, pw.phrase_id, pw.phrase),
+         rk AS (
+           SELECT doc_id, phrase, score,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, phrase) AS rnk
+           FROM sc)
+         SELECT doc_id, rnk, phrase, score FROM rk
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+
     "q72_basket_affinity" ->
       """WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM bk),

@@ -358,6 +358,7 @@ object SparkEntry {
       TextStats.bm25SearchIndexed(TextStats.sampleQueries(docs), tmp)
     }),
     "t30_chunk_split" -> ((s, d) => TextStats.chunkSplit(Tables.documents(s, d))),
+    "t32_rake_keyphrases" -> ((s, d) => TextStats.rakeKeyphrases(Tables.documents(s, d))),
     // threshold 0.5 so the testdata's natural cos>=0.5 pairs (the d05
     // regime) exercise within-cell drops; output is one verdict row
     // per vector regardless

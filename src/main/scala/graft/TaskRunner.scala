@@ -294,6 +294,8 @@ object TaskRunner {
           i(p, "maxQueries", 32), i(p, "qTerms", 4)),
         i(p, "topK", 10), dbl(p, "k1", 1.2), dbl(p, "b", 0.75))
     }),
+    "t32_rake_keyphrases" -> ((s, d, p) => TextStats.rakeKeyphrases(
+      Tables.documents(s, d), topK = i(p, "topK", 3))),
     "t30_chunk_split" -> ((s, d, p) => TextStats.chunkSplit(
       Tables.documents(s, d), i(p, "chunkTokens", 64), i(p, "overlap", 16))),
     "t31_percolate" -> ((s, d, p) => {

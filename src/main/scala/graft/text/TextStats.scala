@@ -1103,4 +1103,64 @@ object TextStats {
         array_join(col("chunk_toks"), " ").as("chunk_text"))
       .orderBy("doc_id", "chunk_id")
   }
+
+  /** t32_rake_keyphrases — RAKE keyword extraction (Rose et al. 2010,
+    * the model-free keyphrase baseline): candidate phrases are the
+    * maximal stopword-free token runs of each document; every word
+    * accumulates CORPUS-level degree (Σ length of the phrase
+    * instances containing it — co-occurrence mass) and frequency
+    * (instance count), word score = degree/freq, and a phrase scores
+    * the sum of its member word scores. Each document reports its
+    * top-k phrases.
+    *
+    * Determinism protocol: degree/freq are exact integers; the phrase
+    * score folds its members' IEEE ratios in SORTED member order (the
+    * t28 sorted-fold — an unordered float sum would be
+    * partition-order-dependent), the oracle's ordered-aggregate `sum(x
+    * ORDER BY w)` runs the same sequence, and ranking uses the
+    * ROUNDED score (raw near-ties would rank differently across
+    * engines below the rounding grain) with a phrase-string
+    * tiebreak → full hash oracle.
+    *
+    * Scale: one explode pass; phrase segmentation is a per-doc prefix
+    * sum (bounded by doc length — the q53 window posture); word stats
+    * aggregate with map-side combine at vocabulary grain; the score
+    * join carries only (phrase instance, word) rows. */
+  def rakeKeyphrases(documents: DataFrame,
+                     stopwords: Seq[String] = Seq("the", "a", "of", "and", "is"),
+                     topK: Int = 3): DataFrame = {
+    val inList = stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+    val toks = Scans.spreadIfNarrow(documents, col("doc_id"))
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "w")))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val seg = toks
+      .withColumn("is_stop", expr(s"w IN $inList"))
+      .withColumn("phrase_id",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("is_stop"))
+    val phrases = graft.Caches.tracked(seg.groupBy("doc_id", "phrase_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)")
+        .as("words"))
+      .withColumn("phrase", array_join(col("words"), " "))
+      .withColumn("len", size(col("words")).cast("long")))
+    val stats = phrases.select(explode(col("words")).as("w"), col("len"))
+      .groupBy("w").agg(count(lit(1)).as("freq"), sum("len").as("degree"))
+    val scored = phrases
+      .select(col("doc_id"), col("phrase_id"), col("phrase"),
+        explode(col("words")).as("w"))
+      .join(stats, "w")
+      .groupBy("doc_id", "phrase_id", "phrase")
+      .agg(expr("aggregate(array_sort(collect_list(struct(w, degree, freq))), " +
+        "CAST(0 AS DOUBLE), (acc, x) -> " +
+        "acc + CAST(x.degree AS DOUBLE) / CAST(x.freq AS DOUBLE))").as("raw"))
+      .withColumn("score", stableRound(col("raw"), 4))
+    val wTop = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("phrase"))
+    scored.withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("rnk"), col("phrase"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
 }

@@ -516,6 +516,26 @@ class TextSpec extends SparkSpecBase {
 
   // ---------------------------------------------------- chunk split
 
+  test("rakeKeyphrases: hand-computed degree/freq scores, stopword segmentation, tie order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "deep learning of deep systems"), // "of" splits two phrases
+      (2L, "learning the learning")          // two single-word instances
+    ).toDF("doc_id", "text")
+    val out = TextStats.rakeKeyphrases(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getDouble(3))))
+      .toMap
+    graft.Caches.release()
+    // stats: deep(freq 2, degree 4), learning(freq 3, degree 4),
+    // systems(freq 1, degree 2) → "deep systems" = 2+2 = 4.0 beats
+    // "deep learning" = 2 + 4/3 = 3.3333; doc 2's twin instances both
+    // score 4/3 and occupy ranks 1-2 with identical values
+    assert(out((1L, 1)) == (("deep systems", 4.0)), s"got ${out((1L, 1))}")
+    assert(out((1L, 2)) == (("deep learning", 3.3333)), s"got ${out((1L, 2))}")
+    assert(out((2L, 1)) == (("learning", 1.3333)) &&
+      out((2L, 2)) == (("learning", 1.3333)), s"got $out")
+  }
+
   test("chunkSplit windows tokens with overlap and keeps the tail") {
     import spark.implicits._
     val d = Seq(
