@@ -986,7 +986,122 @@ object Oracles {
       """SELECT min(doc_id) AS keep_doc_id, sha256(text) AS payload_sha,
          count(*) AS n_copies,
          (count(*) - 1) * max(octet_length(encode(text))) AS bytes_saved
-         FROM documents GROUP BY sha256(text) ORDER BY keep_doc_id"""
+         FROM documents GROUP BY sha256(text) ORDER BY keep_doc_id""",
+
+    // q73: per-column canonical renderings — integrals as decimal
+    // strings, doubles under the cents protocol, timestamps via
+    // strftime — so one VARCHAR pair carries every column's extrema
+    "q73_dq_profile" ->
+      """SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                CAST(min(o_orderkey) AS VARCHAR) AS min_repr,
+                CAST(max(o_orderkey) AS VARCHAR) AS max_repr
+         FROM orders
+         UNION ALL
+         SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+                CAST(count(*) - count(o_custkey) AS BIGINT),
+                CAST(count(DISTINCT o_custkey) AS BIGINT),
+                CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+                CAST(count(*) - count(o_orderstatus) AS BIGINT),
+                CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+                min(o_orderstatus), max(o_orderstatus)
+         FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+                CAST(count(*) - count(o_totalprice) AS BIGINT),
+                CAST(count(DISTINCT o_totalprice) AS BIGINT),
+                CAST(CAST(floor(min(o_totalprice)*100 + 0.5) AS BIGINT) AS VARCHAR),
+                CAST(CAST(floor(max(o_totalprice)*100 + 0.5) AS BIGINT) AS VARCHAR)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+                CAST(count(*) - count(o_orderdate) AS BIGINT),
+                CAST(count(DISTINCT o_orderdate) AS BIGINT),
+                strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+                strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+                CAST(count(*) - count(o_orderpriority) AS BIGINT),
+                CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+                min(o_orderpriority), max(o_orderpriority)
+         FROM orders
+         ORDER BY col_name""",
+
+    // q74: violations formulated exactly as the Spark checks — row
+    // predicates as conditional sums, uniqueness as rows − groups
+    // (GROUP BY null semantics, not COUNT DISTINCT's), RI as
+    // not-exists, the cross-table rule over the inner join
+    "q74_dq_constraints" ->
+      """WITH v AS (
+           SELECT 'orders_totalprice_positive' AS check_name,
+                  CAST(count(*) AS BIGINT) AS checked,
+                  CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+                    AS violations
+           FROM orders
+           UNION ALL
+           SELECT 'orders_status_domain', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END)
+                    AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'lineitem_quantity_range', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+                           THEN 0 ELSE 1 END) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'lineitem_discount_range', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN l_discount >= 0
+                                 AND l_discount <= CAST(0.1 AS DOUBLE)
+                           THEN 0 ELSE 1 END) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'orders_orderkey_unique',
+                  CAST((SELECT count(*) FROM orders) AS BIGINT),
+                  CAST((SELECT count(*) FROM orders)
+                       - (SELECT count(*) FROM
+                           (SELECT DISTINCT o_orderkey FROM orders) g) AS BIGINT)
+           UNION ALL
+           SELECT 'lineitem_line_unique',
+                  CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+                  CAST((SELECT count(*) FROM lineitem)
+                       - (SELECT count(*) FROM
+                           (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem) g)
+                    AS BIGINT)
+           UNION ALL
+           SELECT 'lineitem_orderkey_ri',
+                  CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+                  CAST((SELECT count(*) FROM lineitem l
+                        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                          WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+           UNION ALL
+           SELECT 'lineitem_ship_after_order',
+                  CAST((SELECT count(*) FROM lineitem l
+                        JOIN orders o ON l.l_orderkey = o.o_orderkey) AS BIGINT),
+                  CAST((SELECT count(*) FROM lineitem l
+                        JOIN orders o ON l.l_orderkey = o.o_orderkey
+                        WHERE NOT (l.l_shipdate >= o.o_orderdate)) AS BIGINT))
+         SELECT check_name, checked, violations,
+                CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+         FROM v ORDER BY check_name""",
+
+    "q75_cohort_revenue" ->
+      """WITH o AS (
+           SELECT o_custkey, date_trunc('month', o_orderdate) AS om,
+                  CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         a AS (SELECT o_custkey, min(om) AS cohort FROM o GROUP BY o_custkey)
+         SELECT strftime(a.cohort, '%Y-%m') AS cohort_month,
+                CAST(date_diff('month', a.cohort, o.om) AS INT) AS month_offset,
+                CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+                CAST(sum(o.cents) AS BIGINT) AS rev_cents,
+                CAST(sum(o.cents) AS DOUBLE)/100.0 AS revenue
+         FROM o JOIN a USING (o_custkey)
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 
   /** d02 and d03 share one oracle: LSH + exact verification must equal

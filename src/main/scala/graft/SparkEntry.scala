@@ -120,6 +120,10 @@ object SparkEntry {
     "q70_touch_attribution" -> ((s, d) => TrackAnalytics.touchAttribution(Tables.events(s, d))),
     "q71_rfm_segments" -> ((s, d) => TrackAnalytics.rfmSegments(Tables.events(s, d))),
     "q72_basket_affinity" -> ((s, d) => RelationalOps.basketAffinity(Tables.lineitem(s, d))),
+    "q73_dq_profile" -> ((s, d) => Quality.ordersProfile(Tables.orders(s, d))),
+    "q74_dq_constraints" -> ((s, d) => Quality.ordersLineitemChecks(
+      Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q75_cohort_revenue" -> ((s, d) => RelationalOps.cohortRevenue(Tables.orders(s, d))),
     // q64's sketch path: KMV estimates, rows-only (spec-bounded vs exact)
     "q65_kmv_overlap" -> ((s, d) => TrackAnalytics.kmvOverlap(Tables.events(s, d))),
     "q63_conversion_lag" -> ((s, d) => TrackAnalytics.conversionLag(Tables.events(s, d))),

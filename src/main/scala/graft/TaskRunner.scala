@@ -389,6 +389,15 @@ object TaskRunner {
     "q71_rfm_segments" -> ((s, d, p) => TrackAnalytics.rfmSegments(eventsIn(s, d, p))),
     "q72_basket_affinity" -> ((s, d, p) => RelationalOps.basketAffinity(
       Tables.lineitem(s, d), l(p, "minCount", 3L))),
+    "q73_dq_profile" -> ((s, d, p) => Quality.dqProfile(
+      Tables.orders(s, d),
+      p.get("cols").map(_.split(",").map(_.trim).toSeq).getOrElse(
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")),
+      i(p, "centsScale", 2))),
+    "q74_dq_constraints" -> ((s, d, _) => Quality.ordersLineitemChecks(
+      Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q75_cohort_revenue" -> ((s, d, _) => RelationalOps.cohortRevenue(Tables.orders(s, d))),
     "t01_token_stats" -> ((s, d, _) => TextStats.tokenStats(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d, _) => TextStats.qualityScore(Tables.documents(s, d))),
     "t03_langid" -> ((s, d, _) => TextStats.langId(Tables.documents(s, d))),

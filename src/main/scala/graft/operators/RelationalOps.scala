@@ -824,4 +824,33 @@ object RelationalOps {
         col("conf_b_to_a"), col("lift"))
       .orderBy("part_a", "part_b")
   }
+
+  /** q75_cohort_revenue — monthly acquisition-cohort revenue matrix
+    * (the classic retention-of-spend read): each customer joins the
+    * cohort of their FIRST order month; every order then lands in
+    * (cohort_month, month_offset) with distinct active customers and
+    * cents-exact revenue.
+    *
+    * Scale: one customer-grain aggregate finds each cohort anchor,
+    * and the join back to orders runs customer-key to customer-key —
+    * the anchor table is customer-grain (never broadcast-sized at
+    * 10⁹ customers, but co-partitioned with the orders shuffle), and
+    * the final aggregate collapses to ≤ months² cells. Month offsets
+    * are exact integer arithmetic on month-truncated dates; money
+    * follows the cents protocol (BIGINT sum, one IEEE division). */
+  def cohortRevenue(orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_custkey"),
+      date_trunc("month", col("o_orderdate")).as("om"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val anchors = o.groupBy("o_custkey").agg(min("om").as("cohort"))
+    o.join(anchors, "o_custkey")
+      .withColumn("month_offset", months_between(col("om"), col("cohort")).cast("int"))
+      .groupBy(date_format(col("cohort"), "yyyy-MM").as("cohort_month"),
+        col("month_offset"))
+      .agg(countDistinct("o_custkey").as("n_customers"),
+        sum("cents").as("rev_cents"))
+      .withColumn("revenue", col("rev_cents").cast("double") / 100.0)
+      .select("cohort_month", "month_offset", "n_customers", "rev_cents", "revenue")
+      .orderBy("cohort_month", "month_offset")
+  }
 }
