@@ -281,9 +281,14 @@ object VersionedTable {
     * publishes the complete list as a checkpoint. */
   private[graft] def tryCommit(path: String, v: Long, files: Seq[String],
                                dataChange: Boolean = true,
-                               schemaJson: Option[String] = None): Boolean = {
+                               schemaJson: Option[String] = None,
+                               txn: Option[(String, Long)] = None): Boolean = {
     Files.createDirectories(logDir(path))
-    val schemaField = schemaJson.map(j => s""","schema":$j""").getOrElse("")
+    val txnField = txn.map { case (app, tv) =>
+      require(!app.contains('"'), s"txn app id must not contain quotes: $app")
+      s""","txnApp":${"\"" + app + "\""},"txnV":$tv"""
+    }.getOrElse("")
+    val schemaField = schemaJson.map(j => s""","schema":$j""").getOrElse("") + txnField
     val prev: Option[Seq[String]] =
       if (v <= 1L) None
       else try Some(filesOf(path, v - 1)) catch { case _: Exception => None }
@@ -320,10 +325,12 @@ object VersionedTable {
     listDataFiles(path, sub)
   }
 
-  /** Create the table at version 1 (its schema pins the log). */
-  def create(df: DataFrame, path: String): Long = {
+  /** Create the table at version 1 (its schema pins the log); an
+    * optional [[lastTxn]] stamp rides the same commit. */
+  def create(df: DataFrame, path: String,
+             txn: Option[(String, Long)] = None): Long = {
     val files = writeBatch(df, path)
-    if (!tryCommit(path, 1L, files, schemaJson = Some(df.schema.json)))
+    if (!tryCommit(path, 1L, files, schemaJson = Some(df.schema.json), txn = txn))
       throw new IllegalStateException(s"$path already exists as a versioned table")
     1L
   }
@@ -705,5 +712,110 @@ object VersionedTable {
     }
     throw new IllegalStateException(
       s"upsert lost $maxRetries commit races on $path")
+  }
+
+  /** Latest transaction marker for `app` — the Delta SetTransaction
+    * idempotence recipe: a writer that stamps each commit with the
+    * source version it consumed can, after ANY crash, read back the
+    * last stamped version and know exactly where to resume; the stamp
+    * rides the SAME atomic commit as the data, so "applied but
+    * unrecorded" cannot exist. Walks back from the tip through
+    * retained log entries (for a stamping writer the tip commit
+    * usually carries it — the walk is ~1 read); entries pruned by
+    * vacuum end the walk, so retain at least one stamped commit. */
+  def lastTxn(path: String, app: String): Option[Long] = {
+    require(!app.contains('"'), s"txn app id must not contain quotes: $app")
+    val marker = s""""txnApp":"$app","txnV":"""
+    var v = latestVersion(path).getOrElse(return None)
+    while (v >= 1L && hasVersion(path, v)) {
+      val payload = readPayload(versionFile(path, v))
+      val i = payload.indexOf(marker)
+      if (i >= 0) {
+        val s = i + marker.length
+        var e = s
+        while (e < payload.length && (payload.charAt(e).isDigit || payload.charAt(e) == '-')) e += 1
+        return Some(payload.substring(s, e).toLong)
+      }
+      v -= 1
+    }
+    None
+  }
+
+  /** MERGE: replace `updates` keys and remove `deleteKeys` keys in ONE
+    * commit — upsert's copy-on-write file pruning (only files holding
+    * a touched key rewrite) extended with row deletion, plus an
+    * optional [[lastTxn]] stamp so an incremental maintainer gets
+    * exactly-once application. The one-commit shape matters: a
+    * separate upsert-then-delete pair could crash in between and leave
+    * the stamp claiming work a second commit never did. */
+  def merge(spark: SparkSession, path: String, keyCols: Seq[String],
+            updates: DataFrame, deleteKeys: DataFrame,
+            txn: Option[(String, Long)] = None, maxRetries: Int = 10): Long = {
+    require(keyCols.nonEmpty, "merge: need at least one key column")
+    require(keyCols.forall(updates.columns.contains),
+      s"merge: updates lack key column(s) ${keyCols.filterNot(updates.columns.contains).mkString(",")}")
+    require(keyCols.forall(deleteKeys.columns.contains),
+      s"merge: deleteKeys lack key column(s) ${keyCols.filterNot(deleteKeys.columns.contains).mkString(",")}")
+    val up = updates.localCheckpoint(true)
+    val del = deleteKeys.select(keyCols.map(col): _*).distinct().localCheckpoint(true)
+    val upRows = up.count()
+    val upKeys = up.select(keyCols.map(col): _*).distinct()
+    require(upRows == upKeys.count(),
+      s"merge: updates hold duplicate rows for key (${keyCols.mkString(",")})")
+    require(upKeys.join(del, keyCols, "left_semi").isEmpty,
+      "merge: a key appears in BOTH updates and deleteKeys — ambiguous")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      val base = latestVersion(path).getOrElse(
+        throw new IllegalArgumentException(s"$path is not a versioned table"))
+      val files = filesOf(path, base)
+      val absOf = files.map(f => s"$path/$f")
+      val baseReader = schemaOf(path, base).map(spark.read.schema).getOrElse(spark.read)
+      if (absOf.isEmpty && upRows == 0L) return base // nothing to do
+      val snap = (if (absOf.isEmpty) up.limit(0) else baseReader.parquet(absOf: _*))
+        .withColumn("_file", input_file_name())
+      val baseSchema = snap.drop("_file").schema
+      baseSchema.fields.foreach { b =>
+        require(up.columns.contains(b.name),
+          s"merge: updates lack existing column '${b.name}' — partial-column merges are not supported")
+        require(up.schema(b.name).dataType == b.dataType,
+          s"merge: column '${b.name}' type mismatch with committed schema")
+      }
+      val touchedKeys = upKeys.unionByName(del).distinct()
+      val touchedAbs = snap
+        .join(touchedKeys, keyCols, "left_semi")
+        .select("_file").distinct().collect().map(_.getString(0)).toSet
+      val touchedPaths = touchedAbs.map(a =>
+        try new java.net.URI(a).getPath catch { case _: Exception => a })
+      def isTouched(rel: String) = touchedPaths.exists(_.endsWith("/" + rel))
+      val carried = files.filterNot(isTouched)
+      val rewritten = snap
+        .filter(col("_file").isin(touchedAbs.toSeq: _*))
+        .drop("_file")
+        .join(touchedKeys, keyCols, "left_anti")
+        .select(baseSchema.fieldNames.map(col).toSeq: _*)
+        .unionByName(up.select(baseSchema.fieldNames.map(col).toSeq: _*))
+      val newFiles =
+        if (touchedAbs.isEmpty && upRows == 0L) Seq.empty
+        else writeBatch(rewritten, path)
+      if (tryCommit(path, base + 1, (carried ++ newFiles).sorted,
+          schemaJson = Some(baseSchema.json), txn = txn))
+        return base + 1
+    }
+    throw new IllegalStateException(s"merge lost $maxRetries commit races on $path")
+  }
+
+  /** sink_delete — remove every row matching `keys` (the GDPR /
+    * right-to-be-forgotten verb a lakehouse cannot ship without):
+    * copy-on-write at FILE grain — only files holding a matching key
+    * rewrite, everything else carries by reference, old snapshots
+    * stay readable until vacuum. One CAS commit like any other. */
+  def delete(spark: SparkSession, path: String, keyCols: Seq[String],
+             keys: DataFrame, maxRetries: Int = 10): Long = {
+    val schema = read(spark, path).schema
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    merge(spark, path, keyCols, empty, keys, txn = None, maxRetries = maxRetries)
   }
 }
