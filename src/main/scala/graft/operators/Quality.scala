@@ -147,6 +147,29 @@ object Quality {
       .orderBy("check_name")
   }
 
+  /** Row-level constraint gate as a STATELESS column transform — the
+    * shape that runs identically on a batch DataFrame and a streaming
+    * one (s33's twin contract): each row gains `violated` (comma list
+    * of failing check names, NULL predicate = violation) and `route`
+    * (admit / quarantine). No shuffle, no state — ingest line rate. */
+  def rowGate(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "rowGate: need at least one check")
+    val flags = checks.map { case (n, p) =>
+      when(coalesce(p, lit(false)), lit(null).cast("string")).otherwise(lit(n))
+    }
+    df.withColumn("violated", concat_ws(",", array(flags: _*)))
+      .withColumn("route",
+        when(col("violated") === "", "admit").otherwise("quarantine"))
+  }
+
+  /** The event-stream instance s33 and its batch twin share: schema
+    * sanity any event bus should enforce at the door. */
+  def eventChecks: Seq[(String, Column)] = Seq(
+    "user_id_present" -> col("user_id").isNotNull,
+    "ts_present" -> col("ts").isNotNull,
+    "type_domain" -> col("event_type").isin("view", "click", "signup", "purchase", "error"),
+    "value_nonneg" -> (col("value") >= 0))
+
   /** The inventory's q73 instance: full profile of `orders`. */
   def ordersProfile(orders: DataFrame): DataFrame =
     dqProfile(orders, Seq("o_orderkey", "o_custkey", "o_orderstatus",

@@ -1044,4 +1044,19 @@ object StreamingFlow {
           }
       }
   }
+
+  /** s33_stream_dq_gate — ingest-time schema/constraint gate, the
+    * streaming face of q74's row-predicate shape: every arriving event
+    * is stamped with the comma-joined list of failing checks and
+    * routed admit/quarantine. STATELESS per-row transform (no
+    * watermark, no state store, no shuffle — line rate at any fan-in),
+    * and the column logic IS batch `Quality.rowGate`, so the same row
+    * routes identically in batch backfill and live ingest — the
+    * verdict-parity contract the spec pins. Set-level checks
+    * (uniqueness, referential) stay batch q74's job: they need corpus
+    * state a gate should not hold. */
+  def streamDqGate(stream: DataFrame,
+                   checks: Seq[(String, org.apache.spark.sql.Column)] =
+                     graft.operators.Quality.eventChecks): DataFrame =
+    graft.operators.Quality.rowGate(stream, checks)
 }

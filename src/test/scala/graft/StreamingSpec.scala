@@ -1119,4 +1119,40 @@ class StreamingSpec extends SparkSpecBase {
     }
     assert(e2.getMessage.contains("batch-rooted"))
   }
+
+  test("s33 streaming DQ gate: verdicts equal batch rowGate on the same rows; stateless replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.lang.Long, Timestamp, String, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = StreamingFlow.streamDqGate(df).writeStream
+      .format("memory").queryName("dq_gate_out").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), "click", 1.0),          // clean → admit
+        (null, ts(1), "view", 2.0),         // user_id missing
+        (2L, ts(2), "login", 3.0),          // off-domain type
+        (3L, ts(3), "purchase", -5.0))      // negative value
+      q.processAllAvailable()
+      // two violations on one row across two triggers: both listed
+      input.addData((null, ts(4), "bogus", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("dq_gate_out").collect()
+        .map(r => (r.getString(2), r.getDouble(3)) -> (r.getString(4), r.getString(5))).toMap
+      assert(out(("click", 1.0)) == ("", "admit"))
+      assert(out(("view", 2.0)) == (("user_id_present", "quarantine")))
+      assert(out(("login", 3.0)) == (("type_domain", "quarantine")))
+      assert(out(("purchase", -5.0)) == (("value_nonneg", "quarantine")))
+      assert(out(("bogus", 1.0)) == (("user_id_present,type_domain", "quarantine")))
+      // batch twin on the identical rows: verdict-for-verdict equal
+      val batch = graft.operators.Quality.rowGate(
+        Seq[(java.lang.Long, Timestamp, String, Double)](
+          (1L, ts(0), "click", 1.0), (null, ts(1), "view", 2.0),
+          (2L, ts(2), "login", 3.0), (3L, ts(3), "purchase", -5.0),
+          (null, ts(4), "bogus", 1.0))
+          .toDF("user_id", "ts", "event_type", "value"),
+        graft.operators.Quality.eventChecks).collect()
+        .map(r => (r.getString(2), r.getDouble(3)) -> (r.getString(4), r.getString(5))).toMap
+      assert(batch == out, "stream and batch verdicts must be identical")
+    } finally q.stop()
+  }
 }
