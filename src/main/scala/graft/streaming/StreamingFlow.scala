@@ -1059,4 +1059,35 @@ object StreamingFlow {
                    checks: Seq[(String, org.apache.spark.sql.Column)] =
                      graft.operators.Quality.eventChecks): DataFrame =
     graft.operators.Quality.rowGate(stream, checks)
+
+  /** s34_stream_agg_view — LIVE maintenance of sink_agg_view: the
+    * source's commit log tails as a file stream (s19's transport) and
+    * each trigger runs one [[graft.sources.AggView.refresh]]. The
+    * trigger content is only the SIGNAL that something committed —
+    * refresh itself brackets exact source versions via the txn stamp,
+    * so a trigger that fires late (after further commits) syncs to
+    * tip and the successors no-op, and a REPLAYED trigger after a
+    * checkpoint recovery is a stamped no-op rather than a
+    * double-application. The view therefore converges to
+    * maintained ≡ recomputed after every quiescent trigger, under any
+    * trigger/commit interleaving — the property the spec pins. */
+  def streamAggView(spark: org.apache.spark.sql.SparkSession,
+                    sourcePath: String, viewPath: String,
+                    sourceKeys: Seq[String], groupCols: Seq[String],
+                    valueCol: String, checkpoint: String
+                   ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(s"$sourcePath/_graft_log")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        graft.sources.AggView.refresh(
+          spark, sourcePath, viewPath, sourceKeys, groupCols, valueCol)
+        ()
+      }
+      .start()
+  }
 }

@@ -98,6 +98,39 @@ class AggViewSpec extends SparkSpecBase {
     viewEqualsRecompute(src, view)
   }
 
+  test("s34 stream agg view: live maintenance converges to recompute across triggers and replay") {
+    val base = Files.createTempDirectory("graft_aggview_s").toString
+    val src = base + "/src"; val view = base + "/view"
+    VersionedTable.create(srcRows(0L until 20L).repartition(2, $"id"), src)
+    AggView.create(spark, src, view, Seq("grp"), "value")
+    val q = graft.streaming.StreamingFlow.streamAggView(
+      spark, src, view, Seq("id"), Seq("grp"), "value", base + "/ckpt")
+    try {
+      q.processAllAvailable() // replays v1's log entry: stamped no-op
+      viewEqualsRecompute(src, view)
+      VersionedTable.upsert(spark, src, Seq("id"),
+        Seq((2L, "g0", 77.0), (50L, "gN", 5.0)).toDF("id", "grp", "value"))
+      q.processAllAvailable()
+      viewEqualsRecompute(src, view)
+      // two commits before the next trigger: one refresh syncs to tip
+      VersionedTable.upsert(spark, src, Seq("id"),
+        Seq((51L, "gN", 6.0)).toDF("id", "grp", "value"))
+      VersionedTable.delete(spark, src, Seq("id"), Seq(50L, 51L).toDF("id"))
+      q.processAllAvailable()
+      viewEqualsRecompute(src, view)
+      assert(!AggView.read(spark, view).collect().map(_.getString(0)).contains("gN"))
+    } finally q.stop()
+    // restart from the same checkpoint: recovery replays without damage
+    val q2 = graft.streaming.StreamingFlow.streamAggView(
+      spark, src, view, Seq("id"), Seq("grp"), "value", base + "/ckpt")
+    try {
+      VersionedTable.upsert(spark, src, Seq("id"),
+        Seq((3L, "g1", 8.5)).toDF("id", "grp", "value"))
+      q2.processAllAvailable()
+      viewEqualsRecompute(src, view)
+    } finally q2.stop()
+  }
+
   test("agg view: refresh on a foreign table fails loudly (no silent full reapply)") {
     val base = Files.createTempDirectory("graft_aggview3").toString
     val src = base + "/src"; val notView = base + "/nv"
