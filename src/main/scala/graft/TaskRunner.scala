@@ -296,6 +296,9 @@ object TaskRunner {
     }),
     "t32_rake_keyphrases" -> ((s, d, p) => TextStats.rakeKeyphrases(
       Tables.documents(s, d), topK = i(p, "topK", 3))),
+    "t33_textrank" -> ((s, d, p) => TextStats.textrankKeywords(
+      Tables.documents(s, d), topK = i(p, "topK", 5),
+      iterations = i(p, "iterations", 10), damping = dbl(p, "damping", 0.85))),
     "t30_chunk_split" -> ((s, d, p) => TextStats.chunkSplit(
       Tables.documents(s, d), i(p, "chunkTokens", 64), i(p, "overlap", 16))),
     "t31_percolate" -> ((s, d, p) => {

@@ -1163,4 +1163,74 @@ object TextStats {
       .select(col("doc_id"), col("rnk"), col("phrase"), col("score"))
       .orderBy("doc_id", "rnk")
   }
+
+  /** t33_textrank — TextRank keyword extraction (Mihalcea & Tarau
+    * 2004): per document, content words (non-stopwords) form an
+    * undirected co-occurrence graph over ADJACENT kept tokens, and
+    * PageRank-style power iteration scores centrality —
+    * score'(w) = (1−d) + d·Σ_{v∈adj(w)} score(v)/deg(v) — the graph
+    * counterpart to RAKE's frequency ratios (a word bridging many
+    * contexts outranks a merely frequent one). Top-k words per doc.
+    *
+    * Determinism: every per-node neighbor sum folds in SORTED neighbor
+    * order (the t28 sorted-fold — neighbor words are unique per node,
+    * so the fold order is total), ranking uses the ROUNDED score with
+    * a word tiebreak; the spec's Scala twin replays the identical IEEE
+    * sequence float-for-float. Rows-only (iterative float scoring is
+    * not SQL-expressible at matching op order).
+    *
+    * Scale: ALL documents iterate simultaneously at (doc, word) grain
+    * — the graph is doc-local, so every exchange partitions on
+    * doc-local keys and no state grows with corpus size; each round is
+    * one join + one fold, eagerly localCheckpoint'd so the plan stays
+    * a leaf per round (the q41 discipline). Words with no within-doc
+    * edge carry no rank (they have no graph evidence) and are absent,
+    * as are all-stopword docs. */
+  def textrankKeywords(documents: DataFrame,
+                       stopwords: Seq[String] = Seq("the", "a", "of", "and", "is"),
+                       topK: Int = 5, iterations: Int = 10,
+                       damping: Double = 0.85): DataFrame = {
+    val inList = stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+    val toks = Scans.spreadIfNarrow(documents, col("doc_id"))
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "w")))
+      .filter(!expr(s"w IN $inList") && col("w") =!= "")
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val hops = toks
+      .withColumn("nxt", lead("w", 1).over(wDoc))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("w"))
+    val und = hops.select(col("doc_id"), col("w").as("a"), col("nxt").as("b"))
+      .unionByName(hops.select(col("doc_id"), col("nxt").as("a"), col("w").as("b")))
+      .distinct()
+    val deg = und.groupBy("doc_id", "a").agg(count(lit(1)).as("deg"))
+    // adjacency with the NEIGHBOR's degree attached: contribution of v
+    // to w is score(v)/deg(v)
+    val adj = graft.Caches.tracked(
+      und.select(col("doc_id"), col("a").as("w"), col("b").as("v"))
+        .join(deg.select(col("doc_id"), col("a").as("v"), col("deg")),
+          Seq("doc_id", "v")))
+    var scores = deg.select(col("doc_id"), col("a").as("w"))
+      .withColumn("score", lit(1.0)).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      scores = adj
+        .join(scores.select(col("doc_id"), col("w").as("v"), col("score")),
+          Seq("doc_id", "v"))
+        .select(col("doc_id"), col("w"), col("v"),
+          (col("score") / col("deg").cast("double")).as("c"))
+        .groupBy("doc_id", "w")
+        .agg(expr("aggregate(array_sort(collect_list(struct(v, c))), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x.c)").as("contrib"))
+        .select(col("doc_id"), col("w"),
+          (lit(1 - damping) + lit(damping) * col("contrib")).as("score"))
+        .localCheckpoint(true)
+    }
+    val wTop = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("w"))
+    scores.withColumn("score", stableRound(col("score"), 4))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("rnk"), col("w").as("word"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
 }

@@ -565,4 +565,64 @@ class TextSpec extends SparkSpecBase {
       .flatten ++ out((0L, 2L))._3.split(" ").drop(3)
     assert(rebuilt.mkString(" ") == "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")
   }
+
+  // --- t33 TextRank ---
+
+  /** Float-for-float twin of textrankKeywords' iteration: sorted
+    * neighbor fold, same IEEE op sequence, same final rounding. */
+  private def textrankTwin(tokens: Seq[String], iterations: Int = 10,
+                           d: Double = 0.85): Map[String, Double] = {
+    val stop = Set("the", "a", "of", "and", "is")
+    val kept = tokens.map(_.toLowerCase).filter(t => !stop(t) && t.nonEmpty)
+    val edges = kept.zip(kept.drop(1)).filter(p => p._1 != p._2)
+      .flatMap(p => Seq(p, p.swap)).distinct
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val deg = adj.view.mapValues(_.size).toMap
+    var score = adj.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to iterations) {
+      score = adj.map { case (w, ns) =>
+        var acc = 0.0
+        ns.foreach(v => acc += score(v) / deg(v).toDouble)
+        w -> ((1 - d) + d * acc)
+      }
+    }
+    score.map { case (w, sc) => w -> math.floor(sc * 1e4 + 0.5) / 1e4 }
+  }
+
+  test("t33 textrank equals the sorted-fold twin float-for-float; hub word ranks first") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en", "s", 15L),
+      (2L, "hub alpha hub beta hub gamma", "en", "s", 28L),
+      (3L, "the of and", "en", "s", 10L),          // all stopwords
+      (4L, "solo", "en", "s", 4L),                  // no edges
+      (5L, "x x x", "en", "s", 5L)                  // self-adjacency only
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.text.TextStats.textrankKeywords(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    // docs 3/4/5 carry no graph evidence → absent
+    assert(out.map(_._1).toSet == Set(1L, 2L))
+    val twin1 = textrankTwin("alpha beta gamma".split(" ").toSeq)
+    val got1 = out.filter(_._1 == 1L).map(t => t._3 -> t._4).toMap
+    assert(got1 == twin1, s"doc1: got $got1 want $twin1")
+    val twin2 = textrankTwin("hub alpha hub beta hub gamma".split(" ").toSeq)
+    val got2 = out.filter(_._1 == 2L).map(t => t._3 -> t._4).toMap
+    assert(got2 == twin2, s"doc2: got $got2 want $twin2")
+    // the bridging word outranks the leaves, and rank 1 is the hub
+    val top2 = out.filter(t => t._1 == 2L && t._2 == 1).head
+    assert(top2._3 == "hub" && got2("hub") > got2("alpha"))
+    // the path's middle word outranks its endpoints
+    assert(got1("beta") > got1("alpha") && got1("beta") > got1("gamma"))
+  }
+
+  test("t33 textrank respects topK with rounded-score ranking and word tiebreak") {
+    val docs = Seq((1L, "a1 a2 a3 a4 a5 a6 a7 a1", "en", "s", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.text.TextStats.textrankKeywords(docs, topK = 3).collect()
+    assert(out.length == 3)
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    // ranks strictly ordered by (rounded score desc, word asc)
+    val pairs = out.map(r => (r.getDouble(3), r.getString(2)))
+    assert(pairs.sliding(2).forall { case Array((s1, w1), (s2, w2)) =>
+      s1 > s2 || (s1 == s2 && w1 < w2) })
+  }
 }
