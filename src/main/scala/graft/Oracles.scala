@@ -2066,6 +2066,34 @@ object Oracles {
                 floor(sim*10000 + 0.5)/10000 AS cos_sim, rn
          FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
 
+    // a25: a01's cosine protocol with the label equi-join — the
+    // pre-filter constraint IS the join condition in both engines
+    "a25_knn_filtered" ->
+      """WITH v AS (
+           SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS vd
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, label, vd,
+                  sqrt(list_reduce(list_prepend(0.0, [x*x for x in vd]),
+                       (a, b) -> a + b)) AS nrm
+           FROM v),
+         s AS (
+           SELECT q.vec_id AS query_id, q.label AS label,
+                  c.vec_id AS neighbor_id,
+                  list_reduce(list_prepend(0.0,
+                      [q.vd[i]*c.vd[i] for i in range(1, 65)]),
+                    (x, y) -> x + y) / (q.nrm*c.nrm) AS sim
+           FROM n q JOIN n c
+             ON q.vec_id < 10 AND c.vec_id >= 10 AND q.label = c.label),
+         r AS (
+           SELECT query_id, label, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rn
+           FROM s)
+         SELECT query_id, label, neighbor_id,
+                floor(sim*10000 + 0.5)/10000 AS cos_sim, rn
+         FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
+
     "a13_knn_classify" ->
       """WITH v AS (
            SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vd

@@ -244,6 +244,16 @@ object SparkEntry {
     "a11_recall_eval" -> ((s, d) => Ann.recallEval(Tables.embeddings(s, d))),
     "a13_knn_classify" -> ((s, d) => Ann.knnClassify(Tables.embeddings(s, d))),
     "a16_mmr_diversify" -> ((s, d) => Ann.mmrDiversify(Tables.embeddings(s, d))),
+    "a25_knn_filtered" -> ((s, d) => Ann.knnFiltered(Tables.embeddings(s, d))),
+    // filtered search at rest: saved index + attribute side table
+    // (rows-only: probe ≡ live a25 is the AnnSpec contract)
+    "a26_ivf_filtered_indexed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val tmp = scratchDir("graft_a26_")
+      Ann.writeAnnIndex(e.filter(e("vec_id") >= 10), Ann.labelCentroids(e), tmp)
+      Ann.ivfKnnIndexedFiltered(e.filter(e("vec_id") < 10), tmp,
+        e.select(col("vec_id"), col("label")))
+    }),
     "a22_pca_reduce" -> ((s, d) => Ann.pcaReduce(Tables.embeddings(s, d))),
     "a23_pca_knn" -> ((s, d) => Ann.pcaKnn(Tables.embeddings(s, d))),
     // incremental shape: every 5th vector plays the new batch, the

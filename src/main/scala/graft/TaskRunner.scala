@@ -166,6 +166,17 @@ object TaskRunner {
       Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3))),
     "a22_pca_reduce" -> ((s, d, p) => Ann.pcaReduce(
       Tables.embeddings(s, d), i(p, "k", 8))),
+    "a25_knn_filtered" -> ((s, d, p) => Ann.knnFiltered(
+      Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3))),
+    "a26_ivf_filtered_indexed" -> ((s, d, p) => {
+      val e = Tables.embeddings(s, d)
+      val tmp = SparkEntry.scratchDir("graft_a26p_")
+      val nQ = i(p, "nQueries", 10)
+      Ann.writeAnnIndex(e.filter(e("vec_id") >= nQ), Ann.labelCentroids(e), tmp)
+      Ann.ivfKnnIndexedFiltered(e.filter(e("vec_id") < nQ), tmp,
+        e.select(col("vec_id"), col("label")),
+        i(p, "k", 3), i(p, "nprobe", 2))
+    }),
     "a23_pca_knn" -> ((s, d, p) => Ann.pcaKnn(
       Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3),
       i(p, "pcaK", 8), i(p, "rerank", 50))),

@@ -55,6 +55,81 @@ object Ann {
       .orderBy("query_id", "rn")
   }
 
+  /** a25_knn_filtered — attribute-filtered exact kNN, the vector-DB
+    * table-stakes query ("nearest items WITHIN this category"):
+    * each query retrieves top-k among corpus vectors sharing its
+    * label, with PRE-FILTER semantics — the predicate prunes the
+    * candidate set BEFORE ranking, so results are the true top-k of
+    * the filtered corpus. (Post-filtering a global top-k, the naive
+    * composition, silently returns fewer than k or nothing when the
+    * filter is selective — the classic filtered-search bug.)
+    *
+    * Scale: the filter rides the JOIN KEY — queries broadcast and the
+    * corpus hash-joins on the attribute, so a selective filter prunes
+    * candidates at the join instead of scoring the whole corpus; the
+    * scan reads only (vec_id, embedding, label). Same determinism as
+    * a01 (rounded sims, neighbor-id tiebreak) → shared-protocol
+    * oracle with the label equi-join. */
+  def knnFiltered(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label"))
+    val c = embeddings.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("label"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(q).join(c, "label")
+      .withColumn("sim", expr("graft_cosine(qe, ce)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("label"), col("neighbor_id"),
+        stableRound(col("sim"), 4).as("cos_sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** a26_ivf_filtered_indexed — filtered search AT REST: the a15 probe
+    * (queries assign under saved centroids, only probed cell
+    * directories read) composed with an ATTRIBUTE SIDE TABLE — the
+    * saved index stays attribute-free (vectors re-index when
+    * embeddings change, attributes change on their own cadence; fusing
+    * them would force index rewrites on every metadata edit), and the
+    * pruned candidate slice joins `attrs` on vec_id BEFORE ranking, so
+    * pre-filter semantics hold per probed cell. At 100 TB the
+    * attribute join touches only the probed slice (≈ nprobe/√n of the
+    * corpus), co-partitioned on vec_id. Spec pins ≡ live a25 under
+    * full probing and the within-cell pre-filter under selective
+    * probing. */
+  def ivfKnnIndexedFiltered(queries: DataFrame, indexPath: String,
+                            attrs: DataFrame, k: Int = 3,
+                            nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(indexPath + "/centroids")
+    val q = graft.Caches.tracked(
+      assignN(queries.select(col("vec_id"), col("embedding")), cents, nprobe)
+        .join(queries.select(col("vec_id"), col("label")), "vec_id")
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("label"), col("c_label")))
+    val probed = q.select("c_label").distinct().collect().map(_.get(0))
+    val c = spark.read.parquet(indexPath + "/vectors")
+      .filter(col("c_label").isin(probed: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("c_label"))
+      .join(attrs.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, "c_label")
+      .filter(col("label") === col("n_label") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", expr("graft_cosine(qe, ce)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("label"), col("neighbor_id"),
+        stableRound(col("sim"), 4).as("cos_sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** a20_rrf_fusion — hybrid retrieval by Reciprocal Rank Fusion
     * (Cormack/Clarke/Buettcher 2009, the standard lexical+vector
     * fusion): each input run is a ranked (query_id, doc_id, rank)

@@ -728,4 +728,47 @@ class AnnSpec extends SparkSpecBase {
     assert(top == Map(0L -> 0L, 3L -> 3L), s"self-hit must anchor: $top")
     graft.Caches.release()
   }
+
+  test("a25 filtered kNN: pre-filter semantics exclude the wrong-label global NN") {
+    import spark.implicits._
+    // query 0 (label 1): the globally nearest corpus vector (10) has
+    // label 2 — post-filtering a global top-k would return it or
+    // under-return; pre-filter must surface only the label-1 mates
+    val emb = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f), 1),
+      (10L, Array(1.0f, 0f, 0f, 0f), 2),   // identical direction, wrong label
+      (11L, Array(0.9f, 0.1f, 0f, 0f), 1),
+      (12L, Array(0f, 1f, 0f, 0f), 1),
+      (13L, Array(0.95f, 0.05f, 0f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Ann.knnFiltered(emb, nQueries = 10, k = 3).collect()
+    val q0 = out.filter(_.getLong(0) == 0L)
+    assert(q0.map(_.getLong(2)).toSeq == Seq(11L, 12L),
+      s"label-1 mates only, ranked by sim: ${q0.mkString(";")}")
+    assert(q0.forall(_.getInt(1) == 1))
+  }
+
+  test("a26 filtered probe ≡ live a25 under full probing; label-correct under selective probing") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Ann.labelCentroids(emb)
+    val nCells = cents.count().toInt
+    val dir = java.nio.file.Files.createTempDirectory("graft_a26_idx").toString
+    Ann.writeAnnIndex(emb.filter(emb("vec_id") >= 10), cents, dir)
+    val attrs = emb.select(emb("vec_id"), emb("label"))
+    val live = Ann.knnFiltered(emb).collect()
+    val full = Ann.ivfKnnIndexedFiltered(emb.filter(emb("vec_id") < 10), dir,
+      attrs, k = 3, nprobe = nCells).collect()
+    assert(full.toSeq == live.toSeq,
+      "with every cell probed, the at-rest filtered search must equal live a25")
+    graft.Caches.release()
+    // selective probing: every neighbor still carries the query's label
+    val sel = Ann.ivfKnnIndexedFiltered(emb.filter(emb("vec_id") < 10), dir,
+      attrs, k = 3, nprobe = 1)
+    val trueLabel = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    sel.collect().foreach { r =>
+      assert(trueLabel(r.getLong(2)) == r.getInt(1),
+        s"neighbor ${r.getLong(2)} label mismatch for query ${r.getLong(0)}")
+    }
+    graft.Caches.release()
+  }
 }
