@@ -405,6 +405,24 @@ object SparkEntry {
     "m08_feature_dedup" -> ((s, d) => BinaryPipeline.featureDedup(Tables.documents(s, d))),
     // rows-only: Shannon entropy is transcendental (spec twin)
     "m11_payload_entropy" -> ((s, d) => BinaryPipeline.payloadEntropy(Tables.documents(s, d))),
+    // rows-only: the block-mean hash is a compiled native fn (spec
+    // pins planted near-dup recall + integer-exact hash laws). The
+    // word-salad testdata has no natural byte-level near-dups, so the
+    // row plants id-offset copies (the d06 convention): exact copies
+    // of every 50th doc (hamming 0 — guaranteed driver-visible pairs)
+    // and one-char-edited copies of every 25th (the light-edit regime)
+    "m12_payload_blockhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs
+        .unionByName(docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.lit("X"),
+              org.apache.spark.sql.functions.expr("substring(text, 2)")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      BinaryPipeline.payloadBlockhash(planted)
+    }),
     "m09_storage_savings" -> ((s, d) => BinaryPipeline.storageSavings(Tables.documents(s, d)))
   )
 

@@ -504,6 +504,8 @@ object TaskRunner {
     "m10_chunk_containment" -> ((s, d, p) => graft.multimodal.BinaryPipeline.chunkContainment(
       Tables.documents(s, d), dbl(p, "threshold", 0.8), i(p, "minChunks", 4),
       i(p, "minLen", 16), i(p, "maskBits", 5), l(p, "dfCap", 1000L))),
+    "m12_payload_blockhash" -> ((s, d, p) => graft.multimodal.BinaryPipeline.payloadBlockhash(
+      Tables.documents(s, d), i(p, "maxHamming", 3))),
     "m11_payload_entropy" -> ((s, d, _) => graft.multimodal.BinaryPipeline.payloadEntropy(
       Tables.documents(s, d))),
     "a03_centroid_assign" -> ((s, d, _) => Ann.centroidAssign(Tables.embeddings(s, d))),

@@ -149,6 +149,11 @@ object GraftFunctions {
         FunctionIdentifier("graft_byte_entropy"),
         new ExpressionInfo(classOf[ByteEntropy].getName, "graft_byte_entropy"),
         (children: Seq[Expression]) => ByteEntropy(children.head))
+    if (!reg.functionExists(FunctionIdentifier("graft_blockhash")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_blockhash"),
+        new ExpressionInfo(classOf[BlockMeanHash].getName, "graft_blockhash"),
+        (children: Seq[Expression]) => BlockMeanHash(children.head))
   }
 
   private val pqSeq = new java.util.concurrent.atomic.AtomicLong()
@@ -302,5 +307,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (FunctionIdentifier("graft_byte_entropy"),
         new ExpressionInfo(classOf[ByteEntropy].getName, "graft_byte_entropy"),
         (children: Seq[Expression]) => ByteEntropy(children.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_blockhash"),
+        new ExpressionInfo(classOf[BlockMeanHash].getName, "graft_blockhash"),
+        (children: Seq[Expression]) => BlockMeanHash(children.head)))
   }
 }

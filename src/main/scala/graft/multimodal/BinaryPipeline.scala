@@ -394,4 +394,45 @@ object BinaryPipeline {
           .otherwise("compress").as("route"))
       .orderBy("doc_id")
   }
+
+  /** m12_payload_blockhash — byte-level NEAR-duplicate pairs via the
+    * 64-bit block-mean perceptual hash (graft_blockhash, compiled):
+    * the exact tier (m05 whole-payload, m06/m07 chunk) misses a
+    * payload whose few edited bytes changed every chunk boundary
+    * hash's content; the block-mean fingerprint moves only the bits
+    * whose block means cross the global mean, so lightly-edited copies
+    * sit within a small hamming radius. (On decoded media the same
+    * hash runs over pixels/samples — the m08 decode seam; byte-level
+    * is what an opaque store computes without codecs.)
+    *
+    * Candidate generation is the d04 pigeonhole: 4 disjoint 16-bit
+    * key blocks — a pair within hamming ≤ 3 shares at least one
+    * unchanged block — so the self-join runs on (block, key) buckets
+    * and only (doc_id, hash) pairs cross the exchange; exact hamming
+    * verifies candidates. All integer arithmetic (the hash compares
+    * means by cross-multiplication) → deterministic with no rounding
+    * protocol. */
+  def payloadBlockhash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, s"4-block pigeonhole keys are exact only to hamming 3, got $maxHamming")
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val hashed = documents
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"), expr("graft_blockhash(payload)").as("bh"))
+    val banded = hashed.select(col("doc_id"), col("bh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("blk"),
+          expr(s"(bh >> ${16 * b}) & 65535").as("key"))): _*)).as("band"))
+      .select(col("doc_id"), col("bh"), col("band.blk"), col("band.key"))
+    val a = banded.select(col("blk"), col("key"),
+      col("doc_id").as("doc_a"), col("bh").as("bh_a"))
+    val b = banded.select(col("blk"), col("key"),
+      col("doc_id").as("doc_b"), col("bh").as("bh_b"))
+    a.join(b, Seq("blk", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "bh_a", "bh_b").distinct()
+      .withColumn("hamming", expr("bit_count(bh_a ^ bh_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -34,7 +34,8 @@ class ExtensionsSpec extends AnyFunSuite {
              size(graft_hyperplane_buckets(array_repeat(CAST(0.5 AS FLOAT), 64), 42L, 2, 4, 64)) AS hb,
              size(graft_hash_embed(array('x','y'), 16, 42L)) AS he,
              size(graft_cdc_hashes(CAST('abcdef' AS BINARY), 2, 3)) AS cdc,
-             graft_byte_entropy(CAST('abab' AS BINARY)) AS ent
+             graft_byte_entropy(CAST('abab' AS BINARY)) AS ent,
+             graft_blockhash(CAST('abab' AS BINARY)) AS bmh
         """).head()
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
       assert(r.getInt(1) == 2, "two overlapping 2-shingles of 3 tokens")
@@ -46,6 +47,8 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getInt(7) == 16, "hash-embed vector has the requested dim")
       assert(r.getInt(8) >= 1, "cdc chunking emits at least the tail chunk")
       assert(r.getDouble(9) == 1.0, "two equiprobable byte symbols = exactly 1 bit")
+      assert(r.getLong(10) == graft.functions.BlockMeanHash.compute(
+        "abab".getBytes("UTF-8")), "blockhash matches the compiled compute")
     } finally {
       s2.catalog.clearCache()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()

@@ -215,4 +215,40 @@ class MultimodalSpec extends SparkSpecBase {
     assert(graft.functions.ByteEntropy.compute(uniform) == 8.0)
     assert(graft.functions.ByteEntropy.compute(Array.empty[Byte]) == 0.0)
   }
+
+  test("m12 blockhash pairs lightly-edited payloads and ignores unrelated ones") {
+    import spark.implicits._
+    val base = ("The quick brown fox jumps over the lazy dog. " * 40)
+    // doc 2 = doc 1 with a few edited bytes; doc 3 unrelated; doc 4 = exact copy
+    val docs = Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, base.updated(100, 'X').updated(700, 'Y'), "en", "s", base.length.toLong),
+      (3L, scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+        .alphanumeric.take(base.length).mkString, "en", "s", base.length.toLong),
+      (4L, base, "en", "s", base.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = graft.multimodal.BinaryPipeline.payloadBlockhash(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 0, "exact copy: hamming 0")
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) <= 3, "light edit within radius")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L), "unrelated payload unpaired")
+  }
+
+  test("m12 blockhash laws: compiled = Scala compute; empty hashes to 0; pigeonhole is recall-exact to h<=3") {
+    import graft.functions.BlockMeanHash
+    assert(BlockMeanHash.compute(Array.empty[Byte]) == 0L)
+    val bytes = Array.tabulate(1000)(i => ((i * 31 + 7) % 256).toByte)
+    // flipping high-value bytes in one block moves at most a few bits
+    val edited = bytes.clone(); edited(10) = 0; edited(11) = 0
+    val h1 = BlockMeanHash.compute(bytes); val h2 = BlockMeanHash.compute(edited)
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 3)
+    // recall exactness of the 4-block keys: any pair at hamming <= 3
+    // shares at least one untouched 16-bit block (pigeonhole)
+    for (seedFlips <- Seq(Seq(0), Seq(1, 17), Seq(2, 21, 63))) {
+      val flipped = seedFlips.foldLeft(h1)((h, b) => h ^ (1L << b))
+      val shares = (0 until 4).exists(b =>
+        ((h1 >> (16 * b)) & 0xffffL) == ((flipped >> (16 * b)) & 0xffffL))
+      assert(shares, s"flips $seedFlips must leave one key block intact")
+    }
+  }
 }
