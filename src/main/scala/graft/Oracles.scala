@@ -988,6 +988,29 @@ object Oracles {
          (count(*) - 1) * max(octet_length(encode(text))) AS bytes_saved
          FROM documents GROUP BY sha256(text) ORDER BY keep_doc_id""",
 
+    "t34_kwic" ->
+      """WITH d AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         tc AS (
+           SELECT term FROM (
+             SELECT unnest(toks) AS term FROM d) u
+           WHERE term NOT IN ('the','a','of','and','is') AND term <> ''
+           GROUP BY term ORDER BY count(*) DESC, term LIMIT 3),
+         h AS (
+           SELECT doc_id, toks, unnest(toks) AS tok,
+                  generate_subscripts(toks, 1) AS p1
+           FROM d)
+         SELECT h.doc_id, CAST(h.p1 - 1 AS INT) AS pos, tc.term,
+                -- list_slice yields NULL (not []) when begin exceeds the
+                -- list; Spark's slice yields [] — coalesce to ''
+                coalesce(array_to_string(list_slice(h.toks,
+                  greatest(h.p1 - 3, 1), h.p1 - 1), ' '), '') AS left_ctx,
+                coalesce(array_to_string(
+                  list_slice(h.toks, h.p1 + 1, h.p1 + 3), ' '), '') AS right_ctx
+         FROM h JOIN tc ON h.tok = tc.term
+         ORDER BY doc_id, pos, term""",
+
     // q73: per-column canonical renderings — integrals as decimal
     // strings, doubles under the cents protocol, timestamps via
     // strftime — so one VARCHAR pair carries every column's extrema

@@ -376,6 +376,7 @@ object SparkEntry {
     // rows-only: iterative float centrality (spec twin replays the
     // sorted-fold IEEE sequence float-for-float)
     "t33_textrank" -> ((s, d) => TextStats.textrankKeywords(Tables.documents(s, d))),
+    "t34_kwic" -> ((s, d) => TextStats.kwic(Tables.documents(s, d))),
     // threshold 0.5 so the testdata's natural cos>=0.5 pairs (the d05
     // regime) exercise within-cell drops; output is one verdict row
     // per vector regardless

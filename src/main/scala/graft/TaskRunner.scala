@@ -310,6 +310,10 @@ object TaskRunner {
     "t33_textrank" -> ((s, d, p) => TextStats.textrankKeywords(
       Tables.documents(s, d), topK = i(p, "topK", 5),
       iterations = i(p, "iterations", 10), damping = dbl(p, "damping", 0.85))),
+    "t34_kwic" -> ((s, d, p) => TextStats.kwic(
+      Tables.documents(s, d),
+      terms = p.get("terms").map(_.split(",").map(_.trim).toSeq),
+      window = i(p, "window", 3), nTerms = i(p, "nTerms", 3))),
     "t30_chunk_split" -> ((s, d, p) => TextStats.chunkSplit(
       Tables.documents(s, d), i(p, "chunkTokens", 64), i(p, "overlap", 16))),
     "t31_percolate" -> ((s, d, p) => {

@@ -1164,6 +1164,49 @@ object TextStats {
       .orderBy("doc_id", "rnk")
   }
 
+  /** t34_kwic — keyword-in-context concordance (the corpus
+    * linguist's read, and the snippet generator behind the retrieval
+    * tier: every occurrence of a watched term with its ±window token
+    * context — what t28's result page shows under each hit). Terms
+    * default to the corpus's top-`nTerms` non-stopword words derived
+    * with t06's rank protocol (count desc, word tiebreak), so the
+    * operator is self-contained and the oracle replays the same
+    * derivation.
+    *
+    * Scale: one tokenize + posexplode pass; the term list broadcasts
+    * (it is top-N by construction); context slices are doc-local
+    * array ops — no shuffle beyond the derivation's vocabulary-grain
+    * aggregate. Exact string/integer arithmetic → full hash oracle. */
+  def kwic(documents: DataFrame, terms: Option[Seq[String]] = None,
+           window: Int = 3, nTerms: Int = 3,
+           stopwords: Seq[String] = Seq("the", "a", "of", "and", "is")): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val withToks = Scans.spreadIfNarrow(documents, col("doc_id"))
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .select(col("doc_id"), col("toks"))
+    val termDf = terms match {
+      case Some(ts) => ts.toDF("term")
+      case None =>
+        val inList = stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+        withToks.select(explode(col("toks")).as("term"))
+          .filter(!expr(s"term IN $inList") && col("term") =!= "")
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term")).limit(nTerms)
+          .select("term")
+    }
+    withToks
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(broadcast(termDf), col("tok") === col("term"))
+      .withColumn("p1", col("pos") + 1) // 1-based for slice
+      .select(col("doc_id"), col("pos").cast("int").as("pos"), col("term"),
+        array_join(slice(col("toks"), greatest(col("p1") - window, lit(1)),
+          col("p1") - greatest(col("p1") - window, lit(1))), " ").as("left_ctx"),
+        array_join(slice(col("toks"), col("p1") + 1, lit(window)), " ").as("right_ctx"))
+      .orderBy("doc_id", "pos", "term")
+  }
+
   /** t33_textrank — TextRank keyword extraction (Mihalcea & Tarau
     * 2004): per document, content words (non-stopwords) form an
     * undirected co-occurrence graph over ADJACENT kept tokens, and

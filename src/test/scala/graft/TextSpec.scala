@@ -625,4 +625,21 @@ class TextSpec extends SparkSpecBase {
     assert(pairs.sliding(2).forall { case Array((s1, w1), (s2, w2)) =>
       s1 > s2 || (s1 == s2 && w1 < w2) })
   }
+
+  test("t34 kwic: window edges, explicit terms, multi-occurrence") {
+    val docs = Seq((1L, "alpha beta gamma beta delta", "en", "s", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.text.TextStats.kwic(docs, terms = Some(Seq("beta")), window = 2)
+      .collect().map(r => (r.getInt(1), r.getString(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1, "alpha", "gamma beta"),       // left clipped at doc start
+      (3, "beta gamma", "delta")))      // right clipped at doc end
+    // term as FIRST and LAST token: both contexts empty-string, not null
+    val edge = graft.text.TextStats.kwic(
+      Seq((2L, "edge middle edge", "en", "s", 16L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      terms = Some(Seq("edge")), window = 3)
+      .collect().map(r => (r.getInt(1), r.getString(3), r.getString(4)))
+    assert(edge.toSeq == Seq((0, "", "middle edge"), (2, "edge middle", "")))
+  }
 }
