@@ -245,6 +245,7 @@ object SparkEntry {
     "a13_knn_classify" -> ((s, d) => Ann.knnClassify(Tables.embeddings(s, d))),
     "a16_mmr_diversify" -> ((s, d) => Ann.mmrDiversify(Tables.embeddings(s, d))),
     "a25_knn_filtered" -> ((s, d) => Ann.knnFiltered(Tables.embeddings(s, d))),
+    "a27_bq_knn" -> ((s, d) => Ann.bqKnn(Tables.embeddings(s, d))),
     // filtered search at rest: saved index + attribute side table
     // (rows-only: probe ≡ live a25 is the AnnSpec contract)
     "a26_ivf_filtered_indexed" -> ((s, d) => {

@@ -168,6 +168,9 @@ object TaskRunner {
       Tables.embeddings(s, d), i(p, "k", 8))),
     "a25_knn_filtered" -> ((s, d, p) => Ann.knnFiltered(
       Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3))),
+    "a27_bq_knn" -> ((s, d, p) => Ann.bqKnn(
+      Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3),
+      i(p, "rerank", 50))),
     "a26_ivf_filtered_indexed" -> ((s, d, p) => {
       val e = Tables.embeddings(s, d)
       val tmp = SparkEntry.scratchDir("graft_a26p_")

@@ -692,6 +692,53 @@ object Ann {
     out
   }
 
+  /** a27_bq_knn — 1-bit BINARY quantization ANN (the Faiss
+    * "binary flat" / vector-DB "BQ" hot tier), the coarsest rung of
+    * the quantization ladder below SQ8 (a17) and PQ (a08): every
+    * corpus vector packs to ceil(dim/8) sign-pattern BYTES with the
+    * codegen'd `graft_signbits` (32× residency cut at dim 64 — 8
+    * bytes/vector), queries scan codes with `graft_hamming` (pure
+    * XOR + POPCNT per word — the cheapest distance kernel any codec
+    * admits), the `rerank` lowest-Hamming candidates per query
+    * re-score exactly on floats. Sign-pattern Hamming is a monotone
+    * angle proxy for zero-centered embeddings (Charikar's hyperplane
+    * bound at the coordinate axes), so recall concentrates in the
+    * shortlist and the exact re-rank restores true cosine order —
+    * same broadcast-queries/corpus-scan shape as a01/a17 with the
+    * scan bytes cut 32×, which at 100 TB is the difference between a
+    * memory-resident prefilter and a disk-bound one. No training
+    * pass at all (unlike SQ8's range scan or PQ's k-means): the
+    * codec is data-independent, so codes are append-stable under any
+    * corpus growth. The designed trade: 1-bit codes are the coarsest
+    * in the ladder, so the default shortlist runs DEEPER than
+    * SQ8/PQ's (rerank 100 vs 50) — the scan is 32× cheaper per
+    * candidate, so a 2× deeper rerank still nets out far ahead.
+    * Rows-only: Hamming shortlists are codec-native —
+    * the spec pins toy-set equality to brute under a generous
+    * shortlist and recall@3 on real embeddings. */
+  def bqKnn(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
+            rerank: Int = 100): DataFrame = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val spark2 = spark
+    import spark2.implicits._
+    val qDf = queries.toSeq.map { case (qid, qv) => (qid, qv) }.toDF("query_id", "qe")
+      .withColumn("qcode", expr("graft_signbits(qe)"))
+    val cands = embeddings.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), expr("graft_signbits(embedding)").as("code"))
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("neighbor_id"))
+    val shortlist = broadcast(qDf).crossJoin(cands)
+      .withColumn("ham", expr("graft_hamming(qcode, code)"))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= rerank)
+      .select("query_id", "neighbor_id")
+    exactRerank(embeddings, shortlist, queries, k)
+  }
+
   /** a18_ivf_sq8 — IVF cells over SQ8 codes (the FAISS
     * `IVF…,SQ8` factory shape), composing a04's candidate pruning
     * with a17's 4× residency cut: corpus vectors store dim BYTES

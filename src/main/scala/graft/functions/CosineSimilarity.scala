@@ -154,6 +154,16 @@ object GraftFunctions {
         FunctionIdentifier("graft_blockhash"),
         new ExpressionInfo(classOf[BlockMeanHash].getName, "graft_blockhash"),
         (children: Seq[Expression]) => BlockMeanHash(children.head))
+    if (!reg.functionExists(FunctionIdentifier("graft_signbits")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_signbits"),
+        new ExpressionInfo(classOf[SignBits].getName, "graft_signbits"),
+        (children: Seq[Expression]) => SignBits(children.head))
+    if (!reg.functionExists(FunctionIdentifier("graft_hamming")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_hamming"),
+        new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
+        (children: Seq[Expression]) => HammingDistance(children.head, children(1)))
   }
 
   private val pqSeq = new java.util.concurrent.atomic.AtomicLong()
@@ -311,5 +321,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (FunctionIdentifier("graft_blockhash"),
         new ExpressionInfo(classOf[BlockMeanHash].getName, "graft_blockhash"),
         (children: Seq[Expression]) => BlockMeanHash(children.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_signbits"),
+        new ExpressionInfo(classOf[SignBits].getName, "graft_signbits"),
+        (children: Seq[Expression]) => SignBits(children.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_hamming"),
+        new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
+        (children: Seq[Expression]) => HammingDistance(children.head, children(1))))
   }
 }

@@ -169,6 +169,38 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"sq8 recall@3 $recall too low")
   }
 
+  test("bqKnn matches brute force under a generous shortlist and keeps recall on real embeddings") {
+    // rerank covers the whole toy corpus → the exact re-rank must
+    // equal brute outright regardless of Hamming shortlist order
+    val brute = Ann.knnBrute(vecs, nQueries = 2, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bq = Ann.bqKnn(vecs, nQueries = 2, k = 2, rerank = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bq == brute, s"bq=$bq brute=$brute")
+    // real embeddings: the 1-bit codec is the coarsest in the ladder,
+    // but the generous default shortlist must still keep recall@3 high
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val b = Ann.knnBrute(emb).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s = Ann.bqKnn(emb).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (s intersect b).size.toDouble / b.size
+    assert(recall >= 0.8, s"bq recall@3 $recall too low")
+  }
+
+  test("signbits/hamming codec: packed sign patterns and the popcount kernel are exact") {
+    // 10-dim vector: dims 0,2,8 positive → bytes (00000101, 00000001)
+    val code = graft.functions.SignBits.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(1f, -1f, 0.5f, 0f, -2f, 0f, 0f, -0.1f, 3f, 0f)))
+    assert(code.toSeq == Seq(0x05.toByte, 0x01.toByte), s"got ${code.toSeq}")
+    // hamming: 0 to itself; exact bit count vs a flipped pattern
+    assert(graft.functions.HammingDistance.compute(code, code) == 0)
+    assert(graft.functions.HammingDistance.compute(
+      Array(0x05.toByte, 0x01.toByte), Array(0x06.toByte, 0x00.toByte)) == 3)
+    // unequal lengths: the longer tail's set bits all count
+    assert(graft.functions.HammingDistance.compute(
+      Array(0x05.toByte), Array(0x05.toByte, 0x0F.toByte)) == 4)
+  }
+
   test("sq8 encode/cosine round-trip keeps quantized similarity within codec distortion") {
     // directly pin the codec: encoded+dequantized cosine of a vector
     // against ITSELF must stay ≈1 (distortion ≤ half a code step per dim)

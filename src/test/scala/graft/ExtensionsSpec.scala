@@ -35,7 +35,9 @@ class ExtensionsSpec extends AnyFunSuite {
              size(graft_hash_embed(array('x','y'), 16, 42L)) AS he,
              size(graft_cdc_hashes(CAST('abcdef' AS BINARY), 2, 3)) AS cdc,
              graft_byte_entropy(CAST('abab' AS BINARY)) AS ent,
-             graft_blockhash(CAST('abab' AS BINARY)) AS bmh
+             graft_blockhash(CAST('abab' AS BINARY)) AS bmh,
+             graft_hamming(graft_signbits(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT))),
+                           graft_signbits(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))) AS ham
         """).head()
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
       assert(r.getInt(1) == 2, "two overlapping 2-shingles of 3 tokens")
@@ -49,6 +51,7 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getDouble(9) == 1.0, "two equiprobable byte symbols = exactly 1 bit")
       assert(r.getLong(10) == graft.functions.BlockMeanHash.compute(
         "abab".getBytes("UTF-8")), "blockhash matches the compiled compute")
+      assert(r.getInt(11) == 1, "sign patterns (1,0) vs (1,1) differ in one bit")
     } finally {
       s2.catalog.clearCache()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
