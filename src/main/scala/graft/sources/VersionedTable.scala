@@ -208,6 +208,14 @@ object VersionedTable {
     * complete base and replays `add`/`remove` forward. Bounded by the
     * checkpoint interval on a healthy log; a missing checkpoint only
     * lengthens the walk (never fails it — v1 is always complete). */
+  /** Resolve a log entry to a readable location. Entries are
+    * table-root-relative except CLONE-imported ones ([[cloneTable]]),
+    * which are absolute (leading "/" or an explicit scheme) and
+    * resolve as themselves — the Delta shallow-clone convention
+    * (absolute `add.path` entries in an otherwise relative log). */
+  private[graft] def resolve(path: String, f: String): String =
+    if (f.startsWith("/") || f.contains("://")) f else s"$path/$f"
+
   private[graft] def filesOf(path: String, v: Long): Seq[String] = {
     val deltas = scala.collection.mutable.ListBuffer.empty[(Seq[String], Seq[String])]
     var cursor = v
@@ -262,7 +270,7 @@ object VersionedTable {
         .getOrElse(spark.emptyDataFrame)
     else {
       val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-      reader.parquet(files.map(f => s"$path/$f"): _*)
+      reader.parquet(files.map(f => resolve(path, f)): _*)
     }
   }
 
@@ -363,8 +371,8 @@ object VersionedTable {
       val own = (files -- common).toSeq.sorted
       val reader = schemaOf(path, v).map(spark.read.schema).getOrElse(spark.read)
       if (own.isEmpty)
-        reader.parquet(schemaFiles.map(f => s"$path/$f"): _*).limit(0)
-      else reader.parquet(own.map(f => s"$path/$f"): _*)
+        reader.parquet(schemaFiles.map(f => resolve(path, f)): _*).limit(0)
+      else reader.parquet(own.map(f => resolve(path, f)): _*)
     }
     // schema evolution: the two versions may not share a schema — pad
     // BOTH sides to the union column set (missing columns as typed
@@ -627,7 +635,7 @@ object VersionedTable {
     require(hasVersion(path, toVersion),
       s"restore: version $toVersion is not in the log (vacuumed or never committed)")
     val files = filesOf(path, toVersion)
-    val missing = files.filterNot(f => Files.exists(Paths.get(path, f)))
+    val missing = files.filterNot(f => Files.exists(Paths.get(resolve(path, f))))
     require(missing.isEmpty,
       s"restore: version $toVersion references vacuumed files: ${missing.take(3).mkString(", ")}")
     val schema = schemaOf(path, toVersion).map(_.json)
@@ -640,6 +648,77 @@ object VersionedTable {
       v = latestVersion(path).getOrElse(v) + 1
     }
     v
+  }
+
+  /** sink_clone — ZERO-COPY shallow clone (Delta `CLONE`): `dstPath`
+    * becomes a new versioned table whose v1 references the SOURCE
+    * snapshot's data files by ABSOLUTE path — one log entry, no data
+    * movement, however large the source. The clone then lives its own
+    * life: upserts/merges copy-on-write divergent slices into the
+    * CLONE's directory (absolute refs drop out of the list as their
+    * keys rewrite), `optimize` fully materializes it (re-clusters
+    * every row locally, ending the source dependency), and clone-side
+    * `vacuum` only ever deletes files under the clone root — imported
+    * refs live outside it and are structurally untouchable. The one
+    * shared-fate hazard is the Delta one, documented not hidden:
+    * SOURCE-side vacuum can prune files a clone still references
+    * (clones are invisible to the source's retention), so pin source
+    * retention or materialize long-lived clones. The 100 TB use is
+    * dev/test branching and schema-migration rehearsal: an
+    * experiment's writes land in the clone at the cost of its diff,
+    * while the production table stays untouched. */
+  def cloneTable(srcPath: String, dstPath: String,
+                 asOf: Option[Long] = None): Long = {
+    val v = asOf.orElse(latestVersion(srcPath)).getOrElse(
+      throw new IllegalArgumentException(s"clone: $srcPath is not a versioned table"))
+    require(hasVersion(srcPath, v),
+      s"clone: version $v is not in $srcPath's log (vacuumed or never committed)")
+    val srcAbs = Paths.get(srcPath).toAbsolutePath.normalize.toString
+    val files = filesOf(srcPath, v).map(f => resolve(srcAbs, f))
+    val missing = files.filterNot(f => Files.exists(Paths.get(f)))
+    require(missing.isEmpty,
+      s"clone: version $v references vacuumed files: ${missing.take(3).mkString(", ")}")
+    val schema = schemaOf(srcPath, v).map(_.json)
+    // target-exists check via the log tip, not the v1 CAS alone: a
+    // vacuumed target may have pruned its v1 entry, which would let a
+    // blind v1 commit silently fork history under live readers
+    if (latestVersion(dstPath).isDefined)
+      throw new IllegalStateException(s"clone: $dstPath already exists as a versioned table")
+    Files.createDirectories(Paths.get(dstPath))
+    if (!tryCommit(dstPath, 1L, files, schemaJson = schema))
+      throw new IllegalStateException(s"clone: $dstPath already exists as a versioned table")
+    1L
+  }
+
+  /** sink_manifest — SYMLINK-style manifest export (the Delta
+    * `symlink_format_manifest` / Hive external-table bridge): writes
+    * `_graft_manifest/manifest-v<N>.txt` holding the ABSOLUTE path of
+    * every data file in the snapshot, one per line, published
+    * atomically (temp + rename) so a concurrent reader sees the old
+    * manifest or the new one, never a torn list. Engines that can't
+    * speak the commit log (DuckDB, Trino/Presto external tables, a
+    * plain `spark.read.parquet`) get an exact snapshot by reading the
+    * manifest's paths — the interop seam that makes the table format
+    * consumable outside this library without its jars. Re-export after
+    * commits you want visible externally; each version's manifest is
+    * its own file, so external definitions pin a version by name.
+    * Returns the absolute paths it wrote. */
+  def writeManifest(path: String, asOf: Option[Long] = None): Seq[String] = {
+    val v = asOf.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"manifest: $path is not a versioned table"))
+    require(hasVersion(path, v),
+      s"manifest: version $v is not in the log (vacuumed or never committed)")
+    val abs = Paths.get(path).toAbsolutePath.normalize.toString
+    val files = filesOf(path, v).map(f => resolve(abs, f))
+    val dir = Paths.get(path, "_graft_manifest")
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, ".tmp-", ".txt")
+    Files.write(tmp, files.mkString("\n").getBytes("UTF-8"),
+      StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, dir.resolve(f"manifest-v$v%020d.txt"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    files
   }
 
   def upsert(spark: SparkSession, path: String, keyCols: Seq[String],
@@ -660,7 +739,7 @@ object VersionedTable {
       val base = latestVersion(path).getOrElse(
         throw new IllegalArgumentException(s"$path is not a versioned table"))
       val files = filesOf(path, base)
-      val absOf = files.map(f => s"$path/$f")
+      val absOf = files.map(f => resolve(path, f))
       val baseReader = schemaOf(path, base).map(spark.read.schema).getOrElse(spark.read)
       val snap = baseReader.parquet(absOf: _*)
         .withColumn("_file", input_file_name())
@@ -694,7 +773,8 @@ object VersionedTable {
       // file as carried AND commit its rewrite — duplicate stale keys.
       val touchedPaths = touchedAbs.map(a =>
         try new java.net.URI(a).getPath catch { case _: Exception => a })
-      def isTouched(rel: String) = touchedPaths.exists(_.endsWith("/" + rel))
+      def isTouched(rel: String) = touchedPaths.exists(p =>
+        p == rel || p.endsWith("/" + rel))
       val carried = files.filterNot(isTouched)
       val rewritten = conform(snap
           .filter(col("_file").isin(touchedAbs.toSeq: _*))
@@ -770,7 +850,7 @@ object VersionedTable {
       val base = latestVersion(path).getOrElse(
         throw new IllegalArgumentException(s"$path is not a versioned table"))
       val files = filesOf(path, base)
-      val absOf = files.map(f => s"$path/$f")
+      val absOf = files.map(f => resolve(path, f))
       val baseReader = schemaOf(path, base).map(spark.read.schema).getOrElse(spark.read)
       if (absOf.isEmpty && upRows == 0L) return base // nothing to do
       val snap = (if (absOf.isEmpty) up.limit(0) else baseReader.parquet(absOf: _*))
@@ -788,7 +868,8 @@ object VersionedTable {
         .select("_file").distinct().collect().map(_.getString(0)).toSet
       val touchedPaths = touchedAbs.map(a =>
         try new java.net.URI(a).getPath catch { case _: Exception => a })
-      def isTouched(rel: String) = touchedPaths.exists(_.endsWith("/" + rel))
+      def isTouched(rel: String) = touchedPaths.exists(p =>
+        p == rel || p.endsWith("/" + rel))
       val carried = files.filterNot(isTouched)
       val rewritten = snap
         .filter(col("_file").isin(touchedAbs.toSeq: _*))

@@ -2,7 +2,7 @@ package graft
 
 import graft.sources.Sources
 import org.apache.spark.sql.types._
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 class SourcesSpec extends SparkSpecBase {
   import spark.implicits._
@@ -265,6 +265,86 @@ class SourcesSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       VersionedTable.restore(dir, 99L)
     }
+  }
+
+  test("versioned table: shallow clone is zero-copy, diverges copy-on-write, vacuum-safe") {
+    import graft.sources.VersionedTable
+    val root = Files.createTempDirectory("graft_vt_clone")
+    val src = root.toString + "/src"
+    val dst = root.toString + "/dst"
+    val base = (0L until 50L).map(i => (i, s"name$i")).toDF("id", "name")
+    VersionedTable.create(base.repartition(4, $"id"), src)
+    VersionedTable.upsert(spark, src, Seq("id"),
+      Seq((7L, "SEVEN")).toDF("id", "name")) // src v2
+    assert(VersionedTable.cloneTable(src, dst) == 1L)
+    // zero-copy: the clone's own directory holds NO data files, and
+    // its log references the source's files absolutely
+    val cloneFiles = VersionedTable.filesOf(dst, 1L)
+    assert(cloneFiles.nonEmpty && cloneFiles.forall(_.startsWith("/")),
+      s"clone entries must be absolute refs, got ${cloneFiles.take(2)}")
+    val ownDirs = Files.list(Paths.get(dst)).iterator()
+    val hasData = scala.jdk.CollectionConverters.IteratorHasAsScala(ownDirs).asScala
+      .exists(_.getFileName.toString.startsWith("data-"))
+    assert(!hasData, "shallow clone must not copy data")
+    // clone read ≡ source snapshot read
+    val srcRows = VersionedTable.read(spark, src).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dstRows = VersionedTable.read(spark, dst).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dstRows == srcRows)
+    // copy-on-write divergence: a clone-side upsert rewrites only the
+    // touched slice into the CLONE's directory; the source never moves
+    VersionedTable.upsert(spark, dst, Seq("id"),
+      Seq((3L, "CLONED"), (500L, "new")).toDF("id", "name"))
+    val d2 = VersionedTable.read(spark, dst).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d2.size == 51 && d2(3L) == "CLONED" && d2(500L) == "new" && d2(7L) == "SEVEN")
+    val s2 = VersionedTable.read(spark, src).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s2(3L) == "name3" && !s2.contains(500L),
+      "clone writes must never reach the source")
+    val f2 = VersionedTable.filesOf(dst, 2L)
+    assert(f2.exists(!_.startsWith("/")), "rewritten slice must live in the clone dir")
+    assert(f2.count(_.startsWith("/")) < cloneFiles.size,
+      "the touched imported ref must drop out of the clone's list")
+    // clone-side vacuum never deletes outside the clone root: source
+    // files all survive and the source still reads
+    VersionedTable.vacuum(dst, retainVersions = 1, minAgeMs = 0L)
+    assert(VersionedTable.read(spark, src).count() == 50L)
+    assert(VersionedTable.read(spark, dst, asOf = Some(2L)).count() == 51L)
+    // a clone pinned to a historical version sees that snapshot
+    val dstV1 = root.toString + "/dst_v1"
+    VersionedTable.cloneTable(src, dstV1, asOf = Some(1L))
+    assert(VersionedTable.read(spark, dstV1).collect()
+      .map(r => r.getString(1)).toSet.contains("name7"), "v1 clone predates the SEVEN merge")
+    // clone refuses an existing target (create semantics)
+    intercept[IllegalStateException](VersionedTable.cloneTable(src, dst))
+  }
+
+  test("versioned table: manifest export gives external engines the exact snapshot") {
+    import graft.sources.VersionedTable
+    val dir = Files.createTempDirectory("graft_vt_manifest").toString + "/t"
+    val base = (0L until 40L).map(i => (i, s"name$i")).toDF("id", "name")
+    VersionedTable.create(base.repartition(3, $"id"), dir)
+    VersionedTable.upsert(spark, dir, Seq("id"),
+      Seq((5L, "FIVE")).toDF("id", "name"))
+    val paths = VersionedTable.writeManifest(dir)
+    assert(paths.nonEmpty && paths.forall(_.startsWith("/")))
+    // a plain parquet read of the manifest's paths ≡ the snapshot read
+    // — the external-engine contract (no commit-log awareness needed)
+    val external = spark.read.parquet(paths: _*).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val snapshot = VersionedTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(external == snapshot && external(5L) == "FIVE")
+    // per-version manifests coexist: v1's export names v1's files
+    val v1Paths = VersionedTable.writeManifest(dir, asOf = Some(1L))
+    val v1Ext = spark.read.parquet(v1Paths: _*).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1Ext(5L) == "name5", "v1 manifest must predate the FIVE merge")
+    val mDir = Paths.get(dir, "_graft_manifest")
+    assert(scala.jdk.CollectionConverters.IteratorHasAsScala(
+      Files.list(mDir).iterator()).asScala.size == 2, "one manifest file per version")
   }
 
   test("versioned table: timestamp time-travel resolves commit instants, refuses pre-history") {
