@@ -114,6 +114,98 @@ object TypedAggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Munro–Paterson multilevel quantile sketch: bounded-state
+    * mergeable quantiles — the streaming/shuffle-frugal scale path
+    * beside the EXACT q21 machinery (which must see every value) and
+    * Spark's approx_percentile (whose buffer isn't exposed as an
+    * aggregation state you can bound and reason about). State is a
+    * small stack of level buffers: level i holds items each standing
+    * for 2^i originals, a full level (2b items) sorts and COLLAPSES —
+    * odd-indexed survivors promote to level i+1 — so memory is
+    * O(b·log(n/b)) however long the stream runs, and the per-item
+    * rank perturbation of each collapse is ≤ its weight, giving the
+    * classic ε ≈ log²(n/b)/b rank error. Deterministic by design (the
+    * odd-index choice replaces KLL's coin flips): identical input in
+    * identical order reproduces bit-identical estimates; merge order
+    * only shifts estimates within the same rank-error envelope (the
+    * MG trade, spec-pinned). Merge concatenates levels pairwise, then
+    * re-collapses any overfull level — collapse only ever consumes an
+    * EVEN count (one straggler stays behind), so total represented
+    * weight is conserved exactly: sum(weights) == n always, the
+    * invariant the spec pins. finish() sorts the ~b·levels weighted
+    * survivors and reads the requested quantiles off cumulative
+    * weights. At 100 TB: per-partition state and shuffle bytes are
+    * O(b log n) instead of the full column q21 shuffles — this is the
+    * per-key latency-percentile monitor (p50/p90/p99) you can run as
+    * unbounded streaming aggregation state. */
+  class QuantileSketch(b: Int, ps: Seq[Double])
+      extends Aggregator[Double, Seq[Seq[Double]], Seq[Double]] {
+    require(b >= 8, s"QuantileSketch: buffer size must be >= 8, got $b")
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p < 1.0),
+      s"QuantileSketch: quantiles must lie in (0,1), got $ps")
+
+    override def zero: Seq[Seq[Double]] = Vector(Vector.empty)
+
+    /** Sort a full buffer, promote odd-indexed items (1,3,5,…) of an
+      * even-size prefix one level up; an odd straggler stays. */
+    private def collapseUp(levels: Seq[Seq[Double]], i: Int): Seq[Seq[Double]] = {
+      val sorted = levels(i).sorted
+      val even = sorted.length - (sorted.length % 2)
+      val promoted = (1 until even by 2).map(sorted)
+      val kept = sorted.drop(even)
+      val padded = if (i + 1 < levels.length) levels
+        else levels :+ Vector.empty[Double]
+      val next = padded.updated(i, kept)
+      next.updated(i + 1, next(i + 1) ++ promoted)
+    }
+
+    private def normalize(levels0: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+      var levels = levels0
+      var i = 0
+      while (i < levels.length) {
+        if (levels(i).length >= 2 * b) levels = collapseUp(levels, i)
+        else i += 1
+      }
+      levels
+    }
+
+    override def reduce(buf: Seq[Seq[Double]], a: Double): Seq[Seq[Double]] =
+      normalize(buf.updated(0, buf(0) :+ a))
+
+    override def merge(b1: Seq[Seq[Double]], b2: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+      val depth = math.max(b1.length, b2.length)
+      normalize(Vector.tabulate(depth) { i =>
+        (if (i < b1.length) b1(i) else Vector.empty) ++
+          (if (i < b2.length) b2(i) else Vector.empty)
+      })
+    }
+
+    override def finish(levels: Seq[Seq[Double]]): Seq[Double] = {
+      val weighted = levels.zipWithIndex.flatMap { case (items, i) =>
+        val w = 1L << i; items.map(v => (v, w))
+      }.sortBy(_._1)
+      if (weighted.isEmpty) return ps.map(_ => Double.NaN)
+      val total = weighted.iterator.map(_._2).sum
+      ps.map { p =>
+        val target = p * total
+        var cum = 0L
+        var ans = weighted.last._1
+        val it = weighted.iterator
+        var found = false
+        while (it.hasNext && !found) {
+          val (v, w) = it.next(); cum += w
+          if (cum >= target) { ans = v; found = true }
+        }
+        ans
+      }
+    }
+
+    override def bufferEncoder: Encoder[Seq[Seq[Double]]] =
+      Encoders.kryo[Seq[Seq[Double]]]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
   /** Second-moment accumulator backing PCA (a22): one pass over the
     * corpus folding count, per-dimension sums and the upper-triangular
     * raw second moments into one flat double buffer — mergeable
@@ -163,5 +255,7 @@ object TypedAggregators {
     spark.udf.register("top_k_values", udaf(new TopK(3)))
     spark.udf.register("freq_sketch", udaf(new FreqSketch(64)))
     spark.udf.register("kmv_sketch", udaf(new KmvSketch(256)))
+    spark.udf.register("quantile_sketch",
+      udaf(new QuantileSketch(512, Seq(0.5, 0.9, 0.99))))
   }
 }

@@ -641,6 +641,29 @@ object StreamingFlow {
       .select(explode(col("sk")).as(Seq("word", "est_freq")))
   }
 
+  /** s35_stream_percentiles — live per-type value percentiles
+    * (p50/p90/p99 by default) as unbounded streaming aggregation
+    * state, via the mergeable Munro–Paterson `QuantileSketch`
+    * (TypedAggregators): each micro-batch folds its values into the
+    * standing per-key sketch, so the SRE staple "current p99 per
+    * event type" is one streaming groupBy whose state is
+    * O(b·log n/b) per key FOREVER — neither exact percentiles (state
+    * = every value seen) nor sort-based windows can make that claim
+    * on an unbounded stream. No watermark on purpose: this is the
+    * all-time running percentile monitor; compose with a window()
+    * group key when per-period percentiles are wanted instead. Batch
+    * twins: exact q21 (the oracle the spec bounds against) and q29
+    * (Spark's own sketch). */
+  def streamPercentiles(events: DataFrame, b: Int = 512,
+                        ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val sketch = udaf(new graft.functions.TypedAggregators.QuantileSketch(b, ps))
+    events
+      .groupBy(col("event_type"))
+      .agg(sketch(col("value").cast("double")).as("qs"))
+      .select(col("event_type") +:
+        ps.indices.map(i => col("qs")(i).as(s"p${(ps(i) * 100).round}")): _*)
+  }
+
   /** s23_stream_containment_admit — d20's admission loop made real
     * (the s14 recipe in the CONTAINMENT regime): every micro-batch
     * asks "is this arriving doc a near-subset of anything the corpus

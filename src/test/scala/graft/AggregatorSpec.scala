@@ -79,4 +79,37 @@ class AggregatorSpec extends SparkSpecBase {
     assert(small == Seq(3L, 5L, 9L))
     assert(whole.length == 8)
   }
+
+  test("QuantileSketch: exact below capacity, weight-conserving, bounded rank error at scale") {
+    import graft.functions.TypedAggregators.QuantileSketch
+    val ps = Seq(0.5, 0.9, 0.99)
+    val qs = new QuantileSketch(64, ps)
+    def fold(vs: Seq[Double]) = vs.foldLeft(qs.zero)(qs.reduce)
+    // n < 2b: no collapse ever fires, estimates are exact order stats
+    val small = (1 to 100).map(_.toDouble)
+    val exactSmall = qs.finish(fold(scala.util.Random.shuffle(small)))
+    assert(exactSmall == Seq(50.0, 90.0, 99.0), s"got $exactSmall")
+    // at scale: 20k values, three different partition/merge shapes —
+    // every estimate must sit within the rank-error envelope
+    val n = 20000
+    val big = (1 to n).map(_.toDouble)
+    val shuffled = new scala.util.Random(42).shuffle(big)
+    val whole = fold(shuffled)
+    val halves = qs.merge(fold(shuffled.take(n / 2)), fold(shuffled.drop(n / 2)))
+    val chunks = shuffled.grouped(997).map(fold).reduce(qs.merge)
+    // weight conservation: the sketch always represents exactly n items
+    def weightOf(levels: Seq[Seq[Double]]): Long =
+      levels.zipWithIndex.map { case (items, i) => items.length.toLong << i }.sum
+    assert(Seq(whole, halves, chunks).forall(weightOf(_) == n.toLong),
+      "collapse/merge must conserve represented weight exactly")
+    // bounded state: every level buffer stays under 2b
+    assert(Seq(whole, halves, chunks).forall(_.forall(_.length < 128)),
+      "level buffers must stay bounded by 2b")
+    for (levels <- Seq(whole, halves, chunks); (p, est) <- ps.zip(qs.finish(levels))) {
+      val rankErr = math.abs(est - p * n) / n // values ARE ranks here
+      assert(rankErr <= 0.05, s"p$p estimate $est off by rank fraction $rankErr")
+    }
+    // empty input yields NaNs, not a crash
+    assert(qs.finish(qs.zero).forall(_.isNaN))
+  }
 }

@@ -670,6 +670,38 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s35 streaming percentiles accumulate across triggers within the sketch's rank bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val events = input.toDF().toDF("event_type", "value")
+    val q = StreamingFlow.streamPercentiles(events, b = 64).writeStream
+      .format("memory").queryName("pct_out").outputMode("complete").start()
+    try {
+      // first trigger: 100 values per type — below 2b, the sketch is
+      // exact order statistics
+      input.addData((1 to 100).map(i => ("api", i.toDouble)) ++
+        (1 to 100).map(i => ("db", i * 10.0)): _*)
+      q.processAllAvailable()
+      val t1 = spark.table("pct_out").collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(t1("api") == ((50.0, 90.0, 99.0)), s"got ${t1("api")}")
+      assert(t1("db") == ((500.0, 900.0, 990.0)), s"got ${t1("db")}")
+      // second trigger MERGES into standing state: api now holds
+      // 1..1000, and estimates must sit within the sketch's rank
+      // envelope over the ACCUMULATED stream
+      input.addData((101 to 1000).map(i => ("api", i.toDouble)): _*)
+      q.processAllAvailable()
+      val t2 = spark.table("pct_out").collect()
+        .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      for ((p, est) <- Seq(0.5, 0.9, 0.99).zip(t2("api"))) {
+        val rankErr = math.abs(est - p * 1000) / 1000.0
+        assert(rankErr <= 0.05, s"accumulated p$p=$est off by rank fraction $rankErr")
+      }
+      // the untouched key's state is unaffected by the other key's batch
+      assert(t2("db") == Seq(500.0, 900.0, 990.0), s"got ${t2("db")}")
+    } finally q.stop()
+  }
+
   test("s23 containment admission gates subset docs the Jaccard loop admits, and compounds") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("s23").toString
