@@ -1124,7 +1124,48 @@ object Oracles {
                 CAST(sum(o.cents) AS BIGINT) AS rev_cents,
                 CAST(sum(o.cents) AS DOUBLE)/100.0 AS revenue
          FROM o JOIN a USING (o_custkey)
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q76: Kaplan–Meier — the recursive CTE multiplies each day's
+    // (n_risk − d)/n_risk factor in ASCENDING day order, the exact
+    // operation sequence of the Spark side's window-ordered fold, so
+    // the survival doubles are bit-identical before the cosmetic round
+    "q76_survival_curve" ->
+      """WITH RECURSIVE
+         f AS (SELECT user_id, min(epoch_us(ts)) AS t_from
+               FROM events WHERE event_type = 'click' GROUP BY user_id),
+         t AS (SELECT user_id, min(epoch_us(ts)) AS t_to
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         h AS (SELECT max(epoch_us(ts)) AS horizon FROM events),
+         subj AS (
+           SELECT CASE WHEN t.t_to IS NOT NULL
+                       THEN (t.t_to - f.t_from) // 86400000000
+                       ELSE (h.horizon - f.t_from) // 86400000000 END AS dur_day,
+                  CASE WHEN t.t_to IS NOT NULL THEN 1 ELSE 0 END AS conv
+           FROM f LEFT JOIN t USING (user_id) CROSS JOIN h
+           WHERE t.t_to IS NULL OR t.t_to > f.t_from),
+         daily AS (SELECT dur_day, CAST(sum(conv) AS BIGINT) AS d,
+                          CAST(count(*) AS BIGINT) AS total_at
+                   FROM subj GROUP BY dur_day),
+         risk AS (SELECT dur_day, d, total_at,
+                         CAST((SELECT count(*) FROM subj)
+                           - coalesce(sum(total_at) OVER (ORDER BY dur_day
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS BIGINT) AS n_risk,
+                         row_number() OVER (ORDER BY dur_day) AS rn
+                  FROM daily),
+         km(rn, dur_day, d, total_at, n_risk, s) AS (
+           SELECT rn, dur_day, d, total_at, n_risk,
+                  CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+           FROM risk WHERE rn = 1
+           UNION ALL
+           SELECT r.rn, r.dur_day, r.d, r.total_at, r.n_risk,
+                  km.s * (CAST(r.n_risk - r.d AS DOUBLE) / CAST(r.n_risk AS DOUBLE))
+           FROM km JOIN risk r ON r.rn = km.rn + 1)
+         SELECT dur_day, n_risk, d AS n_events,
+                total_at - d AS n_censored,
+                floor(s*10000 + 0.5)/10000 AS survival
+         FROM km ORDER BY dur_day"""
   )
 
   /** d02 and d03 share one oracle: LSH + exact verification must equal

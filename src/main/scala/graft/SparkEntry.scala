@@ -27,6 +27,22 @@ object SparkEntry {
     p.toString
   }
 
+  /** Shared by m12/m13: documents with planted byte-level near-dups —
+    * a one-char-edited copy every 25th doc and an exact copy every
+    * 50th (the d06 id-offset convention; word-salad testdata has no
+    * natural byte-level near-duplicates). */
+  private def plantedBytePayloads(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs
+      .unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("X"),
+            org.apache.spark.sql.functions.expr("substring(text, 2)")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
@@ -124,6 +140,7 @@ object SparkEntry {
     "q74_dq_constraints" -> ((s, d) => Quality.ordersLineitemChecks(
       Tables.orders(s, d), Tables.lineitem(s, d))),
     "q75_cohort_revenue" -> ((s, d) => RelationalOps.cohortRevenue(Tables.orders(s, d))),
+    "q76_survival_curve" -> ((s, d) => TrackAnalytics.survivalCurve(Tables.events(s, d))),
     // q64's sketch path: KMV estimates, rows-only (spec-bounded vs exact)
     "q65_kmv_overlap" -> ((s, d) => TrackAnalytics.kmvOverlap(Tables.events(s, d))),
     "q63_conversion_lag" -> ((s, d) => TrackAnalytics.conversionLag(Tables.events(s, d))),
@@ -413,18 +430,12 @@ object SparkEntry {
     // row plants id-offset copies (the d06 convention): exact copies
     // of every 50th doc (hamming 0 — guaranteed driver-visible pairs)
     // and one-char-edited copies of every 25th (the light-edit regime)
-    "m12_payload_blockhash" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val planted = docs
-        .unionByName(docs.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
-            org.apache.spark.sql.functions.concat(
-              org.apache.spark.sql.functions.lit("X"),
-              org.apache.spark.sql.functions.expr("substring(text, 2)")).as("text")))
-        .unionByName(docs.filter(col("doc_id") % 50 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
-      BinaryPipeline.payloadBlockhash(planted)
-    }),
+    "m12_payload_blockhash" -> ((s, d) =>
+      BinaryPipeline.payloadBlockhash(plantedBytePayloads(s, d))),
+    // m12's pairs resolved to keep/drop verdicts — same planted docs,
+    // so the planted edit/copy chains must collapse to their originals
+    "m13_blockhash_clusters" -> ((s, d) =>
+      BinaryPipeline.blockhashClusters(plantedBytePayloads(s, d))),
     "m09_storage_savings" -> ((s, d) => BinaryPipeline.storageSavings(Tables.documents(s, d)))
   )
 

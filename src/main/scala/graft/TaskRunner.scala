@@ -419,6 +419,8 @@ object TaskRunner {
     "q74_dq_constraints" -> ((s, d, _) => Quality.ordersLineitemChecks(
       Tables.orders(s, d), Tables.lineitem(s, d))),
     "q75_cohort_revenue" -> ((s, d, _) => RelationalOps.cohortRevenue(Tables.orders(s, d))),
+    "q76_survival_curve" -> ((s, d, p) => TrackAnalytics.survivalCurve(
+      Tables.events(s, d), str(p, "fromType", "click"), str(p, "toType", "purchase"))),
     "t01_token_stats" -> ((s, d, _) => TextStats.tokenStats(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d, _) => TextStats.qualityScore(Tables.documents(s, d))),
     "t03_langid" -> ((s, d, _) => TextStats.langId(Tables.documents(s, d))),
@@ -512,6 +514,8 @@ object TaskRunner {
       Tables.documents(s, d), dbl(p, "threshold", 0.8), i(p, "minChunks", 4),
       i(p, "minLen", 16), i(p, "maskBits", 5), l(p, "dfCap", 1000L))),
     "m12_payload_blockhash" -> ((s, d, p) => graft.multimodal.BinaryPipeline.payloadBlockhash(
+      Tables.documents(s, d), i(p, "maxHamming", 3))),
+    "m13_blockhash_clusters" -> ((s, d, p) => graft.multimodal.BinaryPipeline.blockhashClusters(
       Tables.documents(s, d), i(p, "maxHamming", 3))),
     "m11_payload_entropy" -> ((s, d, _) => graft.multimodal.BinaryPipeline.payloadEntropy(
       Tables.documents(s, d))),

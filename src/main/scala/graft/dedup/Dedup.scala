@@ -635,10 +635,22 @@ object Dedup {
     * rounds. */
   def dedupClusters(documents: DataFrame, threshold: Double = 0.8,
                     dfCap: Option[Long] = None, maxIters: Int = 20,
-                    localEdgeLimit: Long = 1L << 20): DataFrame = {
+                    localEdgeLimit: Long = 1L << 20): DataFrame =
+    clustersFromPairs(documents, minHashPairs(documents, threshold, dfCap = dfCap),
+      maxIters, localEdgeLimit)
+
+  /** Size-adaptive cluster resolution over ANY (doc_a, doc_b)
+    * near-dup pair relation — the second half of d07, factored so
+    * every pair generator (Jaccard LSH, simhash, blockhash m13)
+    * resolves with the same machinery: local union-find below
+    * `localEdgeLimit` edges, distributed min-label propagation above
+    * it, singletons label themselves. */
+  private[graft] def clustersFromPairs(documents: DataFrame, pairs0: DataFrame,
+                                       maxIters: Int = 20,
+                                       localEdgeLimit: Long = 1L << 20): DataFrame = {
     // cache the pair list BEFORE any reuse — the symmetric union and
-    // the iteration would otherwise run the whole LSH pipeline twice
-    val pairs = minHashPairs(documents, threshold, dfCap = dfCap)
+    // the iteration would otherwise run the whole pair pipeline twice
+    val pairs = pairs0
       .select(col("doc_a"), col("doc_b")).persist()
     val nEdges = pairs.count()
     val labels =

@@ -435,4 +435,21 @@ object BinaryPipeline {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** m13_blockhash_clusters — m12's pair report RESOLVED: connected
+    * components over the perceptual near-dup graph, one (doc_id,
+    * cluster_id, is_canonical) verdict per payload — what a capacity
+    * job actually consumes (m12 tells you A~B and B~C; dedup keeps
+    * ONE of {A,B,C}, which needs the transitive closure). Reuses
+    * d07's size-adaptive resolver verbatim (local union-find below
+    * the edge limit, distributed min-label propagation above —
+    * `Dedup.clustersFromPairs`): the pair graph is the hamming-bounded
+    * m12 output, so only (id, id) edges reach the resolver, never
+    * payloads. Min-id canonical, singletons label themselves —
+    * schema-identical to d07, so downstream keep/drop steps (d08's
+    * shape) compose unchanged. */
+  def blockhashClusters(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.dedup.Dedup.clustersFromPairs(
+      documents.select(col("doc_id")),
+      payloadBlockhash(documents, maxHamming))
 }

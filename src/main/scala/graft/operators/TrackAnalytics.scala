@@ -1188,4 +1188,62 @@ object TrackAnalytics {
         col("m_score"), col("segment"))
       .orderBy("user_id")
   }
+
+  /** q76_survival_curve — Kaplan–Meier time-to-conversion with RIGHT
+    * CENSORING, the estimator q63's lag percentiles cannot be: q63
+    * sees only users who DID convert, so its distribution is biased
+    * fast (survivorship bias by construction); KM keeps every entered
+    * user — non-converters count as at-risk until the observation
+    * horizon censors them — giving the unbiased "fraction still
+    * unconverted after t days" curve (churn/retention's standard
+    * estimator). Subjects = first `fromType` per user (entry), event
+    * = first later `toType` (duration in whole days, integer micros
+    * div), censor = global max timestamp; users whose conversion
+    * precedes entry are invalid subjects and drop (q63's rule).
+    * Shuffle posture: raw events reduce AT THE USER GRAIN first, the
+    * curve computes on the duration-DAY grain (≤ horizon-days rows) —
+    * the single-partition cumulative window and the ascending product
+    * fold run on that tiny relation, never on events. Float protocol:
+    * every count is exact integer; each day's factor is ONE IEEE
+    * division (n_risk−d)/n_risk; survival is the ASCENDING-day
+    * sequential product — Spark folds a window-ordered collect_list,
+    * DuckDB's recursive CTE multiplies in the same order, so the
+    * doubles are bit-identical and the 4-dp round is cosmetic (the
+    * t33 float-exact protocol). */
+  def survivalCurve(events: DataFrame, fromType: String = "click",
+                    toType: String = "purchase"): DataFrame = {
+    val us = events.select(col("user_id"), col("event_type"),
+      expr("ts_ns div 1000").as("us"))
+    val from = us.filter(col("event_type") === fromType)
+      .groupBy("user_id").agg(min("us").as("t_from"))
+    val to = us.filter(col("event_type") === toType)
+      .groupBy("user_id").agg(min("us").as("t_to"))
+    val horizon = us.agg(max("us").as("horizon"))
+    val subjects = from.join(to, Seq("user_id"), "left_outer")
+      .crossJoin(broadcast(horizon))
+      .filter(col("t_to").isNull || col("t_to") > col("t_from"))
+      .select(
+        when(col("t_to").isNotNull, expr("(t_to - t_from) div 86400000000"))
+          .otherwise(expr("(horizon - t_from) div 86400000000")).as("dur_day"),
+        when(col("t_to").isNotNull, lit(1L)).otherwise(lit(0L)).as("conv"))
+    val daily = subjects.groupBy("dur_day").agg(
+      sum("conv").as("n_events"), count(lit(1)).as("total_at"))
+    val wCum = Window.orderBy("dur_day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("dur_day")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("n_risk",
+        sum("total_at").over(wAll) - sum("total_at").over(wCum) + col("total_at"))
+      .withColumn("factor",
+        (col("n_risk") - col("n_events")).cast("double") /
+          col("n_risk").cast("double"))
+      .withColumn("factors", collect_list(col("factor")).over(wCum))
+      .withColumn("survival_raw",
+        expr("aggregate(factors, CAST(1.0 AS DOUBLE), (acc, x) -> acc * x)"))
+      .select(col("dur_day"), col("n_risk"), col("n_events"),
+        (col("total_at") - col("n_events")).as("n_censored"),
+        graft.Num.stableRound(col("survival_raw"), 4).as("survival"))
+      .orderBy("dur_day")
+  }
 }

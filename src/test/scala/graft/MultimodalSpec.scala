@@ -234,6 +234,28 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L), "unrelated payload unpaired")
   }
 
+  test("m13 blockhash clusters resolve the pair graph transitively with min-id canonicals") {
+    import spark.implicits._
+    val base = ("The quick brown fox jumps over the lazy dog. " * 40)
+    // 1 ~ 2 (light edit), 1 ~ 4 (exact copy): one cluster {1,2,4};
+    // 3 unrelated singleton; 5 another exact pair with 6
+    val other = ("Pack my box with five dozen liquor jugs today. " * 40)
+    val docs = Seq(
+      (1L, base), (2L, base.updated(100, 'X').updated(700, 'Y')),
+      (3L, scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+        .alphanumeric.take(base.length).mkString),
+      (4L, base), (5L, other), (6L, other)
+    ).toDF("doc_id", "text")
+    val out = graft.multimodal.BinaryPipeline.blockhashClusters(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // transitive closure: 2 and 4 never paired directly against each
+    // other in any asserted order, yet all three share min-id label 1
+    assert(Seq(1L, 2L, 4L).forall(out(_)._1 == 1L), s"got $out")
+    assert(out(1L)._2 && !out(2L)._2 && !out(4L)._2, "min-id member is the one canonical")
+    assert(out(3L) == ((3L, true)), "unrelated payload is its own canonical singleton")
+    assert(out(5L) == ((5L, true)) && out(6L) == ((5L, false)), "second cluster intact")
+  }
+
   test("m12 blockhash laws: compiled = Scala compute; empty hashes to 0; pigeonhole is recall-exact to h<=3") {
     import graft.functions.BlockMeanHash
     assert(BlockMeanHash.compute(Array.empty[Byte]) == 0L)

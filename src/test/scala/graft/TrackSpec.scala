@@ -364,6 +364,33 @@ class TrackSpec extends SparkSpecBase {
     assert(r.getDouble(4) == 4e7) // mean = 2e8/5
   }
 
+  test("survivalCurve computes the hand-checked Kaplan-Meier table with censoring") {
+    val dayMs = 86400000L
+    // users 1,2,4 convert at days 0,2,2; user 3 never buys (censored
+    // at the horizon, day 5, set by a stray view); user 5 buys BEFORE
+    // clicking (invalid subject, dropped)
+    val rows = Seq(
+      (1L, 1L, 0L, "click"), (2L, 1L, dayMs / 2, "purchase"),
+      (3L, 2L, 0L, "click"), (4L, 2L, (dayMs * 2.3).toLong, "purchase"),
+      (5L, 3L, 0L, "click"),
+      (6L, 4L, dayMs, "click"), (7L, 4L, (dayMs * 3.3).toLong, "purchase"),
+      (8L, 5L, 0L, "purchase"), (9L, 5L, dayMs, "click"),
+      (10L, 9L, 5 * dayMs, "view"))
+    val ev = rows.toDF("event_id", "user_id", "ts_ms", "event_type")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withColumn("ts_ns", col("ts_ms") * 1000000L)
+    val out = TrackAnalytics.survivalCurve(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // KM by hand over subjects {(0,ev),(2,ev),(2,ev),(5,cens)}:
+    //   day 0: n_risk 4, d 1 → S = 3/4 = 0.75
+    //   day 2: n_risk 3, d 2 → S = 0.75 · 1/3 = 0.25
+    //   day 5: n_risk 1, d 0 (censor) → S unchanged
+    assert(out.toSeq == Seq(
+      (0L, 4L, 1L, 0L, 0.75),
+      (2L, 3L, 2L, 0L, 0.25),
+      (5L, 1L, 0L, 1L, 0.25)), s"got ${out.toSeq}")
+  }
+
   test("hourlyProfile shares sum to 1 per type; rank is busiest-first with earlier-hour ties") {
     val hour = 3600000L
     val rows = Seq.fill(3)(("click", 9L)) ++ Seq.fill(6)(("click", 12L)) ++
