@@ -988,6 +988,52 @@ object Oracles {
          (count(*) - 1) * max(octet_length(encode(text))) AS bytes_saved
          FROM documents GROUP BY sha256(text) ORDER BY keep_doc_id""",
 
+    // t35: the planted-code union mirrors the SparkEntry binding
+    // exactly; counts via the same length-replace recipe, the one
+    // division is integer/integer in double on both engines
+    "t35_code_detect" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 3000000,
+                  'def main(args): { return os.path.join(a, b); } // x => y && z'
+           FROM documents WHERE doc_id % 40 = 0),
+         c AS (
+           SELECT doc_id, length(text) AS n_chars,
+                  (length(text) - length(replace(text, '{', '')))
+                + (length(text) - length(replace(text, '}', '')))
+                + (length(text) - length(replace(text, ';', '')))
+                + (length(text) - length(replace(text, '(', '')))
+                + (length(text) - length(replace(text, ')', '')))
+                + (length(text) - length(replace(text, '=', '')))
+                + (length(text) - length(replace(text, '<', '')))
+                + (length(text) - length(replace(text, '>', '')))
+                + (length(text) - length(replace(text, '[', '')))
+                + (length(text) - length(replace(text, ']', '')))
+                + (length(text) - length(replace(text, '#', ''))) AS n_symbols,
+                  (length(p) - length(replace(p, ' def ', ''))) // 5
+                + (length(p) - length(replace(p, ' return ', ''))) // 8
+                + (length(p) - length(replace(p, ' import ', ''))) // 8
+                + (length(p) - length(replace(p, ' void ', ''))) // 6
+                + (length(p) - length(replace(p, ' function ', ''))) // 10
+                + (length(p) - length(replace(p, '#include', ''))) // 8
+                + (length(p) - length(replace(p, ' class ', ''))) // 7
+                + (length(p) - length(replace(p, '=>', ''))) // 2
+                + (length(p) - length(replace(p, '&&', ''))) // 2
+                + (length(p) - length(replace(p, '||', ''))) // 2
+                + (length(p) - length(replace(p, '();', ''))) // 3 AS n_keywords
+           FROM (SELECT doc_id, text, ' ' || text || ' ' AS p FROM docs)),
+         s AS (
+           SELECT doc_id, n_chars, n_symbols, n_keywords,
+                  floor((CAST(n_symbols AS DOUBLE)*1000.0
+                         /CAST(n_chars AS DOUBLE))*10000 + 0.5)/10000
+                    AS sym_per_kchar
+           FROM c)
+         SELECT doc_id, n_chars, n_symbols, n_keywords, sym_per_kchar,
+                CASE WHEN sym_per_kchar >= 30.0 OR n_keywords >= 2
+                     THEN 'code' ELSE 'prose' END AS verdict
+         FROM s ORDER BY doc_id""",
+
     "t34_kwic" ->
       """WITH d AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks

@@ -313,6 +313,15 @@ object SparkEntry {
       Ann.writeAnnIndexSq8(e.filter(e("vec_id") >= nQ), Ann.labelCentroids(e), tmp)
       Ann.ivfSq8KnnIndexed(e.filter(e("vec_id") < nQ), tmp)
     }),
+    // codes-hot/floats-cold: the 8-byte sign-bit index shortlists,
+    // the float table is only fetched for the shortlist re-rank
+    "a28_ivf_bq_indexed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val tmp = scratchDir("graft_a28_")
+      val nQ = 10
+      Ann.writeAnnIndexBq(e.filter(e("vec_id") >= nQ), Ann.labelCentroids(e), tmp)
+      Ann.ivfBqKnnIndexed(e.filter(e("vec_id") < nQ), tmp, e)
+    }),
     // hybrid retrieval: BM25 lexical run fused with a semantic run
     // over the model-free hash embeddings (t22), rank-space RRF —
     // rows-only (both legs are float-scored)
@@ -395,6 +404,16 @@ object SparkEntry {
     // sorted-fold IEEE sequence float-for-float)
     "t33_textrank" -> ((s, d) => TextStats.textrankKeywords(Tables.documents(s, d))),
     "t34_kwic" -> ((s, d) => TextStats.kwic(Tables.documents(s, d))),
+    // word-salad testdata has no natural code: plant snippet docs at
+    // offset ids (the d06 convention; the oracle unions identically)
+    "t35_code_detect" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      TextStats.codeDetect(docs.unionByName(docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          org.apache.spark.sql.functions
+            .lit("def main(args): { return os.path.join(a, b); } // x => y && z")
+            .as("text"))))
+    }),
     // threshold 0.5 so the testdata's natural cos>=0.5 pairs (the d05
     // regime) exercise within-cell drops; output is one verdict row
     // per vector regardless

@@ -313,6 +313,8 @@ object TaskRunner {
     "t33_textrank" -> ((s, d, p) => TextStats.textrankKeywords(
       Tables.documents(s, d), topK = i(p, "topK", 5),
       iterations = i(p, "iterations", 10), damping = dbl(p, "damping", 0.85))),
+    "t35_code_detect" -> ((s, d, p) => TextStats.codeDetect(
+      Tables.documents(s, d), dbl(p, "symPerKchar", 30.0), i(p, "minKeywords", 2))),
     "t34_kwic" -> ((s, d, p) => TextStats.kwic(
       Tables.documents(s, d),
       terms = p.get("terms").map(_.split(",").map(_.trim).toSeq),
@@ -557,6 +559,14 @@ object TaskRunner {
         tmp, i(p, "dim", 64))
       Ann.ivfSq8KnnIndexed(e.filter(e("vec_id") < nQ), tmp,
         i(p, "k", 3), i(p, "nprobe", 2))
+    }),
+    "a28_ivf_bq_indexed" -> ((s, d, p) => {
+      val e = Tables.embeddings(s, d)
+      val nQ = i(p, "nQueries", 10)
+      val tmp = SparkEntry.scratchDir("graft_a28p_")
+      Ann.writeAnnIndexBq(e.filter(e("vec_id") >= nQ), Ann.labelCentroids(e), tmp)
+      Ann.ivfBqKnnIndexed(e.filter(e("vec_id") < nQ), tmp, e,
+        i(p, "k", 3), i(p, "nprobe", 2), i(p, "rerank", 100))
     }),
     "a20_rrf_fusion" -> ((s, d, p) => {
       val docs = Tables.documents(s, d)

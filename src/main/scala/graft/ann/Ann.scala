@@ -1697,6 +1697,86 @@ object Ann {
     out
   }
 
+  /** sink_ann_index_bq — the SIGN-BIT saved index, the hottest tier
+    * of the at-rest quantization matrix (floats a15 → SQ8 a19 → PQ
+    * a24 → BQ here, 8 bytes/vector at dim 64): cells store (vec_id,
+    * ceil(dim/8)-byte sign codes) under the [[writeCells]]
+    * layout/replay protocol. NO meta/ directory at all — the codec
+    * is data-independent (bit i = sign of x_i), so there are no
+    * trained ranges/codebooks to version, appends can never drift
+    * from the resident codes, and two independently-built indexes
+    * over the same vectors hold identical codes. The deployment
+    * architecture this tier exists for is codes-hot/floats-cold:
+    * the 8-byte codes live in fast storage for the Hamming
+    * shortlist, the full floats stay in cheap storage and only the
+    * shortlist rows are ever fetched for the exact re-rank —
+    * [[ivfBqKnnIndexed]] takes that float source as an argument
+    * instead of pretending 1-bit codes alone can rank a top-3. */
+  def writeAnnIndexBq(corpus: DataFrame, centroids: DataFrame, path: String,
+                      batchId: Option[Long] = None): Unit = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    centroids.write.mode("overwrite").parquet(path + "/centroids")
+    writeCells(assign(corpus, centroids)
+      .select(col("vec_id"), expr("graft_signbits(embedding)").as("codes"),
+        col("c_label")),
+      path + "/codes", batchId, seeding = true)
+  }
+
+  /** Append a batch to a saved BQ index: assign under the SAVED
+    * centroids; the encode needs nothing saved (data-independent
+    * codec), so this is the only index family whose appends carry
+    * zero drift risk by construction. Replay-idempotent with
+    * `batchId` (the writeCells contract). */
+  def appendAnnIndexBq(batch: DataFrame, indexPath: String,
+                       batchId: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(indexPath + "/centroids")
+    writeCells(assign(batch, cents)
+      .select(col("vec_id"), expr("graft_signbits(embedding)").as("codes"),
+        col("c_label")),
+      indexPath + "/codes", batchId, seeding = false)
+  }
+
+  /** a28_ivf_bq_indexed — search against the saved sign-bit index in
+    * the codes-hot/floats-cold shape: queries assign fresh under the
+    * saved centroids, the probed-label set prunes the codes read to
+    * those cell DIRECTORIES (the a15 pin), the XOR+POPCNT Hamming
+    * scan shortlists `rerank` per query (ties to the smaller id —
+    * integer distances tie often, determinism needs the break), and
+    * ONLY the shortlist joins `floatSource` for the exact cosine
+    * re-rank — at 100 TB the floats never scan, they're fetched at
+    * |queries|·rerank row lookups. Output schema matches a04/a15
+    * (query_id, neighbor_id, cos_sim, rn), so recall composes with
+    * a11's evaluator unchanged. */
+  def ivfBqKnnIndexed(queries: DataFrame, indexPath: String,
+                      floatSource: DataFrame, k: Int = 3, nprobe: Int = 2,
+                      rerank: Int = 100): DataFrame = {
+    val spark = queries.sparkSession
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(indexPath + "/centroids")
+    val qRows = queries.select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = graft.Caches.tracked(
+      assignN(queries, cents, nprobe)
+        .select(col("vec_id").as("query_id"),
+          expr("graft_signbits(embedding)").as("qcode"), col("c_label")))
+    val probed = q.select("c_label").distinct().collect().map(_.get(0))
+    val c = spark.read.parquet(indexPath + "/codes")
+      .filter(col("c_label").isin(probed: _*))
+      .select(col("vec_id").as("neighbor_id"), col("codes"), col("c_label"))
+    val wHam = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("neighbor_id"))
+    val shortlist = q.join(c, "c_label")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("ham", expr("graft_hamming(qcode, codes)"))
+      .withColumn("arn", row_number().over(wHam))
+      .filter(col("arn") <= rerank)
+      .select("query_id", "neighbor_id")
+    exactRerank(floatSource, shortlist, qRows, k)
+  }
+
   /** sink_ann_index_pq — the M-CODES saved index, the cold tier below
     * SQ8 (m=8 code ids per vector vs 64 SQ8 bytes vs 256 float bytes;
     * with ksub ≤ 256 each code carries one byte of information, a 32×

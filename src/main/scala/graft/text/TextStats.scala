@@ -1276,4 +1276,44 @@ object TextStats {
       .select(col("doc_id"), col("rnk"), col("w").as("word"), col("score"))
       .orderBy("doc_id", "rnk")
   }
+
+  /** t35_code_detect — code-vs-prose routing, the curation gate that
+    * keeps source code out of prose mixtures (and finds it for code
+    * pipelines): two exact integer signals per doc — code-symbol
+    * occurrences ({};()=<>[]#, counted by the langId length-replace
+    * recipe: one scan per marker, no tokenize, no regex engine
+    * semantics to match cross-engine) and padded code-keyword hits
+    * (" def ", "#include", "=>", "&&", …) — thresholded into a
+    * verdict. The symbol DENSITY routes (symbols per 1000 chars,
+    * rounded at 4dp, and the verdict compares the SAME rounded value
+    * the row displays — the m11 threshold-margin lesson); keyword
+    * count is the OR-side for short snippets whose density hasn't
+    * converged. One narrow projection-only pass, no shuffle at all
+    * until the caller aggregates — at 100 TB this is a free rider on
+    * any existing scan of `text`. Exact protocol: counts are
+    * integers, the one division is integer/integer in double on both
+    * engines → full hash oracle. */
+  def codeDetect(documents: DataFrame, symPerKchar: Double = 30.0,
+                 minKeywords: Int = 2): DataFrame = {
+    val t = col("text")
+    val symbols = Seq("{", "}", ";", "(", ")", "=", "<", ">", "[", "]", "#")
+    val nSym = symbols.map(s =>
+      length(t) - length(replace(t, lit(s), lit("")))).reduce(_ + _)
+    val padded = concat(lit(" "), t, lit(" "))
+    val keywords = Seq(" def ", " return ", " import ", " void ",
+      " function ", "#include", " class ", "=>", "&&", "||", "();")
+    val nKw = keywords.map(k =>
+      ((length(padded) - length(replace(padded, lit(k), lit("")))) / k.length)
+        .cast("long")) // diff is an exact multiple of the marker length
+      .reduce(_ + _)
+    documents
+      .select(col("doc_id"), length(t).as("n_chars"),
+        nSym.as("n_symbols"), nKw.as("n_keywords"))
+      .withColumn("sym_per_kchar", stableRound(
+        col("n_symbols") * lit(1000.0) / col("n_chars").cast("double"), 4))
+      .withColumn("verdict",
+        when(col("sym_per_kchar") >= symPerKchar ||
+          col("n_keywords") >= minKeywords, "code").otherwise("prose"))
+      .orderBy("doc_id")
+  }
 }

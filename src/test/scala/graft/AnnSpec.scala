@@ -269,6 +269,48 @@ class AnnSpec extends SparkSpecBase {
     graft.Caches.release()
   }
 
+  test("BQ index at rest: codes-hot/floats-cold probe recall, pruned scan, drift-free append") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Ann.labelCentroids(emb)
+    val nQ = 10
+    val dir = java.nio.file.Files.createTempDirectory("graft_bq_idx").toString
+    Ann.writeAnnIndexBq(emb.filter(emb("vec_id") >= nQ), cents, dir)
+    // no meta/ directory exists: the codec is data-independent
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "meta")),
+      "BQ index must not persist trained state — there is none")
+    val queries = emb.filter(emb("vec_id") < nQ)
+    val probeDf = Ann.ivfBqKnnIndexed(queries, dir, emb)
+    val probe = probeDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact float re-rank over the Hamming shortlist keeps
+    // agreement with the float IVF search under the same centroids
+    val fl = Ann.ivfKnn(emb, nQueries = nQ, centroids = Some(cents)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (probe intersect fl).size.toDouble / fl.size
+    assert(recall >= 0.8, s"BQ-at-rest recall $recall vs float IVF")
+    // the codes read is cell-pruned (the a15 pin on the codes/ scan)
+    val scans = probeDf.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("codes")) => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "probed labels must prune the codes directories")
+    // append needs no saved codec state: planted copies of the queries
+    // land as each query's exact-reranked top-1 at cos 1
+    val twins = queries.select((queries("vec_id") + 1000000L).as("vec_id"),
+      queries("embedding"))
+    Ann.appendAnnIndexBq(twins, dir)
+    val floatsWithTwins = emb.unionByName(twins.withColumn("label",
+      org.apache.spark.sql.functions.lit(-1)))
+    val after = Ann.ivfBqKnnIndexed(queries, dir, floatsWithTwins).collect()
+      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    for (qid <- 0L until nQ.toLong) {
+      val (nid, sim) = after(qid)
+      assert(nid == qid + 1000000L && sim >= 0.9999,
+        s"query $qid: appended twin not top-1 (got $nid at $sim)")
+    }
+    graft.Caches.release()
+  }
+
   test("PQ index at rest: probed ADC recall vs float IVF, pruned codes scan, saved-codebook append") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cents = Ann.labelCentroids(emb)

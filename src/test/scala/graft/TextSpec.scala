@@ -642,4 +642,24 @@ class TextSpec extends SparkSpecBase {
       .collect().map(r => (r.getInt(1), r.getString(3), r.getString(4)))
     assert(edge.toSeq == Seq((0, "", "middle edge"), (2, "edge middle", "")))
   }
+
+  test("t35 codeDetect: hand-counted signals route code, prose, and mention-heavy prose") {
+    val code = "def add(a, b): { return a + b; } // c => a && b"
+    val prose = "the quick brown fox jumps over the lazy dog again and again"
+    // prose MENTIONING one keyword once: below minKeywords, no symbols
+    val mention = "in python a routine may return early they say"
+    val docs = Seq((1L, code), (2L, prose), (3L, mention))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextStats.codeDetect(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3), r.getString(5)))).toMap
+    // hand count for the code doc: ( ) { } ; and =,> from '=>' — 7
+    // symbols; keywords ' def ', ' return ', '=>', '&&' — 4
+    assert(out(1L)._1 == 7, s"code symbols ${out(1L)._1}")
+    assert(out(1L)._2 == 4L, s"code keywords ${out(1L)._2}")
+    assert(out(1L)._3 == "code")
+    assert(out(2L) == ((0, 0L, "prose")), s"got ${out(2L)}")
+    // one keyword mention, zero symbols: stays prose
+    assert(out(3L)._1 == 0 && out(3L)._2 == 1L && out(3L)._3 == "prose",
+      s"got ${out(3L)}")
+  }
 }
