@@ -967,7 +967,7 @@ object StreamingFlow {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch(annIndexIngestBatch(indexPath, statsPath, balanceFactor,
-        sq8 = false))
+        codec = "float"))
       .start()
 
   /** s31_stream_ann_index_ingest_sq8 — s30 over the CODES-ONLY index
@@ -985,23 +985,49 @@ object StreamingFlow {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch(annIndexIngestBatch(indexPath, statsPath, balanceFactor,
-        sq8 = true))
+        codec = "sq8"))
+      .start()
+
+  /** s36_stream_ann_index_ingest_bq — s30 over the SIGN-BIT index
+    * (`sink_ann_index_bq`): the streaming tier where replay safety is
+    * STRONGEST by construction — the codec has no trained state at
+    * all (bit i = sign of x_i), so a trigger's codes are a pure
+    * function of its vectors and the saved centroids; there is no
+    * ranges/codebook drift dimension to defend, only the batch_id
+    * overwrite protocol every family shares. Each trigger lands
+    * ceil(dim/8)-byte codes in its cells; growth stats fire off the
+    * partition layout identically. */
+  def streamAnnIndexIngestBq(vecStream: DataFrame, indexPath: String,
+                             statsPath: String, checkpoint: String,
+                             balanceFactor: Double = 2.0
+                            ): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(annIndexIngestBatch(indexPath, statsPath, balanceFactor,
+        codec = "bq"))
       .start()
 
   private[graft] def annIndexIngestBatch(indexPath: String, statsPath: String,
-                                         balanceFactor: Double, sq8: Boolean
+                                         balanceFactor: Double, codec: String
                                         ): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val spark = batch.sparkSession
       val vecs = batch.select("vec_id", "embedding").localCheckpoint(true)
       graft.Caches.scoped {
-        if (sq8)
-          graft.ann.Ann.appendAnnIndexSq8(vecs, indexPath, batchId = Some(batchId))
-        else
-          graft.ann.Ann.appendAnnIndex(vecs, indexPath, batchId = Some(batchId))
+        codec match {
+          case "float" => graft.ann.Ann.appendAnnIndex(vecs, indexPath,
+            batchId = Some(batchId))
+          case "sq8" => graft.ann.Ann.appendAnnIndexSq8(vecs, indexPath,
+            batchId = Some(batchId))
+          case "bq" => graft.ann.Ann.appendAnnIndexBq(vecs, indexPath,
+            batchId = Some(batchId))
+          case other => throw new IllegalArgumentException(
+            s"annIndexIngestBatch: unknown codec '$other' (float|sq8|bq)")
+        }
       }
       graft.ann.Ann.annIndexGrowthStats(spark, indexPath, balanceFactor,
-          cellsDir = if (sq8) "codes" else "vectors")
+          cellsDir = if (codec == "float") "vectors" else "codes")
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(statsPath)

@@ -1081,7 +1081,7 @@ class StreamingSpec extends SparkSpecBase {
       assert(!st(0)._2 && !st(1)._2 && !st(3)._2, s"balanced cells must not flag: $st")
       // replaying trigger 1 overwrites its own partitions — no duplicates
       val before = spark.read.parquet(idxPath + "/vectors").count()
-      StreamingFlow.annIndexIngestBatch(idxPath, statsPath, 2.0, sq8 = false)(
+      StreamingFlow.annIndexIngestBatch(idxPath, statsPath, 2.0, codec = "float")(
         b2.toDF("vec_id", "embedding"), 1L)
       assert(spark.read.parquet(idxPath + "/vectors").count() == before,
         "replayed trigger must not duplicate index rows")
@@ -1124,7 +1124,50 @@ class StreamingSpec extends SparkSpecBase {
       assert(st.count() == 4, "one stats row per occupied cell")
       // replay: same batch_id overwrites its own partitions
       val before = spark.read.parquet(idxPath + "/codes").count()
-      StreamingFlow.annIndexIngestBatch(idxPath, statsPath, 2.0, sq8 = true)(
+      StreamingFlow.annIndexIngestBatch(idxPath, statsPath, 2.0, codec = "sq8")(
+        b1.toDF("vec_id", "embedding"), 0L)
+      assert(spark.read.parquet(idxPath + "/codes").count() == before,
+        "replayed trigger must not duplicate code rows")
+      assert(page() == p1, "replayed trigger must not change the page")
+    } finally q.stop()
+  }
+
+  test("s36 streaming BQ ANN ingest: drift-free codes serve appended twins; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ann.Ann
+    val dir = java.nio.file.Files.createTempDirectory("graft_s36").toString
+    val idxPath = s"$dir/idx"; val statsPath = s"$dir/stats"
+    val cents = (0 until 4).map { c =>
+      val a = Array.fill(4)(0.0f); a(c) = 1.0f; (c, a)
+    }.toDF("c_label", "centroid")
+    val seed = (for { c <- 0 until 4; j <- 0 until 5 }
+      yield ((c * 10 + j).toLong, axisVec(c, j))).toDF("vec_id", "embedding")
+    Ann.writeAnnIndexBq(seed, cents, idxPath, batchId = Some(-1L))
+    val b1 = Seq((999L, axisVec(1, 0))) // twin of seed vec 10 (c=1, j=0)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingFlow.streamAnnIndexIngestBq(
+      input.toDF().toDF("vec_id", "embedding"), idxPath, statsPath, s"$dir/ckpt")
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      val queries = Seq((9000L, axisVec(1, 0))).toDF("vec_id", "embedding")
+      // the cold float source for the exact re-rank: seed + streamed rows
+      val floats = seed.unionByName(b1.toDF("vec_id", "embedding"))
+      def page() = graft.Caches.scoped {
+        Ann.ivfBqKnnIndexed(queries, idxPath, floats, k = 3).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      }
+      val p1 = page()
+      // twin retrieval is EXACT here: re-rank is float cosine
+      assert(p1.exists(t => t._2 == 999L && t._3 >= 0.9999),
+        s"appended twin must be retrieved at cos 1.0: $p1")
+      assert(p1.exists(t => t._2 == 10L && t._3 >= 0.9999),
+        s"the seed twin must also surface: $p1")
+      val st = spark.read.parquet(statsPath).filter(col("batch_id") === 0)
+      assert(st.count() == 4, "one stats row per occupied cell")
+      // replay: same batch_id overwrites its own partitions
+      val before = spark.read.parquet(idxPath + "/codes").count()
+      StreamingFlow.annIndexIngestBatch(idxPath, statsPath, 2.0, codec = "bq")(
         b1.toDF("vec_id", "embedding"), 0L)
       assert(spark.read.parquet(idxPath + "/codes").count() == before,
         "replayed trigger must not duplicate code rows")
