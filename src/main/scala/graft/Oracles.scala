@@ -988,6 +988,37 @@ object Oracles {
          (count(*) - 1) * max(octet_length(encode(text))) AS bytes_saved
          FROM documents GROUP BY sha256(text) ORDER BY keep_doc_id""",
 
+    // t36: the header/footer wrap mirrors the SparkEntry binding;
+    // reassembly is string_agg ORDER BY position ≡ Spark's
+    // position-sorted array_join
+    "t36_boilerplate_scrub" ->
+      """WITH docs AS (
+           SELECT doc_id, source,
+                  'HEADER: ACME CRAWL' || chr(10) || text || chr(10)
+                    || 'footer terms apply' AS text
+           FROM documents),
+         l AS (
+           SELECT doc_id, source, unnest(ls) AS line,
+                  generate_subscripts(ls, 1) AS pos
+           FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+                 FROM docs)),
+         b AS (
+           SELECT source, trim(line) AS bkey
+           FROM (SELECT DISTINCT source, trim(line) AS line, doc_id
+                 FROM l WHERE length(trim(line)) >= 5)
+           GROUP BY source, trim(line) HAVING count(*) >= 3),
+         k AS (
+           SELECT l.doc_id, l.pos, l.line,
+                  (b.bkey IS NOT NULL) AS is_boiler
+           FROM l LEFT JOIN b
+             ON l.source = b.source AND trim(l.line) = b.bkey)
+         SELECT doc_id, count(*) AS n_lines,
+                CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_boiler_lines,
+                coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
+                  chr(10) ORDER BY pos), '') AS clean_text
+         FROM k GROUP BY doc_id ORDER BY doc_id""",
+
     // t35: the planted-code union mirrors the SparkEntry binding
     // exactly; counts via the same length-replace recipe, the one
     // division is integer/integer in double on both engines

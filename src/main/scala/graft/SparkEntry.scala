@@ -404,6 +404,16 @@ object SparkEntry {
     // sorted-fold IEEE sequence float-for-float)
     "t33_textrank" -> ((s, d) => TextStats.textrankKeywords(Tables.documents(s, d))),
     "t34_kwic" -> ((s, d) => TextStats.kwic(Tables.documents(s, d))),
+    // single-line word-salad docs carry no natural boilerplate: wrap
+    // every doc in a shared header/footer (the oracle wraps identically)
+    "t36_boilerplate_scrub" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextStats.boilerplateScrub(docs.select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("HEADER: ACME CRAWL\n"),
+          col("text"),
+          org.apache.spark.sql.functions.lit("\nfooter terms apply")).as("text")))
+    }),
     // word-salad testdata has no natural code: plant snippet docs at
     // offset ids (the d06 convention; the oracle unions identically)
     "t35_code_detect" -> ((s, d) => {

@@ -313,6 +313,8 @@ object TaskRunner {
     "t33_textrank" -> ((s, d, p) => TextStats.textrankKeywords(
       Tables.documents(s, d), topK = i(p, "topK", 5),
       iterations = i(p, "iterations", 10), damping = dbl(p, "damping", 0.85))),
+    "t36_boilerplate_scrub" -> ((s, d, p) => TextStats.boilerplateScrub(
+      Tables.documents(s, d), i(p, "minDocs", 3).toLong, i(p, "minChars", 5))),
     "t35_code_detect" -> ((s, d, p) => TextStats.codeDetect(
       Tables.documents(s, d), dbl(p, "symPerKchar", 30.0), i(p, "minKeywords", 2))),
     "t34_kwic" -> ((s, d, p) => TextStats.kwic(

@@ -1293,6 +1293,46 @@ object TextStats {
     * any existing scan of `text`. Exact protocol: counts are
     * integers, the one division is integer/integer in double on both
     * engines → full hash oracle. */
+  /** t36_boilerplate_scrub — corpus-level boilerplate LINE removal
+    * (the C4/RefinedWeb recipe the per-doc scrubs can't express):
+    * a line recurring across ≥ `minDocs` documents OF THE SAME SOURCE
+    * (site headers, cookie banners, footer terms) is boilerplate and
+    * strips from every doc, while unique content lines survive —
+    * membership is corpus evidence, not pattern matching, so it
+    * catches site-specific chrome no regex list knows. One
+    * lines-explode pass; the document-frequency aggregate runs at
+    * (source, trimmed-line) grain — the only thing shuffled is the
+    * line text once per (doc, line), and reassembly sorts each doc's
+    * kept lines by position (unique per doc → deterministic). Lines
+    * shorter than `minChars` after trim never count as candidates
+    * (they'd make empty/short lines "boilerplate" and shred
+    * formatting) but are preserved in the output. All string/integer
+    * arithmetic → full hash oracle. */
+  def boilerplateScrub(documents: DataFrame, minDocs: Long = 3L,
+                       minChars: Int = 5): DataFrame = {
+    val lines = documents.select(col("doc_id"), col("source"),
+      posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+    val boiler = lines
+      .filter(length(trim(col("line"))) >= minChars)
+      .select(col("source"), trim(col("line")).as("bkey"), col("doc_id"))
+      .distinct()
+      .groupBy("source", "bkey").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("source"), col("bkey"))
+    lines
+      .join(boiler, lines("source") === boiler("source") &&
+        trim(lines("line")) === boiler("bkey"), "left_outer")
+      .select(col("doc_id"), col("pos"), col("line"),
+        col("bkey").isNotNull.as("is_boiler"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler_lines"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN NOT is_boiler " +
+            "THEN struct(pos, line) END)), x -> x.line)"), "\n").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   def codeDetect(documents: DataFrame, symPerKchar: Double = 30.0,
                  minKeywords: Int = 2): DataFrame = {
     val t = col("text")

@@ -643,6 +643,27 @@ class TextSpec extends SparkSpecBase {
     assert(edge.toSeq == Seq((0, "", "middle edge"), (2, "edge middle", "")))
   }
 
+  test("t36 boilerplateScrub strips source-recurrent lines, keeps content and short lines") {
+    val hdr = "WELCOME TO EXAMPLE SITE"
+    // source A: header recurs in 3 docs → boilerplate there; doc 4 in
+    // source B carries the SAME line below threshold → kept; short
+    // lines ("--") never become candidates however often they recur
+    val docs = Seq(
+      (1L, s"$hdr\ncontent one\n--", "a"),
+      (2L, s"$hdr\ncontent two\n--", "a"),
+      (3L, s"$hdr\n--", "a"),
+      (4L, s"$hdr\nother site text", "b")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.text.TextStats.boilerplateScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 1L, "content one\n--")), s"got ${out(1L)}")
+    assert(out(2L) == ((3L, 1L, "content two\n--")), s"got ${out(2L)}")
+    // doc 3 is all chrome: header stripped, the short line preserved
+    assert(out(3L) == ((2L, 1L, "--")), s"got ${out(3L)}")
+    // same line in another source, df=1 < minDocs: untouched
+    assert(out(4L) == ((2L, 0L, s"$hdr\nother site text")), s"got ${out(4L)}")
+  }
+
   test("t35 codeDetect: hand-counted signals route code, prose, and mention-heavy prose") {
     val code = "def add(a, b): { return a + b; } // c => a && b"
     val prose = "the quick brown fox jumps over the lazy dog again and again"
