@@ -721,9 +721,80 @@ object VersionedTable {
     files
   }
 
+  /** sink_table_constraints — write-time CHECK constraints (the Delta
+    * `ALTER TABLE ADD CONSTRAINT` contract): a constraint is a SQL
+    * boolean expression persisted next to the commit log
+    * (`_graft_log/constraints/<name>.check`, atomic link publish);
+    * every subsequent [[upsert]]/[[merge]] validates its UPDATE ROWS
+    * against all persisted constraints BEFORE writing anything and
+    * refuses the commit on violation — quality enforcement moves from
+    * "audit later" (q74's verdict report) to "bad rows can't land".
+    * Scope matches Delta exactly: only newly-written data validates
+    * per commit (carried files were validated by their own commits),
+    * and [[addConstraint]] scans the CURRENT snapshot first so a
+    * constraint can never be born already-violated. NULL predicate
+    * results PASS (the SQL-standard CHECK rule — a constraint on a
+    * column some rows null out is not a violation; use IS NOT NULL
+    * explicitly for that). Enforcement cost at 100 TB: one fused agg
+    * over the update slice per commit — never the table. */
+  private def constraintsDir(path: String): Path =
+    logDir(path).resolve("constraints")
+
+  def addConstraint(spark: SparkSession, path: String, name: String,
+                    exprSql: String): Unit = {
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"constraint name must be [A-Za-z0-9_-]+, got '$name'")
+    val p = constraintsDir(path).resolve(s"$name.check")
+    require(!Files.exists(p), s"constraint '$name' already exists on $path")
+    // the existing snapshot must satisfy the new constraint (Delta's
+    // ADD CONSTRAINT rule): strictly-false rows refuse, null passes
+    val bad = read(spark, path).filter(expr(exprSql) === false).count()
+    require(bad == 0,
+      s"addConstraint '$name': $bad existing rows violate ($exprSql)")
+    Files.createDirectories(constraintsDir(path))
+    val tmp = Files.createTempFile(constraintsDir(path), ".tmp-", ".check")
+    Files.write(tmp, exprSql.getBytes("UTF-8"), StandardOpenOption.TRUNCATE_EXISTING)
+    try Files.createLink(p, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(s"constraint '$name' already exists on $path")
+    } finally Files.delete(tmp)
+  }
+
+  def dropConstraint(path: String, name: String): Boolean =
+    Files.deleteIfExists(constraintsDir(path).resolve(s"$name.check"))
+
+  def constraintsOf(path: String): Seq[(String, String)] = {
+    val dir = constraintsDir(path)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else listDir(dir)(_.filter(_.getFileName.toString.endsWith(".check"))
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .map(p => (p.getFileName.toString.stripSuffix(".check"),
+        new String(Files.readAllBytes(p), "UTF-8"))).toSeq.sortBy(_._1))
+  }
+
+  /** One fused aggregate over the slice: per constraint, the count of
+    * STRICTLY FALSE rows (null passes). Throws before any write. */
+  private def enforceConstraints(path: String, rows: DataFrame,
+                                 what: String): Unit = {
+    val cs = constraintsOf(path)
+    if (cs.nonEmpty) {
+      val aggs = cs.map { case (n, e) =>
+        sum(when(expr(e) === false, 1L).otherwise(0L)).as(s"__c_$n") }
+      val r = rows.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val viols = cs.zipWithIndex.collect {
+        case ((n, e), i) if !r.isNullAt(i) && r.getLong(i) > 0 =>
+          s"$n (${r.getLong(i)} rows): $e"
+      }
+      if (viols.nonEmpty) throw new IllegalArgumentException(
+        s"$what refused — CHECK constraint violations: ${viols.mkString("; ")}")
+    }
+  }
+
   def upsert(spark: SparkSession, path: String, keyCols: Seq[String],
              updates: DataFrame, maxRetries: Int = 10): Long = {
     require(keyCols.nonEmpty, "upsert: need at least one key column")
+    enforceConstraints(path, updates, "upsert")
     val up = updates.localCheckpoint(true) // one derivation, retried cheaply
     // Two update rows for one key would make the MERGE ambiguous (and
     // leave duplicate keys in the committed snapshot) — fail fast, the
@@ -836,6 +907,7 @@ object VersionedTable {
       s"merge: updates lack key column(s) ${keyCols.filterNot(updates.columns.contains).mkString(",")}")
     require(keyCols.forall(deleteKeys.columns.contains),
       s"merge: deleteKeys lack key column(s) ${keyCols.filterNot(deleteKeys.columns.contains).mkString(",")}")
+    enforceConstraints(path, updates, "merge")
     val up = updates.localCheckpoint(true)
     val del = deleteKeys.select(keyCols.map(col): _*).distinct().localCheckpoint(true)
     val upRows = up.count()

@@ -321,6 +321,43 @@ class SourcesSpec extends SparkSpecBase {
     intercept[IllegalStateException](VersionedTable.cloneTable(src, dst))
   }
 
+  test("versioned table: CHECK constraints refuse violating writes, SQL-null passes") {
+    import graft.sources.VersionedTable
+    val dir = Files.createTempDirectory("graft_vt_check").toString + "/t"
+    val base = Seq((1L, 10), (2L, 20)).toDF("id", "qty")
+    VersionedTable.create(base, dir)
+    // a constraint the snapshot violates cannot be added
+    intercept[IllegalArgumentException](
+      VersionedTable.addConstraint(spark, dir, "qty_big", "qty > 15"))
+    VersionedTable.addConstraint(spark, dir, "qty_pos", "qty > 0")
+    intercept[IllegalArgumentException](
+      VersionedTable.addConstraint(spark, dir, "qty_pos", "qty > 0")) // dup name
+    // violating upsert refuses BEFORE writing: version stays put
+    val v0 = VersionedTable.latestVersion(dir).get
+    intercept[IllegalArgumentException](VersionedTable.upsert(spark, dir,
+      Seq("id"), Seq((3L, -5)).toDF("id", "qty")))
+    assert(VersionedTable.latestVersion(dir).contains(v0),
+      "refused upsert must not advance the version")
+    // clean upsert lands; merge enforces the same gate
+    assert(VersionedTable.upsert(spark, dir, Seq("id"),
+      Seq((3L, 30)).toDF("id", "qty")) == v0 + 1)
+    intercept[IllegalArgumentException](VersionedTable.merge(spark, dir,
+      Seq("id"), Seq((4L, 0)).toDF("id", "qty"), Seq.empty[Long].toDF("id")))
+    // NULL predicate result passes (SQL-standard CHECK): rows that
+    // null out a constraint's input column are not violations —
+    // including the CARRIED pre-evolution rows addConstraint scans
+    val widened = Seq((5L, 50, "ok")).toDF("id", "qty", "note")
+    assert(VersionedTable.upsert(spark, dir, Seq("id"), widened) == v0 + 2)
+    VersionedTable.addConstraint(spark, dir, "note_len", "length(note) < 100")
+    val nullNote = Seq((6L, 60, null.asInstanceOf[String])).toDF("id", "qty", "note")
+    assert(VersionedTable.upsert(spark, dir, Seq("id"), nullNote) == v0 + 3,
+      "null CHECK result must pass")
+    // dropped constraint stops gating
+    assert(VersionedTable.dropConstraint(dir, "qty_pos"))
+    assert(VersionedTable.upsert(spark, dir, Seq("id"),
+      Seq((7L, -1, "neg")).toDF("id", "qty", "note")) == v0 + 4)
+  }
+
   test("versioned table: manifest export gives external engines the exact snapshot") {
     import graft.sources.VersionedTable
     val dir = Files.createTempDirectory("graft_vt_manifest").toString + "/t"
