@@ -340,6 +340,7 @@ object VersionedTable {
     val files = writeBatch(df, path)
     if (!tryCommit(path, 1L, files, schemaJson = Some(df.schema.json), txn = txn))
       throw new IllegalStateException(s"$path already exists as a versioned table")
+    recordStats(df.sparkSession, path, files)
     1L
   }
 
@@ -432,8 +433,10 @@ object VersionedTable {
       // must skip it (dataChange=false, the Delta convention); the
       // schema carries through unchanged
       if (tryCommit(path, base + 1, listDataFiles(path, sub), dataChange = false,
-          schemaJson = Some(snap.schema.json)))
+          schemaJson = Some(snap.schema.json))) {
+        recordStats(spark, path, listDataFiles(path, sub))
         return base + 1
+      }
     }
     throw new IllegalStateException(s"optimize lost $maxRetries commit races on $path")
   }
@@ -791,6 +794,111 @@ object VersionedTable {
     }
   }
 
+  /** sink_zonemap — LOG-LEVEL file-skipping statistics (the Delta
+    * `dataSkippingNumIndexedCols` / Iceberg manifest-stats idea):
+    * once a table opts in via [[setStatsColumns]], every subsequent
+    * commit records per-new-file min/max of those NUMERIC columns in
+    * an append-only `_graft_stats` sidecar, and [[readPruned]] plans
+    * a range query against ONLY the files whose [min,max] intersects
+    * it — files never open, footers never read, the prune happens on
+    * the driver from log metadata. This is the layer ABOVE parquet's
+    * own row-group stats: at 100 TB with 10⁵ files, parquet pruning
+    * still opens every footer; the zone map touches none. Composes
+    * multiplicatively with sink_sorted/sink_zorder + OPTIMIZE (which
+    * make file ranges DISJOINT, so the intersection set is tight);
+    * unsorted tables get overlapping ranges and correspondingly
+    * weaker skipping — layout is the lever, the map just exploits
+    * it. Conservative by construction: files with no stats row (pre-
+    * opt-in commits, non-stat columns) are ALWAYS read; stale rows
+    * for vacuumed files are never consulted (pruning starts from the
+    * snapshot's file list). Numeric columns only — range-prune
+    * strings with the sorted layout instead. */
+  private def statsColsFile(path: String): Path =
+    logDir(path).resolve("stats_columns")
+  private def statsDir(path: String): String = s"$path/_graft_stats"
+
+  def setStatsColumns(path: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty && cols.forall(_.matches("[A-Za-z0-9_]+")),
+      s"setStatsColumns: need plain column names, got $cols")
+    Files.createDirectories(logDir(path))
+    val tmp = Files.createTempFile(logDir(path), ".tmp-", ".cols")
+    Files.write(tmp, cols.mkString(",").getBytes("UTF-8"),
+      StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, statsColsFile(path),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def statsColumns(path: String): Seq[String] = {
+    val p = statsColsFile(path)
+    if (!Files.exists(p)) Seq.empty
+    else new String(Files.readAllBytes(p), "UTF-8").split(",").toSeq
+      .filter(_.nonEmpty)
+  }
+
+  /** Record per-file min/max for the table's stat columns over this
+    * commit's NEW files (one narrow scan of the new slice, at commit
+    * grain — never the table). Best-effort: a stats failure must not
+    * fail the commit that already landed. */
+  private def recordStats(spark: SparkSession, path: String,
+                          newFiles: Seq[String]): Unit = try {
+    val cols = statsColumns(path)
+    if (cols.nonEmpty && newFiles.nonEmpty) {
+      val df = spark.read.parquet(newFiles.map(f => resolve(path, f)): _*)
+      val numeric = cols.filter(c => df.schema.fields.exists(f =>
+        f.name == c && f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+      if (numeric.nonEmpty) {
+        val prefix = Paths.get(path).toAbsolutePath.normalize.toString + "/"
+        val withFile = df.withColumn("_af", input_file_name())
+          .withColumn("file", regexp_replace(
+            url_decode(col("_af")), lit("^file:(//)?" +
+              java.util.regex.Pattern.quote(prefix)), lit("")))
+        val aggs = numeric.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"__lo_$c"),
+          max(col(c).cast("double")).as(s"__hi_$c")))
+        val perFile = withFile.groupBy("file").agg(aggs.head, aggs.tail: _*)
+        val rows = numeric.map(c => struct(lit(c).as("col"),
+          col(s"__lo_$c").as("vmin"), col(s"__hi_$c").as("vmax")))
+        perFile.select(col("file"), explode(array(rows: _*)).as("s"))
+          .select(col("file"), col("s.col"), col("s.vmin"), col("s.vmax"))
+          .write.mode("append").parquet(statsDir(path))
+      }
+    }
+  } catch { case _: Exception => () }
+
+  /** Range query planned against the zone map: only files whose
+    * recorded [vmin, vmax] intersects [lo, hi] — plus every file with
+    * no stats row (conservative) — are read; the precise filter still
+    * applies on top. Result ≡ read(...).filter(col between lo hi). */
+  def readPruned(spark: SparkSession, path: String, column: String,
+                 lo: Double, hi: Double, asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"$path is not a versioned table"))
+    val files = filesOf(path, v)
+    val keep: Seq[String] =
+      if (!graft.Fs.exists(spark, statsDir(path))) files
+      else {
+        val stats = spark.read.parquet(statsDir(path))
+          .filter(col("col") === column)
+          .groupBy("file").agg(min("vmin").as("vmin"), max("vmax").as("vmax"))
+          .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+        files.filter(f => stats.get(f) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true // no stats: must read (conservative)
+        })
+      }
+    val schema = schemaOf(path, v)
+    val pruned =
+      if (keep.isEmpty)
+        schema.map(s => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s))
+          .getOrElse(spark.emptyDataFrame)
+      else {
+        val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+        reader.parquet(keep.map(f => resolve(path, f)): _*)
+      }
+    pruned.filter(col(column) >= lo && col(column) <= hi)
+  }
+
   def upsert(spark: SparkSession, path: String, keyCols: Seq[String],
              updates: DataFrame, maxRetries: Int = 10): Long = {
     require(keyCols.nonEmpty, "upsert: need at least one key column")
@@ -856,8 +964,10 @@ object VersionedTable {
         if (touchedAbs.isEmpty && up.isEmpty) Seq.empty
         else writeBatch(rewritten, path)
       if (tryCommit(path, base + 1, (carried ++ newFiles).sorted,
-          schemaJson = Some(merged.json)))
+          schemaJson = Some(merged.json))) {
+        recordStats(spark, path, newFiles)
         return base + 1
+      }
       // lost the race: orphan this attempt's files (vacuum's job) and
       // re-derive against the winner's snapshot
     }
@@ -953,8 +1063,10 @@ object VersionedTable {
         if (touchedAbs.isEmpty && upRows == 0L) Seq.empty
         else writeBatch(rewritten, path)
       if (tryCommit(path, base + 1, (carried ++ newFiles).sorted,
-          schemaJson = Some(baseSchema.json), txn = txn))
+          schemaJson = Some(baseSchema.json), txn = txn)) {
+        recordStats(spark, path, newFiles)
         return base + 1
+      }
     }
     throw new IllegalStateException(s"merge lost $maxRetries commit races on $path")
   }

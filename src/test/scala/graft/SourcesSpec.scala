@@ -321,6 +321,37 @@ class SourcesSpec extends SparkSpecBase {
     intercept[IllegalStateException](VersionedTable.cloneTable(src, dst))
   }
 
+  test("versioned table: zone maps prune range reads to intersecting files, conservatively") {
+    import graft.sources.VersionedTable
+    val dir = Files.createTempDirectory("graft_vt_zone").toString + "/t"
+    // v1 lands BEFORE opt-in: its files carry no stats (conservative path)
+    VersionedTable.create(Seq((0L, 0)).toDF("id", "v"), dir)
+    VersionedTable.setStatsColumns(dir, Seq("v"))
+    VersionedTable.upsert(spark, dir, Seq("id"),
+      (1L to 400L).map(i => (i, i.toInt)).toDF("id", "v"))
+    // sorted OPTIMIZE makes file ranges disjoint — the layout lever —
+    // and records fresh stats for the re-clustered files
+    VersionedTable.optimize(spark, dir, Seq("v"), numFiles = 8)
+    val all = VersionedTable.read(spark, dir)
+      .filter($"v" >= 100 && $"v" <= 120).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val prunedDf = VersionedTable.readPruned(spark, dir, "v", 100.0, 120.0)
+    val pruned = prunedDf.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(pruned == all && all.size == 21, s"pruned ≠ full filter: ${pruned.size} vs ${all.size}")
+    // the prune is real: far fewer files open than the snapshot holds
+    val snapFiles = VersionedTable.read(spark, dir).inputFiles.length
+    val prunedFiles = prunedDf.inputFiles.length
+    assert(prunedFiles < snapFiles && prunedFiles <= 3,
+      s"zone map must prune: $prunedFiles of $snapFiles files read")
+    // out-of-range query over stats-covered files: zero rows, and only
+    // the conservative no-stats files (if any remain) are touched
+    assert(VersionedTable.readPruned(spark, dir, "v", 5000.0, 6000.0).count() == 0)
+    // a column with no stats prunes nothing but stays correct
+    val byId = VersionedTable.readPruned(spark, dir, "id", 7.0, 9.0).collect()
+      .map(_.getLong(0)).toSet
+    assert(byId == Set(7L, 8L, 9L))
+  }
+
   test("versioned table: CHECK constraints refuse violating writes, SQL-null passes") {
     import graft.sources.VersionedTable
     val dir = Files.createTempDirectory("graft_vt_check").toString + "/t"
