@@ -461,6 +461,10 @@ object SparkEntry {
     // and one-char-edited copies of every 25th (the light-edit regime)
     "m12_payload_blockhash" -> ((s, d) =>
       BinaryPipeline.payloadBlockhash(plantedBytePayloads(s, d))),
+    // the store roundtrips the same planted versions m12 pairs — the
+    // exact-copy plants share every chunk, the edited ones most
+    "m14_chunk_store" -> ((s, d) => BinaryPipeline.chunkStoreRoundtrip(
+      plantedBytePayloads(s, d), scratchDir("graft_m14_"))),
     // m12's pairs resolved to keep/drop verdicts — same planted docs,
     // so the planted edit/copy chains must collapse to their originals
     "m13_blockhash_clusters" -> ((s, d) =>

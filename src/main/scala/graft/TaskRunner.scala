@@ -521,6 +521,9 @@ object TaskRunner {
       Tables.documents(s, d), i(p, "maxHamming", 3))),
     "m13_blockhash_clusters" -> ((s, d, p) => graft.multimodal.BinaryPipeline.blockhashClusters(
       Tables.documents(s, d), i(p, "maxHamming", 3))),
+    "m14_chunk_store" -> ((s, d, p) => graft.multimodal.BinaryPipeline.chunkStoreRoundtrip(
+      Tables.documents(s, d), SparkEntry.scratchDir("graft_m14p_"),
+      i(p, "minLen", 32), i(p, "maskBits", 6))),
     "m11_payload_entropy" -> ((s, d, _) => graft.multimodal.BinaryPipeline.payloadEntropy(
       Tables.documents(s, d))),
     "a03_centroid_assign" -> ((s, d, _) => Ann.centroidAssign(Tables.embeddings(s, d))),

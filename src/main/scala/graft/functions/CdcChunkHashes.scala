@@ -54,6 +54,8 @@ object CdcChunkHashes {
   /** 256-entry gear table from the seed-42 splitmix LCG (the
     * HyperplaneBuckets constants) — fixed so fingerprints are stable
     * across sessions and versions. */
+  private[functions] def gear(b: Int): Long = GEAR(b)
+
   private val GEAR: Array[Long] = {
     val out = new Array[Long](256)
     var s = 42L
@@ -94,6 +96,63 @@ object CdcChunkHashes {
     val out = new Array[Long](hashes.size())
     var j = 0
     while (j < out.length) { out(j) = hashes.get(j); j += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Native expression: CDC chunk BOUNDS — the same gear-hash cut
+  * points as [[CdcChunkHashes]], emitted as flat
+  * [start₀, len₀, start₁, len₁, …] (ints) so a content-addressed
+  * STORE can slice the actual chunk bytes out of the payload. Two
+  * deliberate differences from the fingerprint variant: the tail
+  * chunk is ALWAYS emitted (a store must cover every byte — the
+  * fingerprint drops sub-minLen tails as noise, a store cannot), and
+  * positions come back instead of hashes (the store hashes the
+  * sliced bytes itself, so chunk identity and chunk content come
+  * from the same slice by construction). Empty payloads emit no
+  * bounds. */
+case class CdcChunkBounds(child: Expression, minLen: Int, maskBits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_cdc_bounds"
+
+  override def nullSafeEval(input: Any): Any =
+    CdcChunkBounds.compute(input.asInstanceOf[Array[Byte]], minLen, maskBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.CdcChunkBounds.compute($v, $minLen, $maskBits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcChunkBounds {
+  def compute(bytes: Array[Byte], minLen: Int, maskBits: Int): UnsafeArrayData = {
+    val n = bytes.length
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyIntArray)
+    val mask = (1L << maskBits) - 1L
+    val maxLen = 8 * minLen
+    val bounds = new java.util.ArrayList[Integer]()
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h << 1) + CdcChunkHashes.gear(bytes(i) & 0xFF)
+      val len = i - start + 1
+      if ((len >= minLen && (h & mask) == 0L) || len >= maxLen) {
+        bounds.add(start); bounds.add(len)
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < n) { bounds.add(start); bounds.add(n - start) }
+    val out = new Array[Int](bounds.size())
+    var j = 0
+    while (j < out.length) { out(j) = bounds.get(j); j += 1 }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 }

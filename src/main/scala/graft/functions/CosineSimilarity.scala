@@ -154,6 +154,13 @@ object GraftFunctions {
         FunctionIdentifier("graft_blockhash"),
         new ExpressionInfo(classOf[BlockMeanHash].getName, "graft_blockhash"),
         (children: Seq[Expression]) => BlockMeanHash(children.head))
+    if (!reg.functionExists(FunctionIdentifier("graft_cdc_bounds")))
+      reg.registerFunction(
+        FunctionIdentifier("graft_cdc_bounds"),
+        new ExpressionInfo(classOf[CdcChunkBounds].getName, "graft_cdc_bounds"),
+        (children: Seq[Expression]) => CdcChunkBounds(children.head,
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].intValue()))
     if (!reg.functionExists(FunctionIdentifier("graft_signbits")))
       reg.registerFunction(
         FunctionIdentifier("graft_signbits"),
@@ -321,6 +328,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (FunctionIdentifier("graft_blockhash"),
         new ExpressionInfo(classOf[BlockMeanHash].getName, "graft_blockhash"),
         (children: Seq[Expression]) => BlockMeanHash(children.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_cdc_bounds"),
+        new ExpressionInfo(classOf[CdcChunkBounds].getName, "graft_cdc_bounds"),
+        (children: Seq[Expression]) => CdcChunkBounds(children.head,
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction(
       (FunctionIdentifier("graft_signbits"),
         new ExpressionInfo(classOf[SignBits].getName, "graft_signbits"),

@@ -452,4 +452,84 @@ object BinaryPipeline {
     graft.dedup.Dedup.clustersFromPairs(
       documents.select(col("doc_id")),
       payloadBlockhash(documents, maxHamming))
+
+  /** sink_chunk_store — a CONTENT-ADDRESSED block store (the
+    * dedup-at-rest m05/m06/m09 only ever measured): payloads split at
+    * the CDC gear-hash cut points (`graft_cdc_bounds` — shift-
+    * invariant, so an inserted byte re-chunks only its neighborhood
+    * and every other chunk keeps its identity), chunk bytes store
+    * ONCE per distinct hash in `chunks/`, and each payload persists
+    * only its ordered hash list in `recipes/` — identical or
+    * near-identical payloads (versions, re-uploads, files-in-
+    * archives) share storage automatically. Reassembly is exact by
+    * construction: the bounds cover every byte (the store variant
+    * always emits the tail chunk the fingerprint variant drops), and
+    * [[readChunkStore]] concatenates each doc's chunks in position
+    * order. At 100 TB the recipes table is the only per-doc state
+    * (16 bytes per chunk reference); the chunks table carries each
+    * distinct block once — the m09 savings made real instead of
+    * reported. Chunk identity is xxhash64 of the chunk bytes
+    * (collision odds negligible at block counts; the canonical-pick
+    * min() makes a collision deterministic, not silent corruption of
+    * a random doc). */
+  def writeChunkStore(documents: DataFrame, path: String,
+                      minLen: Int = 32, maskBits: Int = 6): Unit = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val exploded = documents
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("bd", expr(s"graft_cdc_bounds(payload, $minLen, $maskBits)"))
+      .withColumn("bounds", expr(
+        "CASE WHEN size(bd) = 0 THEN array() ELSE " +
+          "transform(sequence(0, size(bd) div 2 - 1), i -> " +
+          "struct(element_at(bd, CAST(2*i+1 AS INT)) AS start, " +
+          "element_at(bd, CAST(2*i+2 AS INT)) AS len)) END"))
+      .select(col("doc_id"),
+        posexplode(col("bounds")).as(Seq("pos", "b")),
+        expr("substring(payload, b.start + 1, b.len)").as("chunk"))
+      .withColumn("chunk_hash", xxhash64(col("chunk")))
+      .localCheckpoint(true) // one chunking pass feeds both tables
+    exploded.select("doc_id", "pos", "chunk_hash")
+      .write.mode("overwrite").parquet(path + "/recipes")
+    exploded.groupBy("chunk_hash").agg(min(col("chunk")).as("bytes"))
+      .write.mode("overwrite").parquet(path + "/chunks")
+  }
+
+  /** Exact reassembly from the chunk store: recipes join the chunk
+    * table on content hash, each doc's chunks concatenate in position
+    * order (position is unique per doc → deterministic fold). Docs
+    * whose payload was empty have no recipe rows — callers left-join
+    * and coalesce to empty, the documented contract. */
+  def readChunkStore(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    spark.read.parquet(path + "/recipes")
+      .join(spark.read.parquet(path + "/chunks"), "chunk_hash")
+      .groupBy("doc_id")
+      .agg(expr("aggregate(array_sort(collect_list(struct(pos, bytes))), " +
+        "CAST('' AS BINARY), (acc, x) -> concat(acc, x.bytes))").as("payload"))
+
+  /** m14_chunk_store — the store's roundtrip report: build, reassemble,
+    * compare byte-for-byte against the original payloads. One row per
+    * doc (n_chunks, n_bytes, roundtrip_ok) — the verification a real
+    * capacity migration runs before deleting raw blobs. */
+  def chunkStoreRoundtrip(documents: DataFrame, path: String,
+                          minLen: Int = 32, maskBits: Int = 6): DataFrame = {
+    writeChunkStore(documents, path, minLen, maskBits)
+    val spark = documents.sparkSession
+    val rebuilt = readChunkStore(spark, path)
+      .select(col("doc_id"), col("payload").as("rebuilt"))
+    documents
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"), col("payload"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        (col("payload") === coalesce(col("rebuilt"), expr("CAST('' AS BINARY)")))
+          .as("roundtrip_ok"))
+      .join(spark.read.parquet(path + "/recipes")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_chunks")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        col("n_bytes"), col("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
 }

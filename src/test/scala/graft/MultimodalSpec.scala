@@ -256,6 +256,53 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(5L) == ((5L, true)) && out(6L) == ((5L, false)), "second cluster intact")
   }
 
+  test("m14 chunk store roundtrips every byte; shared chunks store once; bounds cover payloads") {
+    import spark.implicits._
+    // non-repetitive content: CDC re-sync needs natural gear cuts —
+    // perfectly periodic text degenerates to fixed-stride forced cuts
+    // (no content signal to re-anchor on), the documented CDC caveat
+    val rnd = new scala.util.Random(11)
+    val base = Iterator.continually(rnd.alphanumeric.head).take(2700).mkString
+    // doc 2 = exact copy (shares ALL chunks); doc 3 = one byte inserted
+    // mid-payload (shift-invariance: most chunks still shared); doc 4
+    // empty; doc 5 shorter than minLen (single tail chunk)
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, base.substring(0, 1000) + "X" + base.substring(1000)),
+      (4L, ""), (5L, "tiny")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_m14").toString
+    val out = graft.multimodal.BinaryPipeline.chunkStoreRoundtrip(docs, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getBoolean(3)))).toMap
+    // every payload roundtrips byte-for-byte, including empty and tiny
+    assert(out.values.forall(_._3), s"roundtrip failures: $out")
+    assert(out(4L)._1 == 0L && out(4L)._2 == 0, "empty payload: no chunks")
+    assert(out(5L)._1 == 1L, "sub-minLen payload must still land as its tail chunk")
+    // content addressing: the exact copy adds ZERO new chunks, and the
+    // one-byte edit shares most of its chunks with the original
+    val recipes = spark.read.parquet(dir + "/recipes")
+    val chunks = spark.read.parquet(dir + "/chunks").count()
+    val refs = recipes.count()
+    assert(chunks < refs, s"store must dedup: $chunks distinct vs $refs refs")
+    val h1 = recipes.filter($"doc_id" === 1L).select("chunk_hash")
+      .collect().map(_.getLong(0)).toSet
+    val h2 = recipes.filter($"doc_id" === 2L).select("chunk_hash")
+      .collect().map(_.getLong(0)).toSet
+    val h3 = recipes.filter($"doc_id" === 3L).select("chunk_hash")
+      .collect().map(_.getLong(0)).toSet
+    assert(h2 == h1, "exact copy shares every chunk")
+    assert((h3 intersect h1).size * 2 > h1.size,
+      s"CDC shift-invariance: the one-byte edit must share most chunks (${(h3 intersect h1).size}/${h1.size})")
+    // bounds law: compiled bounds tile the payload exactly
+    val b = graft.functions.CdcChunkBounds.compute(base.getBytes("UTF-8"), 32, 6)
+    val pairs = (0 until b.numElements() by 2)
+      .map(i => (b.getInt(i), b.getInt(i + 1)))
+    assert(pairs.head._1 == 0 && pairs.map(_._2).sum == base.length,
+      "bounds must cover every byte")
+    assert(pairs.sliding(2).forall { case Seq((s1, l1), (s2, _)) => s1 + l1 == s2
+      case _ => true }, "bounds must be contiguous")
+  }
+
   test("m12 blockhash laws: compiled = Scala compute; empty hashes to 0; pigeonhole is recall-exact to h<=3") {
     import graft.functions.BlockMeanHash
     assert(BlockMeanHash.compute(Array.empty[Byte]) == 0L)
