@@ -472,10 +472,10 @@ object BinaryPipeline {
     * (collision odds negligible at block counts; the canonical-pick
     * min() makes a collision deterministic, not silent corruption of
     * a random doc). */
-  def writeChunkStore(documents: DataFrame, path: String,
-                      minLen: Int = 32, maskBits: Int = 6): Unit = {
+  private def chunkExplode(documents: DataFrame, minLen: Int,
+                           maskBits: Int): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
-    val exploded = documents
+    documents
       .withColumn("payload", col("text").cast("binary"))
       .withColumn("bd", expr(s"graft_cdc_bounds(payload, $minLen, $maskBits)"))
       .withColumn("bounds", expr(
@@ -487,11 +487,54 @@ object BinaryPipeline {
         posexplode(col("bounds")).as(Seq("pos", "b")),
         expr("substring(payload, b.start + 1, b.len)").as("chunk"))
       .withColumn("chunk_hash", xxhash64(col("chunk")))
-      .localCheckpoint(true) // one chunking pass feeds both tables
-    exploded.select("doc_id", "pos", "chunk_hash")
-      .write.mode("overwrite").parquet(path + "/recipes")
+  }
+
+  def writeChunkStore(documents: DataFrame, path: String,
+                      minLen: Int = 32, maskBits: Int = 6,
+                      batchId: Option[Long] = None): Unit = {
+    // one chunking pass feeds both tables
+    val exploded = chunkExplode(documents, minLen, maskBits).localCheckpoint(true)
+    val recipes = exploded.select("doc_id", "pos", "chunk_hash")
+    val chunks = exploded.groupBy("chunk_hash").agg(min(col("chunk")).as("bytes"))
+    batchId match {
+      case None =>
+        recipes.write.mode("overwrite").parquet(path + "/recipes")
+        chunks.write.mode("overwrite").parquet(path + "/chunks")
+      case Some(id) => // batch-rooted seed: appendChunkStore's layout
+        recipes.withColumn("batch_id", lit(id)).write.mode("overwrite")
+          .partitionBy("batch_id").parquet(path + "/recipes")
+        chunks.withColumn("batch_id", lit(id)).write.mode("overwrite")
+          .partitionBy("batch_id").parquet(path + "/chunks")
+    }
+  }
+
+  /** Append a batch of payloads to an existing chunk store, the
+    * streaming-ingest half of the store lifecycle (s37): recipes land
+    * as a dynamic overwrite of the batch's own `batch_id` partitions
+    * (the shared replay protocol — a re-fired trigger overwrites
+    * itself), and chunk bytes append ONLY for hashes the store
+    * doesn't already hold (one anti-join against the store's hash
+    * column — never its bytes), which makes the chunk side both
+    * batch-proportional AND replay-idempotent: a replayed batch's
+    * hashes already exist, so zero chunk rows re-land. The store must
+    * be batch-seeded (`writeChunkStore(..., batchId = Some(-1))`). */
+  def appendChunkStore(batch: DataFrame, path: String, batchId: Long,
+                       minLen: Int = 32, maskBits: Int = 6): Unit = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    require(graft.Fs.hasChildDir(spark, path + "/recipes", "batch_id="),
+      s"$path was seeded without batchId (single-shot layout); seed with " +
+        "batchId = Some(...) to support batch appends")
+    val exploded = chunkExplode(batch, minLen, maskBits).localCheckpoint(true)
+    exploded.select(col("doc_id"), col("pos"), col("chunk_hash"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path + "/recipes")
+    val existing = spark.read.parquet(path + "/chunks").select("chunk_hash")
     exploded.groupBy("chunk_hash").agg(min(col("chunk")).as("bytes"))
-      .write.mode("overwrite").parquet(path + "/chunks")
+      .join(existing, Seq("chunk_hash"), "left_anti")
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").partitionBy("batch_id").parquet(path + "/chunks")
   }
 
   /** Exact reassembly from the chunk store: recipes join the chunk

@@ -641,6 +641,36 @@ object StreamingFlow {
       .select(explode(col("sk")).as(Seq("word", "est_freq")))
   }
 
+  /** s37_stream_chunk_ingest — live ingestion into the content-
+    * addressed chunk store (`sink_chunk_store`): each micro-batch of
+    * (doc_id, text-as-payload) rows CDC-chunks and appends via
+    * [[graft.multimodal.BinaryPipeline.appendChunkStore]] — recipes
+    * land as the trigger's own batch_id partitions (the shared replay
+    * protocol), chunk bytes append only for hashes the store doesn't
+    * hold (anti-join on the hash column), so a replayed trigger
+    * re-lands ZERO chunk rows and overwrites only its own recipes.
+    * The streaming half of the capacity story: payloads arriving from
+    * a live pipeline dedup against everything already stored, at
+    * batch-proportional cost. */
+  def streamChunkIngest(docStream: DataFrame, storePath: String,
+                        checkpoint: String, minLen: Int = 32,
+                        maskBits: Int = 6): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(chunkIngestBatch(storePath, minLen, maskBits))
+      .start()
+
+  private[graft] def chunkIngestBatch(storePath: String, minLen: Int,
+                                      maskBits: Int): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val docs = batch.select("doc_id", "text").localCheckpoint(true)
+      graft.Caches.scoped {
+        graft.multimodal.BinaryPipeline.appendChunkStore(
+          docs, storePath, batchId, minLen, maskBits)
+      }
+    }
+
   /** s35_stream_percentiles — live per-type value percentiles
     * (p50/p90/p99 by default) as unbounded streaming aggregation
     * state, via the mergeable Munro–Paterson `QuantileSketch`

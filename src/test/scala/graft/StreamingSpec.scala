@@ -1132,6 +1132,54 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s37 streaming chunk ingest: cross-batch chunk dedup, replay lands zero chunk rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.BinaryPipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft_s37").toString
+    val store = s"$dir/store"
+    val rnd = new scala.util.Random(5)
+    val base = Iterator.continually(rnd.alphanumeric.head).take(2000).mkString
+    // seed the store batch-rooted with the original payload
+    BinaryPipeline.writeChunkStore(Seq((1L, base)).toDF("doc_id", "text"),
+      store, batchId = Some(-1L))
+    val chunksAfterSeed = spark.read.parquet(store + "/chunks").count()
+    // trigger 1: an exact copy (all chunks already stored) + fresh content
+    val fresh = Iterator.continually(rnd.alphanumeric.head).take(800).mkString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingFlow.streamChunkIngest(
+      input.toDF().toDF("doc_id", "text"), store, s"$dir/ckpt")
+    try {
+      input.addData((2L, base), (3L, fresh)); q.processAllAvailable()
+      val chunksAfterB0 = spark.read.parquet(store + "/chunks").count()
+      // the exact copy contributed ZERO chunk rows; only fresh content lands
+      val freshOnly = BinaryPipeline.chunkStoreRoundtrip(
+        Seq((9L, fresh)).toDF("doc_id", "text"),
+        java.nio.file.Files.createTempDirectory("graft_s37f").toString)
+        .collect().head.getLong(1)
+      assert(chunksAfterB0 == chunksAfterSeed + freshOnly,
+        s"copy must dedup against the store: $chunksAfterSeed + $freshOnly vs $chunksAfterB0")
+      // every payload (seeded + streamed) reassembles byte-exactly
+      val rebuilt = BinaryPipeline.readChunkStore(spark, store)
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      assert(new String(rebuilt(1L), "UTF-8") == base &&
+        new String(rebuilt(2L), "UTF-8") == base &&
+        new String(rebuilt(3L), "UTF-8") == fresh, "streamed store must roundtrip")
+      // replay: the same trigger re-lands zero chunk rows, recipes stable
+      val recipesBefore = spark.read.parquet(store + "/recipes").count()
+      StreamingFlow.chunkIngestBatch(store, 32, 6)(
+        Seq((2L, base), (3L, fresh)).toDF("doc_id", "text"), 0L)
+      assert(spark.read.parquet(store + "/chunks").count() == chunksAfterB0,
+        "replayed trigger must not duplicate chunks")
+      assert(spark.read.parquet(store + "/recipes").count() == recipesBefore,
+        "replayed trigger overwrites its own recipe partitions")
+    } finally q.stop()
+    // layout guard: appends onto a single-shot store refuse loudly
+    val flat = s"$dir/flat"
+    BinaryPipeline.writeChunkStore(Seq((1L, base)).toDF("doc_id", "text"), flat)
+    intercept[IllegalArgumentException](
+      BinaryPipeline.appendChunkStore(Seq((2L, fresh)).toDF("doc_id", "text"), flat, 0L))
+  }
+
   test("s36 streaming BQ ANN ingest: drift-free codes serve appended twins; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
