@@ -177,6 +177,22 @@ object SparkEntry {
     "m03_media_manifest" -> ((s, d) => BinaryPipeline.mediaManifest(Tables.documents(s, d))),
     "t05_stopword_ratio" -> ((s, d) => TextStats.stopwordRatio(Tables.documents(s, d))),
     "d01_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    // the provenance matrix: plant one positive per regime that the
+    // natural word-salad data lacks (exact copies + prefix-subset docs;
+    // Jaccard and semantic positives occur naturally at these thresholds)
+    "d24_dedup_sweep" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs
+        .unionByName(docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            org.apache.spark.sql.functions.expr(
+              "array_join(slice(split(text, ' '), 1, " +
+                "CAST(size(split(text, ' ')) * 9 div 10 AS INT)), ' ')").as("text")))
+      Dedup.dedupSweep(planted, Tables.embeddings(s, d),
+        semanticThreshold = 0.5, dfCap = Some(1000L))
+    }),
     "d02_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     // dfCap active (hot-shingle guard exercised) but non-binding at
     // test SFs (max shingle DF is 25 at sf0.1), so the exact oracle

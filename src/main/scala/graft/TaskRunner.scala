@@ -157,6 +157,10 @@ object TaskRunner {
       Tables.documents(s, d), dbl(p, "threshold", 0.8),
       i(p, "numHashes", 64), i(p, "bands", 16),
       capL(p, "dfCap", 1000L))),
+    "d24_dedup_sweep" -> ((s, d, p) => Dedup.dedupSweep(
+      Tables.documents(s, d), Tables.embeddings(s, d),
+      dbl(p, "jaccardThreshold", 0.8), dbl(p, "containThreshold", 0.8),
+      dbl(p, "semanticThreshold", 0.95))),
     "d05_embed_dedup" -> ((s, d, p) => Dedup.embedDedup(
       Tables.embeddings(s, d), dbl(p, "threshold", 0.5))),
     "d06_embed_dedup_lsh" -> ((s, d, p) => Dedup.embedDedupLsh(

@@ -1665,4 +1665,64 @@ object Dedup {
         stableRound(coalesce(col("c"), lit(0.0)), 4).as("containment"))
       .orderBy("doc_id")
   }
+
+  /** d24_dedup_sweep — the full dedup PROVENANCE matrix in one call:
+    * every regime this library ships, run over the same corpus, one
+    * row per document with a boolean per regime (exact byte-dup /
+    * Jaccard near-dup / directional containment / semantic) and a
+    * precedence-ordered final verdict. This is the report a curation
+    * owner actually reads before deleting anything — the single
+    * regimes say "these pairs collide", the sweep says WHICH
+    * MECHANISM would remove each doc and what survives all four.
+    * Every flag is SURVIVOR-AWARE — it means "this regime would
+    * REMOVE the doc", not "this doc collides": exact/near keep their
+    * cluster canonicals, containment routes through d22's acyclic
+    * dominance order (so the survivor of a mutual-containment pair is
+    * not flagged), semantic keeps its cell survivors — which is what
+    * makes the verdict column actionable rather than a pair report.
+    * The regimes run their SCALE paths (LSH pairs, prefix-filter
+    * containment, cell-local semantic — never the quadratic
+    * baselines), each at its own threshold; flags compose by
+    * left-join on doc_id, so the sweep's cost is the sum of the
+    * regimes, not a product. Embeddings join by the vec_id = doc_id
+    * convention (the m08 decode edge); docs without a vector simply
+    * can't be semantic-dups. Precedence (strongest evidence first):
+    * exact > near > contained > semantic; "keep" means all four
+    * regimes passed. Rows-only: the semantic leg is codec-native —
+    * the spec plants one positive per regime and pins the matrix. */
+  def dedupSweep(documents: DataFrame, embeddings: DataFrame,
+                 jaccardThreshold: Double = 0.8,
+                 containThreshold: Double = 0.8,
+                 semanticThreshold: Double = 0.95,
+                 dfCap: Option[Long] = None): DataFrame = {
+    val exactGroups = documents.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("canon"))
+    val exactFlag = documents.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(exactGroups, "h")
+      .select(col("doc_id"), (col("doc_id") =!= col("canon")).as("exact_dup"))
+    val near = clustersFromPairs(documents,
+        minHashPairs(documents, jaccardThreshold, dfCap = dfCap))
+      .select(col("doc_id"), (!col("is_canonical")).as("near_dup"))
+    val contained = containmentApply(documents, containThreshold, dfCap = dfCap)
+      .select(col("doc_id"), (!col("keep")).as("contained"))
+    val sem = semanticDedup(embeddings, semanticThreshold)
+      .select(col("vec_id").as("doc_id"), (!col("keep")).as("semantic_dup"))
+    documents.select("doc_id")
+      .join(exactFlag, Seq("doc_id"), "left_outer")
+      .join(near, Seq("doc_id"), "left_outer")
+      .join(contained, Seq("doc_id"), "left_outer")
+      .join(sem, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"),
+        coalesce(col("contained"), lit(false)).as("contained"),
+        coalesce(col("semantic_dup"), lit(false)).as("semantic_dup"))
+      .withColumn("verdict",
+        when(col("exact_dup"), "exact")
+          .when(col("near_dup"), "near")
+          .when(col("contained"), "contained")
+          .when(col("semantic_dup"), "semantic")
+          .otherwise("keep"))
+      .orderBy("doc_id")
+  }
 }

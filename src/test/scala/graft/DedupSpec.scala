@@ -723,4 +723,47 @@ class DedupSpec extends SparkSpecBase {
     assert(out.forall(_._3 == 1.0), s"got ${out.toSeq}")
     graft.Caches.release()
   }
+
+  test("dedupSweep: one planted positive per regime lights exactly its flag, survivors keep") {
+    import spark.implicits._
+    // 1/2 exact pair; 3/4 near pair (one word changed: J≈.82, C=.9);
+    // 5 ⊂ 6 (C=1, J≈.55); 7 unrelated; 8/9 semantic pair (identical
+    // embeddings over unrelated texts)
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"),
+      (3L, "november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee"),
+      (4L, "november oscar papa quebec romeo sierra tango uniform victor whiskey xray zulu"),
+      (5L, "one two three four five six seven eight"),
+      (6L, "one two three four five six seven eight nine ten eleven twelve thirteen"),
+      (7L, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"),
+      (8L, "eins zwei drei vier fuenf sechs sieben acht neun zehn elf zwoelf"),
+      (9L, "ichi ni san shi go roku nana hachi kyu ju hyaku sen")
+    ).toDF("doc_id", "text")
+    val axes = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f),
+      Array(0f, 0f, 0f, 1f), Array(1f, 1f, 0f, 0f), Array(1f, 0f, 1f, 0f),
+      Array(1f, 0f, 0f, 1f))
+    val emb = ((1L to 7L).zip(axes) ++ Seq(
+      (8L, Array(2f, 3f, 5f, 7f)), (9L, Array(2f, 3f, 5f, 7f))))
+      .toDF("vec_id", "embedding")
+    val out = graft.dedup.Dedup.dedupSweep(docs, emb,
+        jaccardThreshold = 0.8, containThreshold = 0.95, semanticThreshold = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getString(5)))).toMap
+    // survivors of every regime keep — including the exact canonical,
+    // whose copy is mutually containing (d22's dominance order spares it)
+    for (id <- Seq(1L, 3L, 6L, 7L, 8L))
+      assert(out(id)._5 == "keep", s"doc $id: ${out(id)}")
+    // the exact copy: all of exact/near/contained fire; precedence = exact
+    assert(out(2L)._1 && out(2L)._2 && out(2L)._5 == "exact", s"got ${out(2L)}")
+    // near-only: one changed word — J above 0.8, C below 0.95
+    assert(out(4L) == ((false, true, false, false, "near")), s"got ${out(4L)}")
+    // contained-only: strict prefix — C=1, J below 0.8
+    assert(out(5L) == ((false, false, true, false, "contained")), s"got ${out(5L)}")
+    // semantic-only: identical vectors over unrelated text
+    assert(out(9L) == ((false, false, false, true, "semantic")), s"got ${out(9L)}")
+    graft.Caches.release()
+  }
 }
