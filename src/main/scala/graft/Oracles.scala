@@ -1203,6 +1203,29 @@ object Oracles {
          FROM o JOIN a USING (o_custkey)
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // q77: Holt — same sequential-recurrence protocol as q76: the
+    // recursive CTE applies the dyadic update in ascending-day order,
+    // bit-identical to Spark's window-ordered prefix fold
+    "q77_holt_trend" ->
+      """WITH RECURSIVE
+         d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1),
+         o AS (SELECT day, n_events, row_number() OVER (ORDER BY day) AS rn FROM d),
+         h(rn, day, n_events, l, b) AS (
+           SELECT rn, day, n_events, CAST(n_events AS DOUBLE), CAST(0 AS DOUBLE)
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.rn, o.day, o.n_events,
+                  0.5 * CAST(o.n_events AS DOUBLE) + 0.5 * (h.l + h.b),
+                  0.5 * ((0.5 * CAST(o.n_events AS DOUBLE) + 0.5 * (h.l + h.b)) - h.l)
+                    + 0.5 * h.b
+           FROM h JOIN o ON o.rn = h.rn + 1)
+         SELECT strftime(day, '%Y-%m-%d') AS day, n_events,
+                floor(l*10000 + 0.5)/10000 AS level,
+                floor(b*10000 + 0.5)/10000 AS trend,
+                floor((l+b)*10000 + 0.5)/10000 AS forecast_next
+         FROM h ORDER BY day""",
+
     // q76: Kaplan–Meier — the recursive CTE multiplies each day's
     // (n_risk − d)/n_risk factor in ASCENDING day order, the exact
     // operation sequence of the Spark side's window-ordered fold, so

@@ -427,6 +427,7 @@ object TaskRunner {
     "q74_dq_constraints" -> ((s, d, _) => Quality.ordersLineitemChecks(
       Tables.orders(s, d), Tables.lineitem(s, d))),
     "q75_cohort_revenue" -> ((s, d, _) => RelationalOps.cohortRevenue(Tables.orders(s, d))),
+    "q77_holt_trend" -> ((s, d, _) => TrackAnalytics.holtTrend(Tables.events(s, d))),
     "q76_survival_curve" -> ((s, d, p) => TrackAnalytics.survivalCurve(
       Tables.events(s, d), str(p, "fromType", "click"), str(p, "toType", "purchase"))),
     "t01_token_stats" -> ((s, d, _) => TextStats.tokenStats(Tables.documents(s, d))),

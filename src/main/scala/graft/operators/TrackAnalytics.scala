@@ -1189,6 +1189,45 @@ object TrackAnalytics {
       .orderBy("user_id")
   }
 
+  /** q77_holt_trend — Holt's LINEAR-TREND exponential smoothing over
+    * daily event volumes (the forecasting rung above q69's level-only
+    * EWMA: a steadily growing series keeps a persistent trend
+    * component, so the one-step forecast level+trend doesn't lag the
+    * growth the way a plain EWMA structurally must). DYADIC smoothing
+    * (α=β=1/2) keeps every intermediate a dyadic rational — exactly
+    * representable in doubles — and the recurrence evaluates in
+    * ascending-day order on both engines (Spark: a window-ordered
+    * prefix fold; DuckDB: the recursive CTE), so levels/trends/
+    * forecasts are bit-identical before the cosmetic 4-dp round (the
+    * q76/t33 sequential protocol). Initialization: l₁=x₁, b₁=0.
+    * Shuffle posture: raw events reduce to the DAY grain first; the
+    * single-partition window and the O(days²) prefix folds run on
+    * that ≤ horizon-days relation — free at any corpus size. */
+  def holtTrend(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val step =
+      "named_struct('l', 0.5D * CAST(x.n_events AS DOUBLE) + 0.5D * (acc.l + acc.b), " +
+        "'b', 0.5D * ((0.5D * CAST(x.n_events AS DOUBLE) + 0.5D * (acc.l + acc.b)) - acc.l) " +
+        "+ 0.5D * acc.b, 'init', false)"
+    daily
+      .withColumn("xs", collect_list(struct(col("day"), col("n_events"))).over(w))
+      .withColumn("st", expr(
+        "aggregate(xs, named_struct('l', CAST(0 AS DOUBLE), 'b', CAST(0 AS DOUBLE), " +
+          "'init', true), (acc, x) -> CASE WHEN acc.init THEN " +
+          "named_struct('l', CAST(x.n_events AS DOUBLE), 'b', CAST(0 AS DOUBLE), " +
+          s"'init', false) ELSE $step END)"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"),
+        graft.Num.stableRound(col("st.l"), 4).as("level"),
+        graft.Num.stableRound(col("st.b"), 4).as("trend"),
+        graft.Num.stableRound(col("st.l") + col("st.b"), 4).as("forecast_next"))
+      .orderBy("day")
+  }
+
   /** q76_survival_curve — Kaplan–Meier time-to-conversion with RIGHT
     * CENSORING, the estimator q63's lag percentiles cannot be: q63
     * sees only users who DID convert, so its distribution is biased

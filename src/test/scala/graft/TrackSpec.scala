@@ -364,6 +364,25 @@ class TrackSpec extends SparkSpecBase {
     assert(r.getDouble(4) == 4e7) // mean = 2e8/5
   }
 
+  test("holtTrend follows the hand-computed dyadic recurrence, including a negative trend") {
+    val dayMs = 86400000L
+    // day 0: 4 events, day 1: 8, day 2: 2
+    val rows = (0 until 4).map(i => (i.toLong, 1L, 10L + i)) ++
+      (0 until 8).map(i => (10L + i, 1L, dayMs + 10L + i)) ++
+      (0 until 2).map(i => (20L + i, 1L, 2 * dayMs + 10L + i))
+    val ev = rows.toDF("event_id", "user_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withColumn("ts_ns", col("ts_ms") * 1000000L)
+    val out = TrackAnalytics.holtTrend(ev).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // t1: l=4 b=0 f=4; t2: l=.5·8+.5·4=6, b=.5·2=1, f=7;
+    // t3: l=.5·2+.5·7=4.5, b=.5·(4.5−6)+.5·1=−0.25, f=4.25
+    assert(out.toSeq == Seq(
+      (4L, 4.0, 0.0, 4.0),
+      (8L, 6.0, 1.0, 7.0),
+      (2L, 4.5, -0.25, 4.25)), s"got ${out.toSeq}")
+  }
+
   test("survivalCurve computes the hand-checked Kaplan-Meier table with censoring") {
     val dayMs = 86400000L
     // users 1,2,4 convert at days 0,2,2; user 3 never buys (censored
