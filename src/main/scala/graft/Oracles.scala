@@ -1203,6 +1203,39 @@ object Oracles {
          FROM o JOIN a USING (o_custkey)
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // q78: CUSUM — median/MAD via quantile_cont (≡ the exact
+    // interpolated percentile machinery), then the same sequential
+    // recurrence protocol as q76/q77; the shifted flag compares the
+    // ROUNDED cusum columns (the m11 display-consistency rule)
+    "q78_cusum_shift" ->
+      """WITH RECURSIVE
+         d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1),
+         m AS (SELECT quantile_cont(n_events, 0.5) AS med FROM d),
+         md AS (SELECT quantile_cont(abs(n_events - med), 0.5) AS mad FROM d, m),
+         o AS (SELECT day, n_events, med, mad,
+                      row_number() OVER (ORDER BY day) AS rn
+               FROM d, m, md),
+         c(rn, day, n_events, med, mad, sp, sn) AS (
+           SELECT rn, day, n_events, med, mad,
+                  greatest(CAST(0 AS DOUBLE), (CAST(n_events AS DOUBLE) - med - mad/2)),
+                  greatest(CAST(0 AS DOUBLE), (med - CAST(n_events AS DOUBLE) - mad/2))
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.rn, o.day, o.n_events, o.med, o.mad,
+                  greatest(CAST(0 AS DOUBLE),
+                    c.sp + (CAST(o.n_events AS DOUBLE) - o.med - o.mad/2)),
+                  greatest(CAST(0 AS DOUBLE),
+                    c.sn + (o.med - CAST(o.n_events AS DOUBLE) - o.mad/2))
+           FROM c JOIN o ON o.rn = c.rn + 1),
+         r AS (SELECT day, n_events, med, mad,
+                      floor(sp*10000 + 0.5)/10000 AS cusum_up,
+                      floor(sn*10000 + 0.5)/10000 AS cusum_down
+               FROM c)
+         SELECT strftime(day, '%Y-%m-%d') AS day, n_events, cusum_up, cusum_down,
+                (cusum_up > 5.0*mad OR cusum_down > 5.0*mad) AS shifted
+         FROM r ORDER BY day""",
+
     // q77: Holt — same sequential-recurrence protocol as q76: the
     // recursive CTE applies the dyadic update in ascending-day order,
     // bit-identical to Spark's window-ordered prefix fold

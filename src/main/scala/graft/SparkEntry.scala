@@ -142,6 +142,7 @@ object SparkEntry {
     "q75_cohort_revenue" -> ((s, d) => RelationalOps.cohortRevenue(Tables.orders(s, d))),
     "q76_survival_curve" -> ((s, d) => TrackAnalytics.survivalCurve(Tables.events(s, d))),
     "q77_holt_trend" -> ((s, d) => TrackAnalytics.holtTrend(Tables.events(s, d))),
+    "q78_cusum_shift" -> ((s, d) => TrackAnalytics.cusumShift(Tables.events(s, d))),
     // q64's sketch path: KMV estimates, rows-only (spec-bounded vs exact)
     "q65_kmv_overlap" -> ((s, d) => TrackAnalytics.kmvOverlap(Tables.events(s, d))),
     "q63_conversion_lag" -> ((s, d) => TrackAnalytics.conversionLag(Tables.events(s, d))),

@@ -428,6 +428,8 @@ object TaskRunner {
       Tables.orders(s, d), Tables.lineitem(s, d))),
     "q75_cohort_revenue" -> ((s, d, _) => RelationalOps.cohortRevenue(Tables.orders(s, d))),
     "q77_holt_trend" -> ((s, d, _) => TrackAnalytics.holtTrend(Tables.events(s, d))),
+    "q78_cusum_shift" -> ((s, d, p) => TrackAnalytics.cusumShift(
+      Tables.events(s, d), dbl(p, "hSigma", 5.0))),
     "q76_survival_curve" -> ((s, d, p) => TrackAnalytics.survivalCurve(
       Tables.events(s, d), str(p, "fromType", "click"), str(p, "toType", "purchase"))),
     "t01_token_stats" -> ((s, d, _) => TextStats.tokenStats(Tables.documents(s, d))),

@@ -1189,6 +1189,53 @@ object TrackAnalytics {
       .orderBy("user_id")
   }
 
+  /** q78_cusum_shift — two-sided CUSUM sustained-shift detection over
+    * daily event volumes: q60's median/MAD monitor flags POINT
+    * anomalies (one bad day), but a level shift of modest size on
+    * every day slips under any per-day threshold — CUSUM accumulates
+    * the small daily excesses (S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ−med−k)),
+    * mirrored for drops) until the sum crosses h, the classic
+    * change-detection trade (Page's test). Robust parameterization:
+    * center = exact interpolated MEDIAN of daily counts, allowance
+    * k = MAD/2, threshold h = hSigma·MAD — all dyadic rationals over
+    * integers (median/MAD of integers end in .0/.5), so the
+    * sequential recurrence is bit-identical to the oracle's recursive
+    * CTE (the q76/q77 protocol). Day-grain relation throughout; the
+    * O(days²) prefix folds are free at any corpus size. MAD = 0
+    * (constant series) makes any deviation flag immediately —
+    * documented, not special-cased. */
+  def cusumShift(events: DataFrame, hSigma: Double = 5.0): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = RelationalOps.exactGroupPercentiles(
+      daily.withColumn("__g", lit("all")), "__g", "n_events", Seq(0.5))
+      .select(col("__p0").as("med"))
+    val mad = RelationalOps.exactGroupPercentiles(
+      daily.crossJoin(broadcast(med))
+        .withColumn("__g", lit("all"))
+        .withColumn("adev", abs(col("n_events") - col("med"))),
+      "__g", "adev", Seq(0.5)).select(col("__p0").as("mad"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .withColumn("xs", collect_list(
+        struct(col("day"), col("n_events"))).over(w))
+      .withColumn("st", expr(
+        "aggregate(xs, named_struct('sp', CAST(0 AS DOUBLE), 'sn', CAST(0 AS DOUBLE)), " +
+          "(acc, x) -> named_struct(" +
+          "'sp', greatest(CAST(0 AS DOUBLE), acc.sp + (CAST(x.n_events AS DOUBLE) - med - mad/2D)), " +
+          "'sn', greatest(CAST(0 AS DOUBLE), acc.sn + (med - CAST(x.n_events AS DOUBLE) - mad/2D))))"))
+      // flag on the SAME rounded values the row displays (m11 rule)
+      .withColumn("cusum_up", graft.Num.stableRound(col("st.sp"), 4))
+      .withColumn("cusum_down", graft.Num.stableRound(col("st.sn"), 4))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("cusum_up"), col("cusum_down"),
+        (col("cusum_up") > lit(hSigma) * col("mad") ||
+          col("cusum_down") > lit(hSigma) * col("mad")).as("shifted"))
+      .orderBy("day")
+  }
+
   /** q77_holt_trend — Holt's LINEAR-TREND exponential smoothing over
     * daily event volumes (the forecasting rung above q69's level-only
     * EWMA: a steadily growing series keeps a persistent trend

@@ -364,6 +364,29 @@ class TrackSpec extends SparkSpecBase {
     assert(r.getDouble(4) == 4e7) // mean = 2e8/5
   }
 
+  test("cusumShift accumulates a sustained level shift past h while noise days stay flat") {
+    val dayMs = 86400000L
+    // 8 in-control days alternating 10/12 events, then 4 days at 20:
+    // median 12, MAD 2 → k=1, h=10; sp after the shift: 7,14,21,28 —
+    // the alarm fires on the SECOND shifted day (one day of +8 is not
+    // enough, the accumulation is the point vs q60's per-day z-score)
+    val counts = Seq(10, 12, 10, 12, 10, 12, 10, 12, 20, 20, 20, 20)
+    val rows = counts.zipWithIndex.flatMap { case (n, d) =>
+      (0 until n).map(i => ((d * 100 + i).toLong, 1L, d * dayMs + 10L + i))
+    }
+    val ev = rows.toDF("event_id", "user_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withColumn("ts_ns", col("ts_ms") * 1000000L)
+    val out = TrackAnalytics.cusumShift(ev).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(4)))
+    assert(out.map(_._2).takeRight(4).toSeq == Seq(7.0, 14.0, 21.0, 28.0),
+      s"got ${out.toSeq}")
+    assert(out.map(_._3).toSeq ==
+      Seq.fill(9)(false) ++ Seq(true, true, true), s"got ${out.toSeq}")
+    // in-control days never accumulate upward
+    assert(out.take(8).forall(_._2 == 0.0), s"got ${out.toSeq}")
+  }
+
   test("holtTrend follows the hand-computed dyadic recurrence, including a negative trend") {
     val dayMs = 86400000L
     // day 0: 4 events, day 1: 8, day 2: 2
