@@ -1250,10 +1250,16 @@ object TrackAnalytics {
     * Shuffle posture: raw events reduce to the DAY grain first; the
     * single-partition window and the O(days²) prefix folds run on
     * that ≤ horizon-days relation — free at any corpus size. */
-  def holtTrend(events: DataFrame): DataFrame = {
-    val daily = events
+  def holtTrend(events: DataFrame): DataFrame =
+    holtFromDaily(events
       .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events")))
+
+  /** The Holt recurrence from an already-aggregated (day, n_events)
+    * relation — shared by the batch op and its streaming twin (s38),
+    * which maintains the daily counts as replay-exact
+    * batch-partitioned state and re-derives the fold per trigger. */
+  private[graft] def holtFromDaily(daily: DataFrame): DataFrame = {
     val w = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val step =

@@ -876,6 +876,43 @@ object StreamingFlow {
         .partitionBy("batch_id").parquet(resultPath)
     }
 
+  /** s38_stream_holt — q77's streaming twin via the s32 recipe
+    * verbatim: each trigger lands its day-grain counts as its own
+    * batch_id partitions (replay-exact — a re-fired trigger
+    * overwrites itself, late days FOLD IN because the derivation
+    * recomputes from the summed state, never from incremental
+    * deltas), then re-runs the Holt fold over the merged daily
+    * relation. The recurrence itself cannot be maintained
+    * incrementally under late data (a late day changes every
+    * subsequent level/trend), which is exactly why the state is the
+    * REPLAYABLE daily counts and the fold re-derives — day-grain, so
+    * the recompute is free at any corpus size. */
+  def streamHolt(eventStream: DataFrame, statePath: String,
+                 resultPath: String, checkpoint: String
+                ): org.apache.spark.sql.streaming.StreamingQuery =
+    eventStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(holtBatch(statePath, resultPath))
+      .start()
+
+  private[graft] def holtBatch(statePath: String, resultPath: String
+                              ): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      batch.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(statePath)
+      val daily = spark.read.parquet(statePath)
+        .groupBy("day").agg(sum("n_events").as("n_events"))
+      graft.operators.TrackAnalytics.holtFromDaily(daily)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(resultPath)
+    }
+
   def streamAudienceOverlap(eventStream: DataFrame, statePath: String,
                             resultPath: String, checkpoint: String,
                             k: Int = 256

@@ -909,6 +909,50 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s38 streaming Holt re-derives the fold from replay-exact daily state; late days fold in") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_millis
+    import graft.operators.TrackAnalytics
+    val day = 86400000L
+    def ev(d: Int, c: Int): Seq[(Long, Long)] =
+      (0 until c).map(i => ((d * 100 + i).toLong, d * day + i * 1000L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_s38").toString
+    val statePath = s"$dir/state"; val resPath = s"$dir/res"
+    val input = MemoryStream[(Long, Long)]
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = StreamingFlow.streamHolt(
+      withTs(input.toDF().toDF("event_id", "ts_ms")),
+      statePath, resPath, s"$dir/ckpt")
+    val b1 = ev(0, 4) ++ ev(1, 8)
+    val b2 = ev(1, 2) ++ ev(2, 2) // LATE day-1 events + a new day
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // trigger-2 output ≡ batch q77 over ALL events so far: the late
+      // day-1 arrivals changed day 1's count, which re-derives EVERY
+      // subsequent level/trend (why the state is counts, not the fold)
+      val stream2 = spark.read.parquet(resPath).filter(col("batch_id") === 1)
+        .drop("batch_id").collect().toSeq.sortBy(_.getString(0))
+      val batchTwin = TrackAnalytics.holtTrend(
+        withTs((b1 ++ b2).toDF("event_id", "ts_ms"))).collect().toSeq
+        .sortBy(_.getString(0))
+      assert(stream2.nonEmpty && stream2 == batchTwin,
+        s"stream $stream2 vs batch $batchTwin")
+      // replayed trigger overwrites its own state partition: totals exact
+      val before = spark.read.parquet(statePath)
+        .groupBy("day").sum("n_events").collect()
+        .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      StreamingFlow.holtBatch(statePath, resPath)(
+        withTs(b1.toDF("event_id", "ts_ms")), 0L)
+      val after = spark.read.parquet(statePath)
+        .groupBy("day").sum("n_events").collect()
+        .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(after == before, s"replay changed state: $after vs $before")
+    } finally q.stop()
+  }
+
   test("s32 streaming EWMA folds late days exactly; replayed trigger leaves counts unchanged") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
