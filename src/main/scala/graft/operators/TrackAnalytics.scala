@@ -1204,10 +1204,19 @@ object TrackAnalytics {
     * O(days²) prefix folds are free at any corpus size. MAD = 0
     * (constant series) makes any deviation flag immediately —
     * documented, not special-cased. */
-  def cusumShift(events: DataFrame, hSigma: Double = 5.0): DataFrame = {
-    val daily = events
+  def cusumShift(events: DataFrame, hSigma: Double = 5.0): DataFrame =
+    cusumFromDaily(events
       .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events")), hSigma)
+
+  /** The CUSUM derivation from an already-aggregated (day, n_events)
+    * relation — shared by the batch op and its streaming twin (s39),
+    * the holtFromDaily seam verbatim: center/allowance/threshold
+    * re-derive from the full state each trigger (late days shift the
+    * median, which re-parameterizes every day — another recurrence
+    * that cannot be maintained incrementally). */
+  private[graft] def cusumFromDaily(daily: DataFrame,
+                                    hSigma: Double): DataFrame = {
     val med = RelationalOps.exactGroupPercentiles(
       daily.withColumn("__g", lit("all")), "__g", "n_events", Seq(0.5))
       .select(col("__p0").as("med"))

@@ -913,6 +913,41 @@ object StreamingFlow {
         .partitionBy("batch_id").parquet(resultPath)
     }
 
+  /** s39_stream_cusum — q78's streaming twin on the s32/s38 state
+    * recipe: replay-exact day-grain counts per trigger, the CUSUM
+    * derivation (median/MAD re-parameterization INCLUDED — a late day
+    * shifts the center, which re-scores every day) recomputed from
+    * the summed state. The live "has the volume level SHIFTED"
+    * monitor next to s32's smoothing and s35's percentiles. */
+  def streamCusum(eventStream: DataFrame, statePath: String,
+                  resultPath: String, checkpoint: String,
+                  hSigma: Double = 5.0
+                 ): org.apache.spark.sql.streaming.StreamingQuery =
+    eventStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(cusumBatch(statePath, resultPath, hSigma))
+      .start()
+
+  private[graft] def cusumBatch(statePath: String, resultPath: String,
+                                hSigma: Double): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      batch.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(statePath)
+      val daily = spark.read.parquet(statePath)
+        .groupBy("day").agg(sum("n_events").as("n_events"))
+      graft.Caches.scoped {
+        graft.operators.TrackAnalytics.cusumFromDaily(daily, hSigma)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(resultPath)
+      }
+    }
+
   def streamAudienceOverlap(eventStream: DataFrame, statePath: String,
                             resultPath: String, checkpoint: String,
                             k: Int = 256

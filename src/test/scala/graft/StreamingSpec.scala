@@ -909,6 +909,45 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s39 streaming CUSUM re-parameterizes from full state; shift alarm fires mid-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_millis
+    import graft.operators.TrackAnalytics
+    val day = 86400000L
+    def ev(d: Int, c: Int): Seq[(Long, Long)] =
+      (0 until c).map(i => ((d * 100 + i).toLong, d * day + i * 1000L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_s39").toString
+    val statePath = s"$dir/state"; val resPath = s"$dir/res"
+    val input = MemoryStream[(Long, Long)]
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = StreamingFlow.streamCusum(
+      withTs(input.toDF().toDF("event_id", "ts_ms")),
+      statePath, resPath, s"$dir/ckpt")
+    // trigger 1: the in-control regime; trigger 2: the level shift
+    val b1 = (0 until 8).flatMap(d => ev(d, if (d % 2 == 0) 10 else 12))
+    val b2 = (8 until 12).flatMap(d => ev(d, 20))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      val t1 = spark.read.parquet(resPath).filter(col("batch_id") === 0)
+      assert(t1.filter(col("shifted")).count() == 0, "in-control must not alarm")
+      input.addData(b2: _*); q.processAllAvailable()
+      // trigger-2 ≡ batch q78 over all events: the alarm fires on the
+      // second shifted day (the hand-computed TrackSpec series)
+      val stream2 = spark.read.parquet(resPath).filter(col("batch_id") === 1)
+        .drop("batch_id").collect().toSeq.sortBy(_.getString(0))
+      val batchTwin = graft.Caches.scoped {
+        TrackAnalytics.cusumShift(
+          withTs((b1 ++ b2).toDF("event_id", "ts_ms"))).collect().toSeq
+          .sortBy(_.getString(0))
+      }
+      assert(stream2.nonEmpty && stream2 == batchTwin,
+        s"stream $stream2 vs batch $batchTwin")
+      assert(stream2.count(_.getBoolean(4)) == 3, "alarm from the second shifted day")
+    } finally q.stop()
+  }
+
   test("s38 streaming Holt re-derives the fold from replay-exact daily state; late days fold in") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
