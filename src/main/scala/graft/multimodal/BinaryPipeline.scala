@@ -541,14 +541,32 @@ object BinaryPipeline {
     * table on content hash, each doc's chunks concatenate in position
     * order (position is unique per doc → deterministic fold). Docs
     * whose payload was empty have no recipe rows — callers left-join
-    * and coalesce to empty, the documented contract. */
+    * and coalesce to empty, the documented contract.
+    *
+    * Re-uploads: a batch-seeded store may hold the SAME doc_id under
+    * several batch_id partitions (appendChunkStore only overwrites its
+    * own batch's partition — the replay protocol). Reassembly keeps
+    * only each doc's LATEST batch_id recipe set (last-writer-wins, the
+    * version semantics the append docstring promises); superseded
+    * versions' chunk bytes stay in the content-addressed table, which
+    * is harmless (hash-addressed, never concatenated without a recipe)
+    * and reclaimable by a vacuum that anti-joins surviving recipes. */
   def readChunkStore(spark: org.apache.spark.sql.SparkSession,
-                     path: String): DataFrame =
-    spark.read.parquet(path + "/recipes")
-      .join(spark.read.parquet(path + "/chunks"), "chunk_hash")
+                     path: String): DataFrame = {
+    val raw = spark.read.parquet(path + "/recipes")
+    val recipes =
+      if (raw.columns.contains("batch_id")) {
+        val latest = raw.groupBy("doc_id")
+          .agg(max(col("batch_id")).as("batch_id"))
+        raw.join(latest, Seq("doc_id", "batch_id")).drop("batch_id")
+      } else raw
+    recipes
+      .join(spark.read.parquet(path + "/chunks").select("chunk_hash", "bytes"),
+        "chunk_hash")
       .groupBy("doc_id")
       .agg(expr("aggregate(array_sort(collect_list(struct(pos, bytes))), " +
         "CAST('' AS BINARY), (acc, x) -> concat(acc, x.bytes))").as("payload"))
+  }
 
   /** m14_chunk_store — the store's roundtrip report: build, reassemble,
     * compare byte-for-byte against the original payloads. One row per

@@ -169,28 +169,44 @@ object VersionedTable {
     Files.exists(versionFile(path, v))
 
   /** The largest committed version published at or before wall-clock
-    * `tsMillis` — Delta's `timestampAsOf` contract, resolved from the
-    * commit files' MODIFICATION TIMES: the log publishes each version
-    * with one atomic link, so the entry's mtime IS the commit
-    * instant, and versions' mtimes are monotone because a version
-    * only commits after its predecessor exists. None when the table
-    * has no version that old (asking for "before the table existed"
-    * must be an error at the caller, not silently-latest). Versions
-    * whose log entry vacuum pruned are skipped — their snapshots are
-    * gone, so they are not addressable by timestamp either. */
+    * `tsMillis` — Delta's `timestampAsOf` contract. The commit instant
+    * is read from the entry's own `commitTs` payload field (stamped at
+    * [[tryCommit]] time — the authoritative record, because it survives
+    * copies/rsync/restores that rewrite file mtimes); entries committed
+    * before the field existed fall back to the log file's modification
+    * time, which is the commit instant as long as the directory was
+    * never copied without preserved mtimes. None when the table has no
+    * version that old (asking for "before the table existed" must be
+    * an error at the caller, not silently-latest). Versions whose log
+    * entry vacuum pruned are skipped — their snapshots are gone, so
+    * they are not addressable by timestamp either. */
   def versionAsOf(path: String, tsMillis: Long): Option[Long] = {
     latestVersion(path).flatMap { latest =>
       var best: Option[Long] = None
       var v = latest
       while (v >= 1 && best.isEmpty) {
-        val f = versionFile(path, v)
-        if (Files.exists(f) &&
-            Files.getLastModifiedTime(f).toMillis <= tsMillis)
+        if (hasVersion(path, v) && commitInstant(path, v) <= tsMillis)
           best = Some(v)
         v -= 1
       }
       best
     }
+  }
+
+  /** A version's commit instant (epoch millis): the `commitTs` field
+    * stamped into the log entry at commit time, or — for legacy
+    * entries that predate the field — the log file's mtime. */
+  private[graft] def commitInstant(path: String, v: Long): Long = {
+    val f = versionFile(path, v)
+    val payload = readPayload(f)
+    val marker = "\"commitTs\":"
+    val i = payload.indexOf(marker)
+    if (i >= 0) {
+      val s = i + marker.length
+      var e = s
+      while (e < payload.length && payload.charAt(e).isDigit) e += 1
+      payload.substring(s, e).toLong
+    } else Files.getLastModifiedTime(f).toMillis
   }
 
   /** [[read]] addressed by wall-clock instant instead of version
@@ -296,7 +312,11 @@ object VersionedTable {
       require(!app.contains('"'), s"txn app id must not contain quotes: $app")
       s""","txnApp":${"\"" + app + "\""},"txnV":$tv"""
     }.getOrElse("")
-    val schemaField = schemaJson.map(j => s""","schema":$j""").getOrElse("") + txnField
+    // The commit instant rides IN the payload: mtimes do not survive
+    // copies/rsync/restores, so timestamp resolution must not lean on
+    // them (versionAsOf falls back to mtime only for pre-r18 entries).
+    val schemaField = schemaJson.map(j => s""","schema":$j""").getOrElse("") +
+      txnField + s""","commitTs":${System.currentTimeMillis()}"""
     val prev: Option[Seq[String]] =
       if (v <= 1L) None
       else try Some(filesOf(path, v - 1)) catch { case _: Exception => None }
@@ -1034,7 +1054,13 @@ object VersionedTable {
       val files = filesOf(path, base)
       val absOf = files.map(f => resolve(path, f))
       val baseReader = schemaOf(path, base).map(spark.read.schema).getOrElse(spark.read)
-      if (absOf.isEmpty && upRows == 0L) return base // nothing to do
+      // A no-op merge may still need to COMMIT: when a txn stamp is
+      // provided, the caller (AggView.refresh) relies on the stamp
+      // advancing to mark the source range as applied — returning
+      // `base` would re-derive the same delta every call and break
+      // once the source log entries in (synced, tip] are vacuumed.
+      // Only skip the commit when there is no stamp to record.
+      if (absOf.isEmpty && upRows == 0L && txn.isEmpty) return base
       val snap = (if (absOf.isEmpty) up.limit(0) else baseReader.parquet(absOf: _*))
         .withColumn("_file", input_file_name())
       val baseSchema = snap.drop("_file").schema

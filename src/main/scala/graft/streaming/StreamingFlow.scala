@@ -868,12 +868,19 @@ object StreamingFlow {
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(statePath)
-      val daily = spark.read.parquet(statePath)
-        .groupBy("event_type", "day").agg(sum("n_events").as("n_events"))
-      TrackAnalytics.ewmaFromDaily(daily, horizon)
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id").parquet(resultPath)
+      // An EMPTY first trigger lands a state dir holding only _SUCCESS
+      // (zero batch_id partitions) — reading it fails schema inference
+      // and the checkpointed replay crash-loops. Skip the derivation
+      // until any trigger contributes rows; the skip itself replays
+      // idempotently (same guard, same no-op).
+      if (graft.Fs.hasChildDir(spark, statePath, "batch_id=")) {
+        val daily = spark.read.parquet(statePath)
+          .groupBy("event_type", "day").agg(sum("n_events").as("n_events"))
+        TrackAnalytics.ewmaFromDaily(daily, horizon)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(resultPath)
+      }
     }
 
   /** s38_stream_holt — q77's streaming twin via the s32 recipe
@@ -905,12 +912,15 @@ object StreamingFlow {
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(statePath)
-      val daily = spark.read.parquet(statePath)
-        .groupBy("day").agg(sum("n_events").as("n_events"))
-      graft.operators.TrackAnalytics.holtFromDaily(daily)
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id").parquet(resultPath)
+      // empty-first-trigger guard — see ewmaBatch
+      if (graft.Fs.hasChildDir(spark, statePath, "batch_id=")) {
+        val daily = spark.read.parquet(statePath)
+          .groupBy("day").agg(sum("n_events").as("n_events"))
+        graft.operators.TrackAnalytics.holtFromDaily(daily)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(resultPath)
+      }
     }
 
   /** s39_stream_cusum — q78's streaming twin on the s32/s38 state
@@ -938,13 +948,16 @@ object StreamingFlow {
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(statePath)
-      val daily = spark.read.parquet(statePath)
-        .groupBy("day").agg(sum("n_events").as("n_events"))
-      graft.Caches.scoped {
-        graft.operators.TrackAnalytics.cusumFromDaily(daily, hSigma)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(resultPath)
+      // empty-first-trigger guard — see ewmaBatch
+      if (graft.Fs.hasChildDir(spark, statePath, "batch_id=")) {
+        val daily = spark.read.parquet(statePath)
+          .groupBy("day").agg(sum("n_events").as("n_events"))
+        graft.Caches.scoped {
+          graft.operators.TrackAnalytics.cusumFromDaily(daily, hSigma)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(resultPath)
+        }
       }
     }
 

@@ -47,6 +47,28 @@ class AggViewSpec extends SparkSpecBase {
     }
   }
 
+  test("no-op merge over an EMPTY table still commits its txn stamp (stamp-only version)") {
+    val dir = Files.createTempDirectory("graft_mergestamp").toString + "/t"
+    VersionedTable.create(srcRows(0L until 3L), dir)
+    // v2: a tip with ZERO data files (the empty-view shape AggView.refresh
+    // can present after every group empties out)
+    assert(VersionedTable.tryCommit(dir, 2L, Seq.empty,
+      schemaJson = Some(srcRows(Seq.empty).schema.json)))
+    val noUpdates = srcRows(Seq.empty)
+    val noDeletes = Seq.empty[Tuple1[Long]].toDF("id")
+    // pre-fix this returned the base version WITHOUT committing, so the
+    // stamp never advanced and the maintainer re-derived (and eventually
+    // broke once the consumed source log entries were vacuumed)
+    val v = VersionedTable.merge(spark, dir, Seq("id"), noUpdates, noDeletes,
+      txn = Some(("sync-app", 7L)))
+    assert(v == 3L, "a txn-stamped no-op merge must still commit")
+    assert(VersionedTable.lastTxn(dir, "sync-app").contains(7L))
+    assert(VersionedTable.read(spark, dir).isEmpty)
+    // withOUT a stamp the same no-op stays commit-free (no version churn)
+    assert(VersionedTable.merge(spark, dir, Seq("id"), noUpdates, noDeletes) == 3L)
+    assert(VersionedTable.latestVersion(dir).contains(3L))
+  }
+
   private def viewEqualsRecompute(srcDir: String, viewDir: String): Unit = {
     val got = AggView.read(spark, viewDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet

@@ -303,6 +303,31 @@ class MultimodalSpec extends SparkSpecBase {
       case _ => true }, "bounds must be contiguous")
   }
 
+  test("chunk store re-ingest: a later batch's version of a doc_id supersedes the old recipes") {
+    import spark.implicits._
+    import graft.multimodal.BinaryPipeline
+    val rnd = new scala.util.Random(23)
+    val v1 = Iterator.continually(rnd.alphanumeric.head).take(1500).mkString
+    val v2 = v1.substring(0, 700) + "EDITED-REUPLOAD" + v1.substring(700)
+    val dir = java.nio.file.Files.createTempDirectory("graft_m14r").toString
+    BinaryPipeline.writeChunkStore(
+      Seq((1L, v1), (2L, v1)).toDF("doc_id", "text"), dir, batchId = Some(-1L))
+    // re-upload doc 1 with edited content in a LATER batch: the old
+    // batch's recipe rows stay on disk (append only overwrites its own
+    // partition) — reassembly must keep ONLY the latest version, not
+    // concatenate both versions' chunks
+    BinaryPipeline.appendChunkStore(Seq((1L, v2)).toDF("doc_id", "text"), dir, 0L)
+    val rebuilt = BinaryPipeline.readChunkStore(spark, dir).collect()
+      .map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+    assert(rebuilt(1L) == v2, "re-uploaded doc must reassemble to its LATEST version")
+    assert(rebuilt(2L) == v1, "untouched doc keeps its seeded version")
+    // replay of the re-upload batch changes nothing (overwrite-own-partition)
+    BinaryPipeline.appendChunkStore(Seq((1L, v2)).toDF("doc_id", "text"), dir, 0L)
+    val again = BinaryPipeline.readChunkStore(spark, dir).collect()
+      .map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+    assert(again == rebuilt, "replayed re-upload must be a no-op")
+  }
+
   test("m12 blockhash laws: compiled = Scala compute; empty hashes to 0; pigeonhole is recall-exact to h<=3") {
     import graft.functions.BlockMeanHash
     assert(BlockMeanHash.compute(Array.empty[Byte]) == 0L)

@@ -437,6 +437,16 @@ class SourcesSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       VersionedTable.readAsOf(spark, dir, 0L)
     }
+    // the restore/rsync scenario: clobber every log file's mtime (a copy
+    // without preserved mtimes) — resolution must NOT change, because the
+    // commit instant is stamped INSIDE the entry payload, not the inode
+    val logDir = Paths.get(dir, "_graft_log")
+    scala.jdk.CollectionConverters.IteratorHasAsScala(Files.list(logDir).iterator())
+      .asScala.foreach(p => Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 86400000L)))
+    assert(VersionedTable.versionAsOf(dir, betweenV1V2).contains(1L),
+      "commitTs payload stamp must survive an mtime-clobbering restore")
+    assert(VersionedTable.versionAsOf(dir, 0L).isEmpty)
   }
 
   test("versioned table: commits are CAS — one winner, losers retry into the next version") {

@@ -1037,6 +1037,38 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s32/s38/s39: an EMPTY first trigger skips the derivation instead of crash-looping") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_millis
+    val dir = java.nio.file.Files.createTempDirectory("graft_semptyb").toString
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_millis(col("ts_ms")))
+    val empty = withTs(Seq.empty[(String, Long)].toDF("event_type", "ts_ms"))
+    val day = 86400000L
+    val rows = withTs(((0 until 3).flatMap(d =>
+      (0 to d).map(i => ("A", d * day + i * 1000L)))).toDF("event_type", "ts_ms"))
+    // an empty batch 0 lands a state dir holding only _SUCCESS; reading it
+    // fails schema inference — pre-fix, the checkpointed replay of batch 0
+    // crash-looped the query. Post-fix: a silent skip, then batch 1 works.
+    StreamingFlow.ewmaBatch(s"$dir/s1", s"$dir/r1", 4)(empty, 0L)
+    assert(!graft.Fs.exists(spark, s"$dir/r1"), "no result for an all-empty store")
+    StreamingFlow.ewmaBatch(s"$dir/s1", s"$dir/r1", 4)(rows, 1L)
+    assert(spark.read.parquet(s"$dir/r1").count() > 0)
+    StreamingFlow.holtBatch(s"$dir/s2", s"$dir/r2")(empty.drop("event_type"), 0L)
+    assert(!graft.Fs.exists(spark, s"$dir/r2"))
+    StreamingFlow.holtBatch(s"$dir/s2", s"$dir/r2")(rows.drop("event_type"), 1L)
+    assert(spark.read.parquet(s"$dir/r2").count() > 0)
+    StreamingFlow.cusumBatch(s"$dir/s3", s"$dir/r3", 5.0)(empty.drop("event_type"), 0L)
+    assert(!graft.Fs.exists(spark, s"$dir/r3"))
+    StreamingFlow.cusumBatch(s"$dir/s3", s"$dir/r3", 5.0)(rows.drop("event_type"), 1L)
+    assert(spark.read.parquet(s"$dir/r3").count() > 0)
+    // an empty LATER trigger over existing state still derives (results
+    // re-land under the new batch_id from the already-populated state)
+    StreamingFlow.ewmaBatch(s"$dir/s1", s"$dir/r1", 4)(empty, 2L)
+    assert(spark.read.parquet(s"$dir/r1").filter(col("batch_id") === 2).count() > 0,
+      "empty trigger over existing state must still re-derive")
+  }
+
   test("s27 streaming percolation matches batch t31 per trigger; replay overwrites") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
