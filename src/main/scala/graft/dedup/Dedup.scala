@@ -1490,17 +1490,31 @@ object Dedup {
     * regime): [[containmentAgainst]] re-shingles and re-counts the
     * ENTIRE corpus per batch; this sink runs that once, writing three
     * relations under `path` — `sets/` (doc_id, sh, nsh — the verify
-    * side), `postings/` (bkt, sh_h, doc_id — the candidate side,
-    * partitioned by shingle-hash bucket so a probe's buckets prune to
-    * their directories) and `dfs/` (bkt, sh_h, df — one row per
-    * DISTINCT corpus shingle, the cheap lookup that lets the probe
-    * choose its prefix BEFORE touching any posting), plus `meta/`
-    * (the bucket modulus — a probe must hash with the sink's exact
-    * modulus, and sparse occupancy makes it non-inferable). df is an
-    * efficiency ordering, not a correctness input (the prefix
-    * principle holds for any p-subset), so batch_id-partitioned
-    * appends leaving per-partition partial dfs can never cost recall
-    * — the probe folds them with one sum. */
+    * side), `postings/` (bkt, sh_h, doc_id, nsh, rk — the candidate
+    * side, partitioned by shingle-hash bucket so a probe's buckets
+    * prune to their directories) and `order/` (bkt, sh_h, odf — the
+    * FROZEN global shingle order, see below), plus `meta/` (the
+    * bucket modulus — a probe must hash with the sink's exact
+    * modulus, and sparse occupancy makes it non-inferable).
+    *
+    * The PPJoin filters that rescue the live d19/d22 paths at shingle
+    * saturation (see [[containmentPrefixCandidates]] — size +
+    * positional, 8.7×/6.6× measured at the saturated 100k-doc tier)
+    * need per-posting metadata: `nsh` (the corpus doc's set size, the
+    * SIZE bound) and `rk` (the shingle's rank within its doc, the
+    * POSITIONAL bound). The positional proof requires probe-side and
+    * corpus-side ranks to live in ONE consistent total order — but
+    * the "true" document-frequency order changes with every append,
+    * so the order is FROZEN AT SEED TIME: `order/` persists the seed
+    * corpus's per-shingle df (`odf`), and every write — seed and all
+    * appends — ranks its postings under (odf, sh_h), with shingles
+    * absent from the frozen order at odf 0 (probed first, the d20
+    * df-0 rule). Appends read `order/` and never write it. Staleness
+    * of the frozen order costs only PRUNING POWER on post-seed
+    * vocabulary, never recall: the prefix principle is exact for any
+    * total order, and the positional bound is exact for any order
+    * SHARED by both sides — which frozen-at-seed is, by construction,
+    * for every probe and every append forever. */
   def writeContainmentIndex(corpus: DataFrame, path: String, nBuckets: Int = 64,
                             batchId: Option[Long] = None): Unit = {
     // an APPEND must hash with the modulus the index was seeded with,
@@ -1527,22 +1541,42 @@ object Dedup {
             "(single-shot layout); seed with batchId = Some(...) to " +
             "support appends")
     }
+    val spark = corpus.sparkSession
+    val isAppend = batchId.isDefined && graft.Fs.exists(spark, path + "/meta")
     val sets = graft.Caches.tracked(withShingleHashes(corpus)
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("nsh")))
-    val post = sets.select(col("doc_id"), explode(col("sh")).as("sh_h"))
+    val bare = sets.select(col("doc_id"), col("nsh"), explode(col("sh")).as("sh_h"))
       .withColumn("bkt", pmod(col("sh_h"), lit(effBuckets.toLong)).cast("int"))
-    val dfs = post.groupBy("bkt", "sh_h").agg(count(lit(1)).as("df"))
+    // the frozen order: seed derives it from its own dfs (and persists
+    // it); appends READ it — ranking an append's postings under a fresh
+    // order would break the one-consistent-order requirement of the
+    // positional bound. Append-side reads prune to the batch's own
+    // bucket set (only its shingles need odf).
+    val odf = if (isAppend) {
+      val bkts = bare.select("bkt").distinct().collect().map(_.getInt(0))
+      spark.read.parquet(path + "/order")
+        .filter(col("bkt").isin(bkts.toSeq: _*)).select("sh_h", "odf")
+    } else {
+      val ord = graft.Caches.tracked(
+        bare.groupBy("bkt", "sh_h").agg(count(lit(1)).as("odf")))
+      ord.write.mode("overwrite").partitionBy("bkt").parquet(path + "/order")
+      ord.select("sh_h", "odf")
+    }
+    val post = bare.join(odf, Seq("sh_h"), "left_outer")
+      .withColumn("odf", coalesce(col("odf"), lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("odf"), col("sh_h"))).cast("long"))
+      .select(col("bkt"), col("sh_h"), col("doc_id"), col("nsh"), col("rk"))
     // the bucket MODULUS must be persisted — inferring it from the
     // occupied bucket ids breaks on sparse occupancy (a small corpus
     // can leave the top buckets empty), and a probe hashing with the
     // wrong modulus reads the wrong directories
-    corpus.sparkSession.range(1).select(lit(effBuckets).as("n_buckets"))
+    spark.range(1).select(lit(effBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(path + "/meta")
     batchId match {
       case None =>
         sets.write.mode("overwrite").parquet(path + "/sets")
         post.write.mode("overwrite").partitionBy("bkt").parquet(path + "/postings")
-        dfs.write.mode("overwrite").partitionBy("bkt").parquet(path + "/dfs")
       case Some(id) =>
         sets.withColumn("batch_id", lit(id))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -1550,9 +1584,6 @@ object Dedup {
         post.withColumn("batch_id", lit(id))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id", "bkt").parquet(path + "/postings")
-        dfs.withColumn("batch_id", lit(id))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id", "bkt").parquet(path + "/dfs")
     }
   }
 
@@ -1561,10 +1592,17 @@ object Dedup {
     * dfCap = None)` over the same corpus, at |batch|-proportional
     * cost with ZERO corpus text reads. The batch shingles fresh, its
     * bucket set (≤ nBuckets values, driver-bounded) statically prunes
-    * the dfs/postings directories, the df lookup orders the prefix
-    * (absent shingles fold to df 0 — the d20 rule), and only the
-    * prefix shingles probe the postings join; the verify reads
-    * `sets/` rows for surviving candidates only. */
+    * the order/postings directories, the FROZEN order lookup ranks
+    * the prefix (absent shingles fold to odf 0 — the d20 rule), and
+    * only the prefix shingles probe the postings join — WITH the
+    * PPJoin size and positional filters applied per join row before
+    * the pair distinct, exactly the pruning that rescued the live
+    * d19/d22 paths at shingle saturation. Both filters are
+    * recall-exact here because probe ranks and posting ranks live in
+    * the same frozen seed order (see [[writeContainmentIndex]]): for
+    * a qualifying pair the order-first common shingle is in the
+    * probe's prefix and its join row passes both bounds. The verify
+    * reads `sets/` rows for surviving candidates only. */
   def containmentAgainstIndex(newDocs: DataFrame, indexPath: String,
                               threshold: Double = 0.8, minShingles: Int = 5,
                               excludeBatchId: Option[Long] = None): DataFrame = {
@@ -1584,7 +1622,6 @@ object Dedup {
     // Ints too — a cast on the partition column would defeat the
     // pruning this layout exists for.
     val postingsRaw = excl(spark.read.parquet(indexPath + "/postings"))
-    val dfsRaw = excl(spark.read.parquet(indexPath + "/dfs"))
     val nBuckets = spark.read.parquet(indexPath + "/meta")
       .collect()(0).getAs[Number](0).longValue
     val be = graft.Caches.tracked(
@@ -1592,20 +1629,27 @@ object Dedup {
           explode(col("sh")).as("sh_h"))
         .withColumn("bkt", pmod(col("sh_h"), lit(nBuckets)).cast("int")))
     val bkts = be.select("bkt").distinct().collect().map(_.getInt(0))
-    val dfs = dfsRaw.filter(col("bkt").isin(bkts: _*))
-      .groupBy("sh_h").agg(sum("df").as("df")) // fold append partitions
+    val odf = spark.read.parquet(indexPath + "/order")
+      .filter(col("bkt").isin(bkts: _*)).select("sh_h", "odf")
     val prefixLen = col("nsh") - ceil(lit(threshold) * col("nsh") - lit(1e-9)) + 1
-    val prefix = be.join(dfs, Seq("sh_h"), "left_outer")
-      .withColumn("df", coalesce(col("df"), lit(0L)))
+    val prefix = be.join(odf, Seq("sh_h"), "left_outer")
+      .withColumn("odf", coalesce(col("odf"), lit(0L)))
       .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("sh_h"))))
+        Window.partitionBy("doc_id").orderBy(col("odf"), col("sh_h"))).cast("long"))
       .filter(col("rk") <= prefixLen)
-      .select(col("doc_id"), col("sh_h"))
-    val cand = prefix
+      .select(col("doc_id"), col("nsh"), col("rk"), col("sh_h"))
+    val need = ceil(lit(threshold) * col("p.nsh") - lit(1e-9))
+    val cand = prefix.as("p")
       .join(postingsRaw.filter(col("bkt").isin(bkts: _*))
-        .select(col("sh_h"), col("doc_id").as("corpus_doc")).hint("shuffle_hash"),
-        Seq("sh_h"))
-      .select(col("doc_id"), col("corpus_doc")).distinct()
+        .select(col("sh_h"), col("doc_id").as("corpus_doc"),
+          col("nsh").as("n_corp"), col("rk").as("crk"))
+        .as("q").hint("shuffle_hash"),
+        col("p.sh_h") === col("q.sh_h") &&
+          col("q.n_corp") >= need &&
+          least(col("p.nsh") - col("p.rk"),
+            col("q.n_corp") - col("q.crk")) >= need - lit(1))
+      .select(col("p.doc_id").as("doc_id"), col("q.corpus_doc").as("corpus_doc"))
+      .distinct()
     val sets = excl(spark.read.parquet(indexPath + "/sets"))
     cand
       .join(bsets.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")

@@ -643,17 +643,58 @@ class DedupSpec extends SparkSpecBase {
     val probeDf = Dedup.containmentAgainstIndex(batch, dir, threshold = 0.8, minShingles = 5)
     assert(probeDf.collect().toSeq == live,
       "saved-index probe must be result-identical to the live containment check")
-    // the postings/dfs reads prune by the probe's bucket set — the
+    // the postings/order reads prune by the probe's bucket set — the
     // isin over the bkt partition column must land as partition
     // filters, not row filters (the a15 pin applied here)
     val scans = probeDf.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
         if f.relation.location.rootPaths.exists(p =>
-          p.toString.contains("postings") || p.toString.contains("dfs")) => f
+          p.toString.contains("postings") || p.toString.contains("order")) => f
     }
-    assert(scans.nonEmpty, "postings/dfs scans missing")
+    assert(scans.nonEmpty, "postings/order scans missing")
     assert(scans.forall(_.partitionFilters.nonEmpty),
-      "probe buckets must prune partitions on the postings/dfs reads")
+      "probe buckets must prune partitions on the postings/order reads")
+    graft.Caches.release()
+  }
+
+  test("indexed PPJoin filters: recall exact across appends under the frozen order; hot rows pruned") {
+    // the saturation shape the frozen-order positional/size bounds must
+    // survive: every doc shares a hot opening, real containment is
+    // planted in a POST-SEED append (its shingles rank under the stale
+    // seed order), and the probe must still find it — the filters may
+    // only drop join rows, never qualifying pairs
+    val common = "the quick brown fox jumps over"
+    val big = s"$common alpha beta gamma delta epsilon zeta eta theta"
+    val sub = s"$common alpha beta gamma delta epsilon"
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont_pp").toString
+    // seed corpus: hot opening + its own vocabulary, no planted pair
+    Dedup.writeContainmentIndex(docs(
+      10L -> s"$common iota kappa lambda mu nu xi",
+      11L -> s"$common omicron pi rho sigma tau upsilon"), dir, batchId = Some(-1L))
+    // append introduces BRAND-NEW vocabulary (odf 0 under the frozen
+    // order) including the container doc
+    Dedup.writeContainmentIndex(docs(12L -> big), dir, batchId = Some(0L))
+    graft.Caches.release()
+    val batch = docs(0L -> sub,
+      1L -> "totally unrelated fresh arrival content words here today")
+    val out = Dedup.containmentAgainstIndex(batch, dir, threshold = 0.8,
+      minShingles = 5).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 12L)),
+      s"planted containment into appended vocabulary must survive the filters: ${out.toSeq}")
+    // probe ≡ live d20 over the equivalent corpus (the d21 contract)
+    val live = Dedup.containmentAgainst(batch, docs(
+      10L -> s"$common iota kappa lambda mu nu xi",
+      11L -> s"$common omicron pi rho sigma tau upsilon",
+      12L -> big), threshold = 0.8, minShingles = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == live.toSeq, s"probe ${out.toSeq} != live ${live.toSeq}")
+    // pruning teeth: a batch doc too LARGE for any corpus doc to
+    // contain it (size bound: every n_corp < ⌈t·nsh⌉) yields zero
+    // candidate pairs even though it shares the hot opening
+    val giant = docs(5L -> (big + " " + (1 to 40).map(i => s"w$i").mkString(" ")))
+    val none = Dedup.containmentAgainstIndex(giant, dir, threshold = 0.8,
+      minShingles = 5).collect()
+    assert(none.isEmpty, "size bound must reject containers smaller than t*|batch doc|")
     graft.Caches.release()
   }
 
