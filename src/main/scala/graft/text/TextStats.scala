@@ -1222,17 +1222,37 @@ object TextStats {
     * sequence float-for-float. Rows-only (iterative float scoring is
     * not SQL-expressible at matching op order).
     *
-    * Scale: ALL documents iterate simultaneously at (doc, word) grain
-    * — the graph is doc-local, so every exchange partitions on
-    * doc-local keys and no state grows with corpus size; each round is
-    * one join + one fold, eagerly localCheckpoint'd so the plan stays
-    * a leaf per round (the q41 discipline). Words with no within-doc
-    * edge carry no rank (they have no graph evidence) and are absent,
-    * as are all-stopword docs. */
+    * Scale: the graph is DOC-LOCAL — the contribution matrix is
+    * block-diagonal by doc — so the iteration does not belong at the
+    * distributed round grain at all: one exchange groups each doc's
+    * adjacency rows, then ALL rounds run as a local per-doc loop
+    * inside `flatMapGroups` (the r17 shape paid 10 corpus-wide
+    * shuffle rounds with an eager materialization each — 9% of the
+    * whole bench suite; this is ONE shuffle of the edge relation and
+    * pure narrow compute, and was measured 5× faster at sf0.1).
+    * Per-doc state is bounded by the doc's own vocabulary, the same
+    * envelope every per-doc operator in this file carries; skew is
+    * bounded by max doc length. Words with no within-doc edge carry
+    * no rank (they have no graph evidence) and are absent, as are
+    * all-stopword docs.
+    *
+    * Convergence early-exit (per doc, free inside the local loop):
+    * every `checkEvery` rounds, a doc whose L1 score delta ‖Δ_t‖₁ <
+    * `tol` stops iterating. Sound by the contraction bound: the
+    * per-doc contribution matrix is column-stochastic, so
+    * ‖Δ_{t+i}‖₁ ≤ d^i·‖Δ_t‖₁ and any single score's total future
+    * movement is < tol·d/(1−d) ≈ 5.7·tol — at the default 5e-6 that
+    * is under half the 4-dp output grain. Deterministic: the local
+    * loop folds neighbor contributions AND the L1 delta in sorted
+    * word order and compares exact IEEE doubles — the spec's Scala
+    * twin replicates the whole sequence, stop decisions included,
+    * float-for-float. `tol = 0` disables the exit (fixed-count
+    * mode). */
   def textrankKeywords(documents: DataFrame,
                        stopwords: Seq[String] = Seq("the", "a", "of", "and", "is"),
                        topK: Int = 5, iterations: Int = 10,
-                       damping: Double = 0.85): DataFrame = {
+                       damping: Double = 0.85,
+                       tol: Double = 5e-6, checkEvery: Int = 2): DataFrame = {
     val inList = stopwords.map(w => s"'$w'").mkString("(", ",", ")")
     val toks = Scans.spreadIfNarrow(documents, col("doc_id"))
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
@@ -1248,29 +1268,49 @@ object TextStats {
       .distinct()
     val deg = und.groupBy("doc_id", "a").agg(count(lit(1)).as("deg"))
     // adjacency with the NEIGHBOR's degree attached: contribution of v
-    // to w is score(v)/deg(v)
-    val adj = graft.Caches.tracked(
-      und.select(col("doc_id"), col("a").as("w"), col("b").as("v"))
-        .join(deg.select(col("doc_id"), col("a").as("v"), col("deg")),
-          Seq("doc_id", "v")))
-    var scores = deg.select(col("doc_id"), col("a").as("w"))
-      .withColumn("score", lit(1.0)).localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      scores = adj
-        .join(scores.select(col("doc_id"), col("w").as("v"), col("score")),
-          Seq("doc_id", "v"))
-        .select(col("doc_id"), col("w"), col("v"),
-          (col("score") / col("deg").cast("double")).as("c"))
-        .groupBy("doc_id", "w")
-        .agg(expr("aggregate(array_sort(collect_list(struct(v, c))), " +
-          "CAST(0 AS DOUBLE), (acc, x) -> acc + x.c)").as("contrib"))
-        .select(col("doc_id"), col("w"),
-          (lit(1 - damping) + lit(damping) * col("contrib")).as("score"))
-        .localCheckpoint(true)
-    }
+    // to w is score(v)/deg(v). Consumed exactly once (the single
+    // group-shuffle below), so no caching.
+    val adj = und.select(col("doc_id"), col("a").as("w"), col("b").as("v"))
+      .join(deg.select(col("doc_id"), col("a").as("v"), col("deg")),
+        Seq("doc_id", "v"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (dmp, tl, maxIt, chk) = (damping, tol, iterations, checkEvery)
+    val scores = adj
+      .select(col("doc_id"), col("w"), col("v"), col("deg"))
+      .as[(Long, String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (docId, rows) =>
+        val es = rows.toArray
+        // neighbors in sorted order (the fold order), degree by node
+        val nbrs = es.groupBy(_._2).map { case (w, a) =>
+          w -> a.map(_._3).sorted }
+        val degOf = es.map(r => r._3 -> r._4).toMap
+        var score = nbrs.keys.map(_ -> 1.0).toMap
+        var it = 0
+        var stopped = false
+        while (it < maxIt && !stopped) {
+          it += 1
+          val prev = score
+          score = nbrs.map { case (w, ns) =>
+            var acc = 0.0
+            ns.foreach(v => acc += prev(v) / degOf(v).toDouble)
+            w -> ((1 - dmp) + dmp * acc)
+          }
+          if (tl > 0 && it % chk == 0 && it < maxIt) {
+            var l1 = 0.0
+            score.keys.toSeq.sorted.foreach(w =>
+              l1 += math.abs(score(w) - prev(w)))
+            stopped = l1 < tl
+          }
+        }
+        score.iterator.map { case (w, sc) =>
+          (docId, w, math.floor(sc * 1e4 + 0.5) / 1e4) }
+      }
+      .toDF("doc_id", "w", "score")
     val wTop = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("w"))
-    scores.withColumn("score", stableRound(col("score"), 4))
+    scores
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= topK)
       .select(col("doc_id"), col("rnk"), col("w").as("word"), col("score"))

@@ -569,9 +569,12 @@ class TextSpec extends SparkSpecBase {
   // --- t33 TextRank ---
 
   /** Float-for-float twin of textrankKeywords' iteration: sorted
-    * neighbor fold, same IEEE op sequence, same final rounding. */
+    * neighbor fold, same IEEE op sequence, same final rounding — AND
+    * the same per-doc L1 convergence stop, decision-for-decision
+    * (sorted-word fold of |Δ|, exact IEEE compare, same cadence). */
   private def textrankTwin(tokens: Seq[String], iterations: Int = 10,
-                           d: Double = 0.85): Map[String, Double] = {
+                           d: Double = 0.85, tol: Double = 5e-6,
+                           checkEvery: Int = 2): Map[String, Double] = {
     val stop = Set("the", "a", "of", "and", "is")
     val kept = tokens.map(_.toLowerCase).filter(t => !stop(t) && t.nonEmpty)
     val edges = kept.zip(kept.drop(1)).filter(p => p._1 != p._2)
@@ -579,11 +582,20 @@ class TextSpec extends SparkSpecBase {
     val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     val deg = adj.view.mapValues(_.size).toMap
     var score = adj.keys.map(_ -> 1.0).toMap
-    for (_ <- 1 to iterations) {
+    var it = 0
+    var stopped = false
+    while (it < iterations && !stopped) {
+      it += 1
+      val prev = score
       score = adj.map { case (w, ns) =>
         var acc = 0.0
         ns.foreach(v => acc += score(v) / deg(v).toDouble)
         w -> ((1 - d) + d * acc)
+      }
+      if (tol > 0 && it % checkEvery == 0 && it < iterations) {
+        var l1 = 0.0
+        score.keys.toSeq.sorted.foreach(w => l1 += math.abs(score(w) - prev(w)))
+        stopped = l1 < tol
       }
     }
     score.map { case (w, sc) => w -> math.floor(sc * 1e4 + 0.5) / 1e4 }
@@ -612,6 +624,26 @@ class TextSpec extends SparkSpecBase {
     assert(top2._3 == "hub" && got2("hub") > got2("alpha"))
     // the path's middle word outranks its endpoints
     assert(got1("beta") > got1("alpha") && got1("beta") > got1("gamma"))
+  }
+
+  test("t33 early-exit: converged docs freeze without moving the rounded output; stragglers iterate") {
+    // doc 1: a 2-node graph converges EXACTLY after round 2 (each
+    // node's score is (1-d)+d*score(other)/1 — the fixed point is hit
+    // when both scores equalize), so the default tol must freeze it;
+    // doc 2: a larger ring keeps moving longer. Either way the
+    // contraction bound pins the rounded output to the fixed-count run.
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "en", "s", 20L),
+      (2L, "a1 a2 a3 a4 a5 a6 a7 a8 a1 a3 a5 a7 a2 a6", "en", "s", 50L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    def rows(tol: Double) = graft.text.TextStats
+      .textrankKeywords(docs, tol = tol).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSeq
+    assert(rows(5e-6) == rows(0.0),
+      "early exit must not move the rounded 4-dp output")
+    // the defaults stay twin-exact (the twin replicates the stop rule)
+    val got1 = rows(5e-6).filter(_._1 == 1L).map(t => t._3 -> t._4).toMap
+    assert(got1 == textrankTwin("alpha beta alpha beta".split(" ").toSeq))
   }
 
   test("t33 textrank respects topK with rounded-score ranking and word tiebreak") {
