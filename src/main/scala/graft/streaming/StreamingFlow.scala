@@ -1161,6 +1161,85 @@ object StreamingFlow {
         .partitionBy("batch_id").parquet(resultPath)
     }
 
+  /** s40_stream_ann_serve — live vector search over the saved ANN
+    * index (`sink_ann_index`): each micro-batch of
+    * (query_id, embedding) rows probes the at-rest corpus via a15's
+    * cell-directory-pruned `ivfKnnIndexed` and lands its top-k result
+    * pages under `resultPath`, partitioned by batch_id so a replayed
+    * trigger OVERWRITES its own pages (the s18/s24/s25 idempotence
+    * convention). The index is READ-ONLY here — the serving mirror of
+    * the s30 ingest loop: ingest compounds the index, serve probes
+    * it, and the two compose into the live end-to-end lifecycle every
+    * other index family already has (BM25: s26 ingest / s25 serve).
+    * Per-trigger cost is |queries|-proportional against the pruned
+    * cell directories — nothing compounds, the property that makes a
+    * continuously-serving endpoint viable. Batch twin: a15 on the
+    * same index (spec-pinned identical pages). */
+  def streamAnnServe(queryStream: DataFrame, indexPath: String,
+                     resultPath: String, checkpoint: String,
+                     k: Int = 3, nprobe: Int = 2
+                    ): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(annServeBatch(indexPath, resultPath, k, nprobe))
+      .start()
+
+  private[graft] def annServeBatch(indexPath: String, resultPath: String,
+                                   k: Int, nprobe: Int): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val queries = batch
+        .select(col("query_id").as("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      val pages = graft.Caches.scoped {
+        graft.ann.Ann.ivfKnnIndexed(queries, indexPath, k, nprobe)
+          .localCheckpoint(true)
+      }
+      pages.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(resultPath)
+    }
+
+  /** s41_stream_hybrid_serve — the a21 hybrid composition, live: each
+    * micro-batch row carries ONE query's both faces —
+    * (query_id, terms array, embedding) — the lexical leg probes the
+    * saved inverted index, the semantic leg the saved ANN index, and
+    * the same rank-space RRF folds them into the trigger's result
+    * pages under batch_id (replay overwrites itself). Both indexes
+    * are read-only; per-trigger cost is |queries|-proportional
+    * against two pruned at-rest layouts. Batch twin: a21's
+    * `rrfFuseIndexed` on the same indexes (spec-pinned identical
+    * fused pages). */
+  def streamHybridServe(queryStream: DataFrame, textIndexPath: String,
+                        annIndexPath: String, resultPath: String,
+                        checkpoint: String, kRun: Int = 10, kRrf: Int = 60,
+                        topK: Int = 10, nprobe: Int = 2
+                       ): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(hybridServeBatch(textIndexPath, annIndexPath, resultPath,
+        kRun, kRrf, topK, nprobe))
+      .start()
+
+  private[graft] def hybridServeBatch(textIndexPath: String, annIndexPath: String,
+                                      resultPath: String, kRun: Int, kRrf: Int,
+                                      topK: Int, nprobe: Int
+                                     ): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val q = batch.select("query_id", "terms", "embedding").localCheckpoint(true)
+      val pages = graft.Caches.scoped {
+        graft.ann.Ann.rrfFuseIndexed(
+          q.select(col("query_id"), explode(col("terms")).as("term")),
+          q.select(col("query_id"), col("embedding")),
+          textIndexPath, annIndexPath, kRun, kRrf, topK, nprobe)
+          .localCheckpoint(true)
+      }
+      pages.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(resultPath)
+    }
+
   case class TransEv(userId: Long, tsMs: Long, eventId: Long, eventType: String)
   case class TransState(lastMs: Long, lastId: Long, lastType: String)
   case class Transition(userId: Long, fromType: String, toType: String)

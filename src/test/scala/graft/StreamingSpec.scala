@@ -831,6 +831,98 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s40 ANN serve pages equal live a15 on the same index; replay overwrites its pages") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ann.Ann
+    val dir = java.nio.file.Files.createTempDirectory("graft_s40").toString
+    // 4 axis cells, corpus on the axes: full-recall probes at nprobe=1
+    val cents = (0 until 4).map { c =>
+      val a = Array.fill(4)(0.0f); a(c) = 1.0f; (c, a)
+    }.toDF("c_label", "centroid")
+    val corpus = (0 until 20).map { i =>
+      val a = Array.fill(4)(0.02f * (i % 3)); a(i % 4) = 1.0f; (100L + i, a)
+    }.toDF("vec_id", "embedding")
+    Ann.writeAnnIndex(corpus, cents, s"$dir/ann")
+    val q0 = Seq((0L, Seq(1.0f, 0f, 0f, 0.1f)), (1L, Seq(0f, 1.0f, 0.1f, 0f)))
+    val q1 = Seq((2L, Seq(0f, 0f, 1.0f, 0f)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingFlow.streamAnnServe(
+      input.toDF().toDF("query_id", "embedding"),
+      s"$dir/ann", s"$dir/res", s"$dir/ckpt", k = 3, nprobe = 1)
+    try {
+      input.addData(q0: _*); q.processAllAvailable()
+      input.addData(q1: _*); q.processAllAvailable()
+      def page(b: Int) = spark.read.parquet(s"$dir/res")
+        .filter(col("batch_id") === b).drop("batch_id")
+        .collect().toSeq.sortBy(r => (r.getLong(0), r.getInt(3)))
+      def live(qs: Seq[(Long, Seq[Float])]) = graft.Caches.scoped {
+        Ann.ivfKnnIndexed(
+          qs.toDF("vec_id", "embedding"), s"$dir/ann", k = 3, nprobe = 1)
+          .collect().toSeq.sortBy(r => (r.getLong(0), r.getInt(3)))
+      }
+      assert(page(0).nonEmpty && page(0) == live(q0),
+        s"batch-0 pages must equal live a15: ${page(0)} vs ${live(q0)}")
+      assert(page(1) == live(q1))
+      // replaying trigger 0 overwrites its partition, never duplicates
+      val before = page(0)
+      StreamingFlow.annServeBatch(s"$dir/ann", s"$dir/res", 3, 1)(
+        q0.toDF("query_id", "embedding"), 0L)
+      assert(page(0) == before, "replay must be idempotent")
+    } finally q.stop()
+  }
+
+  test("s41 hybrid serve pages equal live a21 rrfFuseIndexed; replay overwrites") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ann.Ann
+    import graft.text.TextStats
+    val docs = Seq(
+      (0L, "spark shuffle exchange partition plan"),
+      (1L, "spark broadcast join plan cost"),
+      (2L, "parquet scan pruning column filter"),
+      (3L, "shuffle partition skew salt key"),
+      (4L, "unrelated prose about gardens and rain"),
+      (5L, "filter pushdown scan parquet footer")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_s41").toString
+    val emb = graft.Caches.tracked(TextStats.hashEmbed(docs))
+    val corpusVec = emb.select(col("doc_id").as("vec_id"), col("embedding"))
+    TextStats.writeTextIndex(docs, s"$dir/text")
+    val oneCell = Seq((1, Array.fill(64)(1.0f))).toDF("c_label", "centroid")
+    Ann.writeAnnIndex(corpusVec, oneCell, s"$dir/ann")
+    val qt = TextStats.sampleQueries(docs, every = 3, maxQueries = 2)
+    val qe = emb.filter(col("doc_id") % 3 === 0 && col("doc_id") < 6)
+      .select(col("doc_id").as("query_id"), col("embedding"))
+    // one stream row per query: both faces (terms array + embedding)
+    val terms = qt.groupBy("query_id").agg(collect_list("term").as("terms"))
+    val streamRows = terms.join(qe, "query_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[Float](2)))
+      .toSeq.sortBy(_._1)
+    val live = graft.Caches.scoped {
+      Ann.rrfFuseIndexed(qt, qe, s"$dir/text", s"$dir/ann", nprobe = 1)
+        .collect().toSeq
+    }
+    val input = MemoryStream[(Long, Seq[String], Seq[Float])]
+    val q = StreamingFlow.streamHybridServe(
+      input.toDF().toDF("query_id", "terms", "embedding"),
+      s"$dir/text", s"$dir/ann", s"$dir/res", s"$dir/ckpt", nprobe = 1)
+    try {
+      input.addData(streamRows: _*); q.processAllAvailable()
+      def page() = spark.read.parquet(s"$dir/res")
+        .filter(col("batch_id") === 0).drop("batch_id")
+        .collect().toSeq.sortBy(r => (r.getLong(0), r.getInt(1)))
+      assert(page().nonEmpty && page() == live.sortBy(r => (r.getLong(0), r.getInt(1))),
+        s"fused stream pages must equal live a21: ${page()} vs $live")
+      // replay overwrites
+      val before = page()
+      StreamingFlow.hybridServeBatch(s"$dir/text", s"$dir/ann", s"$dir/res",
+        10, 60, 10, 1)(streamRows.toDF("query_id", "terms", "embedding"), 0L)
+      assert(page() == before, "replay must be idempotent")
+    } finally q.stop()
+    graft.Caches.release()
+  }
+
   test("s25 streaming bm25 pages equal the live batch search; replay overwrites its pages") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
