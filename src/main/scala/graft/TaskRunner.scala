@@ -424,8 +424,21 @@ object TaskRunner {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority")),
       i(p, "centsScale", 2))),
-    "q74_dq_constraints" -> ((s, d, _) => Quality.ordersLineitemChecks(
-      Tables.orders(s, d), Tables.lineitem(s, d))),
+    // `checks` (a JSON array, see Quality.parseChecks) lets a task row
+    // AUTHOR its constraint suite against the loaded tables without
+    // recompiling — the Deequ-style deployment seam; absent, the
+    // inventory's fixed orders+lineitem instance runs
+    "q74_dq_constraints" -> ((s, d, p) => p.get("checks") match {
+      case Some(json) => Quality.dqConstraints(
+        Map("region" -> Tables.region(s, d), "nation" -> Tables.nation(s, d),
+          "customer" -> Tables.customer(s, d), "supplier" -> Tables.supplier(s, d),
+          "part" -> Tables.part(s, d), "orders" -> Tables.orders(s, d),
+          "lineitem" -> Tables.lineitem(s, d), "events" -> Tables.events(s, d),
+          "documents" -> Tables.documents(s, d)),
+        Quality.parseChecks(json))
+      case None => Quality.ordersLineitemChecks(
+        Tables.orders(s, d), Tables.lineitem(s, d))
+    }),
     "q75_cohort_revenue" -> ((s, d, _) => RelationalOps.cohortRevenue(Tables.orders(s, d))),
     "q77_holt_trend" -> ((s, d, _) => TrackAnalytics.holtTrend(Tables.events(s, d))),
     "q78_cusum_shift" -> ((s, d, p) => TrackAnalytics.cusumShift(
@@ -628,10 +641,13 @@ object TaskRunner {
       .getOrElse(throw new IllegalArgumentException(s"unknown query: $query"))
 
   /** Parse the reference's JSON task_parm shape into a flat param map
-    * (scalars only; numbers/booleans are stringified). */
+    * (numbers/booleans are stringified; nested arrays/objects — e.g.
+    * q74's `checks` declaration — pass through as compact JSON strings
+    * for the runner to parse at its own grain). */
   def parseParams(json: String): Map[String, String] = {
     import org.json4s._
-    org.json4s.jackson.JsonMethods.parse(json) match {
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(json) match {
       case JObject(fields) => fields.collect {
         case (k, JString(v)) => k -> v
         case (k, JInt(v)) => k -> v.toString
@@ -639,6 +655,8 @@ object TaskRunner {
         case (k, JDouble(v)) => k -> v.toString
         case (k, JDecimal(v)) => k -> v.toString
         case (k, JBool(v)) => k -> v.toString
+        case (k, v @ (JArray(_) | JObject(_))) =>
+          k -> JsonMethods.compact(JsonMethods.render(v))
       }.toMap
       case _ => Map.empty
     }

@@ -1153,12 +1153,14 @@ object Ann {
       case "ivf"   => ivfKnn(embeddings, nQueries, k)
       case "pq"    => pqKnn(embeddings, nQueries, k)
       case "ivfpq" => ivfPqKnn(embeddings, nQueries, k)
+      case "sq8"   => sq8Knn(embeddings, nQueries, k)
+      case "bq"    => bqKnn(embeddings, nQueries, k)
       case "pca"   =>
         // brute search in the REDUCED space: what the k-dim cut costs
         knnBrute(pcaProject(embeddings)
           .withColumnRenamed("reduced", "embedding"), nQueries, k)
       case other => throw new IllegalArgumentException(
-        s"recallEval: unknown variant '$other' (lsh|ivf|pq|ivfpq|pca)")
+        s"recallEval: unknown variant '$other' (lsh|ivf|pq|ivfpq|sq8|bq|pca)")
     }).select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(approxPairs, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
@@ -1168,6 +1170,56 @@ object Ann {
       .withColumn("recall_at_k", stableRound(col("n_hits") / lit(k.toDouble), 4))
     val mean = perQuery.agg(stableRound(avg("recall_at_k"), 4).as("mean_recall"))
     perQuery.crossJoin(broadcast(mean)).orderBy("query_id")
+  }
+
+  /** Recall-vs-rerank-depth curve for the 1-bit BQ tier — the
+    * measured trade behind a27/a28's "hot tier" claim, at whatever
+    * dim the deployment's embeddings actually have: sign-bit Hamming
+    * is only a PROXY for angle (Charikar's bound weakens as dim/
+    * information shifts), so the honest tuning artifact is recall@k
+    * as a function of how deep the exact re-rank digs into the
+    * Hamming shortlist. ONE code scan at the deepest depth (the arn
+    * rank column makes every shallower shortlist a filter, not a
+    * re-scan), one exact-twin run, then each depth pays only its own
+    * (nQueries·depth)-row re-rank — report-scale whatever the corpus.
+    * Output: one row per depth (dim, rerank, mean_recall),
+    * `mean_recall` under a11's definition (per-query hits/k,
+    * averaged). Driver-side loop is over `depths` (a handful), never
+    * data. */
+  def bqRecallCurve(embeddings: DataFrame, nQueries: Int = 10, k: Int = 3,
+                    depths: Seq[Int] = Seq(10, 25, 50, 100, 200)): DataFrame = {
+    require(depths.nonEmpty, "bqRecallCurve: need at least one depth")
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val dim = embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
+    val exact = graft.Caches.tracked(
+      knnBrute(embeddings, nQueries, k).select("query_id", "neighbor_id"))
+    val nExact = exact.count().toDouble
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qDf = queries.toSeq.map { case (qid, qv) => (qid, qv) }.toDF("query_id", "qe")
+      .withColumn("qcode", expr("graft_signbits(qe)"))
+    val cands = embeddings.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"),
+        expr("graft_signbits(embedding)").as("code"))
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("neighbor_id"))
+    val shortAll = graft.Caches.tracked(
+      broadcast(qDf).crossJoin(cands)
+        .withColumn("ham", expr("graft_hamming(qcode, code)"))
+        .withColumn("arn", row_number().over(wApprox))
+        .filter(col("arn") <= depths.max)
+        .select("query_id", "neighbor_id", "arn"))
+    val rows = depths.distinct.sorted.map { dep =>
+      val approx = exactRerank(embeddings,
+        shortAll.filter(col("arn") <= dep).select("query_id", "neighbor_id"),
+        queries, k).select("query_id", "neighbor_id")
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id")).count()
+      (dim, dep, math.floor(hits / nExact * 1e4 + 0.5) / 1e4)
+    }
+    rows.toDF("dim", "rerank", "mean_recall").orderBy("rerank")
   }
 
   /** a13_knn_classify — kNN label propagation (weak labeling): each

@@ -138,12 +138,17 @@ object Dedup {
     * skip d03's presentation-level global sort. */
   private[graft] def minHashPairs(documents: DataFrame, threshold: Double = 0.8,
                                   numHashes: Int = 64, bands: Int = 16,
-                                  dfCap: Option[Long] = None): DataFrame = {
+                                  dfCap: Option[Long] = None,
+                                  preShingled: Option[DataFrame] = None): DataFrame = {
     // tracked cache: the shingle sets feed both the signature build
     // and the verify join. Operators return lazy plans, so the cache
     // must outlive this call; Caches.release() (Verify/Bench/spec
-    // cadence) drops it once the caller's action has run.
-    val shingled = graft.Caches.tracked(cappedShingleSets(documents, dfCap))
+    // cadence) drops it once the caller's action has run. A caller
+    // running several regimes over the SAME corpus (d24) passes the
+    // one tracked relation via `preShingled` so the tokenize+explode
+    // pass is structurally shared, not left to plan canonicalization.
+    val shingled = preShingled.getOrElse(
+      graft.Caches.tracked(cappedShingleSets(documents, dfCap)))
     // signature build: one narrow graft_minhash_bands call per doc —
     // all permutation minima and band hashes in a single compiled
     // loop. No explode, no shuffle, no per-agg-column Janino compile
@@ -1678,14 +1683,17 @@ object Dedup {
     * a canonical chain root is needed. Docs under `minShingles` (and
     * shingle-less docs) always keep. */
   def containmentApply(documents: DataFrame, threshold: Double = 0.8,
-                       minShingles: Int = 5, dfCap: Option[Long] = None): DataFrame = {
+                       minShingles: Int = 5, dfCap: Option[Long] = None,
+                       preShingled: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1.0,
       s"containmentApply: threshold must be in (0,1], got $threshold")
     // candidate generation rides d19's prefix filter, not d18's full
     // inverted index: recall is exact either way (the prefix
     // principle), and the apply verdicts only consume pairs at
-    // C ≥ t — measured 3× cheaper at sf1 on the same output
-    val shingled = graft.Caches.tracked(cappedShingleSets(documents, dfCap))
+    // C ≥ t — measured 3× cheaper at sf1 on the same output.
+    // preShingled: the d24 shared-scan seam (see minHashPairs).
+    val shingled = preShingled.getOrElse(
+      graft.Caches.tracked(cappedShingleSets(documents, dfCap)))
     val sets = shingled.select(col("doc_id"), col("sh"))
     val dirs = containmentPrefixCandidates(shingled, threshold)
       .join(sets.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
@@ -1744,10 +1752,17 @@ object Dedup {
     val exactFlag = documents.select(col("doc_id"), md5(col("text")).as("h"))
       .join(exactGroups, "h")
       .select(col("doc_id"), (col("doc_id") =!= col("canon")).as("exact_dup"))
+    // ONE tokenize+explode pass serves both shingle-based legs — the
+    // near leg's signature/verify relations and the containment leg's
+    // prefix/verify relations all read the same tracked cache instead
+    // of re-deriving the corpus shingle sets per regime
+    val shingled = graft.Caches.tracked(cappedShingleSets(documents, dfCap))
     val near = clustersFromPairs(documents,
-        minHashPairs(documents, jaccardThreshold, dfCap = dfCap))
+        minHashPairs(documents, jaccardThreshold, dfCap = dfCap,
+          preShingled = Some(shingled)))
       .select(col("doc_id"), (!col("is_canonical")).as("near_dup"))
-    val contained = containmentApply(documents, containThreshold, dfCap = dfCap)
+    val contained = containmentApply(documents, containThreshold, dfCap = dfCap,
+        preShingled = Some(shingled))
       .select(col("doc_id"), (!col("keep")).as("contained"))
     val sem = semanticDedup(embeddings, semanticThreshold)
       .select(col("vec_id").as("doc_id"), (!col("keep")).as("semantic_dup"))

@@ -147,6 +147,62 @@ object Quality {
       .orderBy("check_name")
   }
 
+  /** Parse a JSON check declaration into the [[DqCheck]] algebra — the
+    * seam that lets a task_parm row author constraints WITHOUT
+    * recompiling (the Deequ-style deployment shape): predicates are
+    * SQL expression strings (`expr`-compiled, so they run codegen'd
+    * like the case-class form), tables are referenced by name against
+    * whatever map the caller binds. Shape:
+    * `[{"type":"rowPredicate","name":"...","table":"...","predicate":"..."},
+    *   {"type":"unique","name":"...","table":"...","keys":[...]},
+    *   {"type":"refIntegrity","name":"...","child":"...","childKeys":[...],
+    *    "parent":"...","parentKeys":[...]},
+    *   {"type":"joinPredicate", ... ,"predicate":"..."}]`.
+    * Malformed entries fail loudly — a constraint suite that silently
+    * drops a check would report fitness it never tested. */
+  def parseChecks(json: String): Seq[DqCheck] = {
+    import org.json4s._
+    def s(o: Map[String, JValue], k: String, ctx: String): String = o.get(k) match {
+      case Some(JString(v)) => v
+      case _ => throw new IllegalArgumentException(
+        s"parseChecks: $ctx needs string field '$k'")
+    }
+    def arr(o: Map[String, JValue], k: String, ctx: String): Seq[String] = o.get(k) match {
+      case Some(JArray(vs)) => vs.map {
+        case JString(v) => v
+        case other => throw new IllegalArgumentException(
+          s"parseChecks: $ctx '$k' holds non-string $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        s"parseChecks: $ctx needs array field '$k'")
+    }
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case JArray(items) => items.map {
+        case JObject(fields) =>
+          val o = fields.toMap
+          s(o, "type", "check") match {
+            case "rowPredicate" => RowPredicate(s(o, "name", "rowPredicate"),
+              s(o, "table", "rowPredicate"), expr(s(o, "predicate", "rowPredicate")))
+            case "unique" => Unique(s(o, "name", "unique"),
+              s(o, "table", "unique"), arr(o, "keys", "unique"))
+            case "refIntegrity" => RefIntegrity(s(o, "name", "refIntegrity"),
+              s(o, "child", "refIntegrity"), arr(o, "childKeys", "refIntegrity"),
+              s(o, "parent", "refIntegrity"), arr(o, "parentKeys", "refIntegrity"))
+            case "joinPredicate" => JoinPredicate(s(o, "name", "joinPredicate"),
+              s(o, "child", "joinPredicate"), arr(o, "childKeys", "joinPredicate"),
+              s(o, "parent", "joinPredicate"), arr(o, "parentKeys", "joinPredicate"),
+              expr(s(o, "predicate", "joinPredicate")))
+            case t => throw new IllegalArgumentException(
+              s"parseChecks: unknown check type '$t'")
+          }
+        case other => throw new IllegalArgumentException(
+          s"parseChecks: expected check object, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "parseChecks: expected a JSON array of checks")
+    }
+  }
+
   /** Row-level constraint gate as a STATELESS column transform — the
     * shape that runs identically on a batch DataFrame and a streaming
     * one (s33's twin contract): each row gains `violated` (comma list

@@ -803,6 +803,39 @@ class AnnSpec extends SparkSpecBase {
     graft.Caches.release()
   }
 
+  test("bq recall curve: monotone in rerank depth, exact at full depth; a11 reaches the bq/sq8 variants") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // adversarial-ish for sign bits: vectors differ mostly in MAGNITUDE
+    // per coordinate (sign patterns collide), so shallow Hamming
+    // shortlists miss true neighbors and depth genuinely buys recall
+    val rnd = new scala.util.Random(7)
+    val emb = (0 until 40).map { i =>
+      val v = Array.tabulate(16)(j =>
+        (0.2f + rnd.nextFloat()) * (if ((i + j) % 5 == 0) -1 else 1))
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val curve = graft.ann.Ann.bqRecallCurve(emb, nQueries = 5, k = 3,
+      depths = Seq(2, 5, 35)).collect()
+      .map(r => r.getInt(1) -> r.getDouble(2))
+    assert(curve.map(_._1).toSeq == Seq(2, 5, 35))
+    assert(curve.map(_._2).sliding(2).forall { case Array(a, b) => a <= b },
+      s"recall must be monotone in depth: ${curve.toSeq}")
+    assert(curve.last._2 == 1.0,
+      s"a full-corpus shortlist reranks to exact recall: ${curve.toSeq}")
+    // dim column carries the ACTUAL embedding dim (the honesty knob —
+    // the a27 pins run at dim 64; this records what the corpus has)
+    assert(graft.ann.Ann.bqRecallCurve(emb, 5, 3, Seq(35))
+      .collect().head.getInt(0) == 16)
+    // a11's evaluator reaches the quantization tiers by name
+    for (v <- Seq("bq", "sq8")) {
+      val r = graft.ann.Ann.recallEval(emb, variant = v, nQueries = 5, k = 3)
+        .collect()
+      assert(r.length == 5 && r.forall(_.getDouble(3) >= 0.0), s"variant $v")
+    }
+    graft.Caches.release()
+  }
+
   test("a25 filtered kNN: pre-filter semantics exclude the wrong-label global NN") {
     import spark.implicits._
     // query 0 (label 1): the globally nearest corpus vector (10) has

@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Quality
+
 class TaskRunnerSpec extends SparkSpecBase {
 
   private val d = "/root/testdata/sf0.001"
@@ -216,5 +218,46 @@ class TaskRunnerSpec extends SparkSpecBase {
     def chunks(p: Map[String, String]) =
       TaskRunner.run(spark, d, "m02_chunk_sample", p).count()
     assert(chunks(Map("stride" -> "2")) >= chunks(Map("stride" -> "8")))
+  }
+
+  test("q74 checks are task-authorable: a JSON declaration drives the verdict table") {
+    // the Deequ-style seam: a task_parm row declares its own constraint
+    // suite (SQL-string predicates, all four check types) against the
+    // loaded tables — no recompilation; the verdict table must contain
+    // exactly the declared checks, with genuinely-failing ones failing
+    val taskParm = """{"checks": [
+      {"type":"rowPredicate","name":"custkey_nonneg","table":"customer",
+       "predicate":"c_custkey >= 0"},
+      {"type":"rowPredicate","name":"impossible_price","table":"orders",
+       "predicate":"o_totalprice < 0"},
+      {"type":"unique","name":"nation_key_unique","table":"nation","keys":["n_nationkey"]},
+      {"type":"refIntegrity","name":"cust_nation_ri","child":"customer",
+       "childKeys":["c_nationkey"],"parent":"nation","parentKeys":["n_nationkey"]},
+      {"type":"joinPredicate","name":"ship_after_order","child":"lineitem",
+       "childKeys":["l_orderkey"],"parent":"orders","parentKeys":["o_orderkey"],
+       "predicate":"l_shipdate >= o_orderdate"}
+    ]}"""
+    val out = TaskRunner.run(spark, d, "q74_dq_constraints",
+      TaskRunner.parseParams(taskParm)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == Set("custkey_nonneg", "impossible_price",
+      "nation_key_unique", "cust_nation_ri", "ship_after_order"),
+      s"verdict table must hold exactly the declared checks: ${out.keySet}")
+    assert(out("custkey_nonneg") == ((0L, "pass")))
+    assert(out("nation_key_unique") == ((0L, "pass")))
+    assert(out("cust_nation_ri") == ((0L, "pass")))
+    // every order has a positive price, so the declared check FAILS on
+    // every row — both verdict branches exercised from task JSON alone
+    assert(out("impossible_price")._2 == "fail" && out("impossible_price")._1 > 0L)
+    // the default instance (no checks param) still runs the fixed suite
+    val dflt = TaskRunner.run(spark, d, "q74_dq_constraints").collect()
+    assert(dflt.map(_.getString(0)).contains("orders_totalprice_positive"))
+    // malformed declarations refuse loudly, never silently drop checks
+    intercept[IllegalArgumentException] {
+      Quality.parseChecks("""[{"type":"unique","name":"x","table":"orders"}]""")
+    }
+    intercept[IllegalArgumentException] {
+      Quality.parseChecks("""[{"type":"nope","name":"x"}]""")
+    }
   }
 }
