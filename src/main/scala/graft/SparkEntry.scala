@@ -487,6 +487,22 @@ object SparkEntry {
     // so the planted edit/copy chains must collapse to their originals
     "m13_blockhash_clusters" -> ((s, d) =>
       BinaryPipeline.blockhashClusters(plantedBytePayloads(s, d))),
+    // seed the store, re-upload an edited slice (superseding those
+    // docs' recipes), then vacuum: the report must show reclaimed
+    // recipe rows and chunk bytes from the superseded versions
+    "m15_chunk_vacuum" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val tmp = scratchDir("graft_m15_")
+      BinaryPipeline.writeChunkStore(docs, tmp, batchId = Some(-1L))
+      BinaryPipeline.appendChunkStore(
+        docs.filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id"),
+            org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.lit("EDITED-REUPLOAD "),
+              col("text")).as("text")),
+        tmp, 0L)
+      BinaryPipeline.vacuumChunkStore(s, tmp)
+    }),
     "m09_storage_savings" -> ((s, d) => BinaryPipeline.storageSavings(Tables.documents(s, d)))
   )
 

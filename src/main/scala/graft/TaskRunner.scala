@@ -546,6 +546,19 @@ object TaskRunner {
       i(p, "minLen", 32), i(p, "maskBits", 6))),
     "m11_payload_entropy" -> ((s, d, _) => graft.multimodal.BinaryPipeline.payloadEntropy(
       Tables.documents(s, d))),
+    "m15_chunk_vacuum" -> ((s, d, p) => {
+      import graft.multimodal.BinaryPipeline
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val tmp = SparkEntry.scratchDir("graft_m15p_")
+      val (minLen, maskBits) = (i(p, "minLen", 32), i(p, "maskBits", 6))
+      BinaryPipeline.writeChunkStore(docs, tmp, minLen, maskBits, Some(-1L))
+      BinaryPipeline.appendChunkStore(
+        docs.filter(col("doc_id") % l(p, "reuploadEvery", 25L) === 0)
+          .select(col("doc_id"),
+            concat(lit("EDITED-REUPLOAD "), col("text")).as("text")),
+        tmp, 0L, minLen, maskBits)
+      BinaryPipeline.vacuumChunkStore(s, tmp)
+    }),
     "a03_centroid_assign" -> ((s, d, _) => Ann.centroidAssign(Tables.embeddings(s, d))),
     "a15_ivf_probe_indexed" -> ((s, d, p) => {
       val e = Tables.embeddings(s, d)

@@ -568,6 +568,61 @@ object BinaryPipeline {
         "CAST('' AS BINARY), (acc, x) -> concat(acc, x.bytes))").as("payload"))
   }
 
+  /** m15_chunk_vacuum — reclaim the chunk store's garbage: re-uploads
+    * supersede a doc's recipe set (readChunkStore keeps only the
+    * latest batch), leaving the OLD version's recipe rows and any
+    * chunk bytes no live recipe references — this maintenance verb
+    * drops both and reports what it reclaimed (one row:
+    * chunks/bytes/recipe rows before-after). Chunk liveness is one
+    * semi-join of the chunk table against the live recipes' distinct
+    * hashes — content addressing makes "is anything still pointing at
+    * this" a key lookup, never a byte comparison. Corpus-proportional
+    * by nature (it rewrites the store minus garbage — the OPTIMIZE
+    * cost class, run on a maintenance cadence), single-writer like
+    * every store maintenance verb. Safe under the replay protocol: a
+    * later-replayed trigger re-lands its recipe partition and its
+    * chunk anti-join re-appends any bytes the vacuum removed, so
+    * replay after vacuum converges to the same readable store. */
+  def vacuumChunkStore(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame = {
+    import spark.implicits._
+    val recipesRaw = spark.read.parquet(path + "/recipes")
+    val batched = recipesRaw.columns.contains("batch_id")
+    val live =
+      if (batched) {
+        val latest = recipesRaw.groupBy("doc_id")
+          .agg(max(col("batch_id")).as("batch_id"))
+        recipesRaw.join(latest, Seq("doc_id", "batch_id"))
+      } else recipesRaw
+    val chunks = spark.read.parquet(path + "/chunks")
+    // stats + survivors materialize BEFORE the overwrite (the store is
+    // both input and output of this rewrite)
+    val keepChunks = chunks.join(live.select("chunk_hash").distinct(),
+      Seq("chunk_hash"), "left_semi").localCheckpoint(true)
+    val keepRecipes = live.localCheckpoint(true)
+    val before = chunks
+      .agg(count(lit(1)).as("n"), coalesce(sum(length(col("bytes"))), lit(0L)).as("b"))
+      .head
+    val after = keepChunks
+      .agg(count(lit(1)).as("n"), coalesce(sum(length(col("bytes"))), lit(0L)).as("b"))
+      .head
+    val recipesBefore = recipesRaw.count()
+    val recipesAfter = keepRecipes.count()
+    if (batched) {
+      keepChunks.write.mode("overwrite").partitionBy("batch_id")
+        .parquet(path + "/chunks")
+      keepRecipes.write.mode("overwrite").partitionBy("batch_id")
+        .parquet(path + "/recipes")
+    } else {
+      keepChunks.write.mode("overwrite").parquet(path + "/chunks")
+      keepRecipes.write.mode("overwrite").parquet(path + "/recipes")
+    }
+    Seq((before.getLong(0), after.getLong(0), before.getLong(1) - after.getLong(1),
+      recipesBefore - recipesAfter))
+      .toDF("chunks_before", "chunks_after", "bytes_reclaimed",
+        "recipe_rows_removed")
+  }
+
   /** m14_chunk_store — the store's roundtrip report: build, reassemble,
     * compare byte-for-byte against the original payloads. One row per
     * doc (n_chunks, n_bytes, roundtrip_ok) — the verification a real

@@ -328,6 +328,48 @@ class MultimodalSpec extends SparkSpecBase {
     assert(again == rebuilt, "replayed re-upload must be a no-op")
   }
 
+  test("m15 vacuum reclaims superseded versions' chunks; store still roundtrips; idempotent") {
+    import spark.implicits._
+    import graft.multimodal.BinaryPipeline
+    val rnd = new scala.util.Random(31)
+    val v1 = Iterator.continually(rnd.alphanumeric.head).take(1600).mkString
+    val v2 = Iterator.continually(rnd.alphanumeric.head).take(1600).mkString // fully fresh content
+    val keepV1 = Iterator.continually(rnd.alphanumeric.head).take(1200).mkString
+    val dir = java.nio.file.Files.createTempDirectory("graft_m15").toString
+    BinaryPipeline.writeChunkStore(
+      Seq((1L, v1), (2L, keepV1)).toDF("doc_id", "text"), dir, batchId = Some(-1L))
+    // re-upload doc 1 with ENTIRELY new content: every old doc-1 chunk
+    // becomes garbage (none shared with doc 2's distinct content)
+    BinaryPipeline.appendChunkStore(Seq((1L, v2)).toDF("doc_id", "text"), dir, 0L)
+    val rep = BinaryPipeline.vacuumChunkStore(spark, dir).collect().head
+    val (before, after, bytes, recs) =
+      (rep.getLong(0), rep.getLong(1), rep.getLong(2), rep.getLong(3))
+    assert(before > after && bytes > 0L && recs > 0L,
+      s"superseded v1 chunks must reclaim: before=$before after=$after bytes=$bytes recs=$recs")
+    // the survivor set is exactly what a FRESH store of the live
+    // corpus would hold (content-defined boundaries are replayable)
+    val freshDir = java.nio.file.Files.createTempDirectory("graft_m15f").toString
+    BinaryPipeline.writeChunkStore(
+      Seq((1L, v2), (2L, keepV1)).toDF("doc_id", "text"), freshDir)
+    assert(after == spark.read.parquet(freshDir + "/chunks").count(),
+      "vacuum must keep exactly the live corpus's chunk set")
+    // the vacuumed store still reassembles the LATEST versions exactly
+    val rebuilt = BinaryPipeline.readChunkStore(spark, dir).collect()
+      .map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+    assert(rebuilt == Map(1L -> v2, 2L -> keepV1),
+      "post-vacuum reassembly must serve the live versions byte-exactly")
+    // idempotent: a second vacuum finds nothing to reclaim
+    val rep2 = BinaryPipeline.vacuumChunkStore(spark, dir).collect().head
+    assert(rep2.getLong(2) == 0L && rep2.getLong(3) == 0L,
+      s"second vacuum must be a no-op: $rep2")
+    // replay-after-vacuum convergence: the re-upload trigger re-fires,
+    // re-landing its partition; the store reads the same
+    BinaryPipeline.appendChunkStore(Seq((1L, v2)).toDF("doc_id", "text"), dir, 0L)
+    val again = BinaryPipeline.readChunkStore(spark, dir).collect()
+      .map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+    assert(again == rebuilt, "replayed trigger after vacuum must converge")
+  }
+
   test("m12 blockhash laws: compiled = Scala compute; empty hashes to 0; pigeonhole is recall-exact to h<=3") {
     import graft.functions.BlockMeanHash
     assert(BlockMeanHash.compute(Array.empty[Byte]) == 0L)
