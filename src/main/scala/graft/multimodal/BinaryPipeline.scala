@@ -582,7 +582,24 @@ object BinaryPipeline {
     * every store maintenance verb. Safe under the replay protocol: a
     * later-replayed trigger re-lands its recipe partition and its
     * chunk anti-join re-appends any bytes the vacuum removed, so
-    * replay after vacuum converges to the same readable store. */
+    * replay after vacuum converges to the same readable store.
+    *
+    * Crash safety rides the staged-swap machinery every maintenance
+    * rewrite here uses (`Sources.swapStaged` — the sink_compact /
+    * optimizeIndex pattern): survivors land COMPLETELY in DURABLE
+    * dot-prefixed sibling directories (invisible to Spark readers),
+    * then each table swaps in by rename with rollback. A crash at any
+    * point leaves a whole copy of both tables on disk — never the
+    * localCheckpoint shape, which at 100 TB would pin a second full
+    * copy of the chunk BYTES in executor block-manager storage and,
+    * being non-fault-tolerant, lose the only copy to an executor
+    * death after the in-place overwrite had begun deleting the
+    * original. Swap order is chunks-then-recipes: between the two
+    * renames a reader sees the surviving chunks (which cover every
+    * live recipe by construction) with the old recipes, and
+    * latest-batch-wins reassembly touches only live recipes — so
+    * reads stay correct in every crash window. Stale staging dirs
+    * from a previously crashed vacuum are cleared and re-staged. */
   def vacuumChunkStore(spark: org.apache.spark.sql.SparkSession,
                        path: String): DataFrame = {
     import spark.implicits._
@@ -595,28 +612,38 @@ object BinaryPipeline {
         recipesRaw.join(latest, Seq("doc_id", "batch_id"))
       } else recipesRaw
     val chunks = spark.read.parquet(path + "/chunks")
-    // stats + survivors materialize BEFORE the overwrite (the store is
-    // both input and output of this rewrite)
     val keepChunks = chunks.join(live.select("chunk_hash").distinct(),
-      Seq("chunk_hash"), "left_semi").localCheckpoint(true)
-    val keepRecipes = live.localCheckpoint(true)
+      Seq("chunk_hash"), "left_semi")
+    import org.apache.hadoop.fs.Path
+    val chunksDir = new Path(path, "chunks")
+    val recipesDir = new Path(path, "recipes")
+    val fs = chunksDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val chunksTmp = new Path(path, ".chunks.vacuum-tmp")
+    val recipesTmp = new Path(path, ".recipes.vacuum-tmp")
+    fs.delete(chunksTmp, true); fs.delete(recipesTmp, true)
+    if (batched) {
+      keepChunks.write.mode("overwrite").partitionBy("batch_id")
+        .parquet(chunksTmp.toString)
+      live.write.mode("overwrite").partitionBy("batch_id")
+        .parquet(recipesTmp.toString)
+    } else {
+      keepChunks.write.mode("overwrite").parquet(chunksTmp.toString)
+      live.write.mode("overwrite").parquet(recipesTmp.toString)
+    }
+    // before-stats read the ORIGINAL (still intact under the staged
+    // copies); after-stats read the PUBLISHED dirs post-swap — the
+    // report never reads dot-prefixed paths and nothing is pinned in
+    // executor memory
     val before = chunks
       .agg(count(lit(1)).as("n"), coalesce(sum(length(col("bytes"))), lit(0L)).as("b"))
       .head
-    val after = keepChunks
+    val recipesBefore = recipesRaw.count()
+    graft.sources.Sources.swapStaged(fs, chunksTmp, chunksDir, "vacuumChunkStore")
+    graft.sources.Sources.swapStaged(fs, recipesTmp, recipesDir, "vacuumChunkStore")
+    val after = spark.read.parquet(chunksDir.toString)
       .agg(count(lit(1)).as("n"), coalesce(sum(length(col("bytes"))), lit(0L)).as("b"))
       .head
-    val recipesBefore = recipesRaw.count()
-    val recipesAfter = keepRecipes.count()
-    if (batched) {
-      keepChunks.write.mode("overwrite").partitionBy("batch_id")
-        .parquet(path + "/chunks")
-      keepRecipes.write.mode("overwrite").partitionBy("batch_id")
-        .parquet(path + "/recipes")
-    } else {
-      keepChunks.write.mode("overwrite").parquet(path + "/chunks")
-      keepRecipes.write.mode("overwrite").parquet(path + "/recipes")
-    }
+    val recipesAfter = spark.read.parquet(recipesDir.toString).count()
     Seq((before.getLong(0), after.getLong(0), before.getLong(1) - after.getLong(1),
       recipesBefore - recipesAfter))
       .toDF("chunks_before", "chunks_after", "bytes_reclaimed",

@@ -292,6 +292,28 @@ object Sources {
     rewritten
   }
 
+  /** The staged-swap publish step shared by every maintenance rewrite
+    * ([[compactParquet]], [[optimizeIndex]], the chunk-store vacuum):
+    * `staged` is a FULLY WRITTEN durable sibling of `target`; the swap
+    * is two renames with rollback, so a crash at any point leaves a
+    * complete copy (original or staged) on the filesystem and the
+    * original is never destroyed before its replacement is durable. */
+  private[graft] def swapStaged(fs: org.apache.hadoop.fs.FileSystem,
+                                staged: org.apache.hadoop.fs.Path,
+                                target: org.apache.hadoop.fs.Path,
+                                verb: String): Unit = {
+    val old = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.$verb-old")
+    fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"$verb: cannot stage $target aside")
+    if (!fs.rename(staged, target)) {
+      fs.rename(old, target) // roll back — the original is untouched
+      throw new java.io.IOException(s"$verb: cannot swap in $target")
+    }
+    fs.delete(old, true)
+  }
+
   /** Streaming file source (the Spark-native stand-in for the
     * reference's Kafka topic): new files in `dir` become micro-batches. */
   def readStreamJson(spark: SparkSession, dir: String, schema: StructType): DataFrame =

@@ -370,6 +370,39 @@ class MultimodalSpec extends SparkSpecBase {
     assert(again == rebuilt, "replayed trigger after vacuum must converge")
   }
 
+  test("m15 vacuum crash safety: staging dirs are invisible to readers and a rerun clears them") {
+    import spark.implicits._
+    import graft.multimodal.BinaryPipeline
+    val rnd = new scala.util.Random(37)
+    val v1 = Iterator.continually(rnd.alphanumeric.head).take(1500).mkString
+    val v2 = Iterator.continually(rnd.alphanumeric.head).take(1500).mkString
+    val dir = java.nio.file.Files.createTempDirectory("graft_m15c").toString
+    BinaryPipeline.writeChunkStore(
+      Seq((1L, v1)).toDF("doc_id", "text"), dir, batchId = Some(-1L))
+    BinaryPipeline.appendChunkStore(Seq((1L, v2)).toDF("doc_id", "text"), dir, 0L)
+    // simulate a vacuum that crashed MID-STAGING: partial survivor
+    // copies sit in the dot-prefixed staging dirs, originals untouched
+    spark.read.parquet(dir + "/chunks").limit(1)
+      .write.parquet(dir + "/.chunks.vacuum-tmp")
+    spark.read.parquet(dir + "/recipes").limit(1)
+      .write.parquet(dir + "/.recipes.vacuum-tmp")
+    // the store reads WHOLE through the crash debris (dot dirs are
+    // invisible to Spark readers) — the property an in-place overwrite
+    // cannot offer
+    val mid = BinaryPipeline.readChunkStore(spark, dir).collect()
+      .map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+    assert(mid == Map(1L -> v2), "crashed-vacuum staging must not affect readers")
+    // a rerun clears the stale staging and completes normally
+    val rep = BinaryPipeline.vacuumChunkStore(spark, dir).collect().head
+    assert(rep.getLong(2) > 0L, s"rerun vacuum must reclaim the superseded v1: $rep")
+    val post = BinaryPipeline.readChunkStore(spark, dir).collect()
+      .map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+    assert(post == Map(1L -> v2), "post-rerun store must serve the live version")
+    val fs = new java.io.File(dir)
+    assert(!fs.listFiles().exists(_.getName.contains("vacuum-tmp")),
+      "completed vacuum must leave no staging debris")
+  }
+
   test("m12 blockhash laws: compiled = Scala compute; empty hashes to 0; pigeonhole is recall-exact to h<=3") {
     import graft.functions.BlockMeanHash
     assert(BlockMeanHash.compute(Array.empty[Byte]) == 0L)

@@ -1387,6 +1387,46 @@ class StreamingSpec extends SparkSpecBase {
       BinaryPipeline.appendChunkStore(Seq((2L, fresh)).toDF("doc_id", "text"), flat, 0L))
   }
 
+  test("s37 replay AFTER m15 vacuum converges: the superseded trigger re-lands its rows and bytes") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.BinaryPipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft_s37v").toString
+    val store = s"$dir/store"
+    val rnd = new scala.util.Random(41)
+    def payload(n: Int) = Iterator.continually(rnd.alphanumeric.head).take(n).mkString
+    val keep = payload(1200); val v1 = payload(1600); val v2 = payload(1600)
+    BinaryPipeline.writeChunkStore(Seq((2L, keep)).toDF("doc_id", "text"),
+      store, batchId = Some(-1L))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingFlow.streamChunkIngest(
+      input.toDF().toDF("doc_id", "text"), store, s"$dir/ckpt")
+    try {
+      input.addData((1L, v1)); q.processAllAvailable() // trigger 0
+      input.addData((1L, v2)); q.processAllAvailable() // trigger 1 supersedes
+      val preVacuum = spark.read.parquet(store + "/chunks").count()
+      val rep = BinaryPipeline.vacuumChunkStore(spark, store).collect().head
+      assert(rep.getLong(2) > 0L, s"vacuum must reclaim v1's superseded bytes: $rep")
+      val postVacuum = spark.read.parquet(store + "/chunks").count()
+      assert(postVacuum < preVacuum, "v1's chunk rows must be gone after vacuum")
+      // the SUPERSEDED trigger replays (checkpoint loss / reprocessing):
+      // its recipe partition re-lands and its chunk anti-join re-appends
+      // exactly the bytes the vacuum removed — the docstring's claim
+      StreamingFlow.chunkIngestBatch(store, 32, 6)(
+        Seq((1L, v1)).toDF("doc_id", "text"), 0L)
+      assert(spark.read.parquet(store + "/chunks").count() == preVacuum,
+        "replayed superseded trigger must re-land its chunk rows")
+      // reads converge: latest version still wins, every live byte exact
+      val rebuilt = BinaryPipeline.readChunkStore(spark, store).collect()
+        .map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+      assert(rebuilt == Map(1L -> v2, 2L -> keep),
+        "store after replay-after-vacuum must serve the live versions byte-exactly")
+      // and the next vacuum reclaims the re-appended garbage again
+      val rep2 = BinaryPipeline.vacuumChunkStore(spark, store).collect().head
+      assert(rep2.getLong(2) > 0L && spark.read.parquet(store + "/chunks").count() == postVacuum,
+        s"second vacuum must re-reclaim the replayed garbage: $rep2")
+    } finally q.stop()
+  }
+
   test("s36 streaming BQ ANN ingest: drift-free codes serve appended twins; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
