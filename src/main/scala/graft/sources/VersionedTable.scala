@@ -114,14 +114,32 @@ object VersionedTable {
 
   /** Idempotent checkpoint publish (same link-then-EEXIST discipline as
     * commits); best-effort — a missing checkpoint only means reads walk
-    * further back through deltas. */
+    * further back through deltas.
+    *
+    * Each checkpoint also carries `tsLog`: the (version, commitTs)
+    * pairs of every checkpoint up to and including this one (the
+    * previous pointer's pairs plus this version's instant). That keeps
+    * TIMESTAMP resolution inside the checkpointed read-cost contract:
+    * [[versionAsOf]] reads one pointer + one checkpoint, anchors on
+    * the last pair at or before the asked instant, and probes forward
+    * ≤ interval entries — instead of an O(versions) downward payload
+    * scan. One pair per checkpoint (not per commit) keeps the field's
+    * growth at versions/interval — the same cost class as the complete
+    * file list the checkpoint already carries. */
   private[graft] def writeCheckpoint(path: String, v: Long, files: Seq[String],
                                      schemaJson: Option[String]): Unit = try {
     val cp = checkpointFile(path, v)
     if (!Files.exists(cp)) {
+      val prevPairs = readPointer(path).map(c => checkpointFile(path, c))
+        .filter(Files.exists(_))
+        .flatMap(p => parseTsLog(readPayload(p)))
+        .getOrElse(Seq.empty)
+        .filter(_._1 < v)
+      val pairs = prevPairs :+ (v -> commitInstant(path, v))
+      val tsField = pairs.map { case (pv, t) => s"\"$pv:$t\"" }.mkString(",")
       val schemaField = schemaJson.map(j => s""","schema":$j""").getOrElse("")
       val payload =
-        s"""{"version":$v,"files":[${files.map(f => s"\"$f\"").mkString(",")}]$schemaField}"""
+        s"""{"version":$v,"tsLog":[$tsField],"files":[${files.map(f => s"\"$f\"").mkString(",")}]$schemaField}"""
       val tmp = Files.createTempFile(Paths.get(path), ".graft-cp-", ".tmp")
       Files.write(tmp, payload.getBytes("UTF-8"))
       try Files.createLink(cp, tmp)
@@ -130,6 +148,14 @@ object VersionedTable {
     }
     advancePointer(path, v)
   } catch { case _: Exception => () }
+
+  /** The checkpoint's (version, commitTs) pairs, ascending — None for
+    * checkpoints written before the field existed. */
+  private def parseTsLog(payload: String): Option[Seq[(Long, Long)]] =
+    strArray(payload, "tsLog").map(_.map { s =>
+      val i = s.indexOf(':')
+      (s.substring(0, i).toLong, s.substring(i + 1).toLong)
+    }.sortBy(_._1))
 
   /** `Files.list` requires an explicit close (each open stream holds a
     * directory fd) — every listing in this object funnels through
@@ -182,31 +208,78 @@ object VersionedTable {
     * they are not addressable by timestamp either. */
   def versionAsOf(path: String, tsMillis: Long): Option[Long] = {
     latestVersion(path).flatMap { latest =>
-      var best: Option[Long] = None
-      var v = latest
-      while (v >= 1 && best.isEmpty) {
-        if (hasVersion(path, v) && commitInstant(path, v) <= tsMillis)
-          best = Some(v)
-        v -= 1
+      // exact fallback: downward payload scan (pre-tsLog logs, or an
+      // instant below every checkpointed pair)
+      def scanDown(from: Long): Option[Long] = {
+        var best: Option[Long] = None
+        var v = math.min(from, latest)
+        while (v >= 1 && best.isEmpty) {
+          if (hasVersion(path, v) && commitInstant(path, v) <= tsMillis)
+            best = Some(v)
+          v -= 1
+        }
+        best
       }
-      best
+      val pairs = readPointer(path).map(c => checkpointFile(path, c))
+        .filter(Files.exists(_))
+        .flatMap(p => parseTsLog(readPayload(p)))
+        .filter(_.nonEmpty)
+      pairs match {
+        case Some(ps) =>
+          ps.filter(_._2 <= tsMillis).lastOption match {
+            case None =>
+              // predates every checkpointed instant: the answer (if any)
+              // is below the first checkpoint — ≤ interval−1 entries on
+              // a log checkpointed from birth
+              scanDown(ps.head._1 - 1)
+            case Some((v0, _)) =>
+              // anchor on the last checkpoint at or before the instant,
+              // probe forward ≤ interval entries (instants are monotone
+              // non-decreasing — the tryCommit clamp); pruned entries
+              // skip on an existence check alone
+              var best: Option[Long] =
+                if (hasVersion(path, v0)) Some(v0) else None
+              var next = v0 + 1
+              var done = false
+              while (!done && next <= latest) {
+                if (hasVersion(path, next)) {
+                  if (commitInstant(path, next) <= tsMillis) {
+                    best = Some(next); next += 1
+                  } else done = true
+                } else next += 1
+              }
+              best
+          }
+        case None => scanDown(latest)
+      }
     }
   }
 
   /** A version's commit instant (epoch millis): the `commitTs` field
     * stamped into the log entry at commit time, or — for legacy
-    * entries that predate the field — the log file's mtime. */
+    * entries that predate the field — the log file's mtime.
+    *
+    * Parse discipline: the real stamp is the FIRST occurrence when it
+    * precedes the embedded schema JSON (the current payload order,
+    * commitTs right after the version), and the LAST occurrence for
+    * r18-era entries that appended it after the schema — so a table
+    * schema whose column metadata happens to contain a numeric
+    * `commitTs` key can never shadow the commit's own stamp. */
   private[graft] def commitInstant(path: String, v: Long): Long = {
     val f = versionFile(path, v)
     val payload = readPayload(f)
     val marker = "\"commitTs\":"
-    val i = payload.indexOf(marker)
-    if (i >= 0) {
+    def parseAt(i: Int): Long = {
       val s = i + marker.length
       var e = s
       while (e < payload.length && payload.charAt(e).isDigit) e += 1
       payload.substring(s, e).toLong
-    } else Files.getLastModifiedTime(f).toMillis
+    }
+    val first = payload.indexOf(marker)
+    val schemaAt = payload.indexOf("\"schema\":")
+    if (first >= 0 && (schemaAt < 0 || first < schemaAt)) parseAt(first)
+    else if (first >= 0) parseAt(payload.lastIndexOf(marker))
+    else Files.getLastModifiedTime(f).toMillis
   }
 
   /** [[read]] addressed by wall-clock instant instead of version
@@ -315,8 +388,21 @@ object VersionedTable {
     // The commit instant rides IN the payload: mtimes do not survive
     // copies/rsync/restores, so timestamp resolution must not lean on
     // them (versionAsOf falls back to mtime only for pre-r18 entries).
-    val schemaField = schemaJson.map(j => s""","schema":$j""").getOrElse("") +
-      txnField + s""","commitTs":${System.currentTimeMillis()}"""
+    // The stamp is clamped to be non-decreasing across versions (the
+    // Delta in-commit-timestamp rule): a wall-clock step-back between
+    // commits must not give v an earlier instant than v−1, or
+    // versionAsOf (largest v with instant ≤ ts) would resolve a
+    // timestamp to a later version while skipping the one actually
+    // current at that instant. It rides as the FIRST field after the
+    // version — BEFORE the embedded schema JSON — so the fixed-shape
+    // parse can never confuse it with a schema-metadata key.
+    val commitTs = {
+      val now = System.currentTimeMillis()
+      if (v <= 1L) now
+      else try math.max(now, commitInstant(path, v - 1))
+      catch { case _: Exception => now }
+    }
+    val schemaField = schemaJson.map(j => s""","schema":$j""").getOrElse("") + txnField
     val prev: Option[Seq[String]] =
       if (v <= 1L) None
       else try Some(filesOf(path, v - 1)) catch { case _: Exception => None }
@@ -325,9 +411,9 @@ object VersionedTable {
         val pSet = p.toSet; val fSet = files.toSet
         val add = files.filterNot(pSet)
         val remove = p.filterNot(fSet)
-        s"""{"version":$v,"dataChange":$dataChange,"add":[${add.map(f => s"\"$f\"").mkString(",")}],"remove":[${remove.map(f => s"\"$f\"").mkString(",")}]$schemaField}"""
+        s"""{"version":$v,"commitTs":$commitTs,"dataChange":$dataChange,"add":[${add.map(f => s"\"$f\"").mkString(",")}],"remove":[${remove.map(f => s"\"$f\"").mkString(",")}]$schemaField}"""
       case None =>
-        s"""{"version":$v,"dataChange":$dataChange,"files":[${files.map(f => s"\"$f\"").mkString(",")}]$schemaField}"""
+        s"""{"version":$v,"commitTs":$commitTs,"dataChange":$dataChange,"files":[${files.map(f => s"\"$f\"").mkString(",")}]$schemaField}"""
     }
     val tmp = Files.createTempFile(logDir(path), ".tmp-", ".json")
     Files.write(tmp, payload.getBytes("UTF-8"), StandardOpenOption.TRUNCATE_EXISTING)

@@ -449,6 +449,40 @@ class SourcesSpec extends SparkSpecBase {
     assert(VersionedTable.versionAsOf(dir, 0L).isEmpty)
   }
 
+  test("versioned table: commit instants are monotone under clock step-back; schema keys cannot shadow the stamp") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.functions.col
+    // a table whose column METADATA embeds a numeric commitTs key — the
+    // schema JSON lands verbatim in the log payload, so a naive
+    // first-occurrence parse would read 123 as the commit instant
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("commitTs", 123L).build()
+    val dir = Files.createTempDirectory("graft_vt_mono").toString + "/t"
+    VersionedTable.create(
+      Seq((1L, "a")).toDF("id", "name").select(col("id"), col("name").as("name", meta)),
+      dir)
+    val t1 = VersionedTable.commitInstant(dir, 1L)
+    assert(t1 > 1000000000000L,
+      s"schema-embedded commitTs key must not shadow the real stamp, got $t1")
+    // clock step-back: v1's entry claims an instant an hour in the
+    // future (as a stepped-back wall clock would make it relative to
+    // the next commit); v2's stamp must clamp to it, never regress
+    val v1File = Paths.get(dir, "_graft_log").resolve(f"v${1L}%020d.json")
+    val future = System.currentTimeMillis() + 3600000L
+    val patched = new String(Files.readAllBytes(v1File), "UTF-8")
+      .replaceFirst("\"commitTs\":\\d+", s""""commitTs":$future""")
+    Files.write(v1File, patched.getBytes("UTF-8"))
+    assert(VersionedTable.commitInstant(dir, 1L) == future)
+    VersionedTable.upsert(spark, dir, Seq("id"), Seq((2L, "b")).toDF("id", "name"))
+    val t2 = VersionedTable.commitInstant(dir, 2L)
+    assert(t2 >= future,
+      s"v2's instant must clamp to max(now, v1's instant): $t2 < $future")
+    // resolution at v1's (future) instant addresses the LARGEST version
+    // at or before it — both, under the clamp — never skips v1
+    assert(VersionedTable.versionAsOf(dir, future).contains(if (t2 == future) 2L else 1L))
+    assert(VersionedTable.versionAsOf(dir, t2).contains(2L))
+  }
+
   test("versioned table: commits are CAS — one winner, losers retry into the next version") {
     import graft.sources.VersionedTable
     val dir = Files.createTempDirectory("graft_vt_cas").toString + "/t"
@@ -819,6 +853,29 @@ class SourcesSpec extends SparkSpecBase {
     assert(VersionedTable.filesOf(dir, 100L).contains("synth/f100.parquet"))
     assert(VersionedTable.logReads.get <= 1,
       s"filesOf at a checkpoint version must be one read, was ${VersionedTable.logReads.get}")
+    // TIMESTAMP travel rides the checkpoint's tsLog pairs: pointer +
+    // one checkpoint + ≤ interval forward probes — never the
+    // O(versions) downward payload scan it replaced
+    val instants = (1L to 100L).map(v => v -> VersionedTable.commitInstant(dir, v))
+    VersionedTable.logReads.set(0); VersionedTable.logListings.set(0)
+    val mid = VersionedTable.versionAsOf(dir, instants(93)._2)
+    assert(VersionedTable.logReads.get <= VersionedTable.CheckpointInterval + 3,
+      s"versionAsOf must anchor on the checkpoint tsLog and probe ≤ interval " +
+        s"entries, read ${VersionedTable.logReads.get} log objects")
+    assert(VersionedTable.logListings.get == 0,
+      "versionAsOf must never list the log dir")
+    // exactness sweep: the anchored fast path ≡ the downward-scan
+    // semantics (largest v with instant ≤ ts) at EVERY commit boundary,
+    // equal-millisecond stamps included
+    instants.foreach { case (v, t) =>
+      val expect = instants.filter(_._2 <= t).map(_._1).max
+      assert(VersionedTable.versionAsOf(dir, t).contains(expect),
+        s"asOf(instant of v$v) must resolve to v$expect")
+    }
+    val preTable = instants.head._2 - 1
+    assert(VersionedTable.versionAsOf(dir, preTable).isEmpty ==
+      instants.forall(_._2 > preTable))
+    assert(mid == Some(instants.filter(_._2 <= instants(93)._2).map(_._1).max))
   }
 
   test("versioned table: reads and history survive a checkpoint boundary end-to-end") {
