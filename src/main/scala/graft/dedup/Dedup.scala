@@ -1520,6 +1520,35 @@ object Dedup {
     * total order, and the positional bound is exact for any order
     * SHARED by both sides — which frozen-at-seed is, by construction,
     * for every probe and every append forever. */
+  /** The containment-index layout this code writes and reads: v2 =
+    * frozen-order (order/ + postings carrying (nsh, rk)). v1 indexes
+    * (dfs/, no ranks) are structurally incompatible — a v1 probe here
+    * would fail with an opaque missing-path or unresolved-column
+    * error, so every reader checks meta/ and refuses loudly. */
+  private[graft] val ContainmentLayoutVersion = 2
+
+  /** Read + validate the index's bucket modulus from meta/ — the ONE
+    * meta read every containment-index reader funnels through, so an
+    * incompatible layout fails fast with "reseed required" instead of
+    * an opaque error downstream (and old postings can never silently
+    * mix with the frozen-order reader). */
+  private def containmentIndexBuckets(spark: org.apache.spark.sql.SparkSession,
+                                      path: String): Long = {
+    val m = spark.read.parquet(path + "/meta")
+    if (!m.columns.contains("layout_version"))
+      throw new IllegalArgumentException(
+        s"$path: containment index predates the frozen-order layout " +
+          "(meta/ carries no layout_version; postings lack (nsh, rk) and " +
+          "order/ is absent) — reseed with writeContainmentIndex")
+    val row = m.select("n_buckets", "layout_version").collect()(0)
+    val lv = row.getAs[Number](1).intValue
+    if (lv != ContainmentLayoutVersion)
+      throw new IllegalArgumentException(
+        s"$path: containment index layout v$lv is incompatible with this " +
+          s"reader (expects v$ContainmentLayoutVersion) — reseed required")
+    row.getAs[Number](0).longValue
+  }
+
   def writeContainmentIndex(corpus: DataFrame, path: String, nBuckets: Int = 64,
                             batchId: Option[Long] = None): Unit = {
     // an APPEND must hash with the modulus the index was seeded with,
@@ -1531,8 +1560,7 @@ object Dedup {
     // with no error — the writeTextIndex lesson, applied here too)
     val effBuckets = batchId match {
       case Some(_) if graft.Fs.exists(corpus.sparkSession, path + "/meta") =>
-        corpus.sparkSession.read.parquet(path + "/meta")
-          .collect()(0).getAs[Number](0).intValue
+        containmentIndexBuckets(corpus.sparkSession, path).toInt
       case _ => nBuckets // seeding call: no meta yet
     }
     // batch appends need a batch-seeded layout (postings/batch_id=...);
@@ -1575,8 +1603,10 @@ object Dedup {
     // the bucket MODULUS must be persisted — inferring it from the
     // occupied bucket ids breaks on sparse occupancy (a small corpus
     // can leave the top buckets empty), and a probe hashing with the
-    // wrong modulus reads the wrong directories
-    spark.range(1).select(lit(effBuckets).as("n_buckets"))
+    // wrong modulus reads the wrong directories. layout_version lets
+    // every reader refuse a pre-frozen-order index loudly.
+    spark.range(1).select(lit(effBuckets).as("n_buckets"),
+        lit(ContainmentLayoutVersion).as("layout_version"))
       .write.mode("overwrite").parquet(path + "/meta")
     batchId match {
       case None =>
@@ -1590,6 +1620,69 @@ object Dedup {
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id", "bkt").parquet(path + "/postings")
     }
+  }
+
+  /** Maintenance verb for ORDER decay — optimizeIndex's sibling for
+    * the frozen order. The frozen-at-seed order is recall-correct
+    * forever (see [[writeContainmentIndex]]) but its PRUNING POWER
+    * degrades as appends accumulate: every post-seed shingle carries
+    * odf 0, so after heavy growth most vocabulary probes first
+    * regardless of true rarity and the prefix loses its
+    * concentration. This verb re-derives `order/` from the CURRENT
+    * corpus document frequencies (the postings themselves — one row
+    * per (doc, shingle) — so no text is re-read), re-ranks ALL
+    * postings under the new order in one doc-partitioned window pass,
+    * and publishes both relations via the staged-swap machinery.
+    * Probe results are IDENTICAL before and after (any shared total
+    * order is recall-exact; only candidate volume changes), and
+    * appends after a refreeze read the new `order/` and rank under
+    * it — the one-consistent-order requirement keeps holding.
+    *
+    * Corpus-proportional (a full postings rewrite — the OPTIMIZE cost
+    * class, run on a maintenance cadence) and single-writer like every
+    * maintenance verb; because ranks CHANGE, a probe racing the
+    * two-rename swap window could mix orders — quiesce probes for the
+    * swap instant, exactly as a schema-changing OPTIMIZE would.
+    * Returns a one-row report (postings_reranked, shingles_reordered,
+    * n_buckets). */
+  def refreezeContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+                               path: String): DataFrame = {
+    import spark.implicits._
+    val nBuckets = containmentIndexBuckets(spark, path)
+    val postings = spark.read.parquet(path + "/postings")
+    val batched = postings.columns.contains("batch_id")
+    val newOrd = graft.Caches.tracked(
+      postings.groupBy("bkt", "sh_h").agg(count(lit(1)).as("odf")))
+    // per-doc rank under the new (odf, sh_h) order; a doc re-appended
+    // under several batch_ids ranks per batch copy, matching how the
+    // seed/append writes ranked it
+    val docPart =
+      if (batched) Window.partitionBy("batch_id", "doc_id")
+      else Window.partitionBy("doc_id")
+    val reranked = postings.drop("rk")
+      .join(newOrd.select("sh_h", "odf"), Seq("sh_h"))
+      .withColumn("rk", row_number().over(
+        docPart.orderBy(col("odf"), col("sh_h"))).cast("long"))
+      .drop("odf")
+    import org.apache.hadoop.fs.Path
+    val orderDir = new Path(path, "order")
+    val postDir = new Path(path, "postings")
+    val fs = orderDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orderTmp = new Path(path, ".order.refreeze-tmp")
+    val postTmp = new Path(path, ".postings.refreeze-tmp")
+    fs.delete(orderTmp, true); fs.delete(postTmp, true)
+    newOrd.write.mode("overwrite").partitionBy("bkt").parquet(orderTmp.toString)
+    if (batched)
+      reranked.write.mode("overwrite").partitionBy("batch_id", "bkt")
+        .parquet(postTmp.toString)
+    else
+      reranked.write.mode("overwrite").partitionBy("bkt").parquet(postTmp.toString)
+    val nSh = newOrd.count()
+    val nPost = postings.count()
+    graft.sources.Sources.swapStaged(fs, postTmp, postDir, "refreezeContainmentIndex")
+    graft.sources.Sources.swapStaged(fs, orderTmp, orderDir, "refreezeContainmentIndex")
+    Seq((nPost, nSh, nBuckets))
+      .toDF("postings_reranked", "shingles_reordered", "n_buckets")
   }
 
   /** d21_containment_probe_indexed — d20 against the SAVED index:
@@ -1608,11 +1701,15 @@ object Dedup {
     * a qualifying pair the order-first common shingle is in the
     * probe's prefix and its join row passes both bounds. The verify
     * reads `sets/` rows for surviving candidates only. */
-  def containmentAgainstIndex(newDocs: DataFrame, indexPath: String,
-                              threshold: Double = 0.8, minShingles: Int = 5,
-                              excludeBatchId: Option[Long] = None): DataFrame = {
-    require(threshold > 0 && threshold <= 1.0,
-      s"containmentAgainstIndex: threshold must be in (0,1], got $threshold")
+  /** The probe's candidate half (doc_id, corpus_doc pairs surviving
+    * the prefix + PPJoin filters, pre-verify), exposed so maintenance
+    * can MEASURE candidate volume — the quantity order decay inflates
+    * and [[refreezeContainmentIndex]] restores. Returns (bsets, cand);
+    * bsets is the probe's cached shingle relation, reused by the
+    * verify step so the probe shingles exactly once. */
+  private[graft] def containmentProbeCandidates(
+      newDocs: DataFrame, indexPath: String, threshold: Double,
+      excludeBatchId: Option[Long] = None): (DataFrame, DataFrame) = {
     val spark = newDocs.sparkSession
     def excl(df: DataFrame) = excludeBatchId match {
       case None => df
@@ -1627,8 +1724,7 @@ object Dedup {
     // Ints too — a cast on the partition column would defeat the
     // pruning this layout exists for.
     val postingsRaw = excl(spark.read.parquet(indexPath + "/postings"))
-    val nBuckets = spark.read.parquet(indexPath + "/meta")
-      .collect()(0).getAs[Number](0).longValue
+    val nBuckets = containmentIndexBuckets(spark, indexPath)
     val be = graft.Caches.tracked(
       bsets.select(col("doc_id"), size(col("sh")).cast("long").as("nsh"),
           explode(col("sh")).as("sh_h"))
@@ -1655,6 +1751,21 @@ object Dedup {
             col("q.n_corp") - col("q.crk")) >= need - lit(1))
       .select(col("p.doc_id").as("doc_id"), col("q.corpus_doc").as("corpus_doc"))
       .distinct()
+    (bsets, cand)
+  }
+
+  def containmentAgainstIndex(newDocs: DataFrame, indexPath: String,
+                              threshold: Double = 0.8, minShingles: Int = 5,
+                              excludeBatchId: Option[Long] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1.0,
+      s"containmentAgainstIndex: threshold must be in (0,1], got $threshold")
+    val spark = newDocs.sparkSession
+    def excl(df: DataFrame) = excludeBatchId match {
+      case None => df
+      case Some(id) => df.filter(col("batch_id") =!= id)
+    }
+    val (bsets, cand) =
+      containmentProbeCandidates(newDocs, indexPath, threshold, excludeBatchId)
     val sets = excl(spark.read.parquet(indexPath + "/sets"))
     cand
       .join(bsets.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")

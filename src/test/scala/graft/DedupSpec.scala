@@ -698,6 +698,94 @@ class DedupSpec extends SparkSpecBase {
     graft.Caches.release()
   }
 
+  test("refreezeContainmentIndex: identical results, measurable candidate drop, appends rank under the new order") {
+    // ORDER DECAY shape: heavy post-seed growth shares a hot common
+    // core; under the stale frozen order every post-seed shingle sits
+    // at odf 0, so the core floods probe prefixes and every appended
+    // doc becomes a candidate. After a refreeze the core carries its
+    // true (high) df, discriminative shingles take the prefix, and the
+    // candidate volume collapses — with the REPORTED pairs identical.
+    val core = (1 to 30).map(i => s"c$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont_rf").toString
+    Dedup.writeContainmentIndex(docs(
+      10L -> "seed vocabulary alpha beta gamma delta epsilon zeta eta theta",
+      11L -> "more seed words iota kappa lambda mu nu xi omicron pi"),
+      dir, batchId = Some(-1L))
+    // each appended doc = hot core (28 shingles) + 10 own words, so a
+    // probe sharing only the core sits at 28/36 = 0.778 < t — never a
+    // true containment; only the planted doc-25 subset crosses t
+    def appendedText(i: Long) =
+      s"$core " + ('a' to 'j').map(c => s"u$i$c").mkString(" ")
+    Dedup.writeContainmentIndex(
+      docs((20L to 39L).map(i => i -> appendedText(i)): _*),
+      dir, batchId = Some(0L))
+    graft.Caches.release()
+    val probe = docs(
+      0L -> s"$core fresh probe tail words never seen anywhere at",
+      1L -> (s"$core " + ('a' to 'h').map(c => s"u25$c").mkString(" ")))
+    val before = Dedup.containmentProbeCandidates(probe, dir, 0.8)._2.count()
+    assert(before >= 20L,
+      s"stale-order probe must flood candidates through the hot core, got $before")
+    val r1 = Dedup.containmentAgainstIndex(probe, dir, threshold = 0.8,
+      minShingles = 5).collect().toSeq
+    assert(r1.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 25L)),
+      s"only the planted containment verifies: $r1")
+    graft.Caches.release()
+    val report = Dedup.refreezeContainmentIndex(spark, dir).collect().head
+    assert(report.getLong(0) > 0L && report.getLong(1) > 0L, s"report: $report")
+    val after = Dedup.containmentProbeCandidates(probe, dir, 0.8)._2.count()
+    assert(after < before,
+      s"refreeze must restore prefix concentration: $after !< $before")
+    val r2 = Dedup.containmentAgainstIndex(probe, dir, threshold = 0.8,
+      minShingles = 5).collect().toSeq
+    assert(r2 == r1, s"probe results must be identical across a refreeze: $r2 != $r1")
+    graft.Caches.release()
+    // an append AFTER the refreeze ranks under the NEW order: probe it
+    // together with the live d20 twin over the equivalent corpus
+    val vdoc = (1 to 16).map(i => s"v$i").mkString(" ")
+    Dedup.writeContainmentIndex(docs(50L -> vdoc), dir, batchId = Some(1L))
+    graft.Caches.release()
+    val probe2 = docs(2L -> (1 to 13).map(i => s"v$i").mkString(" "))
+    val out = Dedup.containmentAgainstIndex(probe2, dir, threshold = 0.8,
+      minShingles = 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((2L, 50L)), s"post-refreeze append must be probe-visible: $out")
+    val liveCorpus = docs(Seq(
+      10L -> "seed vocabulary alpha beta gamma delta epsilon zeta eta theta",
+      11L -> "more seed words iota kappa lambda mu nu xi omicron pi",
+      50L -> vdoc) ++ (20L to 39L).map(i => i -> appendedText(i)): _*)
+    val live = Dedup.containmentAgainst(probe2, liveCorpus, threshold = 0.8,
+      minShingles = 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == live, s"probe $out != live $live")
+    graft.Caches.release()
+  }
+
+  test("containment index layout guard: a pre-frozen-order index refuses loudly, never opaquely") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont_lv").toString
+    Dedup.writeContainmentIndex(docs(
+      10L -> "some corpus words here that shingle fine today"), dir, batchId = Some(-1L))
+    // simulate a v1-era index: meta/ without layout_version
+    spark.range(1).selectExpr("64L as n_buckets")
+      .write.mode("overwrite").parquet(dir + "/meta")
+    val probe = docs(0L -> "some corpus words here that shingle")
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.containmentAgainstIndex(probe, dir).collect())
+    assert(e1.getMessage.contains("reseed"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.writeContainmentIndex(docs(1L -> "appended words arrive here now"),
+        dir, batchId = Some(0L)))
+    assert(e2.getMessage.contains("reseed"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      Dedup.refreezeContainmentIndex(spark, dir))
+    assert(e3.getMessage.contains("reseed"), e3.getMessage)
+    // an explicit FUTURE layout version is equally refused
+    spark.range(1).selectExpr("64L as n_buckets", "9 as layout_version")
+      .write.mode("overwrite").parquet(dir + "/meta")
+    val e4 = intercept[IllegalArgumentException](
+      Dedup.containmentAgainstIndex(probe, dir).collect())
+    assert(e4.getMessage.contains("incompatible"), e4.getMessage)
+    graft.Caches.release()
+  }
+
   test("containmentApply drops version chains into dominators in one acyclic pass") {
     val big = "a b c d e f g h i j k l"             // 10 shingles
     val mid = "a b c d e f g h i j"                  // 8, ⊂ big
