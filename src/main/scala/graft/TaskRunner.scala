@@ -172,9 +172,16 @@ object TaskRunner {
       Tables.embeddings(s, d), i(p, "k", 8))),
     "a25_knn_filtered" -> ((s, d, p) => Ann.knnFiltered(
       Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3))),
-    "a27_bq_knn" -> ((s, d, p) => Ann.bqKnn(
-      Tables.embeddings(s, d), i(p, "nQueries", 10), i(p, "k", 3),
-      i(p, "rerank", 50))),
+    "a27_bq_knn" -> ((s, d, p) => {
+      val e = Tables.embeddings(s, d)
+      val nQ = i(p, "nQueries", 10); val k = i(p, "k", 3)
+      // targetRecall states the recall needed and overrides rerank via
+      // the measured-curve calibration (the a27 depth-trade seam)
+      val rr = p.get("targetRecall")
+        .map(t => Ann.bqRerankForRecall(e, t.trim.toDouble, nQ, k))
+        .getOrElse(i(p, "rerank", 100))
+      Ann.bqKnn(e, nQ, k, rr)
+    }),
     "a26_ivf_filtered_indexed" -> ((s, d, p) => {
       val e = Tables.embeddings(s, d)
       val tmp = SparkEntry.scratchDir("graft_a26p_")
@@ -600,11 +607,14 @@ object TaskRunner {
     }),
     "a28_ivf_bq_indexed" -> ((s, d, p) => {
       val e = Tables.embeddings(s, d)
-      val nQ = i(p, "nQueries", 10)
+      val nQ = i(p, "nQueries", 10); val k = i(p, "k", 3)
+      val rr = p.get("targetRecall")
+        .map(t => Ann.bqRerankForRecall(e, t.trim.toDouble, nQ, k))
+        .getOrElse(i(p, "rerank", 100))
       val tmp = SparkEntry.scratchDir("graft_a28p_")
       Ann.writeAnnIndexBq(e.filter(e("vec_id") >= nQ), Ann.labelCentroids(e), tmp)
       Ann.ivfBqKnnIndexed(e.filter(e("vec_id") < nQ), tmp, e,
-        i(p, "k", 3), i(p, "nprobe", 2), i(p, "rerank", 100))
+        k, i(p, "nprobe", 2), rr)
     }),
     "a20_rrf_fusion" -> ((s, d, p) => {
       val docs = Tables.documents(s, d)

@@ -713,6 +713,16 @@ object Ann {
     * in the ladder, so the default shortlist runs DEEPER than
     * SQ8/PQ's (rerank 100 vs 50) — the scan is 32× cheaper per
     * candidate, so a 2× deeper rerank still nets out far ahead.
+    *
+    * DEPTH GUIDANCE (measured, [[bqRecallCurve]]): the default
+    * rerank=100 is a PREFILTER-economics setting, not a recall
+    * guarantee — on unstructured dim-64 embeddings (the sign-bit
+    * worst case) recall@10 is ~0.63 at depth 100 and needs ~400 for
+    * ~0.92, while even a 400-deep BQ scan still reads 8× fewer bytes
+    * than a 100-deep float scan. State the recall you need instead:
+    * [[bqRerankForRecall]] calibrates the depth on the deployment's
+    * own vectors, and both a27 and a28 take a `targetRecall` task
+    * param that overrides `rerank` through that calibration.
     * Rows-only: Hamming shortlists are codec-native —
     * the spec pins toy-set equality to brute under a generous
     * shortlist and recall@3 on real embeddings. */
@@ -1220,6 +1230,34 @@ object Ann {
       (dim, dep, math.floor(hits / nExact * 1e4 + 0.5) / 1e4)
     }
     rows.toDF("dim", "rerank", "mean_recall").orderBy("rerank")
+  }
+
+  /** AUTO-DEPTH for the BQ tier: the smallest rerank depth whose
+    * MEASURED recall@k reaches `targetRecall` on these embeddings —
+    * the [[bqRecallCurve]] trade folded back into the operator
+    * surface, so a27/a28 callers state the recall they need instead
+    * of inheriting a silent default. Measured, never assumed: the
+    * curve's shape is corpus-dependent (on unstructured dim-64
+    * embeddings — the sign-bit worst case — recall@10 is ~0.63 at
+    * depth 100 and needs ~400 for ~0.92; clustered real-text
+    * embeddings concentrate far faster), so the only honest auto-depth
+    * is one calibrated on the deployment's own vectors. Calibration
+    * cost is one ground-truth brute pass + one code scan for
+    * `nQueries` queries — run it on a corpus SAMPLE at 100 TB (the
+    * codec is data-independent, so a sampled curve transfers) and
+    * reuse the depth across probes. If even the deepest measured
+    * depth misses the target, that depth is returned — the curve
+    * itself (same depths) shows the gap; pick SQ8/PQ instead of
+    * digging deeper than the ladder. Task-tunable as `targetRecall`
+    * on a27/a28 (TaskRunner), which overrides `rerank`. */
+  def bqRerankForRecall(embeddings: DataFrame, targetRecall: Double,
+                        nQueries: Int = 10, k: Int = 3,
+                        depths: Seq[Int] = Seq(25, 50, 100, 200, 400, 800)): Int = {
+    require(targetRecall > 0 && targetRecall <= 1.0,
+      s"bqRerankForRecall: targetRecall must be in (0,1], got $targetRecall")
+    val curve = bqRecallCurve(embeddings, nQueries, k, depths).collect()
+    curve.find(_.getDouble(2) >= targetRecall).map(_.getInt(1))
+      .getOrElse(depths.max)
   }
 
   /** a13_knn_classify — kNN label propagation (weak labeling): each
@@ -1801,7 +1839,12 @@ object Ann {
     * re-rank — at 100 TB the floats never scan, they're fetched at
     * |queries|·rerank row lookups. Output schema matches a04/a15
     * (query_id, neighbor_id, cos_sim, rn), so recall composes with
-    * a11's evaluator unchanged. */
+    * a11's evaluator unchanged. `rerank` carries a27's measured depth
+    * trade (default 100 ≈ 0.63 recall@10 on unstructured dim-64
+    * vectors — see [[bqKnn]]'s depth guidance); calibrate with
+    * [[bqRerankForRecall]] or the `targetRecall` task param, which
+    * additionally rides the IVF nprobe trade (a04's) on top of the
+    * codec's. */
   def ivfBqKnnIndexed(queries: DataFrame, indexPath: String,
                       floatSource: DataFrame, k: Int = 3, nprobe: Int = 2,
                       rerank: Int = 100): DataFrame = {

@@ -833,6 +833,19 @@ class AnnSpec extends SparkSpecBase {
         .collect()
       assert(r.length == 5 && r.forall(_.getDouble(3) >= 0.0), s"variant $v")
     }
+    // AUTO-DEPTH: bqRerankForRecall returns the smallest measured depth
+    // meeting the target — by construction its recall on the same
+    // queries is >= target; an unreachable target falls to the deepest
+    val curveMap = curve.toMap
+    val depths = Seq(2, 5, 35)
+    val easy = graft.ann.Ann.bqRerankForRecall(emb, curveMap(2), 5, 3, depths)
+    assert(easy == 2, s"target at depth-2's measured recall must pick 2, got $easy")
+    val full = graft.ann.Ann.bqRerankForRecall(emb, 1.0, 5, 3, depths)
+    assert(curveMap(full) == 1.0, s"target 1.0 must land on an exact depth: $full")
+    val mid = graft.ann.Ann.bqRerankForRecall(
+      emb, curveMap(2) + 1e-6, 5, 3, depths)
+    assert(mid > 2 && curveMap(mid) > curveMap(2),
+      s"a target above depth-2's recall must deepen: $mid")
     graft.Caches.release()
   }
 

@@ -260,4 +260,17 @@ class TaskRunnerSpec extends SparkSpecBase {
       Quality.parseChecks("""[{"type":"nope","name":"x"}]""")
     }
   }
+
+  test("a27 targetRecall param calibrates rerank from the measured curve") {
+    // stating the recall instead of a depth: targetRecall=1.0 must pick
+    // a measured depth whose shortlist already contains every true
+    // neighbor, so the result equals an exhaustive-depth run exactly
+    val exact = TaskRunner.run(spark, d, "a27_bq_knn",
+      Map("rerank" -> "1000000")).collect().toSeq
+    val auto = TaskRunner.run(spark, d, "a27_bq_knn",
+      Map("targetRecall" -> "1.0")).collect().toSeq
+    assert(auto == exact,
+      "targetRecall=1.0 must calibrate a depth that reranks to the exact top-k")
+    graft.Caches.release()
+  }
 }
