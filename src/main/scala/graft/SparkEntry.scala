@@ -503,7 +503,20 @@ object SparkEntry {
         tmp, 0L)
       BinaryPipeline.vacuumChunkStore(s, tmp)
     }),
-    "m09_storage_savings" -> ((s, d) => BinaryPipeline.storageSavings(Tables.documents(s, d)))
+    "m09_storage_savings" -> ((s, d) => BinaryPipeline.storageSavings(Tables.documents(s, d))),
+    // the payload provenance matrix (d24's shape for bytes): the m12
+    // plants cover the exact + perceptual/near regimes; a truncated
+    // 70%-prefix slice of every 40th doc plants the lineage regime
+    "m16_payload_sweep" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = plantedBytePayloads(s, d)
+        .unionByName(docs.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            org.apache.spark.sql.functions.expr(
+              "substring(text, 1, CAST(octet_length(text) * 7 div 10 AS INT))")
+              .as("text")))
+      BinaryPipeline.payloadSweep(planted)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -553,6 +553,10 @@ object TaskRunner {
       i(p, "minLen", 32), i(p, "maskBits", 6))),
     "m11_payload_entropy" -> ((s, d, _) => graft.multimodal.BinaryPipeline.payloadEntropy(
       Tables.documents(s, d))),
+    "m16_payload_sweep" -> ((s, d, p) => graft.multimodal.BinaryPipeline.payloadSweep(
+      Tables.documents(s, d), dbl(p, "containThreshold", 0.8),
+      i(p, "maxHamming", 3), i(p, "minShared", 2), i(p, "minChunks", 4),
+      i(p, "minLen", 16), i(p, "maskBits", 5), l(p, "dfCap", 1000L))),
     "m15_chunk_vacuum" -> ((s, d, p) => {
       import graft.multimodal.BinaryPipeline
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))

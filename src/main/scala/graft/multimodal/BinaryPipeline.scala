@@ -218,15 +218,25 @@ object BinaryPipeline {
     * CDC boundaries are not ANSI-SQL-expressible; the spec plants the
     * one-byte-prefix case and proves m06 misses it while this catches
     * it. */
-  def cdcDedup(documents: DataFrame, minLen: Int = 16, maskBits: Int = 5,
-               minShared: Int = 2, dfCap: Long = 1000L): DataFrame = {
+  /** The (doc_id, CDC chunk hash) relation m07/m10/m16 share — ONE
+    * compiled chunking pass over the payloads, tracked for reuse (the
+    * d24 preShingled seam applied to bytes). */
+  private[graft] def cdcKeyed(documents: DataFrame, minLen: Int,
+                              maskBits: Int): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
-    val keyed = documents
+    graft.Caches.tracked(documents
       .withColumn("payload", col("text").cast("binary"))
       .select(col("doc_id"),
         explode(expr(s"graft_cdc_hashes(payload, $minLen, $maskBits)")).as("h"))
-      .distinct()
-    graft.Caches.tracked(keyed) // three readers — see chunkDedup
+      .distinct())
+  }
+
+  def cdcDedup(documents: DataFrame, minLen: Int = 16, maskBits: Int = 5,
+               minShared: Int = 2, dfCap: Long = 1000L,
+               preKeyed: Option[DataFrame] = None): DataFrame = {
+    // three readers (df count + both pair-join sides) — see chunkDedup;
+    // preKeyed threads m16's shared chunking scan
+    val keyed = preKeyed.getOrElse(cdcKeyed(documents, minLen, maskBits))
     val eligible = keyed.groupBy("h")
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, dfCap))
@@ -262,16 +272,12 @@ object BinaryPipeline {
     * plants the appended-tail lineage case and pins the direction. */
   def chunkContainment(documents: DataFrame, threshold: Double = 0.8,
                        minChunks: Int = 4, minLen: Int = 16, maskBits: Int = 5,
-                       dfCap: Long = 1000L): DataFrame = {
+                       dfCap: Long = 1000L,
+                       preKeyed: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1.0,
       s"chunkContainment: threshold must be in (0,1], got $threshold")
-    graft.functions.GraftFunctions.register(documents.sparkSession)
-    val keyed = documents
-      .withColumn("payload", col("text").cast("binary"))
-      .select(col("doc_id"),
-        explode(expr(s"graft_cdc_hashes(payload, $minLen, $maskBits)")).as("h"))
-      .distinct()
-    graft.Caches.tracked(keyed) // three readers — see chunkDedup
+    // three readers — see chunkDedup; preKeyed threads m16's shared scan
+    val keyed = preKeyed.getOrElse(cdcKeyed(documents, minLen, maskBits))
     val counts = keyed.groupBy("doc_id").agg(count(lit(1)).as("nch"))
     val eligible = keyed.groupBy("h")
       .agg(count(lit(1)).as("df"))
@@ -654,6 +660,98 @@ object BinaryPipeline {
     * compare byte-for-byte against the original payloads. One row per
     * doc (n_chunks, n_bytes, roundtrip_ok) — the verification a real
     * capacity migration runs before deleting raw blobs. */
+  /** m16_payload_sweep — the d24 provenance matrix for PAYLOADS: one
+    * row per doc with a SURVIVOR-AWARE flag per byte regime — exact
+    * (m05's digest groups), CDC near-dup (m07's shift-invariant
+    * shared-chunk pairs, resolved to cluster canonicals — minus any
+    * pair a lineage direction claims, which routes to the lineage
+    * regime whose dominance order knows which side of an asymmetric
+    * pair survives), directional lineage (m10's chunk containment,
+    * routed through d22's acyclic dominance order so the survivor of
+    * a mutual pair is never flagged), perceptual (m12/m13's
+    * block-mean-hash clusters) — and a
+    * precedence-ordered verdict. This is what a media-curation owner
+    * reads before deleting bytes: which MECHANISM would remove each
+    * payload, and what survives all four. A flag means "this regime
+    * would REMOVE the doc", never "this doc collides" — canonicals
+    * and dominators keep.
+    *
+    * Plan shape: the two CDC regimes (near + lineage) share ONE
+    * compiled chunking scan via the preKeyed seam (the d24
+    * preShingled lesson — sharing is structural, not left to
+    * cache-manager plan canonicalization); the exact flag is one
+    * digest aggregation; perceptual is m13's pigeonhole path. Flags
+    * compose by doc_id left-joins, so cost = sum of the regimes'
+    * SCALE paths, never a product and never a quadratic baseline.
+    * Precedence (strongest evidence first): exact > near (byte chunks
+    * shared) > contained (lineage) > perceptual (lossy fingerprint);
+    * "keep" = all four passed. Rows-only: CDC boundaries and the
+    * block-mean hash are compiled natives — the spec plants one
+    * positive per regime and pins the matrix. */
+  def payloadSweep(documents: DataFrame, containThreshold: Double = 0.8,
+                   maxHamming: Int = 3, minShared: Int = 2,
+                   minChunks: Int = 4, minLen: Int = 16, maskBits: Int = 5,
+                   dfCap: Long = 1000L): DataFrame = {
+    val docs = documents.select(col("doc_id"), col("text"))
+    val exactGroups = docs
+      .withColumn("payload", col("text").cast("binary"))
+      .groupBy(sha2(col("payload"), 256).as("h"))
+      .agg(min("doc_id").as("canon"))
+    val exactFlag = docs
+      .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("h"))
+      .join(exactGroups, "h")
+      .select(col("doc_id"), (col("doc_id") =!= col("canon")).as("exact_dup"))
+    val keyed = cdcKeyed(docs, minLen, maskBits)
+    val lineageDirs = graft.Caches.tracked(
+      chunkContainment(docs, containThreshold, minChunks,
+        minLen, maskBits, dfCap, preKeyed = Some(keyed)))
+    // a pair ANY lineage direction claims routes to the lineage regime
+    // and is EXCLUDED from near clustering: m07's shared-count pairing
+    // fires on truncation pairs too, and the near regime's min-id
+    // canonical would then remove the CONTAINER while its fragment
+    // survives — the lineage regime's dominance order is the one that
+    // knows which side of an asymmetric pair to keep
+    val lineagePairs = lineageDirs.select(
+      least(col("doc_id"), col("in_doc")).as("doc_a"),
+      greatest(col("doc_id"), col("in_doc")).as("doc_b")).distinct()
+    val nearPairs = cdcDedup(docs, minLen, maskBits, minShared, dfCap,
+        preKeyed = Some(keyed))
+      .join(lineagePairs, Seq("doc_a", "doc_b"), "left_anti")
+    val near = graft.dedup.Dedup.clustersFromPairs(docs.select("doc_id"), nearPairs)
+      .select(col("doc_id"), (!col("is_canonical")).as("near_dup"))
+    // lineage flag rides d22's dominance rule over the m10 directions:
+    // drop a doc contained in a STRICTLY dominating payload (more
+    // chunks, ties to the smaller id) — acyclic by construction, so a
+    // mutual-containment pair keeps its dominant side
+    val counts = keyed.groupBy("doc_id").agg(count(lit(1)).as("nch"))
+    val contained = lineageDirs
+      .join(counts.select(col("doc_id").as("in_doc"), col("nch").as("n_in")),
+        "in_doc")
+      .filter(col("n_in") > col("nch") ||
+        (col("n_in") === col("nch") && col("in_doc") < col("doc_id")))
+      .select(col("doc_id")).distinct()
+      .withColumn("contained", lit(true))
+    val perceptual = blockhashClusters(docs, maxHamming)
+      .select(col("doc_id"), (!col("is_canonical")).as("perceptual_dup"))
+    docs.select("doc_id")
+      .join(exactFlag, Seq("doc_id"), "left_outer")
+      .join(near, Seq("doc_id"), "left_outer")
+      .join(contained, Seq("doc_id"), "left_outer")
+      .join(perceptual, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"),
+        coalesce(col("contained"), lit(false)).as("contained"),
+        coalesce(col("perceptual_dup"), lit(false)).as("perceptual_dup"))
+      .withColumn("verdict",
+        when(col("exact_dup"), "exact")
+          .when(col("near_dup"), "near")
+          .when(col("contained"), "contained")
+          .when(col("perceptual_dup"), "perceptual")
+          .otherwise("keep"))
+      .orderBy("doc_id")
+  }
+
   def chunkStoreRoundtrip(documents: DataFrame, path: String,
                           minLen: Int = 32, maskBits: Int = 6): DataFrame = {
     writeChunkStore(documents, path, minLen, maskBits)

@@ -403,6 +403,47 @@ class MultimodalSpec extends SparkSpecBase {
       "completed vacuum must leave no staging debris")
   }
 
+  test("m16 payload sweep: one planted positive per regime lights exactly its flag; survivors keep") {
+    import spark.implicits._
+    import graft.multimodal.BinaryPipeline
+    val rnd = new scala.util.Random(53)
+    def blob(n: Int) = Iterator.continually(rnd.alphanumeric.head).take(n).mkString
+    val a = blob(600)
+    val sharedTail = blob(300); val x = blob(400); val y = blob(400)
+    val c6 = blob(900); val c5 = c6.substring(0, 500)
+    val p7 = blob(600)
+    // perceptual twin: alternate +1/−1 every 12th byte — every CDC
+    // chunk (minLen 16) is touched so ZERO chunks survive shared, but
+    // block means barely move and the global mean cancels → the
+    // block-mean hash stays within the hamming radius
+    val p8 = p7.zipWithIndex.map { case (ch, i) =>
+      if (i % 12 == 0) (if ((i / 12) % 2 == 0) (ch + 1) else (ch - 1)).toChar
+      else ch
+    }.mkString
+    val docs = Seq(
+      (1L, a), (2L, a),                   // exact pair
+      (3L, x + sharedTail), (4L, y + sharedTail), // near: shared block, C < t both ways
+      (5L, c5), (6L, c6),                 // lineage: 5 is a strict prefix of 6
+      (7L, p7), (8L, p8)                  // perceptual: in-place light edit
+    ).toDF("doc_id", "text")
+    val out = BinaryPipeline.payloadSweep(docs).collect().map(r =>
+      r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getString(5)))).toMap
+    // survivors of every regime keep — including the lineage CONTAINER
+    // (the near-regime routing: a truncation pair must never let the
+    // min-id canonical remove the container)
+    for (id <- Seq(1L, 3L, 6L, 7L))
+      assert(out(id)._5 == "keep", s"doc $id: ${out(id)}")
+    // exact copy: digest, mutual-containment dominance and perceptual
+    // all fire; the pair routes OUT of near clustering (lineage owns
+    // identical/asymmetric pairs); precedence = exact
+    assert(out(2L) == ((true, false, true, true, "exact")), s"got ${out(2L)}")
+    assert(out(4L) == ((false, true, false, false, "near")), s"got ${out(4L)}")
+    assert(out(5L) == ((false, false, true, false, "contained")), s"got ${out(5L)}")
+    assert(out(8L) == ((false, false, false, true, "perceptual")), s"got ${out(8L)}")
+    graft.Caches.release()
+  }
+
   test("m12 blockhash laws: compiled = Scala compute; empty hashes to 0; pigeonhole is recall-exact to h<=3") {
     import graft.functions.BlockMeanHash
     assert(BlockMeanHash.compute(Array.empty[Byte]) == 0L)
