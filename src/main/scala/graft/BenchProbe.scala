@@ -79,12 +79,45 @@ object BenchProbe {
       graft.ann.Ann.writeAnnIndexSq8(e.filter(col("vec_id") >= 10),
         graft.ann.Ann.labelCentroids(e), d)
     } { d => graft.ann.Ann.ivfSq8KnnIndexed(e.filter(col("vec_id") < 10), d) }
+    // ORDER-DECAY measurement for refreezeContainmentIndex: the synthetic
+    // corpus is vocabulary-saturated, so post-seed growth is manufactured
+    // by suffixing every token (all-new shingles — the worst case the
+    // frozen order degrades toward: every appended shingle at odf 0).
+    // The probe shares the appended slice's hot shingles, so the stale
+    // order floods its prefix with common new-vocab shingles; the
+    // refreeze restores their true (high) df and the candidate volume
+    // is the measured difference. Probe results are identical either
+    // way (spec-pinned); this measures VOLUME and the rewrite cost.
+    val refreezeStats = scala.collection.mutable.LinkedHashMap[String, Double]()
+    locally {
+      val dir = scratch("graft_probe_refreeze_")
+      val shift = (df: DataFrame) => df.select(col("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", "$1x").as("text"))
+      graft.dedup.Dedup.writeContainmentIndex(corpus, dir, batchId = Some(-1L))
+      Caches.release()
+      graft.dedup.Dedup.writeContainmentIndex(
+        shift(batch).select((col("doc_id") + 10000000L).as("doc_id"), col("text")),
+        dir, batchId = Some(0L))
+      Caches.release()
+      val probeDocs = shift(docs.filter(col("source") === "src1")
+        .limit(200)).select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+      def cands(): Double = {
+        val n = graft.dedup.Dedup
+          .containmentProbeCandidates(probeDocs, dir, 0.8)._2.count().toDouble
+        Caches.release()
+        n
+      }
+      refreezeStats("cands_before") = cands()
+      refreezeStats("refreeze_sec") =
+        time(graft.dedup.Dedup.refreezeContainmentIndex(spark, dir).collect())
+      refreezeStats("cands_after") = cands()
+    }
     def r3(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def m(x: collection.Map[String, Double]) =
       x.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
     println("===GRAFT_PROBE_JSON_BEGIN===")
-    println(s"""{"builds":${m(builds)},"probes":${m(probes)},"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"builds":${m(builds)},"probes":${m(probes)},"refreeze":${m(refreezeStats)},"reps":$reps,"sf":"$sfDir"}""")
     println("===GRAFT_PROBE_JSON_END===")
     spark.stop()
   }
