@@ -221,17 +221,11 @@ object Sources {
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path)
     val sized = if (repartition) df.repartition(n) else df.coalesce(n)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
-    val old = new org.apache.hadoop.fs.Path(path + ".compact-old")
-    fs.delete(tmp, true); fs.delete(old, true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      hPath.getParent, s".${hPath.getName}.compact-tmp")
+    fs.delete(tmp, true)
     sized.write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(hPath, old))
-      throw new java.io.IOException(s"compactParquet: cannot stage $path aside")
-    if (!fs.rename(tmp, hPath)) {
-      fs.rename(old, hPath) // roll back — the original is untouched
-      throw new java.io.IOException(s"compactParquet: cannot swap in compacted $path")
-    }
-    fs.delete(old, true)
+    swapStaged(fs, tmp, hPath, "compact")
     n
   }
 
@@ -272,20 +266,13 @@ object Sources {
       val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
       if (files.length > n) {
         val tmp = new Path(leaf.getParent, s".${leaf.getName}.compact-tmp")
-        val old = new Path(leaf.getParent, s".${leaf.getName}.compact-old")
-        fs.delete(tmp, true); fs.delete(old, true)
+        fs.delete(tmp, true)
         // reading the leaf directly carries only the data columns —
         // the partition values live in the directory name, which the
         // swap preserves
         spark.read.parquet(leaf.toString).coalesce(n)
           .write.mode("overwrite").parquet(tmp.toString)
-        if (!fs.rename(leaf, old))
-          throw new java.io.IOException(s"optimizeIndex: cannot stage $leaf aside")
-        if (!fs.rename(tmp, leaf)) {
-          fs.rename(old, leaf) // roll back — the original is untouched
-          throw new java.io.IOException(s"optimizeIndex: cannot swap in $leaf")
-        }
-        fs.delete(old, true)
+        swapStaged(fs, tmp, leaf, "optimizeIndex")
         rewritten += 1
       }
     }
