@@ -74,20 +74,14 @@ object VersionedTable {
     new String(Files.readAllBytes(p), "UTF-8")
   }
 
-  /** Fixed-shape parser for a named string array in a log payload
-    * (written by this object — same convention as the legacy `files`
-    * parser: first `]` after the marker closes the array). */
-  private def strArray(payload: String, field: String): Option[Seq[String]] = {
-    val marker = "\"" + field + "\":["
-    val start = payload.indexOf(marker)
-    if (start < 0) None
-    else {
-      val s = start + marker.length
-      val body = payload.substring(s, payload.indexOf(']', s)).trim
-      Some(if (body.isEmpty) Seq.empty
-        else body.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
-    }
-  }
+  /** A named string array in a log payload — structural parse via
+    * [[LogJson]], so a `files`/`add`/`tsLog` key embedded in schema
+    * metadata can never shadow the log's own top-level field (the
+    * pre-r20 fixed-shape scan stopped at the first `]` after an
+    * `indexOf` marker hit, which was correct for the log's own writes
+    * but one adversarial schema away from not being). */
+  private def strArray(payload: String, field: String): Option[Seq[String]] =
+    LogJson.strings(payload, field)
 
   private def readPointer(path: String): Option[Long] = {
     val p = pointerFile(path)
@@ -225,6 +219,20 @@ object VersionedTable {
         .flatMap(p => parseTsLog(readPayload(p)))
         .filter(_.nonEmpty)
       pairs match {
+        // the anchored fast path assumes monotone non-decreasing
+        // instants — true for every commit the tryCommit clamp
+        // stamped, but LEGACY entries (pre-clamp stamps, or mtime
+        // fallbacks rewritten by a copy) can regress. Any regression
+        // visible in the checkpoint pairs themselves disqualifies the
+        // whole anchor strategy up front; the probe below re-checks
+        // within the interval it reads. (A regression strictly inside
+        // a LATER interval, invisible to both checks, is the one
+        // residual — it requires a legacy step-back that dips below
+        // `ts` between two checkpoints whose own instants are
+        // monotone; such logs should be vacuumed or re-stamped.)
+        case Some(ps) if ps.iterator.sliding(2).withPartial(false)
+            .exists(w => w(1)._2 < w(0)._2) =>
+          scanDown(latest)
         case Some(ps) =>
           ps.filter(_._2 <= tsMillis).lastOption match {
             case None =>
@@ -232,23 +240,41 @@ object VersionedTable {
               // is below the first checkpoint — ≤ interval−1 entries on
               // a log checkpointed from birth
               scanDown(ps.head._1 - 1)
-            case Some((v0, _)) =>
-              // anchor on the last checkpoint at or before the instant,
-              // probe forward ≤ interval entries (instants are monotone
-              // non-decreasing — the tryCommit clamp); pruned entries
-              // skip on an existence check alone
+            case Some((v0, t0)) =>
+              // anchor on the last checkpoint at or before the instant
+              // and probe ITS WHOLE INTERVAL — up to the next
+              // checkpointed version (exclusive) or the tip. Probing
+              // the full interval instead of stopping at the first
+              // instant > ts costs the same bounded ≤ interval reads
+              // and lets a mid-interval instant REGRESSION be
+              // detected instead of silently truncating the search;
+              // on detection the exact downward scan restores the
+              // largest-version-with-instant-≤-ts semantics legacy
+              // logs were promised. Pruned entries skip on an
+              // existence check alone.
+              val bound = ps.find(_._1 > v0).map(_._1 - 1)
+                .getOrElse(latest).min(latest)
               var best: Option[Long] =
                 if (hasVersion(path, v0)) Some(v0) else None
+              var lastInstant = t0
+              var regressed = false
               var next = v0 + 1
-              var done = false
-              while (!done && next <= latest) {
+              while (!regressed && next <= bound) {
                 if (hasVersion(path, next)) {
-                  if (commitInstant(path, next) <= tsMillis) {
-                    best = Some(next); next += 1
-                  } else done = true
-                } else next += 1
+                  val t = commitInstant(path, next)
+                  if (t < lastInstant) regressed = true
+                  else {
+                    if (t <= tsMillis) best = Some(next)
+                    lastInstant = t
+                  }
+                }
+                next += 1
               }
-              best
+              // a step-back AT the interval boundary shows as the next
+              // checkpoint's instant undercutting the interval's last
+              if (!regressed)
+                regressed = ps.find(_._1 > v0).exists(_._2 < lastInstant)
+              if (regressed) scanDown(latest) else best
           }
         case None => scanDown(latest)
       }
@@ -257,29 +283,16 @@ object VersionedTable {
 
   /** A version's commit instant (epoch millis): the `commitTs` field
     * stamped into the log entry at commit time, or — for legacy
-    * entries that predate the field — the log file's mtime.
-    *
-    * Parse discipline: the real stamp is the FIRST occurrence when it
-    * precedes the embedded schema JSON (the current payload order,
-    * commitTs right after the version), and the LAST occurrence for
-    * r18-era entries that appended it after the schema — so a table
-    * schema whose column metadata happens to contain a numeric
-    * `commitTs` key can never shadow the commit's own stamp. */
+    * entries that predate the field — the log file's mtime. The
+    * structural parse reads only TOP-LEVEL fields, so a `commitTs`
+    * key inside schema column metadata (numeric or not) can never
+    * shadow the stamp, and a pre-r18 entry whose schema embeds one
+    * falls back to mtime instead of parsing the impostor — the two
+    * residual holes the r19 ADVICE found in the marker scan. */
   private[graft] def commitInstant(path: String, v: Long): Long = {
     val f = versionFile(path, v)
-    val payload = readPayload(f)
-    val marker = "\"commitTs\":"
-    def parseAt(i: Int): Long = {
-      val s = i + marker.length
-      var e = s
-      while (e < payload.length && payload.charAt(e).isDigit) e += 1
-      payload.substring(s, e).toLong
-    }
-    val first = payload.indexOf(marker)
-    val schemaAt = payload.indexOf("\"schema\":")
-    if (first >= 0 && (schemaAt < 0 || first < schemaAt)) parseAt(first)
-    else if (first >= 0) parseAt(payload.lastIndexOf(marker))
-    else Files.getLastModifiedTime(f).toMillis
+    LogJson.long(readPayload(f), "commitTs")
+      .getOrElse(Files.getLastModifiedTime(f).toMillis)
   }
 
   /** [[read]] addressed by wall-clock instant instead of version
@@ -332,16 +345,13 @@ object VersionedTable {
 
   /** The schema a version was committed with (None for pre-evolution
     * logs, which fall back to parquet inference). Stored as the
-    * StructType's own JSON — embedded RAW as the log entry's LAST
-    * field, so it nests without escaping and the fixed-shape `files`
-    * parser (which stops at the first `]`) is unaffected. */
+    * StructType's own JSON, embedded RAW — the structural parse
+    * returns exactly the nested object's span, so fields AFTER the
+    * schema (the txn stamp a MERGE writes) no longer bleed into the
+    * span the way the old "substring to payload end" slice did. */
   private[graft] def schemaOf(path: String, v: Long): Option[StructType] = {
-    val payload = readPayload(versionFile(path, v))
-    val marker = "\"schema\":"
-    val i = payload.indexOf(marker)
-    if (i < 0) None
-    else Some(DataType.fromJson(
-      payload.substring(i + marker.length, payload.length - 1)).asInstanceOf[StructType])
+    LogJson.raw(readPayload(versionFile(path, v)), "schema")
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
   }
 
   /** Snapshot read: latest version by default, `asOf` for history.
@@ -368,7 +378,7 @@ object VersionedTable {
     * change-feed consumers skip those instead of self-diffing two
     * identical snapshots. Absent field (pre-flag logs) = true. */
   private[graft] def isDataChange(path: String, v: Long): Boolean =
-    !readPayload(versionFile(path, v)).contains("\"dataChange\":false")
+    !LogJson.raw(readPayload(versionFile(path, v)), "dataChange").contains("false")
 
   /** Atomic CAS publish of version `v`: true = this writer won.
     * `files` is the COMPLETE snapshot list; the entry persists only the
@@ -1092,17 +1102,13 @@ object VersionedTable {
     * vacuum end the walk, so retain at least one stamped commit. */
   def lastTxn(path: String, app: String): Option[Long] = {
     require(!app.contains('"'), s"txn app id must not contain quotes: $app")
-    val marker = s""""txnApp":"$app","txnV":"""
     var v = latestVersion(path).getOrElse(return None)
     while (v >= 1L && hasVersion(path, v)) {
       val payload = readPayload(versionFile(path, v))
-      val i = payload.indexOf(marker)
-      if (i >= 0) {
-        val s = i + marker.length
-        var e = s
-        while (e < payload.length && (payload.charAt(e).isDigit || payload.charAt(e) == '-')) e += 1
-        return Some(payload.substring(s, e).toLong)
-      }
+      // top-level fields only: a txnApp/txnV pair a schema's column
+      // metadata embeds is nested and invisible here
+      if (LogJson.raw(payload, "txnApp").contains("\"" + app + "\""))
+        LogJson.long(payload, "txnV").foreach(t => return Some(t))
       v -= 1
     }
     None

@@ -483,6 +483,86 @@ class SourcesSpec extends SparkSpecBase {
     assert(VersionedTable.versionAsOf(dir, t2).contains(2L))
   }
 
+  test("commit log tokenizer: adversarial schema metadata shadows nothing; txn stamp after schema parses") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.functions.col
+    // every key the log itself writes, embedded in column METADATA with
+    // hostile values — the schema JSON lands RAW in the payload, so a
+    // marker-scan parser could land inside it; the structural parse
+    // surfaces top-level fields only
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("commitTs", 123L)
+      .putString("files", "evil.parquet")
+      .putString("tsLog", "1:1")
+      .putString("txnApp", "impostor")
+      .putLong("txnV", 999L)
+      .putBoolean("dataChange", false)
+      .build()
+    val dir = Files.createTempDirectory("graft_vt_tok").toString + "/t"
+    VersionedTable.create(
+      Seq((1L, "a")).toDF("id", "name").select(col("id"), col("name").as("name", meta)),
+      dir)
+    assert(VersionedTable.commitInstant(dir, 1L) > 1000000000000L,
+      "metadata commitTs must not shadow the stamp")
+    assert(VersionedTable.isDataChange(dir, 1L),
+      "metadata dataChange:false must not mark the commit layout-only")
+    assert(VersionedTable.lastTxn(dir, "impostor").isEmpty,
+      "metadata txnApp/txnV must not surface as a txn stamp")
+    val files1 = VersionedTable.filesOf(dir, 1L)
+    assert(files1.nonEmpty && !files1.contains("evil.parquet"),
+      s"metadata files key must not leak into the snapshot list: $files1")
+    // MERGE writes the txn stamp AFTER the raw-embedded schema: the
+    // schema span must end at the schema object, not run to payload end
+    val v = VersionedTable.merge(spark, dir, Seq("id"),
+      Seq((1L, "A2")).toDF("id", "name"),
+      Seq.empty[Long].toDF("id"), txn = Some(("loader", 7L)))
+    val sch = VersionedTable.schemaOf(dir, v)
+    assert(sch.exists(_.fieldNames.toSeq == Seq("id", "name")),
+      s"schemaOf must parse a schema followed by a txn stamp, got $sch")
+    assert(VersionedTable.lastTxn(dir, "loader").contains(7L))
+    // and the table still reads through the committed schema
+    val out = VersionedTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "A2"))
+  }
+
+  test("timestamp travel: a legacy instant regression is detected and falls back to the exact downward scan") {
+    import graft.sources.VersionedTable
+    val dir = Files.createTempDirectory("graft_vt_reg").toString + "/t"
+    VersionedTable.create(Seq((1L, "v1")).toDF("id", "name"), dir)
+    (2L to 12L).foreach { v =>
+      VersionedTable.upsert(spark, dir, Seq("id"), Seq((1L, s"v$v")).toDF("id", "name"))
+    }
+    val logDir = Paths.get(dir, "_graft_log")
+    // rewrite the stamps into a LEGACY shape the clamp never produced:
+    // monotone through the v10 checkpoint, then a step-back at v12
+    def restamp(p: java.nio.file.Path, f: String => String): Unit =
+      Files.write(p, f(new String(Files.readAllBytes(p), "UTF-8")).getBytes("UTF-8"))
+    def instant(v: Long): Long =
+      if (v <= 10L) 1000L * v else if (v == 11L) 10500L else 9500L
+    (1L to 12L).foreach { v =>
+      restamp(logDir.resolve(f"v$v%020d.json"),
+        _.replaceFirst("\"commitTs\":\\d+", s""""commitTs":${instant(v)}"""))
+    }
+    restamp(logDir.resolve(f"checkpoint.v${10L}%020d.json"),
+      _.replaceFirst("\"tsLog\":\\[\"10:\\d+\"\\]", """"tsLog":["10:10000"]"""))
+    // anchored probe alone would stop at v11 (10500 > ts) and answer
+    // v10 — but v12's instant 9500 regressed below the ask; the exact
+    // semantics (largest version with instant ≤ ts) demand v12
+    assert(VersionedTable.versionAsOf(dir, 10200L).contains(12L),
+      "regression in the probed range must trigger the exact downward scan")
+    assert(VersionedTable.versionAsOf(dir, 9400L).contains(9L),
+      "pre-anchor instants keep resolving exactly")
+    // monotone logs keep the anchored fast path (same table shape,
+    // stamps restored to a clean ramp)
+    (1L to 12L).foreach { v =>
+      restamp(logDir.resolve(f"v$v%020d.json"),
+        _.replaceFirst("\"commitTs\":\\d+", s""""commitTs":${1000L * v}"""))
+    }
+    assert(VersionedTable.versionAsOf(dir, 10200L).contains(10L))
+    assert(VersionedTable.versionAsOf(dir, 12000L).contains(12L))
+  }
+
   test("versioned table: commits are CAS — one winner, losers retry into the next version") {
     import graft.sources.VersionedTable
     val dir = Files.createTempDirectory("graft_vt_cas").toString + "/t"
