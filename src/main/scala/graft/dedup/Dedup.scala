@@ -1563,19 +1563,30 @@ object Dedup {
         containmentIndexBuckets(corpus.sparkSession, path).toInt
       case _ => nBuckets // seeding call: no meta yet
     }
+    val spark = corpus.sparkSession
+    val isAppend = batchId.isDefined && graft.Fs.exists(spark, path + "/meta")
+    // order/postings are co-versioned under the snapshot-pointer
+    // protocol once a refreeze has run ([[graft.sources.Snapshots]]):
+    // a SEED clears any previous life's generations (it rewrites the
+    // legacy root layout), an APPEND resolves both relations from one
+    // generation read and writes into the CURRENT generation — so its
+    // ranks live in the same order its readers resolve
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!isAppend) graft.sources.Snapshots.clear(fs, rootP)
+    val (_, Seq(orderPath, postingsPath)) =
+      graft.sources.Snapshots.resolve(fs, rootP, Seq("order", "postings"))
     // batch appends need a batch-seeded layout (postings/batch_id=...);
     // mixing with a single-shot postings/bkt=... root is rejected by
     // partition discovery at probe time — refuse loudly at write time
     batchId.foreach { _ =>
-      if (graft.Fs.exists(corpus.sparkSession, path + "/postings") &&
-          !graft.Fs.hasChildDir(corpus.sparkSession, path + "/postings", "batch_id="))
+      if (graft.Fs.exists(spark, postingsPath.toString) &&
+          !graft.Fs.hasChildDir(spark, postingsPath.toString, "batch_id="))
         throw new IllegalArgumentException(
           s"writeContainmentIndex: $path was seeded without batchId " +
             "(single-shot layout); seed with batchId = Some(...) to " +
             "support appends")
     }
-    val spark = corpus.sparkSession
-    val isAppend = batchId.isDefined && graft.Fs.exists(spark, path + "/meta")
     val sets = graft.Caches.tracked(withShingleHashes(corpus)
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("nsh")))
     val bare = sets.select(col("doc_id"), col("nsh"), explode(col("sh")).as("sh_h"))
@@ -1587,12 +1598,12 @@ object Dedup {
     // bucket set (only its shingles need odf).
     val odf = if (isAppend) {
       val bkts = bare.select("bkt").distinct().collect().map(_.getInt(0))
-      spark.read.parquet(path + "/order")
+      spark.read.parquet(orderPath.toString)
         .filter(col("bkt").isin(bkts.toSeq: _*)).select("sh_h", "odf")
     } else {
       val ord = graft.Caches.tracked(
         bare.groupBy("bkt", "sh_h").agg(count(lit(1)).as("odf")))
-      ord.write.mode("overwrite").partitionBy("bkt").parquet(path + "/order")
+      ord.write.mode("overwrite").partitionBy("bkt").parquet(orderPath.toString)
       ord.select("sh_h", "odf")
     }
     val post = bare.join(odf, Seq("sh_h"), "left_outer")
@@ -1611,14 +1622,15 @@ object Dedup {
     batchId match {
       case None =>
         sets.write.mode("overwrite").parquet(path + "/sets")
-        post.write.mode("overwrite").partitionBy("bkt").parquet(path + "/postings")
+        post.write.mode("overwrite").partitionBy("bkt")
+          .parquet(postingsPath.toString)
       case Some(id) =>
         sets.withColumn("batch_id", lit(id))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(path + "/sets")
         post.withColumn("batch_id", lit(id))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id", "bkt").parquet(path + "/postings")
+          .partitionBy("batch_id", "bkt").parquet(postingsPath.toString)
     }
   }
 
@@ -1640,16 +1652,27 @@ object Dedup {
     *
     * Corpus-proportional (a full postings rewrite — the OPTIMIZE cost
     * class, run on a maintenance cadence) and single-writer like every
-    * maintenance verb; because ranks CHANGE, a probe racing the
-    * two-rename swap window could mix orders — quiesce probes for the
-    * swap instant, exactly as a schema-changing OPTIMIZE would.
-    * Returns a one-row report (postings_reranked, shingles_reordered,
-    * n_buckets). */
+    * maintenance verb. Because ranks CHANGE, order and postings are
+    * co-versioned: both land complete under the next snapshot
+    * generation and publish via ONE atomic pointer write
+    * ([[graft.sources.Snapshots]]), so a probe racing the publish
+    * resolves old-everything or new-everything — the shared-total-
+    * order precondition of the positional filter holds in every
+    * interleaving, with no quiescing asked of the s24 serving loop,
+    * and there is no instant where either directory is missing. A
+    * crash before the pointer write leaves an unreferenced staging
+    * generation the next attempt clears. Returns a one-row report
+    * (postings_reranked, shingles_reordered, n_buckets). */
   def refreezeContainmentIndex(spark: org.apache.spark.sql.SparkSession,
                                path: String): DataFrame = {
     import spark.implicits._
+    import org.apache.hadoop.fs.Path
     val nBuckets = containmentIndexBuckets(spark, path)
-    val postings = spark.read.parquet(path + "/postings")
+    val rootP = new Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (gen, Seq(_, postCur)) =
+      graft.sources.Snapshots.resolve(fs, rootP, Seq("order", "postings"))
+    val postings = spark.read.parquet(postCur.toString)
     val batched = postings.columns.contains("batch_id")
     val newOrd = graft.Caches.tracked(
       postings.groupBy("bkt", "sh_h").agg(count(lit(1)).as("odf")))
@@ -1664,23 +1687,18 @@ object Dedup {
       .withColumn("rk", row_number().over(
         docPart.orderBy(col("odf"), col("sh_h"))).cast("long"))
       .drop("odf")
-    import org.apache.hadoop.fs.Path
-    val orderDir = new Path(path, "order")
-    val postDir = new Path(path, "postings")
-    val fs = orderDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val orderTmp = new Path(path, ".order.refreeze-tmp")
-    val postTmp = new Path(path, ".postings.refreeze-tmp")
-    fs.delete(orderTmp, true); fs.delete(postTmp, true)
-    newOrd.write.mode("overwrite").partitionBy("bkt").parquet(orderTmp.toString)
+    val stage = graft.sources.Snapshots.stageNext(fs, rootP, gen)
+    newOrd.write.mode("overwrite").partitionBy("bkt")
+      .parquet(new Path(stage, "order").toString)
     if (batched)
       reranked.write.mode("overwrite").partitionBy("batch_id", "bkt")
-        .parquet(postTmp.toString)
+        .parquet(new Path(stage, "postings").toString)
     else
-      reranked.write.mode("overwrite").partitionBy("bkt").parquet(postTmp.toString)
+      reranked.write.mode("overwrite").partitionBy("bkt")
+        .parquet(new Path(stage, "postings").toString)
     val nSh = newOrd.count()
     val nPost = postings.count()
-    graft.sources.Sources.swapStaged(fs, postTmp, postDir, "refreezeContainmentIndex")
-    graft.sources.Sources.swapStaged(fs, orderTmp, orderDir, "refreezeContainmentIndex")
+    graft.sources.Snapshots.publish(fs, rootP, gen + 1, Seq("order", "postings"))
     Seq((nPost, nSh, nBuckets))
       .toDF("postings_reranked", "shingles_reordered", "n_buckets")
   }
@@ -1717,20 +1735,30 @@ object Dedup {
     }
     val bsets = graft.Caches.tracked(
       withShingleHashes(newDocs).select(col("doc_id"), col("sh")))
+    // order and postings resolve from ONE snapshot-generation read
+    // ([[graft.sources.Snapshots]]): the PPJoin positional bound is
+    // recall-exact only when probe ranks and posting ranks share one
+    // total order, and a refreeze publishing between two separate
+    // resolutions could hand this probe new postings under an old
+    // order — single-resolution makes the mix structurally impossible
+    val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
+    val idxFs = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, Seq(orderPath, postingsPath)) =
+      graft.sources.Snapshots.resolve(idxFs, idxRoot, Seq("order", "postings"))
     // bucket modulus comes from the index's meta relation (it cannot
     // be inferred from occupied bucket ids — sparse occupancy leaves
     // top buckets empty). Partition columns read back as INT
     // (directory-value inference), so the probe's bucket literals are
     // Ints too — a cast on the partition column would defeat the
     // pruning this layout exists for.
-    val postingsRaw = excl(spark.read.parquet(indexPath + "/postings"))
+    val postingsRaw = excl(spark.read.parquet(postingsPath.toString))
     val nBuckets = containmentIndexBuckets(spark, indexPath)
     val be = graft.Caches.tracked(
       bsets.select(col("doc_id"), size(col("sh")).cast("long").as("nsh"),
           explode(col("sh")).as("sh_h"))
         .withColumn("bkt", pmod(col("sh_h"), lit(nBuckets)).cast("int")))
     val bkts = be.select("bkt").distinct().collect().map(_.getInt(0))
-    val odf = spark.read.parquet(indexPath + "/order")
+    val odf = spark.read.parquet(orderPath.toString)
       .filter(col("bkt").isin(bkts: _*)).select("sh_h", "odf")
     val prefixLen = col("nsh") - ceil(lit(threshold) * col("nsh") - lit(1e-9)) + 1
     val prefix = be.join(odf, Seq("sh_h"), "left_outer")

@@ -498,6 +498,13 @@ object BinaryPipeline {
   def writeChunkStore(documents: DataFrame, path: String,
                       minLen: Int = 32, maskBits: Int = 6,
                       batchId: Option[Long] = None): Unit = {
+    // a seed rewrites the legacy root layout: any snapshot generations
+    // from the store's previous life must go first, or a stale pointer
+    // would redirect readers to pre-reseed data (Snapshots.clear doc)
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    graft.sources.Snapshots.clear(
+      rootP.getFileSystem(documents.sparkSession.sparkContext.hadoopConfiguration),
+      rootP)
     // one chunking pass feeds both tables
     val exploded = chunkExplode(documents, minLen, maskBits).localCheckpoint(true)
     val recipes = exploded.select("doc_id", "pos", "chunk_hash")
@@ -528,19 +535,27 @@ object BinaryPipeline {
                        minLen: Int = 32, maskBits: Int = 6): Unit = {
     val spark = batch.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    require(graft.Fs.hasChildDir(spark, path + "/recipes", "batch_id="),
+    // both relations resolve from ONE snapshot-generation read and the
+    // append lands in the CURRENT generation — after a vacuum publishes
+    // a new one, later triggers write (and anti-join against) the live
+    // copy, which is what makes replay-after-vacuum converge
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, Seq(chunksPath, recipesPath)) =
+      graft.sources.Snapshots.resolve(fs, rootP, Seq("chunks", "recipes"))
+    require(graft.Fs.hasChildDir(spark, recipesPath.toString, "batch_id="),
       s"$path was seeded without batchId (single-shot layout); seed with " +
         "batchId = Some(...) to support batch appends")
     val exploded = chunkExplode(batch, minLen, maskBits).localCheckpoint(true)
     exploded.select(col("doc_id"), col("pos"), col("chunk_hash"))
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(path + "/recipes")
-    val existing = spark.read.parquet(path + "/chunks").select("chunk_hash")
+      .partitionBy("batch_id").parquet(recipesPath.toString)
+    val existing = spark.read.parquet(chunksPath.toString).select("chunk_hash")
     exploded.groupBy("chunk_hash").agg(min(col("chunk")).as("bytes"))
       .join(existing, Seq("chunk_hash"), "left_anti")
       .withColumn("batch_id", lit(batchId))
-      .write.mode("append").partitionBy("batch_id").parquet(path + "/chunks")
+      .write.mode("append").partitionBy("batch_id").parquet(chunksPath.toString)
   }
 
   /** Exact reassembly from the chunk store: recipes join the chunk
@@ -557,9 +572,27 @@ object BinaryPipeline {
     * versions' chunk bytes stay in the content-addressed table, which
     * is harmless (hash-addressed, never concatenated without a recipe)
     * and reclaimable by a vacuum that anti-joins surviving recipes. */
+  /** The store's LIVE (chunks, recipes) locations under the snapshot
+    * pointer — one generation read, both relations coherent. This is
+    * the address every direct inspection (specs, ops tooling) must
+    * use once a vacuum has published: the legacy root copies survive
+    * one publish as the racing-reader grace window, so a raw
+    * `path + "/chunks"` read can land on the stale generation. */
+  private[graft] def chunkStorePaths(spark: org.apache.spark.sql.SparkSession,
+                                     path: String): (String, String) = {
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, Seq(c, r)) =
+      graft.sources.Snapshots.resolve(fs, rootP, Seq("chunks", "recipes"))
+    (c.toString, r.toString)
+  }
+
   def readChunkStore(spark: org.apache.spark.sql.SparkSession,
                      path: String): DataFrame = {
-    val raw = spark.read.parquet(path + "/recipes")
+    // one generation read covers both relations: a vacuum publishing
+    // mid-read can never hand this reader new chunks with old recipes
+    val (chunksPath, recipesPath) = chunkStorePaths(spark, path)
+    val raw = spark.read.parquet(recipesPath)
     val recipes =
       if (raw.columns.contains("batch_id")) {
         val latest = raw.groupBy("doc_id")
@@ -567,7 +600,7 @@ object BinaryPipeline {
         raw.join(latest, Seq("doc_id", "batch_id")).drop("batch_id")
       } else raw
     recipes
-      .join(spark.read.parquet(path + "/chunks").select("chunk_hash", "bytes"),
+      .join(spark.read.parquet(chunksPath).select("chunk_hash", "bytes"),
         "chunk_hash")
       .groupBy("doc_id")
       .agg(expr("aggregate(array_sort(collect_list(struct(pos, bytes))), " +
@@ -590,26 +623,30 @@ object BinaryPipeline {
     * chunk anti-join re-appends any bytes the vacuum removed, so
     * replay after vacuum converges to the same readable store.
     *
-    * Crash safety rides the staged-swap machinery every maintenance
-    * rewrite here uses (`Sources.swapStaged` — the sink_compact /
-    * optimizeIndex pattern): survivors land COMPLETELY in DURABLE
-    * dot-prefixed sibling directories (invisible to Spark readers),
-    * then each table swaps in by rename with rollback. A crash at any
-    * point leaves a whole copy of both tables on disk — never the
+    * Crash safety and reader isolation ride the snapshot-pointer
+    * protocol ([[graft.sources.Snapshots]]): survivors land
+    * COMPLETELY and DURABLY under the next snapshot generation, then
+    * both tables publish together via ONE atomic marker-file create.
+    * A reader racing the publish resolves both relations from one
+    * generation read — old-everything or new-everything, never new
+    * chunks under old recipes — and there is no instant where either
+    * directory is missing (the two windows the r19 rename-swap
+    * publish still had). A crash before the marker leaves an
+    * unreferenced staging generation the next vacuum clears; a crash
+    * after it leaves at most a stale previous generation the next
+    * publish GCs. Nothing rides executor memory — never the
     * localCheckpoint shape, which at 100 TB would pin a second full
-    * copy of the chunk BYTES in executor block-manager storage and,
-    * being non-fault-tolerant, lose the only copy to an executor
-    * death after the in-place overwrite had begun deleting the
-    * original. Swap order is chunks-then-recipes: between the two
-    * renames a reader sees the surviving chunks (which cover every
-    * live recipe by construction) with the old recipes, and
-    * latest-batch-wins reassembly touches only live recipes — so
-    * reads stay correct in every crash window. Stale staging dirs
-    * from a previously crashed vacuum are cleared and re-staged. */
+    * copy of the chunk BYTES in block-manager storage and lose the
+    * only copy to an executor death mid-rewrite. */
   def vacuumChunkStore(spark: org.apache.spark.sql.SparkSession,
                        path: String): DataFrame = {
     import spark.implicits._
-    val recipesRaw = spark.read.parquet(path + "/recipes")
+    import org.apache.hadoop.fs.Path
+    val rootP = new Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (gen, Seq(chunksCur, recipesCur)) =
+      graft.sources.Snapshots.resolve(fs, rootP, Seq("chunks", "recipes"))
+    val recipesRaw = spark.read.parquet(recipesCur.toString)
     val batched = recipesRaw.columns.contains("batch_id")
     val live =
       if (batched) {
@@ -617,39 +654,34 @@ object BinaryPipeline {
           .agg(max(col("batch_id")).as("batch_id"))
         recipesRaw.join(latest, Seq("doc_id", "batch_id"))
       } else recipesRaw
-    val chunks = spark.read.parquet(path + "/chunks")
+    val chunks = spark.read.parquet(chunksCur.toString)
     val keepChunks = chunks.join(live.select("chunk_hash").distinct(),
       Seq("chunk_hash"), "left_semi")
-    import org.apache.hadoop.fs.Path
-    val chunksDir = new Path(path, "chunks")
-    val recipesDir = new Path(path, "recipes")
-    val fs = chunksDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val chunksTmp = new Path(path, ".chunks.vacuum-tmp")
-    val recipesTmp = new Path(path, ".recipes.vacuum-tmp")
-    fs.delete(chunksTmp, true); fs.delete(recipesTmp, true)
+    val stage = graft.sources.Snapshots.stageNext(fs, rootP, gen)
+    val chunksNew = new Path(stage, "chunks")
+    val recipesNew = new Path(stage, "recipes")
     if (batched) {
       keepChunks.write.mode("overwrite").partitionBy("batch_id")
-        .parquet(chunksTmp.toString)
+        .parquet(chunksNew.toString)
       live.write.mode("overwrite").partitionBy("batch_id")
-        .parquet(recipesTmp.toString)
+        .parquet(recipesNew.toString)
     } else {
-      keepChunks.write.mode("overwrite").parquet(chunksTmp.toString)
-      live.write.mode("overwrite").parquet(recipesTmp.toString)
+      keepChunks.write.mode("overwrite").parquet(chunksNew.toString)
+      live.write.mode("overwrite").parquet(recipesNew.toString)
     }
-    // before-stats read the ORIGINAL (still intact under the staged
-    // copies); after-stats read the PUBLISHED dirs post-swap — the
-    // report never reads dot-prefixed paths and nothing is pinned in
+    // before-stats read the ORIGINAL generation (untouched under the
+    // staged one); after-stats read the PUBLISHED generation — the
+    // report never reads unpublished paths and nothing is pinned in
     // executor memory
     val before = chunks
       .agg(count(lit(1)).as("n"), coalesce(sum(length(col("bytes"))), lit(0L)).as("b"))
       .head
     val recipesBefore = recipesRaw.count()
-    graft.sources.Sources.swapStaged(fs, chunksTmp, chunksDir, "vacuumChunkStore")
-    graft.sources.Sources.swapStaged(fs, recipesTmp, recipesDir, "vacuumChunkStore")
-    val after = spark.read.parquet(chunksDir.toString)
+    graft.sources.Snapshots.publish(fs, rootP, gen + 1, Seq("chunks", "recipes"))
+    val after = spark.read.parquet(chunksNew.toString)
       .agg(count(lit(1)).as("n"), coalesce(sum(length(col("bytes"))), lit(0L)).as("b"))
       .head
-    val recipesAfter = spark.read.parquet(recipesDir.toString).count()
+    val recipesAfter = spark.read.parquet(recipesNew.toString).count()
     Seq((before.getLong(0), after.getLong(0), before.getLong(1) - after.getLong(1),
       recipesBefore - recipesAfter))
       .toDF("chunks_before", "chunks_after", "bytes_reclaimed",

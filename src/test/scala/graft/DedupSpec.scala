@@ -759,6 +759,77 @@ class DedupSpec extends SparkSpecBase {
     graft.Caches.release()
   }
 
+  test("refreeze publish is one atomic pointer: a held generation stays consistent, a mixed read would not be, GC keeps one grace copy") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont_ptr").toString
+    Dedup.writeContainmentIndex(docs(
+      10L -> "seed vocabulary alpha beta gamma delta epsilon zeta eta theta",
+      11L -> "more seed words iota kappa lambda mu nu xi omicron pi"),
+      dir, batchId = Some(-1L))
+    val core = (1 to 30).map(i => s"c$i").mkString(" ")
+    Dedup.writeContainmentIndex(
+      docs((20L to 29L).map(i =>
+        i -> (s"$core " + ('a' to 'j').map(c => s"u$i$c").mkString(" "))): _*),
+      dir, batchId = Some(0L))
+    graft.Caches.release()
+    // the shared-total-order property the PPJoin positional bound
+    // needs: every posting's rank equals a re-rank under the SAME
+    // generation's order/ — true within a generation, false across
+    def rankConsistent(orderP: org.apache.hadoop.fs.Path,
+                       postP: org.apache.hadoop.fs.Path): Boolean = {
+      val odf = spark.read.parquet(orderP.toString).select("sh_h", "odf")
+      val post = spark.read.parquet(postP.toString)
+      val part =
+        if (post.columns.contains("batch_id"))
+          Window.partitionBy("batch_id", "doc_id")
+        else Window.partitionBy("doc_id")
+      post.join(odf, Seq("sh_h"), "left_outer")
+        .withColumn("odf", coalesce(col("odf"), lit(0L)))
+        .withColumn("rk2", row_number().over(
+          part.orderBy(col("odf"), col("sh_h"))).cast("long"))
+        .filter(col("rk") =!= col("rk2")).count() == 0L
+    }
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a probe racing the publish: it resolved generation 0 and holds
+    // those paths while the refreeze publishes generation 1
+    val (g0, Seq(order0, post0)) =
+      graft.sources.Snapshots.resolve(fs, root, Seq("order", "postings"))
+    assert(g0 == 0L)
+    Dedup.refreezeContainmentIndex(spark, dir)
+    graft.Caches.release()
+    // old-everything: still on disk, still internally consistent
+    assert(fs.exists(order0) && fs.exists(post0),
+      "the pre-publish generation must survive as the grace copy")
+    assert(rankConsistent(order0, post0),
+      "a reader holding the old generation must see one total order")
+    // new-everything: resolves to the published snapshot, consistent
+    val (g1, Seq(order1, post1)) =
+      graft.sources.Snapshots.resolve(fs, root, Seq("order", "postings"))
+    assert(g1 == 1L && order1 != order0)
+    assert(rankConsistent(order1, post1))
+    // and the MIX the r19 rename-window could hand a probe — new
+    // postings ranked under the old order — violates the property;
+    // this is the silent recall bug the single-pointer publish ends
+    assert(!rankConsistent(order0, post1),
+      "mixed generations must be demonstrably inconsistent (else this " +
+        "test proves nothing about the race)")
+    // second refreeze: generation 0 is GC'd, generation 1 becomes the
+    // grace copy, the probe surface stays green
+    Dedup.refreezeContainmentIndex(spark, dir)
+    graft.Caches.release()
+    assert(!fs.exists(order0) && !fs.exists(post0),
+      "the second publish must GC generation 0")
+    assert(fs.exists(order1) && fs.exists(post1),
+      "generation 1 must survive as the new grace copy")
+    val probe = docs(1L -> (s"$core " + ('a' to 'h').map(c => s"u25$c").mkString(" ")))
+    val out = Dedup.containmentAgainstIndex(probe, dir, threshold = 0.8,
+      minShingles = 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 25L)), s"probe after two refreezes: $out")
+    graft.Caches.release()
+  }
+
   test("containment index layout guard: a pre-frozen-order index refuses loudly, never opaquely") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cont_lv").toString
     Dedup.writeContainmentIndex(docs(

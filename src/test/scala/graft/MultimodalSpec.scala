@@ -370,7 +370,7 @@ class MultimodalSpec extends SparkSpecBase {
     assert(again == rebuilt, "replayed trigger after vacuum must converge")
   }
 
-  test("m15 vacuum crash safety: staging dirs are invisible to readers and a rerun clears them") {
+  test("m15 vacuum crash safety: unpublished snapshot generations are invisible; publish is one pointer; GC keeps a grace copy") {
     import spark.implicits._
     import graft.multimodal.BinaryPipeline
     val rnd = new scala.util.Random(37)
@@ -380,27 +380,41 @@ class MultimodalSpec extends SparkSpecBase {
     BinaryPipeline.writeChunkStore(
       Seq((1L, v1)).toDF("doc_id", "text"), dir, batchId = Some(-1L))
     BinaryPipeline.appendChunkStore(Seq((1L, v2)).toDF("doc_id", "text"), dir, 0L)
-    // simulate a vacuum that crashed MID-STAGING: partial survivor
-    // copies sit in the dot-prefixed staging dirs, originals untouched
+    // simulate a vacuum that crashed MID-STAGING: a partial survivor
+    // copy sits under the next snapshot generation, UNMARKED — no
+    // reader ever resolves into it, originals untouched
     spark.read.parquet(dir + "/chunks").limit(1)
-      .write.parquet(dir + "/.chunks.vacuum-tmp")
-    spark.read.parquet(dir + "/recipes").limit(1)
-      .write.parquet(dir + "/.recipes.vacuum-tmp")
-    // the store reads WHOLE through the crash debris (dot dirs are
-    // invisible to Spark readers) — the property an in-place overwrite
-    // cannot offer
+      .write.parquet(dir + "/snapshot=1/chunks")
     val mid = BinaryPipeline.readChunkStore(spark, dir).collect()
       .map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
     assert(mid == Map(1L -> v2), "crashed-vacuum staging must not affect readers")
-    // a rerun clears the stale staging and completes normally
+    // a rerun clears the stale staging generation and publishes whole
     val rep = BinaryPipeline.vacuumChunkStore(spark, dir).collect().head
     assert(rep.getLong(2) > 0L, s"rerun vacuum must reclaim the superseded v1: $rep")
     val post = BinaryPipeline.readChunkStore(spark, dir).collect()
       .map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
     assert(post == Map(1L -> v2), "post-rerun store must serve the live version")
-    val fs = new java.io.File(dir)
-    assert(!fs.listFiles().exists(_.getName.contains("vacuum-tmp")),
-      "completed vacuum must leave no staging debris")
+    // the legacy (pre-publish) copy is RETAINED as the racing-reader
+    // grace window: a reader that resolved generation 0 just before
+    // the publish still reads a complete, consistent store
+    val root = new java.io.File(dir)
+    assert(new java.io.File(root, "chunks").isDirectory &&
+      new java.io.File(root, "recipes").isDirectory,
+      "the previous generation must survive one publish as the grace copy")
+    assert(new java.io.File(root, "_snapshot.1").isFile,
+      "publish must be the single marker-file create")
+    // the NEXT maintenance pass GCs it: after a second vacuum only the
+    // two newest generations exist and the store still reads the same
+    BinaryPipeline.appendChunkStore(Seq((1L, v1)).toDF("doc_id", "text"), dir, 1L)
+    BinaryPipeline.vacuumChunkStore(spark, dir).collect()
+    assert(!new java.io.File(root, "chunks").exists &&
+      !new java.io.File(root, "recipes").exists,
+      "the second publish must GC the generation-0 legacy copy")
+    assert(!new java.io.File(root, "_snapshot.0").exists &&
+      new java.io.File(root, "_snapshot.2").isFile)
+    val after2 = BinaryPipeline.readChunkStore(spark, dir).collect()
+      .map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+    assert(after2 == Map(1L -> v1), "store must serve the latest append after GC")
   }
 
   test("m16 payload sweep: one planted positive per regime lights exactly its flag; survivors keep") {

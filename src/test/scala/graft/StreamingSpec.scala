@@ -1403,17 +1403,22 @@ class StreamingSpec extends SparkSpecBase {
     try {
       input.addData((1L, v1)); q.processAllAvailable() // trigger 0
       input.addData((1L, v2)); q.processAllAvailable() // trigger 1 supersedes
-      val preVacuum = spark.read.parquet(store + "/chunks").count()
+      // direct chunk-row inspection must follow the snapshot pointer:
+      // after a vacuum publishes, the raw root copy is the retained
+      // grace generation, not the live store
+      def liveChunkRows() = spark.read
+        .parquet(BinaryPipeline.chunkStorePaths(spark, store)._1).count()
+      val preVacuum = liveChunkRows()
       val rep = BinaryPipeline.vacuumChunkStore(spark, store).collect().head
       assert(rep.getLong(2) > 0L, s"vacuum must reclaim v1's superseded bytes: $rep")
-      val postVacuum = spark.read.parquet(store + "/chunks").count()
+      val postVacuum = liveChunkRows()
       assert(postVacuum < preVacuum, "v1's chunk rows must be gone after vacuum")
       // the SUPERSEDED trigger replays (checkpoint loss / reprocessing):
       // its recipe partition re-lands and its chunk anti-join re-appends
       // exactly the bytes the vacuum removed — the docstring's claim
       StreamingFlow.chunkIngestBatch(store, 32, 6)(
         Seq((1L, v1)).toDF("doc_id", "text"), 0L)
-      assert(spark.read.parquet(store + "/chunks").count() == preVacuum,
+      assert(liveChunkRows() == preVacuum,
         "replayed superseded trigger must re-land its chunk rows")
       // reads converge: latest version still wins, every live byte exact
       val rebuilt = BinaryPipeline.readChunkStore(spark, store).collect()
@@ -1422,7 +1427,7 @@ class StreamingSpec extends SparkSpecBase {
         "store after replay-after-vacuum must serve the live versions byte-exactly")
       // and the next vacuum reclaims the re-appended garbage again
       val rep2 = BinaryPipeline.vacuumChunkStore(spark, store).collect().head
-      assert(rep2.getLong(2) > 0L && spark.read.parquet(store + "/chunks").count() == postVacuum,
+      assert(rep2.getLong(2) > 0L && liveChunkRows() == postVacuum,
         s"second vacuum must re-reclaim the replayed garbage: $rep2")
     } finally q.stop()
   }
