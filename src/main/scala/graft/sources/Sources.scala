@@ -217,6 +217,10 @@ object Sources {
                      repartition: Boolean = false): Int = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a prior compact crashed between its two renames? restore the
+    // original before sizing — without this the rerun fails on the
+    // missing target and recovery is manual
+    repairStagedAt(fs, hPath, "compact")
     val bytes = fs.getContentSummary(hPath).getLength
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path)
@@ -247,6 +251,10 @@ object Sources {
   def optimizeIndex(spark: SparkSession, path: String,
                     targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     import org.apache.hadoop.fs.Path
+    // heal any leaf a prior crashed pass left behind its -old name —
+    // a missing leaf would otherwise just drop out of the listing
+    // (silent data loss to probes) until repaired manually
+    repairStaged(spark, path)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def leaves(p: Path): Seq[Path] = {
@@ -279,12 +287,20 @@ object Sources {
     rewritten
   }
 
-  /** The staged-swap publish step shared by every maintenance rewrite
-    * ([[compactParquet]], [[optimizeIndex]], the chunk-store vacuum):
-    * `staged` is a FULLY WRITTEN durable sibling of `target`; the swap
-    * is two renames with rollback, so a crash at any point leaves a
-    * complete copy (original or staged) on the filesystem and the
-    * original is never destroyed before its replacement is durable. */
+  /** The staged-swap publish step shared by the SINGLE-relation
+    * maintenance rewrites ([[compactParquet]], [[optimizeIndex]] —
+    * content-identical rewrites where a reader can't observe an
+    * inconsistency; multi-relation rewrites publish via
+    * [[Snapshots]]'s atomic pointer instead): `staged` is a FULLY
+    * WRITTEN durable sibling of `target`; the swap is two renames
+    * with rollback, so a crash at any point leaves a complete copy
+    * (original or staged) on the filesystem and the original is never
+    * destroyed before its replacement is durable. Between the two
+    * renames the target path itself does not exist — a crash in that
+    * window strands the original behind its `-old` name; every
+    * staging verb runs [[repairStaged]] on entry so the next
+    * maintenance pass (or an explicit ops call) rolls it back instead
+    * of requiring manual recovery. */
   private[graft] def swapStaged(fs: org.apache.hadoop.fs.FileSystem,
                                 staged: org.apache.hadoop.fs.Path,
                                 target: org.apache.hadoop.fs.Path,
@@ -299,6 +315,60 @@ object Sources {
       throw new java.io.IOException(s"$verb: cannot swap in $target")
     }
     fs.delete(old, true)
+  }
+
+  /** Roll back one stranded [[swapStaged]] target: when
+    * `.{name}.{verb}-old` exists with `{name}` missing, a crash hit
+    * the between-renames window — restore the original (it is the
+    * only copy whose completeness is certain; the staged sibling is
+    * re-derivable, originals are not). An `-old` sibling NEXT TO a
+    * live target is a swap that completed before its cleanup —
+    * deleted. True when something was repaired. */
+  private def repairStagedAt(fs: org.apache.hadoop.fs.FileSystem,
+                             target: org.apache.hadoop.fs.Path,
+                             verb: String): Boolean = {
+    val old = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.$verb-old")
+    if (!fs.exists(old)) false
+    else if (!fs.exists(target)) fs.rename(old, target)
+    else { fs.delete(old, true); true }
+  }
+
+  /** Crash-debris repair for every staged-swap verb under `root`
+    * (recursive): finds `.{name}.{verb}-old` directories — the one
+    * naming [[swapStaged]] owns — and repairs each ([[repairStagedAt]]
+    * semantics: roll the original back when its target is missing,
+    * clean up when the swap had completed). Runs on entry of
+    * [[compactParquet]] and [[optimizeIndex]] so a rerun self-heals
+    * instead of failing on the missing target, and is public as the
+    * ops verb for a reader's fail path; also repairs debris left by
+    * pre-snapshot-protocol vacuums/refreezes on existing stores.
+    * Returns the number of repairs performed. */
+  def repairStaged(spark: SparkSession, root: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) return 0
+    var repaired = 0
+    def walk(dir: Path): Unit = {
+      val st = try fs.listStatus(dir)
+        catch { case _: java.io.FileNotFoundException => return }
+      st.foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory && n.startsWith(".") && n.endsWith("-old")) {
+          val base = n.stripPrefix(".").stripSuffix("-old")
+          val cut = base.lastIndexOf('.')
+          if (cut > 0) {
+            val target = new Path(dir, base.substring(0, cut))
+            if (repairStagedAt(fs, target, base.substring(cut + 1)))
+              repaired += 1
+          }
+        } else if (s.isDirectory && !n.startsWith(".") && !n.startsWith("_"))
+          walk(s.getPath)
+      }
+    }
+    walk(rootP)
+    repaired
   }
 
   /** Streaming file source (the Spark-native stand-in for the

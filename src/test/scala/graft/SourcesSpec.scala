@@ -206,6 +206,46 @@ class SourcesSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).count() == 1000)
   }
 
+  test("staged-swap crash debris self-heals: stranded targets roll back, completed-swap leftovers clean up") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // window 1: crash BETWEEN the renames — the original sits behind
+    // its -old name, the target is gone; a rerun of the verb must
+    // restore it instead of failing on the missing directory
+    val dir1 = Files.createTempDirectory("graft_repair1").toString + "/t"
+    (0L until 100L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(5).write.parquet(dir1)
+    val t1 = new Path(dir1)
+    assert(fs.rename(t1, new Path(t1.getParent, s".${t1.getName}.compact-old")))
+    val n = Sources.compactParquet(spark, dir1, targetFileBytes = 1L << 30)
+    assert(n == 1 && spark.read.parquet(dir1).count() == 100,
+      "compact rerun must roll the stranded original back and complete")
+    // window 2: crash AFTER the swap, before cleanup — target live,
+    // -old is debris; repair deletes it and touches nothing else
+    val dir2 = Files.createTempDirectory("graft_repair2").toString
+    val leafParent = new java.io.File(dir2, "postings")
+    (0L until 50L).map(i => (i, i % 4)).toDF("id", "bkt")
+      .write.partitionBy("bkt").parquet(leafParent.toString)
+    val leaf = new Path(leafParent.toString, "bkt=1")
+    // plant BOTH debris shapes under one index root
+    fs.rename(new Path(leafParent.toString, "bkt=2"),
+      new Path(leafParent.toString, ".bkt=2.optimizeIndex-old"))
+    fs.mkdirs(new Path(leafParent.toString, ".bkt=1.optimizeIndex-old"))
+    assert(fs.exists(leaf))
+    val repaired = Sources.repairStaged(spark, dir2)
+    assert(repaired == 2, s"expected 2 repairs, got $repaired")
+    assert(fs.exists(new Path(leafParent.toString, "bkt=2")),
+      "stranded leaf must be rolled back")
+    assert(!fs.exists(new Path(leafParent.toString, ".bkt=1.optimizeIndex-old")),
+      "completed-swap debris must be cleaned")
+    val back = spark.read.parquet(leafParent.toString)
+    assert(back.count() == 50 &&
+      back.select("bkt").distinct().count() == 4,
+      "all four partitions must be probe-visible after repair")
+    // idempotent: nothing left to repair
+    assert(Sources.repairStaged(spark, dir2) == 0)
+  }
+
   test("versioned table: snapshot reads, file-pruned MERGE, time travel") {
     import graft.sources.VersionedTable
     val dir = Files.createTempDirectory("graft_vt").toString + "/t"
