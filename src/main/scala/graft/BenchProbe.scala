@@ -108,8 +108,15 @@ object BenchProbe {
         n
       }
       refreezeStats("cands_before") = cands()
+      // the policy metric (sampled odf-0 posting share) bracketing the
+      // verb: what maybeRefreezeContainmentIndex would see before (high,
+      // fires) and after (0, holds) — ties the BENCH row to the policy
+      refreezeStats("odf0_share_before") =
+        graft.dedup.Dedup.containmentOrderDecay(spark, dir)
       refreezeStats("refreeze_sec") =
         time(graft.dedup.Dedup.refreezeContainmentIndex(spark, dir).collect())
+      refreezeStats("odf0_share_after") =
+        graft.dedup.Dedup.containmentOrderDecay(spark, dir)
       refreezeStats("cands_after") = cands()
     }
     def r3(v: Double) =

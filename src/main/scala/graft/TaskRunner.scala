@@ -176,9 +176,12 @@ object TaskRunner {
       val e = Tables.embeddings(s, d)
       val nQ = i(p, "nQueries", 10); val k = i(p, "k", 3)
       // targetRecall states the recall needed and overrides rerank via
-      // the measured-curve calibration (the a27 depth-trade seam)
+      // the measured-curve calibration (the a27 depth-trade seam);
+      // calibrateSample bounds the ground-truth pass (identity at the
+      // test SFs, a sample-sized job at corpus scale)
       val rr = p.get("targetRecall")
-        .map(t => Ann.bqRerankForRecall(e, t.trim.toDouble, nQ, k))
+        .map(t => Ann.bqRerankForRecall(e, t.trim.toDouble, nQ, k,
+          calibrateSample = l(p, "calibrateSample", 4096L)))
         .getOrElse(i(p, "rerank", 100))
       Ann.bqKnn(e, nQ, k, rr)
     }),
@@ -513,8 +516,27 @@ object TaskRunner {
       val docs = Tables.documents(s, d)
       val src = str(p, "batchSource", "src0")
       val tmp = SparkEntry.scratchDir("graft_d21p_")
-      Dedup.writeContainmentIndex(docs.filter(docs("source") =!= src), tmp,
-        i(p, "nBuckets", 64))
+      // appendSource splits the corpus into a seed + one append batch
+      // (the decayed-index shape); refreezeMaxDecay then runs the
+      // order-decay policy before the probe — results are identical
+      // whether or not the refreeze fires (shared-total-order
+      // exactness), which is what makes this a safe task knob
+      p.get("appendSource") match {
+        case None =>
+          Dedup.writeContainmentIndex(docs.filter(docs("source") =!= src), tmp,
+            i(p, "nBuckets", 64))
+        case Some(a) =>
+          Dedup.writeContainmentIndex(
+            docs.filter(docs("source") =!= src && docs("source") =!= a), tmp,
+            i(p, "nBuckets", 64), batchId = Some(-1L))
+          Dedup.writeContainmentIndex(docs.filter(docs("source") === a), tmp,
+            batchId = Some(0L))
+      }
+      p.get("refreezeMaxDecay").foreach { t =>
+        Dedup.maybeRefreezeContainmentIndex(s, tmp, Dedup.RefreezePolicy(
+          t.trim.toDouble, i(p, "refreezeSampleBuckets", 8)))
+          .foreach(_.collect())
+      }
       Dedup.containmentAgainstIndex(docs.filter(docs("source") === src), tmp,
         dbl(p, "threshold", 0.8), i(p, "minShingles", 5))
     }),
@@ -612,11 +634,17 @@ object TaskRunner {
     "a28_ivf_bq_indexed" -> ((s, d, p) => {
       val e = Tables.embeddings(s, d)
       val nQ = i(p, "nQueries", 10); val k = i(p, "k", 3)
+      val tmp = str(p, "indexPath", SparkEntry.scratchDir("graft_a28p_"))
+      if (!graft.Fs.exists(s, tmp + "/centroids"))
+        Ann.writeAnnIndexBq(e.filter(e("vec_id") >= nQ), Ann.labelCentroids(e), tmp)
+      // targetRecall rides the persisted calibration sidecar: the
+      // ground-truth pass (sampled) runs once per durable index and
+      // every later run reads one sidecar row instead of re-running a
+      // brute kNN hidden inside a parameter
       val rr = p.get("targetRecall")
-        .map(t => Ann.bqRerankForRecall(e, t.trim.toDouble, nQ, k))
+        .map(t => Ann.ensureBqCalibration(tmp, e, t.trim.toDouble, nQ, k,
+          calibrateSample = l(p, "calibrateSample", 4096L)))
         .getOrElse(i(p, "rerank", 100))
-      val tmp = SparkEntry.scratchDir("graft_a28p_")
-      Ann.writeAnnIndexBq(e.filter(e("vec_id") >= nQ), Ann.labelCentroids(e), tmp)
       Ann.ivfBqKnnIndexed(e.filter(e("vec_id") < nQ), tmp, e,
         k, i(p, "nprobe", 2), rr)
     }),

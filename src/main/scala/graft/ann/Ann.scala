@@ -1249,16 +1249,94 @@ object Ann {
     * depth misses the target, that depth is returned — the curve
     * itself (same depths) shows the gap; pick SQ8/PQ instead of
     * digging deeper than the ladder. Task-tunable as `targetRecall`
-    * on a27/a28 (TaskRunner), which overrides `rerank`. */
+    * on a27/a28 (TaskRunner), which overrides `rerank`.
+    *
+    * `calibrateSample` (> 0) bounds the ground-truth pass: candidates
+    * downsample to ~that many rows by a deterministic id-hash keep
+    * test (the t27 multiplicative-hash discipline — replayable,
+    * partition-local, no shuffle; the `nQueries` query vectors always
+    * survive), and BOTH the exact twin and the Hamming shortlist run
+    * on the same sample, so the sampled curve is self-consistent.
+    * It transfers because the codec is data-independent and uniform
+    * sampling preserves the corpus' local geometry distribution —
+    * at 100 TB the calibration is a sample-sized job instead of a
+    * brute kNN over every vector (the cost that made the unsampled
+    * form a full corpus pass hiding inside a task parameter). 0
+    * means calibrate on the full corpus (the exact form). */
   def bqRerankForRecall(embeddings: DataFrame, targetRecall: Double,
                         nQueries: Int = 10, k: Int = 3,
-                        depths: Seq[Int] = Seq(25, 50, 100, 200, 400, 800)): Int = {
+                        depths: Seq[Int] = Seq(25, 50, 100, 200, 400, 800),
+                        calibrateSample: Long = 0L): Int = {
     require(targetRecall > 0 && targetRecall <= 1.0,
       s"bqRerankForRecall: targetRecall must be in (0,1], got $targetRecall")
-    val curve = bqRecallCurve(embeddings, nQueries, k, depths).collect()
+    val base =
+      if (calibrateSample <= 0L) embeddings
+      else {
+        val n = embeddings.count()
+        if (n <= calibrateSample) embeddings
+        else {
+          val pKeep = calibrateSample.toDouble / n
+          embeddings.filter(col("vec_id") < nQueries ||
+            ((col("vec_id") * 2654435761L) % 4294967296L).cast("double")
+              < pKeep * 4294967296.0)
+        }
+      }
+    val curve = bqRecallCurve(base, nQueries, k, depths).collect()
     curve.find(_.getDouble(2) >= targetRecall).map(_.getInt(1))
       .getOrElse(depths.max)
   }
+
+  /** Calibrate the BQ re-rank depth and PERSIST it beside the saved
+    * sign-bit index as a `calibration/` sidecar — deliberately NOT in
+    * codec meta ([[writeAnnIndexBq]] has none, and that absence IS
+    * the drift-free argument: the codec has nothing trained to
+    * version). The depth is DEPLOYMENT state — "what this corpus
+    * needs for that recall" — not codec state, so it lives apart and
+    * the no-meta pin stays intact. One row per calibration:
+    * (target_recall, rerank, n_queries, k, calibrate_sample).
+    * Recurring probes reuse it via [[calibratedBqRerank]] /
+    * [[ensureBqCalibration]], so the ground-truth pass is paid once
+    * per (corpus, target), never per probe run. Returns the depth. */
+  def calibrateAnnIndexBq(indexPath: String, embeddings: DataFrame,
+                          targetRecall: Double, nQueries: Int = 10, k: Int = 3,
+                          depths: Seq[Int] = Seq(25, 50, 100, 200, 400, 800),
+                          calibrateSample: Long = 0L): Int = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val depth = bqRerankForRecall(embeddings, targetRecall, nQueries, k,
+      depths, calibrateSample)
+    Seq((targetRecall, depth, nQueries, k, calibrateSample))
+      .toDF("target_recall", "rerank", "n_queries", "k", "calibrate_sample")
+      .write.mode("overwrite").parquet(indexPath + "/calibration")
+    depth
+  }
+
+  /** The persisted re-rank depth for (targetRecall, k) on a saved BQ
+    * index, if one has been calibrated — None on an uncalibrated
+    * index, a different target, or a different k (recall@k curves
+    * don't transfer across k). */
+  def calibratedBqRerank(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, targetRecall: Double,
+                         k: Int = 3): Option[Int] =
+    if (!graft.Fs.exists(spark, indexPath + "/calibration")) None
+    else spark.read.parquet(indexPath + "/calibration")
+      .filter(col("target_recall") === targetRecall && col("k") === k)
+      .select("rerank").collect().headOption.map(_.getInt(0))
+
+  /** The depth a28-style probes should run at: the PERSISTED
+    * calibration when the index carries one for this (target, k) —
+    * no recalibration, no ground-truth pass — else calibrate once
+    * (sampled, see [[bqRerankForRecall]]) and persist for the next
+    * caller. This is the TaskRunner binding's seam: a recurring task
+    * with `targetRecall` set pays the calibration on its first run
+    * against a durable index and reads one sidecar row thereafter. */
+  def ensureBqCalibration(indexPath: String, embeddings: DataFrame,
+                          targetRecall: Double, nQueries: Int = 10, k: Int = 3,
+                          depths: Seq[Int] = Seq(25, 50, 100, 200, 400, 800),
+                          calibrateSample: Long = 0L): Int =
+    calibratedBqRerank(embeddings.sparkSession, indexPath, targetRecall, k)
+      .getOrElse(calibrateAnnIndexBq(indexPath, embeddings, targetRecall,
+        nQueries, k, depths, calibrateSample))
 
   /** a13_knn_classify — kNN label propagation (weak labeling): each
     * query vector takes the majority label of its top-k neighbours —

@@ -1703,6 +1703,84 @@ object Dedup {
       .toDF("postings_reranked", "shingles_reordered", "n_buckets")
   }
 
+  /** ORDER-DECAY metric for the containment index: the share of
+    * posting rows whose shingle is ABSENT from the frozen `order/` —
+    * exactly the rows an append ranked under odf 0 (the d20 absent-
+    * shingle rule), the population whose growth floods probe prefixes
+    * with common-but-unranked vocabulary and inflates candidate
+    * volume. 0 right after a seed or [[refreezeContainmentIndex]]
+    * (the order covers its own vocabulary by construction), rising
+    * monotonically with post-freeze vocabulary growth.
+    *
+    * Measured over the first `sampleBuckets` bucket DIRECTORIES, not
+    * the whole index: the shingle→bucket map is a uniform hash mod,
+    * so any fixed bucket subset estimates the global share, and the
+    * bucket filter prunes statically — the check reads
+    * sampleBuckets/nBuckets of the postings (sh_h column only) and
+    * never touches corpus text. That is what makes this a CADENCE
+    * check at 100 TB, where the verb it gates is a full postings
+    * rewrite. Both relations resolve from ONE snapshot generation
+    * ([[graft.sources.Snapshots]]), so a refreeze racing the check
+    * can't split the read. */
+  def containmentOrderDecay(spark: org.apache.spark.sql.SparkSession,
+                            path: String, sampleBuckets: Int = 8): Double = {
+    require(sampleBuckets >= 1,
+      s"containmentOrderDecay: sampleBuckets must be >= 1, got $sampleBuckets")
+    val nBuckets = containmentIndexBuckets(spark, path)
+    // Int literal against the Int partition column — a widening cast
+    // on `bkt` would defeat the static pruning this check lives on
+    val k = math.min(sampleBuckets.toLong, nBuckets).toInt
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, Seq(orderPath, postingsPath)) =
+      graft.sources.Snapshots.resolve(fs, rootP, Seq("order", "postings"))
+    val post = spark.read.parquet(postingsPath.toString)
+      .filter(col("bkt") < lit(k)).select("sh_h")
+    val ord = spark.read.parquet(orderPath.toString)
+      .filter(col("bkt") < lit(k)).select("sh_h").distinct()
+      .withColumn("in_order", lit(1))
+    val row = post.join(ord, Seq("sh_h"), "left_outer")
+      .agg(count(lit(1)).as("n"), count("in_order").as("known")).head()
+    val n = row.getLong(0)
+    if (n == 0L) 0.0 else (n - row.getLong(1)).toDouble / n
+  }
+
+  /** Threshold policy for [[maybeRefreezeContainmentIndex]] — the
+    * index-side mirror of VersionedTable's OptimizePolicy, closing
+    * the lifecycle the repo's own design argues for: streaming
+    * admission loops (s24) append every trigger, appends compound
+    * order decay continuously, and nothing repaired it without a
+    * human remembering the verb. `maxOdf0Share` is the decay share
+    * ([[containmentOrderDecay]]) past which a refreeze fires;
+    * `sampleBuckets` bounds the check's read; `checkEvery` is the
+    * streaming cadence — the loop runs the check only on triggers
+    * whose batchId is a multiple, so the steady-state per-trigger
+    * cost stays |batch|-proportional. */
+  final case class RefreezePolicy(maxOdf0Share: Double = 0.3,
+                                  sampleBuckets: Int = 8,
+                                  checkEvery: Long = 8)
+
+  /** Run [[refreezeContainmentIndex]] iff the measured order-decay
+    * share breaches the policy threshold; returns the refreeze report
+    * when it ran. The check costs one sampled-bucket aggregation (no
+    * corpus text, no full postings scan); the verb is corpus-
+    * proportional, which is exactly why it hides behind a threshold.
+    * Probe results are IDENTICAL whether or not the refreeze fires
+    * (any shared total order is recall-exact — only candidate volume
+    * moves), so a replayed streaming trigger re-running the check is
+    * harmless: the worst case is one redundant re-rank, never a
+    * result change. Single-writer like the verb it wraps: call it
+    * from the ONE maintenance cadence (or the one admission loop)
+    * that owns the index. */
+  def maybeRefreezeContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+                                    path: String,
+                                    policy: RefreezePolicy = RefreezePolicy()
+                                   ): Option[DataFrame] = {
+    val decay = containmentOrderDecay(spark, path, policy.sampleBuckets)
+    if (decay <= policy.maxOdf0Share) None
+    else Some(refreezeContainmentIndex(spark, path))
+  }
+
   /** d21_containment_probe_indexed — d20 against the SAVED index:
     * result-identical to `containmentAgainst(newDocs, corpus,
     * dfCap = None)` over the same corpus, at |batch|-proportional

@@ -257,18 +257,8 @@ object Sources {
     repairStaged(spark, path)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def leaves(p: Path): Seq[Path] = {
-      val st = fs.listStatus(p).filterNot { s =>
-        val n = s.getPath.getName
-        n.startsWith(".") || n.startsWith("_")
-      }
-      val dirs = st.filter(_.isDirectory)
-      if (dirs.nonEmpty) dirs.toSeq.flatMap(d => leaves(d.getPath))
-      else if (st.exists(_.getPath.getName.endsWith(".parquet"))) Seq(p)
-      else Seq.empty
-    }
     var rewritten = 0
-    leaves(root).foreach { leaf =>
+    leafDirs(fs, root).foreach { leaf =>
       val files = fs.listStatus(leaf).filter(_.getPath.getName.endsWith(".parquet"))
       val bytes = files.map(_.getLen).sum
       val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
@@ -285,6 +275,51 @@ object Sources {
       }
     }
     rewritten
+  }
+
+  /** The LEAF partition directories of a (possibly partitioned)
+    * parquet layout — directories that hold parquet files directly.
+    * Dot/underscore names (staging siblings, Spark markers) are
+    * skipped, matching what Spark's own reader lists. Shared by
+    * [[optimizeIndex]] (the rewrite) and [[maybeOptimizeIndex]] (the
+    * policy check), so the two agree on what a leaf is. */
+  private def leafDirs(fs: org.apache.hadoop.fs.FileSystem,
+                       p: org.apache.hadoop.fs.Path
+                      ): Seq[org.apache.hadoop.fs.Path] = {
+    val st = fs.listStatus(p).filterNot { s =>
+      val n = s.getPath.getName
+      n.startsWith(".") || n.startsWith("_")
+    }
+    val dirs = st.filter(_.isDirectory)
+    if (dirs.nonEmpty) dirs.toSeq.flatMap(d => leafDirs(fs, d.getPath))
+    else if (st.exists(_.getPath.getName.endsWith(".parquet"))) Seq(p)
+    else Seq.empty
+  }
+
+  /** LAYOUT-decay policy check for the at-rest index sinks — the
+    * index-side mirror of VersionedTable's maybeOptimize, and the
+    * sibling of Dedup's maybeRefreezeContainmentIndex (order decay):
+    * run [[optimizeIndex]] iff some leaf partition directory has
+    * accumulated more than `maxLeafFiles` parquet files. File count
+    * per leaf is the honest trigger for append decay — every
+    * streaming trigger lands one file set per leaf it touches, so
+    * counts grow monotonically with triggers until a compaction
+    * collapses them. The check is directory LISTINGS only (the same
+    * class of work the rewrite's own planning does — no data read,
+    * no footer read), so an ingest loop can afford it on cadence.
+    * Returns the number of leaves rewritten when the policy fired. */
+  def maybeOptimizeIndex(spark: SparkSession, path: String,
+                         maxLeafFiles: Int = 64,
+                         targetFileBytes: Long = 128L * 1024 * 1024
+                        ): Option[Int] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val decayed = leafDirs(fs, root).exists { leaf =>
+      fs.listStatus(leaf).count(_.getPath.getName.endsWith(".parquet")) > maxLeafFiles
+    }
+    if (!decayed) None
+    else Some(optimizeIndex(spark, path, targetFileBytes))
   }
 
   /** The staged-swap publish step shared by the SINGLE-relation

@@ -773,20 +773,35 @@ object StreamingFlow {
     * with `writeContainmentIndex(corpus, path, batchId = Some(-1))`;
     * replay follows the s18 protocol (the replaying batch's own
     * partitions are excluded from its probe, writes are dynamic
-    * partition overwrites keyed by batch_id). */
+    * partition overwrites keyed by batch_id).
+    *
+    * `refreezePolicy` closes the decay loop the append side opens:
+    * every admitted trigger ranks its new vocabulary at odf 0 under
+    * the frozen order, so pruning power decays continuously for the
+    * life of the stream with nothing repairing it. With a policy set,
+    * triggers on the `checkEvery` cadence measure the decay share
+    * (sampled buckets — |batch|-independent, corpus-text-free) and
+    * fire ONE refreeze when it breaches — the admission loop is the
+    * index's single writer, so running maintenance between its own
+    * appends is exactly the safe slot, and concurrent PROBES are
+    * already safe across the snapshot-pointer publish. Verdicts are
+    * identical with or without the policy (shared-total-order
+    * exactness); a replayed trigger at worst re-runs the check. */
   def streamContainmentAdmitIndexed(stream: DataFrame, indexPath: String,
                                     verdictPath: String, checkpoint: String,
-                                    threshold: Double = 0.8, minShingles: Int = 5
+                                    threshold: Double = 0.8, minShingles: Int = 5,
+                                    refreezePolicy: Option[graft.dedup.Dedup.RefreezePolicy] = None
                                    ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch(containmentAdmitIndexedBatch(indexPath, verdictPath,
-        threshold, minShingles))
+        threshold, minShingles, refreezePolicy))
       .start()
 
   private[graft] def containmentAdmitIndexedBatch(indexPath: String, verdictPath: String,
-                                                  threshold: Double, minShingles: Int
+                                                  threshold: Double, minShingles: Int,
+                                                  refreezePolicy: Option[graft.dedup.Dedup.RefreezePolicy] = None
                                                  ): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val docs = batch.select("doc_id", "text").localCheckpoint(true)
@@ -804,6 +819,13 @@ object StreamingFlow {
       graft.Caches.scoped {
         graft.dedup.Dedup.writeContainmentIndex(admitted, indexPath,
           batchId = Some(batchId))
+      }
+      refreezePolicy.foreach { pol =>
+        if (pol.checkEvery > 0 && batchId % pol.checkEvery == 0)
+          graft.Caches.scoped {
+            graft.dedup.Dedup.maybeRefreezeContainmentIndex(
+              docs.sparkSession, indexPath, pol).foreach(_.collect())
+          }
       }
     }
 

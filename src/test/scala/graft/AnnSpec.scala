@@ -849,6 +849,53 @@ class AnnSpec extends SparkSpecBase {
     graft.Caches.release()
   }
 
+  test("bq calibration: deterministic id-hash sample bounds the ground-truth pass and transfers; sidecar persists and probes reuse it") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val n = e.count()
+    val depths = Seq(10, 25, 50, 100, 200)
+    // the sampled curve (half the corpus, queries kept) must land on
+    // the full curve's depth or an adjacent ladder rung — the
+    // "sampled depth ≈ full depth" transfer claim, measured on the
+    // driver's own embeddings, not a toy
+    val fullD = graft.ann.Ann.bqRerankForRecall(e, 0.8, 10, 3, depths)
+    graft.Caches.release()
+    val sampD = graft.ann.Ann.bqRerankForRecall(e, 0.8, 10, 3, depths,
+      calibrateSample = n / 2)
+    graft.Caches.release()
+    val ladder = depths.sorted
+    assert(math.abs(ladder.indexOf(sampD) - ladder.indexOf(fullD)) <= 1,
+      s"sampled depth $sampD must sit within one rung of full $fullD")
+    // replayable: the keep test is a pure function of vec_id
+    val sampD2 = graft.ann.Ann.bqRerankForRecall(e, 0.8, 10, 3, depths,
+      calibrateSample = n / 2)
+    assert(sampD2 == sampD, s"id-hash sampling must be deterministic: $sampD2 != $sampD")
+    graft.Caches.release()
+    // a bound at/above the corpus is the identity — the exact form
+    assert(graft.ann.Ann.bqRerankForRecall(e, 0.8, 10, 3, depths,
+      calibrateSample = n) == fullD)
+    graft.Caches.release()
+    // sidecar: calibrate-once persists beside the index; the ensure
+    // seam returns the PERSISTED depth without recalibrating — pinned
+    // by handing it embeddings whose own calibration would differ
+    val dir = java.nio.file.Files.createTempDirectory("graft_bqcal").toString
+    graft.ann.Ann.writeAnnIndexBq(e.filter($"vec_id" >= 10),
+      graft.ann.Ann.labelCentroids(e), dir)
+    val cal = graft.ann.Ann.calibrateAnnIndexBq(dir, e, 0.8, 10, 3, depths,
+      calibrateSample = n / 2)
+    assert(cal == sampD)
+    graft.Caches.release()
+    assert(graft.ann.Ann.calibratedBqRerank(spark, dir, 0.8, 3).contains(cal))
+    assert(graft.ann.Ann.calibratedBqRerank(spark, dir, 0.99, 3).isEmpty,
+      "a different target must not reuse another target's depth")
+    assert(graft.ann.Ann.calibratedBqRerank(spark, dir, 0.8, 5).isEmpty,
+      "recall@k curves do not transfer across k")
+    val poisoned = e.limit(12) // would calibrate to the deepest rung
+    assert(graft.ann.Ann.ensureBqCalibration(dir, poisoned, 0.8, 10, 3, depths) == cal,
+      "ensure must read the sidecar, never recalibrate")
+    graft.Caches.release()
+  }
+
   test("a25 filtered kNN: pre-filter semantics exclude the wrong-label global NN") {
     import spark.implicits._
     // query 0 (label 1): the globally nearest corpus vector (10) has

@@ -857,6 +857,59 @@ class DedupSpec extends SparkSpecBase {
     graft.Caches.release()
   }
 
+  test("maybeRefreezeContainmentIndex: holds below the decay threshold, fires exactly once past it, verdicts unchanged") {
+    // the refreeze spec's decay shape, driven through the POLICY: a
+    // fresh seed measures 0 decay (order covers its own vocabulary),
+    // heavy all-new-vocab appends push the odf-0 share past the
+    // threshold, the policy fires ONE refreeze, and the repaired
+    // index measures 0 again so the next check holds
+    val core = (1 to 30).map(i => s"c$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont_pol").toString
+    Dedup.writeContainmentIndex(docs(
+      10L -> "seed vocabulary alpha beta gamma delta epsilon zeta eta theta",
+      11L -> "more seed words iota kappa lambda mu nu xi omicron pi"),
+      dir, batchId = Some(-1L))
+    graft.Caches.release()
+    val exact = Dedup.RefreezePolicy(maxOdf0Share = 0.3, sampleBuckets = 64)
+    assert(Dedup.containmentOrderDecay(spark, dir, 64) == 0.0,
+      "a fresh seed's order covers its own vocabulary")
+    assert(Dedup.maybeRefreezeContainmentIndex(spark, dir, exact).isEmpty,
+      "below the threshold the policy must not rewrite")
+    def appendedText(i: Long) =
+      s"$core " + ('a' to 'j').map(c => s"u$i$c").mkString(" ")
+    Dedup.writeContainmentIndex(
+      docs((20L to 39L).map(i => i -> appendedText(i)): _*),
+      dir, batchId = Some(0L))
+    graft.Caches.release()
+    val decayed = Dedup.containmentOrderDecay(spark, dir, 64)
+    assert(decayed > 0.3, s"all-new-vocab appends must breach the threshold: $decayed")
+    // the SAMPLED check (8 of 64 buckets — the at-scale form) sees the
+    // same breach: decay is uniform across buckets by shingle hashing
+    assert(Dedup.containmentOrderDecay(spark, dir, 8) > 0.3,
+      "the sampled-bucket estimate must agree with the exact share")
+    val probe = docs(
+      0L -> s"$core fresh probe tail words never seen anywhere at",
+      1L -> (s"$core " + ('a' to 'h').map(c => s"u25$c").mkString(" ")))
+    val before = Dedup.containmentProbeCandidates(probe, dir, 0.8)._2.count()
+    val r1 = Dedup.containmentAgainstIndex(probe, dir, threshold = 0.8,
+      minShingles = 5).collect().toSeq
+    graft.Caches.release()
+    val fired = Dedup.maybeRefreezeContainmentIndex(spark, dir, exact)
+    assert(fired.nonEmpty, "past the threshold the policy must refreeze")
+    assert(fired.get.collect().head.getLong(0) > 0L)
+    assert(Dedup.containmentOrderDecay(spark, dir, 64) == 0.0,
+      "a refreeze re-derives the order from the postings: decay resets")
+    assert(Dedup.maybeRefreezeContainmentIndex(spark, dir, exact).isEmpty,
+      "exactly one refreeze: the repaired index holds on the next check")
+    val after = Dedup.containmentProbeCandidates(probe, dir, 0.8)._2.count()
+    assert(after < before,
+      s"the fired refreeze must restore prefix concentration: $after !< $before")
+    val r2 = Dedup.containmentAgainstIndex(probe, dir, threshold = 0.8,
+      minShingles = 5).collect().toSeq
+    assert(r2 == r1, s"verdicts must be policy-invariant: $r2 != $r1")
+    graft.Caches.release()
+  }
+
   test("containmentApply drops version chains into dominators in one acyclic pass") {
     val big = "a b c d e f g h i j k l"             // 10 shingles
     val mid = "a b c d e f g h i j"                  // 8, ⊂ big

@@ -246,6 +246,34 @@ class SourcesSpec extends SparkSpecBase {
     assert(Sources.repairStaged(spark, dir2) == 0)
   }
 
+  test("maybeOptimizeIndex: listing-only check fires the compaction past the leaf file-count threshold, holds below") {
+    // an appended partitioned layout: 10 file sets per leaf (the
+    // streaming-trigger decay shape)
+    val dir = Files.createTempDirectory("graft_moi").toString + "/idx"
+    (1 to 10).foreach { b =>
+      (0L until 40L).map(i => (i + b * 1000L, (i % 4).toInt)).toDF("id", "bkt")
+        .repartition(2)
+        .write.mode("append").partitionBy("bkt").parquet(dir)
+    }
+    def leafFiles(b: Int) = new java.io.File(s"$dir/bkt=$b").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(leafFiles(0) > 16, s"fixture must decay past the threshold: ${leafFiles(0)}")
+    val pre = spark.read.parquet(dir).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // above the observed count: the policy holds, nothing rewrites
+    assert(Sources.maybeOptimizeIndex(spark, dir, maxLeafFiles = 1000).isEmpty)
+    assert(leafFiles(0) > 16, "a held policy must not touch the layout")
+    // below it: fires, compacts every decayed leaf, content identical
+    val fired = Sources.maybeOptimizeIndex(spark, dir, maxLeafFiles = 16,
+      targetFileBytes = 1L << 30)
+    assert(fired.contains(4), s"all 4 leaves were decayed: $fired")
+    assert((0 to 3).forall(leafFiles(_) == 1), "each leaf collapses to one file")
+    assert(spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet == pre,
+      "content must be identical across the policy-fired compaction")
+    // repaired layout holds on the next check — exactly-once per decay
+    assert(Sources.maybeOptimizeIndex(spark, dir, maxLeafFiles = 16).isEmpty)
+  }
+
   test("versioned table: snapshot reads, file-pruned MERGE, time travel") {
     import graft.sources.VersionedTable
     val dir = Files.createTempDirectory("graft_vt").toString + "/t"

@@ -791,6 +791,72 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s24 refreeze policy: the admission loop self-repairs order decay on cadence — one refreeze, verdicts invariant") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("s24pol").toString
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def gen(p: String) = graft.sources.Snapshots.currentGen(fs, new Path(p))
+    // twin loops over identical triggers: `pol` carries the policy
+    // (check on even batchIds), `ref` runs bare — verdict equality
+    // pins that self-repair never changes what the stream admits
+    // seed large enough that trigger 0's small admission stays under
+    // the 0.3 odf-0 share, while trigger 1's heavy one breaches it
+    val seed = (100L to 105L)
+      .map(i => (i, (1 to 12).map(j => s"seed${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val policy = graft.dedup.Dedup.RefreezePolicy(
+      maxOdf0Share = 0.3, sampleBuckets = 64, checkEvery = 2)
+    val loops = Seq(
+      s"$dir/pol" -> StreamingFlow.containmentAdmitIndexedBatch(
+        s"$dir/pol/idx", s"$dir/pol/v", 0.8, 5, Some(policy)),
+      s"$dir/ref" -> StreamingFlow.containmentAdmitIndexedBatch(
+        s"$dir/ref/idx", s"$dir/ref/v", 0.8, 5, None))
+    loops.foreach { case (root, _) =>
+      graft.dedup.Dedup.writeContainmentIndex(seed, s"$root/idx", batchId = Some(-1L))
+    }
+    // trigger 0 (on cadence): one small fresh doc — admitted, but the
+    // odf-0 share stays under the threshold → no refreeze
+    val b0 = Seq((1L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    // triggers 1-2: heavy all-new-vocab admissions; trigger 1 is OFF
+    // cadence (no check even though decay has breached), trigger 2's
+    // check fires the one repair
+    def fresh(lo: Long, n: Int) = (lo until lo + n)
+      .map(i => (i, (1 to 12).map(j => s"w${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    loops.foreach { case (root, batchFn) =>
+      batchFn(b0, 0L)
+      assert(gen(s"$root/idx") == 0L, s"$root: trigger 0 below threshold")
+      batchFn(fresh(200L, 8), 1L)
+      assert(gen(s"$root/idx") == 0L, s"$root: trigger 1 off cadence")
+      batchFn(fresh(300L, 8), 2L)
+    }
+    assert(gen(s"$dir/pol/idx") == 1L,
+      "trigger 2's on-cadence check must fire exactly one refreeze")
+    assert(gen(s"$dir/ref/idx") == 0L, "the bare twin never rewrites")
+    assert(graft.dedup.Dedup.containmentOrderDecay(spark, s"$dir/pol/idx", 64) == 0.0)
+    // a post-repair trigger probes the refrozen index: verdicts equal
+    // the bare twin's in every trigger, including one probing a doc
+    // contained by a pre-repair admission
+    val b3 = Seq(
+      (400L, (1 to 10).map(j => s"w300x$j").mkString(" ")),
+      (401L, "totally new content admitted after the repair lands here"))
+      .toDF("doc_id", "text")
+    loops.foreach { case (_, batchFn) => batchFn(b3, 3L) }
+    val Seq(vPol, vRef) = loops.map { case (root, _) =>
+      spark.read.parquet(s"$root/v")
+        // the partition column reads back via directory-value
+        // inference (Int) — cast for a stable tuple shape
+        .select(col("batch_id").cast("long"), col("doc_id"),
+          col("verdict"), col("evidence_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    }
+    assert(vPol == vRef, s"verdicts must be policy-invariant: $vPol != $vRef")
+    assert(vPol.exists { case (b, d, v, of) => b == 3L && d == 400L && v == "contained" && of == 300L },
+      s"post-repair trigger must still see pre-repair admissions: $vPol")
+    graft.Caches.release()
+  }
+
   test("s22 emits transition edges across micro-batch boundaries, matching the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingFlow.TransEv

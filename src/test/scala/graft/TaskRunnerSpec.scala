@@ -273,4 +273,41 @@ class TaskRunnerSpec extends SparkSpecBase {
       "targetRecall=1.0 must calibrate a depth that reranks to the exact top-k")
     graft.Caches.release()
   }
+
+  test("a28 targetRecall persists its calibration beside a durable index and reuses it across runs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_a28cal").toString + "/idx"
+    val exact = TaskRunner.run(spark, d, "a28_ivf_bq_indexed",
+      Map("rerank" -> "1000000")).collect().toSeq
+    val first = TaskRunner.run(spark, d, "a28_ivf_bq_indexed",
+      Map("targetRecall" -> "1.0", "indexPath" -> dir)).collect().toSeq
+    assert(first == exact, "calibrated depth must rerank to the exact top-k")
+    val depth = graft.ann.Ann.calibratedBqRerank(spark, dir, 1.0, 3)
+    assert(depth.nonEmpty, "the run must persist its calibration sidecar")
+    graft.Caches.release()
+    // second run against the same durable index: the sidecar short-
+    // circuits the ground-truth pass (pinned mechanically at the Ann
+    // level); results are identical run over run
+    val second = TaskRunner.run(spark, d, "a28_ivf_bq_indexed",
+      Map("targetRecall" -> "1.0", "indexPath" -> dir)).collect().toSeq
+    assert(second == first)
+    assert(graft.ann.Ann.calibratedBqRerank(spark, dir, 1.0, 3) == depth)
+    graft.Caches.release()
+  }
+
+  test("d21 maintenance knob: appendSource + refreezeMaxDecay fire the order-decay policy without changing the result") {
+    val base = TaskRunner.run(spark, d, "d21_containment_probe_indexed")
+      .collect().toSeq
+    val split = TaskRunner.run(spark, d, "d21_containment_probe_indexed",
+      Map("appendSource" -> "src1")).collect().toSeq
+    assert(split == base,
+      "seed+append must probe identically to the single-shot seed")
+    // threshold 0 fires unconditionally on any post-seed vocabulary;
+    // shared-total-order exactness keeps the result invariant
+    val refrozen = TaskRunner.run(spark, d, "d21_containment_probe_indexed",
+      Map("appendSource" -> "src1", "refreezeMaxDecay" -> "0.0"))
+      .collect().toSeq
+    assert(refrozen == base,
+      "a policy-fired refreeze must not change probe results")
+    graft.Caches.release()
+  }
 }
