@@ -640,10 +640,12 @@ object TaskRunner {
       // targetRecall rides the persisted calibration sidecar: the
       // ground-truth pass (sampled) runs once per durable index and
       // every later run reads one sidecar row instead of re-running a
-      // brute kNN hidden inside a parameter
+      // brute kNN hidden inside a parameter — until the corpus grows
+      // past recalGrowth× the calibration-time size (staleness policy)
       val rr = p.get("targetRecall")
-        .map(t => Ann.ensureBqCalibration(tmp, e, t.trim.toDouble, nQ, k,
-          calibrateSample = l(p, "calibrateSample", 4096L)))
+        .map(t => Ann.maybeRecalibrateBq(tmp, e, t.trim.toDouble, nQ, k,
+          calibrateSample = l(p, "calibrateSample", 4096L),
+          maxGrowth = dbl(p, "recalGrowth", 2.0)))
         .getOrElse(i(p, "rerank", 100))
       Ann.ivfBqKnnIndexed(e.filter(e("vec_id") < nQ), tmp, e,
         k, i(p, "nprobe", 2), rr)

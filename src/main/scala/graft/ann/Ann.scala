@@ -1305,23 +1305,64 @@ object Ann {
     import spark.implicits._
     val depth = bqRerankForRecall(embeddings, targetRecall, nQueries, k,
       depths, calibrateSample)
-    Seq((targetRecall, depth, nQueries, k, calibrateSample))
-      .toDF("target_recall", "rerank", "n_queries", "k", "calibrate_sample")
+    // n_vectors records the corpus the curve was MEASURED on — the
+    // staleness axis maybeRecalibrateBq's growth policy checks
+    val n = embeddings.count()
+    Seq((targetRecall, depth, nQueries, k, calibrateSample, n))
+      .toDF("target_recall", "rerank", "n_queries", "k",
+        "calibrate_sample", "n_vectors")
       .write.mode("overwrite").parquet(indexPath + "/calibration")
     depth
   }
 
-  /** The persisted re-rank depth for (targetRecall, k) on a saved BQ
-    * index, if one has been calibrated — None on an uncalibrated
+  /** The persisted (depth, calibration-time corpus size) for
+    * (targetRecall, k) on a saved BQ index — None on an uncalibrated
     * index, a different target, or a different k (recall@k curves
     * don't transfer across k). */
-  def calibratedBqRerank(spark: org.apache.spark.sql.SparkSession,
-                         indexPath: String, targetRecall: Double,
-                         k: Int = 3): Option[Int] =
+  private def calibrationRow(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String, targetRecall: Double,
+                             k: Int): Option[(Int, Long)] =
     if (!graft.Fs.exists(spark, indexPath + "/calibration")) None
     else spark.read.parquet(indexPath + "/calibration")
       .filter(col("target_recall") === targetRecall && col("k") === k)
-      .select("rerank").collect().headOption.map(_.getInt(0))
+      .select("rerank", "n_vectors").collect().headOption
+      .map(r => (r.getInt(0), r.getLong(1)))
+
+  /** The persisted re-rank depth for (targetRecall, k) on a saved BQ
+    * index, if one has been calibrated. */
+  def calibratedBqRerank(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, targetRecall: Double,
+                         k: Int = 3): Option[Int] =
+    calibrationRow(spark, indexPath, targetRecall, k).map(_._1)
+
+  /** Staleness policy for the persisted calibration — the third
+    * maintenance axis, mirroring order decay (maybeRefreeze) and
+    * layout decay (maybeOptimizeIndex): the recall-vs-depth curve is
+    * CORPUS-dependent, so a depth calibrated at N vectors drifts as
+    * appends move the corpus' composition, and a sidecar written once
+    * would silently serve a stale depth forever. The honest cheap
+    * trigger is growth: recalibrate when the current corpus has grown
+    * (or shrunk) past `maxGrowth`× the calibration-time `n_vectors`;
+    * within the band the persisted depth is reused with no
+    * ground-truth work beyond one metadata-only count. Absent,
+    * wrong-target, or wrong-k sidecars calibrate fresh. */
+  def maybeRecalibrateBq(indexPath: String, embeddings: DataFrame,
+                         targetRecall: Double, nQueries: Int = 10, k: Int = 3,
+                         depths: Seq[Int] = Seq(25, 50, 100, 200, 400, 800),
+                         calibrateSample: Long = 0L,
+                         maxGrowth: Double = 2.0): Int = {
+    require(maxGrowth >= 1.0,
+      s"maybeRecalibrateBq: maxGrowth must be >= 1, got $maxGrowth")
+    calibrationRow(embeddings.sparkSession, indexPath, targetRecall, k) match {
+      case Some((depth, nCal)) =>
+        val n = embeddings.count()
+        if (n <= nCal * maxGrowth && nCal <= n * maxGrowth) depth
+        else calibrateAnnIndexBq(indexPath, embeddings, targetRecall,
+          nQueries, k, depths, calibrateSample)
+      case None => calibrateAnnIndexBq(indexPath, embeddings, targetRecall,
+        nQueries, k, depths, calibrateSample)
+    }
+  }
 
   /** The depth a28-style probes should run at: the PERSISTED
     * calibration when the index carries one for this (target, k) —

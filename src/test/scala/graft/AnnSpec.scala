@@ -894,6 +894,22 @@ class AnnSpec extends SparkSpecBase {
     assert(graft.ann.Ann.ensureBqCalibration(dir, poisoned, 0.8, 10, 3, depths) == cal,
       "ensure must read the sidecar, never recalibrate")
     graft.Caches.release()
+    // staleness policy: within the growth band the persisted depth is
+    // reused even when the handed corpus' own calibration would differ
+    // (half the corpus is within 2x of the calibration-time count)...
+    val half = e.filter($"vec_id" < n / 2)
+    assert(graft.ann.Ann.maybeRecalibrateBq(dir, half, 0.8, 10, 3, depths,
+      maxGrowth = 2.0) == cal,
+      "within the growth band the sidecar depth must be reused")
+    graft.Caches.release()
+    // ...past the band it recalibrates on the corpus it was handed and
+    // re-persists — the sidecar now reflects the shrunken corpus
+    val recal = graft.ann.Ann.maybeRecalibrateBq(dir, poisoned, 0.8, 10, 3,
+      depths, maxGrowth = 2.0)
+    val own = graft.ann.Ann.bqRerankForRecall(poisoned, 0.8, 10, 3, depths)
+    assert(recal == own, "past the band the policy must recalibrate")
+    assert(graft.ann.Ann.calibratedBqRerank(spark, dir, 0.8, 3).contains(recal))
+    graft.Caches.release()
   }
 
   test("a25 filtered kNN: pre-filter semantics exclude the wrong-label global NN") {
