@@ -313,6 +313,10 @@ object Sources {
                          targetFileBytes: Long = 128L * 1024 * 1024
                         ): Option[Int] = {
     import org.apache.hadoop.fs.Path
+    // heal first: a leaf stranded behind its -old name by a crashed
+    // swap is dot-prefixed and would simply vanish from the listing,
+    // reading as "not decayed" until something else repaired it
+    repairStaged(spark, path)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val decayed = leafDirs(fs, root).exists { leaf =>

@@ -272,6 +272,18 @@ class SourcesSpec extends SparkSpecBase {
       "content must be identical across the policy-fired compaction")
     // repaired layout holds on the next check — exactly-once per decay
     assert(Sources.maybeOptimizeIndex(spark, dir, maxLeafFiles = 16).isEmpty)
+    // a leaf stranded behind its -old name by a crashed swap must not
+    // hide from the check: the policy heals it first, then decides
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(s"$dir/bkt=2"),
+      new Path(s"$dir/.bkt=2.optimizeIndex-old")))
+    assert(Sources.maybeOptimizeIndex(spark, dir, maxLeafFiles = 16).isEmpty,
+      "the stranded leaf heals and the compacted layout still holds")
+    assert(new java.io.File(s"$dir/bkt=2").isDirectory,
+      "the policy check must roll the stranded leaf back")
+    assert(spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet == pre)
   }
 
   test("versioned table: snapshot reads, file-pruned MERGE, time travel") {
