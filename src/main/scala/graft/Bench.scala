@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    def loadavg(): String =
+      scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim).getOrElse("")
+    val loadStart = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -66,6 +70,14 @@ object Bench {
     val errs = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // host-load sidecar (separate file — the driver's stdout/JSON
+    // contract stays byte-compatible): loadavg at start and end makes
+    // a contaminated one-shot self-diagnosing (this VM's CPU steal has
+    // historically swung untouched queries 2-9x — r20 verdict)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HOST.json"),
+      s"""{"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","reps":$reps,"cpus":"$cpus"}"""
+        .getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     // durable copy in the repo: even if the stdout line is clipped by
     // the log capture, the full per-query map survives for the judge.
     // Full-suite runs only — a SPARK_GRAFT_ONLY dev subset must not

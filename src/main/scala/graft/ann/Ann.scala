@@ -154,6 +154,11 @@ object Ann {
       .orderBy(col("rrf_score").desc, col("doc_id"))
     tagged
       .withColumn("contrib", lit(1.0) / (lit(kRrf) + col("rank")))
+      // one exchange for the (query, doc) fold AND the rank window
+      // (the bm25Score trick): partitioning by query_id satisfies
+      // both; the fused relation is post-retrieval small (queries x k
+      // x runs), so map-side partial aggregation buys nothing here
+      .repartition(col("query_id"))
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_runs"),
         aggregate(array_sort(collect_list(struct(col("run"), col("contrib")))),
@@ -273,14 +278,45 @@ object Ann {
     * nprobe>1 is query-side multi-probe. */
   private[graft] def assignN(vectors: DataFrame, centroids: DataFrame,
                            nprobe: Int): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("c_label"))
-    // sim is kept: callers select their own columns, and outlierScore
-    // needs the winning centroid's score
-    vectors.crossJoin(broadcast(centroids))
-      .withColumn("sim", expr("graft_cosine(embedding, centroid)"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nprobe)
-      .drop("rn", "centroid")
+    // MAP-SIDE top-nprobe: the centroid table folds to ONE array row,
+    // broadcast-crossed into the vector scan, and each vector picks
+    // its nprobe nearest cells inside the row via
+    // transform + array_sort + slice — zero exchange, zero sort of
+    // the |vectors| x k product (the previous window formulation
+    // shuffled and sorted every (vector, centroid) pair by vec_id,
+    // a full corpus-sized exchange on every index build/assign pass).
+    // Ordering contract is the window's exactly: sim DESC with NaN
+    // first (nanvl maps NaN below any real negated cosine; cosine is
+    // in [-1, 1]), ties by c_label ASC; `sim` is kept — callers
+    // select their own columns, and outlierScore needs the winning
+    // centroid's score.
+    val centArr = centroids
+      .agg(collect_list(struct(col("c_label"), col("centroid"))).as("__cents"))
+    val scored = transform(col("__cents"), c => {
+      val sim = call_function("graft_cosine", col("embedding"),
+        c.getField("centroid"))
+      struct(nanvl(-sim, lit(-2.0)).as("negsim"),
+        c.getField("c_label").as("c_label"), sim.as("sim"))
+    })
+    val crossed = vectors.crossJoin(broadcast(centArr))
+    val picked =
+      if (nprobe == 1)
+        // storage assignment is the corpus-hot path (every index
+        // build/append, a03/a06, each distributed-Lloyd iteration):
+        // argmin over the scored array is one O(k) fold — no sort,
+        // no explode. The null filter replicates the crossJoin-with-
+        // empty-centroids behavior (no rows).
+        crossed.withColumn("__p", array_min(scored))
+          .filter(col("__p").isNotNull)
+      else
+        crossed.withColumn("__picks", slice(array_sort(scored), 1, nprobe))
+          .withColumn("__p", explode(col("__picks")))
+          .drop("__picks")
+    picked
+      .drop("__cents")
+      .withColumn("sim", col("__p.sim"))
+      .withColumn("c_label", col("__p.c_label"))
+      .drop("__p")
   }
 
   /** Nearest-centroid (single-cell) assignment. */
@@ -1276,8 +1312,13 @@ object Ann {
         if (n <= calibrateSample) embeddings
         else {
           val pKeep = calibrateSample.toDouble / n
+          // pmod, not signed %: vec_id * 2654435761 overflows negative
+          // past vec_id ~ 3.47e9, and a negative remainder is always
+          // under the threshold — the signed form silently kept every
+          // high-id row and ballooned the "sample" toward half the
+          // corpus at the scale this bound exists for
           embeddings.filter(col("vec_id") < nQueries ||
-            ((col("vec_id") * 2654435761L) % 4294967296L).cast("double")
+            pmod(col("vec_id") * 2654435761L, lit(4294967296L)).cast("double")
               < pKeep * 4294967296.0)
         }
       }
@@ -1613,11 +1654,19 @@ object Ann {
     val assigned = graft.Caches.tracked(
       assign(embeddings.select(col("vec_id"), col("embedding")), cents)
         .select(col("vec_id"), col("embedding"), col("c_label").as("cell")))
-    val stats = assigned.groupBy("cell").agg(count(lit(1)).as("n_members"))
-    val meanLoad = stats.agg(avg("n_members")).first().getDouble(0)
-    val flagged: Array[Int] = stats
-      .filter(col("n_members") > meanLoad * balanceFactor && col("n_members") >= 2)
-      .select("cell").collect().map(_.getInt(0)).sorted
+    val stats = graft.Caches.tracked(
+      assigned.groupBy("cell").agg(count(lit(1)).as("n_members")))
+    // ONE collect of the k-row stats table serves the mean and the
+    // flag scan (two separate jobs before — the k x 8-byte rows are
+    // driver-trivial at any corpus size since k ~ sqrt(n))
+    val statRows = stats.select(col("cell"), col("n_members")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val meanLoad =
+      if (statRows.isEmpty) 0.0
+      else statRows.map(_._2).sum.toDouble / statRows.length
+    val flagged: Array[Int] = statRows
+      .filter { case (_, n) => n > meanLoad * balanceFactor && n >= 2 }
+      .map(_._1).sorted
     val unsplitOf = (keep: DataFrame) => keep
       .join(stats, keep("c_label") === stats("cell"), "left")
       .select(keep("c_label"), keep("c_label").as("parent_cell"),
@@ -1702,10 +1751,14 @@ object Ann {
   def writeAnnIndex(corpus: DataFrame, centroids: DataFrame, path: String,
                     batchId: Option[Long] = None): Unit = {
     GraftFunctions.register(corpus.sparkSession)
-    centroids.write.mode("overwrite").parquet(path + "/centroids")
-    writeCells(assign(corpus, centroids)
-      .select(col("vec_id"), col("embedding"), col("c_label")),
-      path + "/vectors", batchId, seeding = true)
+    // centroids/ and vectors/ are independent writes (the cell
+    // assignment consumes the in-memory centroid frame, not the
+    // written file) — overlap them (graft.Par)
+    graft.Par.jobs(
+      () => centroids.write.mode("overwrite").parquet(path + "/centroids"),
+      () => writeCells(assign(corpus, centroids)
+        .select(col("vec_id"), col("embedding"), col("c_label")),
+        path + "/vectors", batchId, seeding = true))
   }
 
   /** Shared cell-directory writer for the saved ANN indexes. Two
@@ -1837,14 +1890,17 @@ object Ann {
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
     import spark.implicits._
-    centroids.write.mode("overwrite").parquet(path + "/centroids")
     val (lo, scale) = trainSq8Ranges(corpus, dim)
-    Seq((lo.toSeq, scale.toSeq)).toDF("lo", "scale")
-      .write.mode("overwrite").parquet(path + "/meta")
     val (encF, _) = GraftFunctions.registerSq8(spark, lo, scale)
-    writeCells(assign(corpus, centroids)
-      .select(col("vec_id"), expr(s"$encF(embedding)").as("codes"), col("c_label")),
-      path + "/codes", batchId, seeding = true)
+    // centroids/, meta/ and codes/ are independent once the ranges are
+    // trained — overlap the three writes (graft.Par)
+    graft.Par.jobs(
+      () => centroids.write.mode("overwrite").parquet(path + "/centroids"),
+      () => Seq((lo.toSeq, scale.toSeq)).toDF("lo", "scale")
+        .write.mode("overwrite").parquet(path + "/meta"),
+      () => writeCells(assign(corpus, centroids)
+        .select(col("vec_id"), expr(s"$encF(embedding)").as("codes"), col("c_label")),
+        path + "/codes", batchId, seeding = true))
     GraftFunctions.dropFunction(spark, encF)
   }
 
@@ -1925,11 +1981,13 @@ object Ann {
                       batchId: Option[Long] = None): Unit = {
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
-    centroids.write.mode("overwrite").parquet(path + "/centroids")
-    writeCells(assign(corpus, centroids)
-      .select(col("vec_id"), expr("graft_signbits(embedding)").as("codes"),
-        col("c_label")),
-      path + "/codes", batchId, seeding = true)
+    // independent relations — overlap the writes (graft.Par)
+    graft.Par.jobs(
+      () => centroids.write.mode("overwrite").parquet(path + "/centroids"),
+      () => writeCells(assign(corpus, centroids)
+        .select(col("vec_id"), expr("graft_signbits(embedding)").as("codes"),
+          col("c_label")),
+        path + "/codes", batchId, seeding = true))
   }
 
   /** Append a batch to a saved BQ index: assign under the SAVED
@@ -2012,7 +2070,6 @@ object Ann {
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
     import spark.implicits._
-    centroids.write.mode("overwrite").parquet(path + "/centroids")
     val sample: Array[Array[Float]] = corpus
       .select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(trainSample)
@@ -2020,13 +2077,17 @@ object Ann {
     require(sample.length >= ksub,
       s"writeAnnIndexPq: training sample (${sample.length}) must cover ksub=$ksub seeds")
     val codebook = trainPqCodebook(sample, m, ksub, subDim, iters)
-    Seq((codebook.toSeq, m, ksub, subDim))
-      .toDF("codebook", "m", "ksub", "sub_dim")
-      .write.mode("overwrite").parquet(path + "/meta")
     val fname = GraftFunctions.registerPqEncode(spark, codebook, m, ksub, subDim)
-    writeCells(assign(corpus, centroids)
-      .select(col("vec_id"), expr(s"$fname(embedding)").as("codes"), col("c_label")),
-      path + "/codes", batchId, seeding = true)
+    // centroids/, meta/ and codes/ are independent once the codebook
+    // is trained — overlap the three writes (graft.Par)
+    graft.Par.jobs(
+      () => centroids.write.mode("overwrite").parquet(path + "/centroids"),
+      () => Seq((codebook.toSeq, m, ksub, subDim))
+        .toDF("codebook", "m", "ksub", "sub_dim")
+        .write.mode("overwrite").parquet(path + "/meta"),
+      () => writeCells(assign(corpus, centroids)
+        .select(col("vec_id"), expr(s"$fname(embedding)").as("codes"), col("c_label")),
+        path + "/codes", batchId, seeding = true))
     GraftFunctions.dropFunction(spark, fname)
   }
 

@@ -229,17 +229,22 @@ object Dedup {
     val sig = sets.select(col("doc_id"), size(col("sh")).as("nsh"),
       posexplode(expr(s"graft_minhash_bands(sh, $numHashes, $bands)"))
         .as(Seq("bi", "bh")))
+    // the two relations are independent once `sets` is cached — write
+    // them concurrently (graft.Par, the overlap-independent-jobs
+    // pattern; the block-level cache lock keeps `sets` computed once)
     batchId match {
       case None =>
-        sets.write.mode("overwrite").parquet(path + "/shingles")
-        sig.write.mode("overwrite").partitionBy("bi").parquet(path + "/sig")
+        graft.Par.jobs(
+          () => sets.write.mode("overwrite").parquet(path + "/shingles"),
+          () => sig.write.mode("overwrite").partitionBy("bi").parquet(path + "/sig"))
       case Some(id) =>
         // batch_id-partitioned layout: the streaming/nightly loop's
         // replay-safe shape (appendDedupIndex overwrites per batch)
-        sets.withColumn("batch_id", lit(id))
-          .write.mode("overwrite").partitionBy("batch_id").parquet(path + "/shingles")
-        sig.withColumn("batch_id", lit(id))
-          .write.mode("overwrite").partitionBy("batch_id", "bi").parquet(path + "/sig")
+        graft.Par.jobs(
+          () => sets.withColumn("batch_id", lit(id))
+            .write.mode("overwrite").partitionBy("batch_id").parquet(path + "/shingles"),
+          () => sig.withColumn("batch_id", lit(id))
+            .write.mode("overwrite").partitionBy("batch_id", "bi").parquet(path + "/sig"))
     }
   }
 
@@ -328,11 +333,14 @@ object Dedup {
       withShingleHashes(corpus).select(col("doc_id"), size(col("sh")).as("nsh"),
         expr(s"graft_minhash_bands(sh, $numHashes, $numHashes)").as("msig"),
         expr(s"graft_minhash_bands(sh, $numHashes, $bands)").as("bsig")))
-    signed.select("doc_id", "nsh", "msig")
-      .write.mode("overwrite").parquet(path + "/minsig")
-    signed.select(col("doc_id"), col("nsh"),
-        posexplode(col("bsig")).as(Seq("bi", "bh")))
-      .write.mode("overwrite").partitionBy("bi").parquet(path + "/sig")
+    // independent relations off the one cached build — overlap the
+    // writes (graft.Par)
+    graft.Par.jobs(
+      () => signed.select("doc_id", "nsh", "msig")
+        .write.mode("overwrite").parquet(path + "/minsig"),
+      () => signed.select(col("doc_id"), col("nsh"),
+          posexplode(col("bsig")).as(Seq("bi", "bh")))
+        .write.mode("overwrite").partitionBy("bi").parquet(path + "/sig"))
   }
 
   /** d11 against the SIGNATURE index: same band candidates, scores by
@@ -1596,15 +1604,18 @@ object Dedup {
     // order would break the one-consistent-order requirement of the
     // positional bound. Append-side reads prune to the batch's own
     // bucket set (only its shingles need odf).
-    val odf = if (isAppend) {
+    val (odf, ordW) = if (isAppend) {
       val bkts = bare.select("bkt").distinct().collect().map(_.getInt(0))
-      spark.read.parquet(orderPath.toString)
-        .filter(col("bkt").isin(bkts.toSeq: _*)).select("sh_h", "odf")
+      (spark.read.parquet(orderPath.toString)
+        .filter(col("bkt").isin(bkts.toSeq: _*)).select("sh_h", "odf"), None)
     } else {
       val ord = graft.Caches.tracked(
         bare.groupBy("bkt", "sh_h").agg(count(lit(1)).as("odf")))
-      ord.write.mode("overwrite").partitionBy("bkt").parquet(orderPath.toString)
-      ord.select("sh_h", "odf")
+      // deferred into the Par group below: postings rank against the
+      // CACHED ord frame, so the order/ write is independent of them
+      (ord.select("sh_h", "odf"),
+        Some(() => ord.write.mode("overwrite").partitionBy("bkt")
+          .parquet(orderPath.toString): Unit))
     }
     val post = bare.join(odf, Seq("sh_h"), "left_outer")
       .withColumn("odf", coalesce(col("odf"), lit(0L)))
@@ -1616,21 +1627,26 @@ object Dedup {
     // can leave the top buckets empty), and a probe hashing with the
     // wrong modulus reads the wrong directories. layout_version lets
     // every reader refuse a pre-frozen-order index loudly.
-    spark.range(1).select(lit(effBuckets).as("n_buckets"),
+    // meta/, sets/ and postings/ are independent once the order is
+    // settled (postings rank against the CACHED ord frame, not the
+    // written file) — overlap the writes (graft.Par)
+    val metaW = () => spark.range(1).select(lit(effBuckets).as("n_buckets"),
         lit(ContainmentLayoutVersion).as("layout_version"))
-      .write.mode("overwrite").parquet(path + "/meta")
+      .write.mode("overwrite").parquet(path + "/meta"): Unit
     batchId match {
       case None =>
-        sets.write.mode("overwrite").parquet(path + "/sets")
-        post.write.mode("overwrite").partitionBy("bkt")
-          .parquet(postingsPath.toString)
+        graft.Par.jobs(ordW.toSeq :+ metaW :+
+          (() => sets.write.mode("overwrite").parquet(path + "/sets"): Unit) :+
+          (() => post.write.mode("overwrite").partitionBy("bkt")
+            .parquet(postingsPath.toString): Unit): _*)
       case Some(id) =>
-        sets.withColumn("batch_id", lit(id))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(path + "/sets")
-        post.withColumn("batch_id", lit(id))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id", "bkt").parquet(postingsPath.toString)
+        graft.Par.jobs(ordW.toSeq :+ metaW :+
+          (() => sets.withColumn("batch_id", lit(id))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(path + "/sets"): Unit) :+
+          (() => post.withColumn("batch_id", lit(id))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "bkt").parquet(postingsPath.toString): Unit): _*)
     }
   }
 
@@ -1688,16 +1704,23 @@ object Dedup {
         docPart.orderBy(col("odf"), col("sh_h"))).cast("long"))
       .drop("odf")
     val stage = graft.sources.Snapshots.stageNext(fs, rootP, gen)
-    newOrd.write.mode("overwrite").partitionBy("bkt")
-      .parquet(new Path(stage, "order").toString)
-    if (batched)
-      reranked.write.mode("overwrite").partitionBy("batch_id", "bkt")
-        .parquet(new Path(stage, "postings").toString)
-    else
-      reranked.write.mode("overwrite").partitionBy("bkt")
-        .parquet(new Path(stage, "postings").toString)
-    val nSh = newOrd.count()
-    val nPost = postings.count()
+    // the two staged writes and the two report counts are independent
+    // jobs (reranked joins the CACHED newOrd frame, not the staged
+    // file) — overlap them (graft.Par); publish waits for all four
+    var nSh = 0L
+    var nPost = 0L
+    graft.Par.jobs(
+      () => newOrd.write.mode("overwrite").partitionBy("bkt")
+        .parquet(new Path(stage, "order").toString),
+      () =>
+        if (batched)
+          reranked.write.mode("overwrite").partitionBy("batch_id", "bkt")
+            .parquet(new Path(stage, "postings").toString)
+        else
+          reranked.write.mode("overwrite").partitionBy("bkt")
+            .parquet(new Path(stage, "postings").toString),
+      () => nSh = newOrd.count(),
+      () => nPost = postings.count())
     graft.sources.Snapshots.publish(fs, rootP, gen + 1, Seq("order", "postings"))
     Seq((nPost, nSh, nBuckets))
       .toDF("postings_reranked", "shingles_reordered", "n_buckets")

@@ -509,15 +509,19 @@ object BinaryPipeline {
     val exploded = chunkExplode(documents, minLen, maskBits).localCheckpoint(true)
     val recipes = exploded.select("doc_id", "pos", "chunk_hash")
     val chunks = exploded.groupBy("chunk_hash").agg(min(col("chunk")).as("bytes"))
+    // the two relations read the same checkpointed chunking pass and
+    // are otherwise independent — overlap the writes (graft.Par)
     batchId match {
       case None =>
-        recipes.write.mode("overwrite").parquet(path + "/recipes")
-        chunks.write.mode("overwrite").parquet(path + "/chunks")
+        graft.Par.jobs(
+          () => recipes.write.mode("overwrite").parquet(path + "/recipes"),
+          () => chunks.write.mode("overwrite").parquet(path + "/chunks"))
       case Some(id) => // batch-rooted seed: appendChunkStore's layout
-        recipes.withColumn("batch_id", lit(id)).write.mode("overwrite")
-          .partitionBy("batch_id").parquet(path + "/recipes")
-        chunks.withColumn("batch_id", lit(id)).write.mode("overwrite")
-          .partitionBy("batch_id").parquet(path + "/chunks")
+        graft.Par.jobs(
+          () => recipes.withColumn("batch_id", lit(id)).write.mode("overwrite")
+            .partitionBy("batch_id").parquet(path + "/recipes"),
+          () => chunks.withColumn("batch_id", lit(id)).write.mode("overwrite")
+            .partitionBy("batch_id").parquet(path + "/chunks"))
     }
   }
 
@@ -660,28 +664,37 @@ object BinaryPipeline {
     val stage = graft.sources.Snapshots.stageNext(fs, rootP, gen)
     val chunksNew = new Path(stage, "chunks")
     val recipesNew = new Path(stage, "recipes")
-    if (batched) {
-      keepChunks.write.mode("overwrite").partitionBy("batch_id")
-        .parquet(chunksNew.toString)
-      live.write.mode("overwrite").partitionBy("batch_id")
-        .parquet(recipesNew.toString)
-    } else {
-      keepChunks.write.mode("overwrite").parquet(chunksNew.toString)
-      live.write.mode("overwrite").parquet(recipesNew.toString)
-    }
-    // before-stats read the ORIGINAL generation (untouched under the
-    // staged one); after-stats read the PUBLISHED generation — the
-    // report never reads unpublished paths and nothing is pinned in
-    // executor memory
-    val before = chunks
-      .agg(count(lit(1)).as("n"), coalesce(sum(length(col("bytes"))), lit(0L)).as("b"))
-      .head
-    val recipesBefore = recipesRaw.count()
+    // the two staged writes and the two before-stats are four
+    // independent jobs (before-stats read the ORIGINAL generation,
+    // untouched under the staged one) — overlap them (graft.Par);
+    // the publish still happens only after every staged write landed.
+    // Nothing is pinned in executor memory and the report never reads
+    // unpublished paths.
+    var before: org.apache.spark.sql.Row = null
+    var recipesBefore = 0L
+    graft.Par.jobs(
+      () =>
+        if (batched)
+          keepChunks.write.mode("overwrite").partitionBy("batch_id")
+            .parquet(chunksNew.toString)
+        else keepChunks.write.mode("overwrite").parquet(chunksNew.toString),
+      () =>
+        if (batched)
+          live.write.mode("overwrite").partitionBy("batch_id")
+            .parquet(recipesNew.toString)
+        else live.write.mode("overwrite").parquet(recipesNew.toString),
+      () => before = chunks
+        .agg(count(lit(1)).as("n"), coalesce(sum(length(col("bytes"))), lit(0L)).as("b"))
+        .head,
+      () => recipesBefore = recipesRaw.count())
     graft.sources.Snapshots.publish(fs, rootP, gen + 1, Seq("chunks", "recipes"))
-    val after = spark.read.parquet(chunksNew.toString)
-      .agg(count(lit(1)).as("n"), coalesce(sum(length(col("bytes"))), lit(0L)).as("b"))
-      .head
-    val recipesAfter = spark.read.parquet(recipesNew.toString).count()
+    var after: org.apache.spark.sql.Row = null
+    var recipesAfter = 0L
+    graft.Par.jobs(
+      () => after = spark.read.parquet(chunksNew.toString)
+        .agg(count(lit(1)).as("n"), coalesce(sum(length(col("bytes"))), lit(0L)).as("b"))
+        .head,
+      () => recipesAfter = spark.read.parquet(recipesNew.toString).count())
     Seq((before.getLong(0), after.getLong(0), before.getLong(1) - after.getLong(1),
       recipesBefore - recipesAfter))
       .toDF("chunks_before", "chunks_after", "bytes_reclaimed",

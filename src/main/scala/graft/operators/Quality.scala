@@ -41,15 +41,25 @@ object Quality {
     val schema = df.schema
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"dqProfile: no column '$c' in ${schema.fieldNames.mkString(",")}"))
-    val aggs = count(lit(1)).as("n_rows") +:
+    // TWO aggregation passes, not one: string min/max carry var-width
+    // aggregation buffers, which force the whole aggregate — including
+    // the Expand-multiplied exact-distinct path — into SortAggregate
+    // (two full sorts of (#cols+1) x input rows). Splitting the
+    // distinct counts into their own aggregate keeps them on
+    // HashAggregate (grouping on var-width KEYS is fine; only var-
+    // width BUFFERS demote), and the min/max pass is a grouping-free
+    // single fold that never sorts. Same values, one extra
+    // column-pruned scan, two corpus-sized sorts removed.
+    val mmAggs = count(lit(1)).as("n_rows") +:
       cols.flatMap { c =>
         val dt = schema(c).dataType
         Seq(count(col(c)).as(s"__cnt_$c"),
-          countDistinct(col(c)).as(s"__dst_$c"),
           canon(min(col(c)), dt, centsScale).as(s"__min_$c"),
           canon(max(col(c)), dt, centsScale).as(s"__max_$c"))
       }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val dstAggs = cols.map(c => countDistinct(col(c)).as(s"__dst_$c"))
+    val one = df.agg(mmAggs.head, mmAggs.tail: _*)
+      .crossJoin(df.agg(dstAggs.head, dstAggs.tail: _*))
     val rows = cols.map { c =>
       struct(lit(c).as("col_name"), col("n_rows"),
         (col("n_rows") - col(s"__cnt_$c")).as("n_null"),

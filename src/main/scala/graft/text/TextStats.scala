@@ -888,7 +888,17 @@ object TextStats {
           lit(b) * col("dl").cast("double") / col("avgdl"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"))
-    contrib.groupBy("query_id", "doc_id")
+    // ONE exchange serves both the (query, doc) aggregate and the
+    // per-query rank window: hash-partitioning on query_id alone
+    // satisfies the aggregate's clustering requirement (its keys are a
+    // superset), so the explicit repartition replaces the aggregate's
+    // own (query_id, doc_id) exchange AND the window's query_id
+    // exchange — 2 Exchanges → 1. The per-pair candidate fan-in is
+    // bounded by the query's term count, so the partial-aggregation
+    // volume this forgoes is a ≤|q-terms| factor on an already
+    // queries-proportional relation.
+    contrib.repartition(col("query_id"))
+      .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_hit_terms"),
         aggregate(array_sort(collect_list(struct(col("term"), col("contrib")))),
           lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score"))
@@ -982,24 +992,31 @@ object TextStats {
     val dls = graft.Caches.tracked(tf.groupBy("doc_id").agg(sum("tf").as("dl")))
     val dfs = tf.groupBy("bkt", "term").agg(count(lit(1)).as("df"))
     val stats = dls.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    corpus.sparkSession.range(1).select(lit(effBuckets).as("n_buckets"))
-      .write.mode("overwrite").parquet(path + "/meta")
+    // the five relations are independent once tf/dls are cached —
+    // issue the writes concurrently (graft.Par, the guide's overlap-
+    // independent-jobs pattern) so each job back-fills the others'
+    // scheduling/commit tails instead of paying 5 full job latencies
+    val metaW = () => corpus.sparkSession.range(1)
+      .select(lit(effBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(path + "/meta"): Unit
     batchId match {
       case None =>
-        tf.select("bkt", "term", "doc_id", "tf")
-          .write.mode("overwrite").partitionBy("bkt").parquet(path + "/postings")
-        dfs.write.mode("overwrite").partitionBy("bkt").parquet(path + "/dfs")
-        dls.write.mode("overwrite").parquet(path + "/doclens")
-        stats.write.mode("overwrite").parquet(path + "/stats")
+        graft.Par.jobs(metaW,
+          () => tf.select("bkt", "term", "doc_id", "tf")
+            .write.mode("overwrite").partitionBy("bkt").parquet(path + "/postings"),
+          () => dfs.write.mode("overwrite").partitionBy("bkt").parquet(path + "/dfs"),
+          () => dls.write.mode("overwrite").parquet(path + "/doclens"),
+          () => stats.write.mode("overwrite").parquet(path + "/stats"))
       case Some(id) =>
         def app(df: DataFrame, sub: String, parts: String*): Unit =
           df.withColumn("batch_id", lit(id))
             .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id" +: parts: _*).parquet(path + "/" + sub)
-        app(tf.select("bkt", "term", "doc_id", "tf"), "postings", "bkt")
-        app(dfs, "dfs", "bkt")
-        app(dls, "doclens")
-        app(stats, "stats")
+        graft.Par.jobs(metaW,
+          () => app(tf.select("bkt", "term", "doc_id", "tf"), "postings", "bkt"),
+          () => app(dfs, "dfs", "bkt"),
+          () => app(dls, "doclens"),
+          () => app(stats, "stats"))
     }
   }
 
