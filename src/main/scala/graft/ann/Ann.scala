@@ -323,6 +323,49 @@ object Ann {
   private[graft] def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
     assignN(vectors, centroids, 1)
 
+  /** MAP-SIDE bounded top-k per query — the aggregate-fold form of
+    * `row_number() OVER (PARTITION BY query_id ORDER BY sim DESC,
+    * neighbor_id) <= k` (the retrieval family's ranking tail). The
+    * window formulation sorts the FULL candidate product twice (a
+    * partial WindowGroupLimit still sorts each map partition before
+    * pruning, and the reduce side re-sorts after the exchange); the
+    * mergeable NeighborTopK fold keeps ≤ k rows per (query, map
+    * partition) in the partial aggregate, so nothing candidate-sized
+    * is ever sorted and the exchange carries k·|queries| rows per
+    * partition instead of the product (guide §2.3/§2.4).
+    *
+    * Ordering contract — the window's EXACTLY: sim DESC with NaN first
+    * (`nanvl(-sim, -2.0)`; cosine ∈ [-1,1] so -2 sorts below every
+    * real negated key), nulls LAST (`coalesce(..., 2.0)`, matching
+    * desc_nulls_last), ties by neighbor_id ASC. `+ 0.0` normalizes a
+    * -0.0 key to +0.0 so the fold compares ±0.0 equal exactly like
+    * SQL ordering does (negating sim maps ±0.0 sims onto ∓0.0 keys).
+    * The raw sim rides the non-compared payload slot, so the emitted
+    * value is bit-identical to the window path's.
+    *
+    * Input: (query_id, neighbor_id, sim double) — extra columns are
+    * dropped. Output: (query_id, neighbor_id, sim, rn int), rn = 1..k
+    * densely in ranking order. */
+  private[graft] def topKNeighbors(cand: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val agg = udaf(new graft.functions.TypedAggregators.NeighborTopK(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong, Encoders.scalaDouble))
+    cand
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .withColumn("__key",
+        coalesce(nanvl(-col("sim"), lit(-2.0)), lit(2.0)) + lit(0.0))
+      .groupBy("query_id")
+      .agg(agg(col("__key"), col("neighbor_id"),
+        coalesce(col("sim"), lit(0.0))).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("query_id"),
+        col("__t._2").as("neighbor_id"),
+        // a 2.0 key can only come from the null-sim coalesce branch
+        when(col("__t._1") === 2.0, lit(null).cast("double"))
+          .otherwise(col("__t._3")).as("sim"),
+        (col("__pos") + 1).cast("int").as("rn"))
+  }
+
   /** a03_centroid_assign — IVF-style coarse quantization: build one
     * centroid per label, then assign every vector to its nearest
     * centroid by cosine. */
@@ -481,13 +524,19 @@ object Ann {
     * holds more than the k x dim centroid table either way. */
   private def resolveCentroids(embeddings: DataFrame, centroids: Option[DataFrame],
                                cells: Int): DataFrame =
-    centroids.getOrElse {
+    // tracked: every IVF op derives TWO assignment passes from this
+    // table (query side + corpus side); an uncached non-local centroid
+    // build (labelCentroids — two corpus-wide aggregations) would run
+    // once per side (the a07 before-plan shows the whole subtree
+    // twice). The k-row table is cache-trivial; the sample-trained
+    // k-means branches are already driver-local relations.
+    graft.Caches.tracked(centroids.getOrElse {
       val k =
         if (cells > 0) cells
         else math.max(1, math.round(math.sqrt(embeddings.count().toDouble)).toInt)
       if (k <= 4096) kmeansCentroids(embeddings, k, trainSample = math.max(4096, 32 * k))
       else kmeansCentroidsDistributed(embeddings, k)
-    }
+    })
 
   /** a04_ivf_knn — IVF search: every candidate vector is stored in its
     * single nearest-centroid cell; each query probes its `nprobe`
@@ -511,11 +560,11 @@ object Ann {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("c_label"))
     val c = assign(embeddings.filter(col("vec_id") >= nQueries), cents)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("c_label"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    q.join(c, "c_label")
+    // bounded aggregate fold instead of the rank window: the probed
+    // cells' candidate volume never sorts or shuffles (topKNeighbors)
+    val cand = q.join(c, "c_label")
       .withColumn("sim", expr("graft_cosine(qe, ce)"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    topKNeighbors(cand, k)
       .select(col("query_id"), col("neighbor_id"),
         stableRound(col("sim"), 4).as("cos_sim"), col("rn"))
       .orderBy("query_id", "rn")
@@ -1549,12 +1598,14 @@ object Ann {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("c_label"))
     val c = assign(embeddings, cents)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("c_label"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    q.join(c, "c_label")
+    // top-k via the bounded aggregate fold, not a window: the
+    // cell-joined candidate product (Σ|cell|·nprobe rows — the op's
+    // dominant volume) is never sorted, and only k rows per (query,
+    // map partition) reach the exchange. See [[topKNeighbors]].
+    val cand = q.join(c, "c_label")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", expr("graft_cosine(qe, ce)"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    topKNeighbors(cand, k)
       .select(col("query_id"), col("neighbor_id"),
         stableRound(col("sim"), 4).as("cos_sim"), col("rn"))
       .orderBy("query_id", "rn")
@@ -1860,15 +1911,14 @@ object Ann {
       .filter(col("c_label").isin(probed: _*))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
         col("c_label"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    q.join(c, "c_label")
+    val cand = q.join(c, "c_label")
       // excludeSelf=false is the knnFor convention (a20/a21: query docs
       // ARE corpus docs, the self-hit is the rank-1 anchor both runs
       // share); the default keeps a15's self-excluding search
       .filter(!lit(excludeSelf) || col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", expr("graft_cosine(qe, ce)"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    // bounded aggregate fold instead of the rank window (topKNeighbors)
+    topKNeighbors(cand, k)
       .select(col("query_id"), col("neighbor_id"),
         stableRound(col("sim"), 4).as("cos_sim"), col("rn"))
       .orderBy("query_id", "rn")

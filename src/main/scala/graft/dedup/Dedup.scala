@@ -1387,11 +1387,18 @@ object Dedup {
     // lesson), while the window is strategy-proof — one sh_h exchange,
     // per-key buffers bounded by the dfCap that already guards hot
     // shingles upstream
-    val ranked = e
+    // tracked: the candidate join reads this relation TWICE (prefix
+    // probe side + full posting side). Uncached, the plan duplicates
+    // the explode and BOTH window passes — two extra corpus-shingle
+    // exchanges and two extra sorts per call (measured in the d19
+    // before-plan: the Generate + df-window + rank-window subtree
+    // appears once per join side). The cached rows are (doc_id, nsh,
+    // sh_h, rk) — the same narrow volume those exchanges carried.
+    val ranked = graft.Caches.tracked(e
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh_h")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("sh_h"))))
-      .select(col("doc_id"), col("nsh"), col("sh_h"), col("rk"))
+      .select(col("doc_id"), col("nsh"), col("sh_h"), col("rk")))
     val prefix = ranked.filter(col("rk") <= prefixLen)
     val need = ceil(lit(threshold) * col("a.nsh") - lit(1e-9))
     prefix.as("a")

@@ -45,6 +45,44 @@ object TypedAggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
+  /** Bounded top-k of (key, id, payload) rows under ascending
+    * (key, id) — the aggregate-fold replacement for the
+    * `row_number() OVER (PARTITION BY query ORDER BY sim DESC, id)`
+    * top-k idiom of the retrieval family. The window formulation
+    * plans Sort + WindowGroupLimit on BOTH sides of the exchange —
+    * two full sorts of the candidate product per query batch; this
+    * fold is mergeable with a buffer that never exceeds k rows, so
+    * map-side partial aggregation reduces each partition to ≤ k rows
+    * per group BEFORE the shuffle (guide §2.3/§2.4: shuffle k·|groups|
+    * rows instead of the candidate product, no candidate-sized sort
+    * anywhere). Callers encode the window's exact ordering contract
+    * into `key` (see Ann.topKNeighbors) and carry the raw payload in
+    * the third slot, which never participates in the comparison.
+    * Determinism: (key, id) is a total order with unique ids per
+    * group, so the kept set and its order are input-order-independent. */
+  class NeighborTopK(k: Int)
+      extends Aggregator[(Double, Long, Double),
+        Seq[(Double, Long, Double)], Seq[(Double, Long, Double)]] {
+    require(k >= 1, s"NeighborTopK: k must be >= 1, got $k")
+    private val ord =
+      Ordering.by[(Double, Long, Double), (Double, Long)](t => (t._1, t._2))(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    override def zero: Seq[(Double, Long, Double)] = Vector.empty
+    override def reduce(b: Seq[(Double, Long, Double)],
+                        a: (Double, Long, Double)): Seq[(Double, Long, Double)] =
+      // common case first: a full buffer rejects a non-improving row in O(1)
+      if (b.length == k && ord.gteq(a, b.last)) b
+      else ((b :+ a).sorted(ord)).take(k)
+    override def merge(b1: Seq[(Double, Long, Double)],
+                       b2: Seq[(Double, Long, Double)]): Seq[(Double, Long, Double)] =
+      (b1 ++ b2).sorted(ord).take(k)
+    override def finish(r: Seq[(Double, Long, Double)]): Seq[(Double, Long, Double)] = r
+    override def bufferEncoder: Encoder[Seq[(Double, Long, Double)]] =
+      Encoders.kryo[Seq[(Double, Long, Double)]]
+    override def outputEncoder: Encoder[Seq[(Double, Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long, Double)]]()
+  }
+
   /** Misra–Gries heavy-hitters sketch: at most `k` counters however
     * wide the true vocabulary, mergeable with the Agarwal et al.
     * offset-merge (sum counters pairwise, subtract the (k+1)-th
